@@ -1,0 +1,106 @@
+package graft.cleaning
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BooleanType
+
+import graft.core.{Config, Normalizers => N, Validators => V}
+
+/** Matrix disbursement cleaner — the Spark translation of
+  * `/root/reference/src/cleaning/clean_matrix.py:240-462`.
+  * Lazy `DataFrame => DataFrame`: rename -> project -> blocklist filters ->
+  * field normalization -> date filter -> validation flags -> null-key drop ->
+  * ingest-order dedup.
+  */
+object CleanMatrix {
+
+  /** Blocklists; reference src/cleaning/clean_matrix.py:222-234. */
+  val IgnoredMatrixAccounts: Set[String] = Set("07B00442", "07I00442", "07M00442")
+  val IgnoredTxnMethods: Set[String] =
+    Set("account transfer", "suspense transfer", "ach distribution reject", "check stop")
+
+  def apply(
+      rawDf: DataFrame,
+      dropRowsMissingKeys: Boolean = true,
+      dateFilter: Config.DateFilterConfig = Config.DateFilterConfig(),
+      today: LocalDate = LocalDate.now(),
+      warnCounts: Boolean = false): DataFrame = {
+    import Cleaning._
+
+    var df = withIngestId(rawDf)
+    df = renameColumns(df, Config.MatrixColumnMap)
+    df = keepColumns(df, Config.MatrixCoreColumns)
+    val cols = df.columns.toSet
+
+    // P3 — blocklist filters. pandas astype(str) maps NaN -> "nan" (not in
+    // either blocklist), so null accounts/methods are KEPT — hence the
+    // coalesce(false) here.
+    if (cols("matrix_account"))
+      df = df.filter(!coalesce(
+        col("matrix_account").cast("string").isin(IgnoredMatrixAccounts.toSeq: _*),
+        lit(false)))
+    if (cols("txn_method"))
+      df = df.filter(!coalesce(
+        lower(trim(col("txn_method").cast("string"))).isin(IgnoredTxnMethods.toSeq: _*),
+        lit(false)))
+
+    df = withColumnIfPresent(df, "plan_id", N.normalizePlanId)
+    df = withColumnIfPresent(df, "ssn", N.normalizeSsn)
+    if (cols("ssn"))
+      warnIf(df, col("ssn").isNull || length(col("ssn")) =!= 9,
+        n => s"Matrix SSN normalization produced $n invalid values.", warnCounts)
+
+    if (cols("txn_date")) {
+      df = df.withColumn("txn_date", N.toDate(col("txn_date")))
+      df = V.applyDateFilter(df, "txn_date", dateFilter)
+    }
+
+    df = withColumnIfPresent(df, "gross_amt", N.toNumeric)
+    df = withColumnIfPresent(df, "fed_taxable_amt", N.toNumeric)
+    df = withColumnIfPresent(df, "roth_initial_contribution_year", N.toInt64)
+    df = withColumnIfPresent(df, "state", N.normalizeState)
+    for (c <- Seq("tax_code_1", "tax_code_2")) {
+      df = withColumnIfPresent(df, c, N.normalizeTaxCode)
+      if (cols(c))
+        warnIf(df, col(c).isNotNull && length(col(c)) > 2,
+          n => s"Matrix tax code normalization produced $n values longer than 2 characters.",
+          warnCounts)
+    }
+    df = withColumnIfPresent(df, "transaction_id", N.normalizeTransactionId)
+    for (c <- Seq("txn_method", "tax_form", "federal_taxing_method", "dist_type",
+        "participant_name"))
+      df = withColumnIfPresent(df, c, N.normalizeText(_))
+
+    // Validation flags (reference :403-440); absent inputs -> null boolean.
+    val nullFlag = lit(null).cast(BooleanType)
+    val ssnValid = if (cols("ssn")) V.validateSsn(col("ssn")) else nullFlag
+    val amountValid =
+      if (cols("gross_amt") && cols("fed_taxable_amt"))
+        V.validateAmounts(col("gross_amt"), Some(col("fed_taxable_amt")))
+      else nullFlag
+    val dateValid =
+      if (cols("txn_date")) V.validateDates(col("txn_date"), today = today) else nullFlag
+    val codeValid =
+      if (cols("tax_code_1")) V.validate1099rCode(col("tax_code_1")) else nullFlag
+    val crossIssues =
+      if (cols("gross_amt") && cols("fed_taxable_amt") && cols("tax_code_1"))
+        Some(V.crossValidate(col("gross_amt"), col("fed_taxable_amt"), col("tax_code_1")))
+      else None
+
+    df = df
+      .withColumn("ssn_valid", ssnValid)
+      .withColumn("amount_valid", amountValid)
+      .withColumn("date_valid", dateValid)
+      .withColumn("code_1099r_valid", codeValid)
+      .withColumn("validation_issues",
+        V.buildValidationIssues(col("ssn_valid"), col("amount_valid"),
+          col("date_valid"), col("code_1099r_valid"), crossIssues))
+
+    val matchKeys = Config.MatrixMatchKeys.filter(df.columns.contains)
+    if (dropRowsMissingKeys && matchKeys.nonEmpty) df = dropNullKeys(df, matchKeys)
+    if (matchKeys.nonEmpty) df = dedupKeepFirst(df, matchKeys, col(IngestIdCol))
+    df
+  }
+}

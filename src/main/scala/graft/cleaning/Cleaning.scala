@@ -1,0 +1,104 @@
+package graft.cleaning
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shared cleaning primitives: rename, keep-only projection, and the
+  * ingest-order window dedup that replicates pandas' stable
+  * `drop_duplicates(keep=...)` semantics (SURVEY §2.7 D1–D3).
+  */
+object Cleaning {
+
+  /** Synthetic ingest-order column used to replicate pandas' file-order
+    * dedup. Tagged once at the start of cleaning.
+    */
+  val IngestIdCol = "_ingest_id"
+
+  /** Tag ingest order if not already present. `monotonically_increasing_id`
+    * is (partition-index << 33) + row-in-partition — monotone in file order
+    * for a deterministic scan, and never shuffled before the dedup window
+    * uses it.
+    */
+  def withIngestId(df: DataFrame): DataFrame =
+    if (df.columns.contains(IngestIdCol)) df
+    else df.withColumn(IngestIdCol, monotonically_increasing_id())
+
+  /** P1 — rename raw headers to canonical names (only those present). */
+  def renameColumns(df: DataFrame, columnMap: Seq[(String, String)]): DataFrame =
+    columnMap.foldLeft(df) { case (d, (raw, canonical)) =>
+      if (d.columns.contains(raw)) d.withColumnRenamed(raw, canonical) else d
+    }
+
+  /** P2 — keep-only projection, ignoring absent columns
+    * (reference _drop_unneeded_columns, src/cleaning/clean_matrix.py:152-163).
+    * Always retains the ingest-id column when present.
+    */
+  def keepColumns(df: DataFrame, keep: Seq[String]): DataFrame = {
+    val present = keep.filter(df.columns.contains) ++
+      (if (df.columns.contains(IngestIdCol)) Seq(IngestIdCol) else Nil)
+    df.select(present.map(col): _*)
+  }
+
+  /** D1 — key-based dedup keep-first in ingest order
+    * (reference drop_duplicates(subset, keep="first"),
+    * src/cleaning/clean_relius.py:344-347).
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], orderBy: Column): DataFrame =
+    dedupBy(df, keys, Seq(orderBy.asc))
+
+  /** D2 — dedup keep-last in ingest order
+    * (reference src/cleaning/clean_relius_demo.py:141-144: the sort on key
+    * columns is stable, so last-in-file wins within each key group).
+    */
+  def dedupKeepLast(df: DataFrame, keys: Seq[String], orderBy: Column): DataFrame =
+    dedupBy(df, keys, Seq(orderBy.desc))
+
+  /** D3 — dedup by completeness then ingest order
+    * (reference src/cleaning/clean_relius_roth_basis.py:164-172: pandas'
+    * default quicksort on a constant-completeness group preserves original
+    * order in practice for the tiny groups involved; first-in-file wins on
+    * ties).
+    */
+  def dedupByCompleteness(
+      df: DataFrame,
+      keys: Seq[String],
+      completenessCols: Seq[String],
+      orderBy: Column): DataFrame = {
+    val completeness = completenessCols
+      .map(c => col(c).isNotNull.cast("int"))
+      .reduce(_ + _)
+    dedupBy(df, keys, Seq(completeness.desc, orderBy.asc))
+  }
+
+  private def dedupBy(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** P11 — drop rows with any null among `keys` (reference
+    * dropna(subset=keys, how="any"), src/cleaning/clean_matrix.py:443-447).
+    */
+  def dropNullKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val present = keys.filter(df.columns.contains)
+    if (present.isEmpty) df else df.na.drop("any", present)
+  }
+
+  /** Apply `f` to `colName` only when present (the reference's
+    * `if col in df.columns` guards).
+    */
+  def withColumnIfPresent(df: DataFrame, colName: String, f: Column => Column): DataFrame =
+    if (df.columns.contains(colName)) df.withColumn(colName, f(col(colName))) else df
+
+  /** V7 — cleaner warning counters. The reference warns eagerly
+    * (src/cleaning/clean_matrix.py:327-335); we defer the count action to
+    * keep pipelines lazy, triggering it only when `enabled`.
+    */
+  def warnIf(df: DataFrame, cond: Column, message: Long => String, enabled: Boolean): Unit =
+    if (enabled) {
+      val n = df.filter(cond).count()
+      if (n > 0) org.apache.log4j.Logger.getLogger(getClass).warn(message(n))
+    }
+}
