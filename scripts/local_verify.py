@@ -23,7 +23,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df) and len(df.columns):
         df = df.sort_values(by=list(df.columns), ignore_index=True,
-                            key=lambda s: s.map(lambda v: str(v)))
+                            key=lambda s: s.map(
+                                lambda v: '' if pd.isna(v) else str(v)))
     return df.reset_index(drop=True)
 
 

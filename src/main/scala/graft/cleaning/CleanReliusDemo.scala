@@ -25,7 +25,9 @@ object CleanReliusDemo {
     // Header normalize: strip().upper() on raw names (reference :81).
     df = df.columns.foldLeft(df) { (d, c) =>
       val norm = c.trim.toUpperCase
-      if (norm != c) d.withColumnRenamed(c, norm) else d
+      // Internal bookkeeping columns (ingest id) are exempt from the
+      // reference's raw-header normalization.
+      if (norm != c && !c.startsWith("_")) d.withColumnRenamed(c, norm) else d
     }
     val required = Config.ReliusDemoColumnMap.map(_._1)
     val missing = required.filterNot(df.columns.contains)

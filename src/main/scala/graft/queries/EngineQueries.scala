@@ -1,8 +1,252 @@
 package graft.queries
 
-/** Engine A–D pipelines mapped onto the testdata star schema (populated as
-  * the engines land — SURVEY §2.3/2.8/2.9).
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.engines.{AgeTaxCode, IraRollover, MatchPlanId, RothTaxable}
+import graft.outputs.BuildCorrectionFile
+
+/** Engine A–D pipelines + cleaners over the testdata adapter (SURVEY
+  * §2.2–§2.9), each with a DuckDB oracle replaying the same semantics.
+  *
+  * Output conventions (shared with OracleSql): dates as 'yyyy-MM-dd'
+  * strings, arrays '|'-joined, so both engines emit identical scalars.
   */
 object EngineQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private def dstr(name: String): Column =
+    date_format(col(name), "yyyy-MM-dd").as(name)
+
+  private def issuesStr(name: String = "validation_issues"): Column =
+    concat_ws("|", col(name)).as(name)
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "clean_relius",
+      (s, dir) =>
+        Testdata.cleanRelius(s, dir).select(
+          col("plan_id"), col("ssn"), col("first_name"), col("last_name"),
+          col("state"), col("gross_amt"), dstr("exported_date"), col("tax_year"),
+          col("dist_code_1"), col("dist_name"), col("dist_category_relius"),
+          col("full_name"), col("ssn_valid"), col("amount_valid"),
+          col("date_valid"), col("code_1099r_valid"), issuesStr()),
+      Some(OracleSql.query(
+        """SELECT plan_id, ssn, first_name, last_name, state, gross_amt,
+          |  strftime(exported_date, '%Y-%m-%d') AS exported_date, tax_year,
+          |  dist_code_1, dist_name, dist_category_relius, full_name,
+          |  ssn_valid, amount_valid, date_valid, code_1099r_valid,
+          |  coalesce(array_to_string(validation_issues, '|'), '') AS validation_issues
+          |FROM relius_clean""".stripMargin))),
+
+    QueryDef(
+      "clean_matrix",
+      (s, dir) =>
+        Testdata.cleanMatrix(s, dir).select(
+          col("plan_id"), col("ssn"), col("participant_name"), col("state"),
+          col("gross_amt"), col("fed_taxable_amt"), dstr("txn_date"),
+          col("txn_method"), col("tax_code_1"), col("tax_code_2"),
+          col("tax_form"), col("federal_taxing_method"), col("dist_type"),
+          col("roth_initial_contribution_year"), col("transaction_id"),
+          col("matrix_account"), col("ssn_valid"), col("amount_valid"),
+          col("date_valid"), col("code_1099r_valid"), issuesStr()),
+      Some(OracleSql.query(
+        """SELECT plan_id, ssn, participant_name, state, gross_amt,
+          |  fed_taxable_amt, strftime(txn_date, '%Y-%m-%d') AS txn_date,
+          |  txn_method, tax_code_1, tax_code_2, tax_form, federal_taxing_method,
+          |  dist_type, roth_initial_contribution_year, transaction_id,
+          |  matrix_account, ssn_valid, amount_valid, date_valid,
+          |  code_1099r_valid,
+          |  coalesce(array_to_string(validation_issues, '|'), '') AS validation_issues
+          |FROM matrix_clean""".stripMargin))),
+
+    QueryDef(
+      "clean_demo",
+      (s, dir) =>
+        Testdata.cleanDemo(s, dir).select(
+          col("plan_id"), col("ssn"), col("first_name"), col("last_name"),
+          dstr("dob"), dstr("term_date"), col("ssn_valid"),
+          col("date_valid").cast("string").as("date_valid"),
+          issuesStr()),
+      Some(OracleSql.query(
+        """SELECT plan_id, ssn, first_name, last_name,
+          |  strftime(dob, '%Y-%m-%d') AS dob,
+          |  strftime(term_date, '%Y-%m-%d') AS term_date,
+          |  ssn_valid, CAST(date_valid AS VARCHAR) AS date_valid,
+          |  coalesce(array_to_string(list_filter([
+          |    CASE WHEN ssn_valid = FALSE THEN 'ssn_invalid' END,
+          |    CASE WHEN date_valid = FALSE THEN 'date_invalid' END],
+          |    x -> x IS NOT NULL), '|'), '') AS validation_issues
+          |FROM demo_clean""".stripMargin))),
+
+    QueryDef(
+      "clean_basis",
+      (s, dir) =>
+        Testdata.cleanBasis(s, dir).select(
+          col("plan_id"), col("ssn"), col("first_name"), col("last_name"),
+          col("first_roth_tax_year"), col("roth_basis_amt"),
+          col("ssn_valid"), col("amount_valid"), issuesStr()),
+      Some(OracleSql.query(
+        """SELECT plan_id, ssn, first_name, last_name, first_roth_tax_year,
+          |  roth_basis_amt,
+          |  coalesce(regexp_matches(ssn, '^[0-9]{9}$')
+          |    AND ssn NOT IN ('000000000','999999999','012345678','123456789')
+          |    AND substr(ssn, 1, 3) NOT IN ('000','666')
+          |    AND NOT starts_with(substr(ssn, 1, 3), '9'), FALSE) AS ssn_valid,
+          |  coalesce(roth_basis_amt IS NOT NULL AND NOT (roth_basis_amt < 0)
+          |    AND abs(roth_basis_amt) <= 10000000, FALSE) AS amount_valid,
+          |  coalesce(array_to_string(list_filter([
+          |    CASE WHEN NOT coalesce(regexp_matches(ssn, '^[0-9]{9}$')
+          |      AND ssn NOT IN ('000000000','999999999','012345678','123456789')
+          |      AND substr(ssn, 1, 3) NOT IN ('000','666')
+          |      AND NOT starts_with(substr(ssn, 1, 3), '9'), FALSE)
+          |      THEN 'ssn_invalid' END,
+          |    CASE WHEN NOT coalesce(roth_basis_amt IS NOT NULL
+          |      AND NOT (roth_basis_amt < 0)
+          |      AND abs(roth_basis_amt) <= 10000000, FALSE)
+          |      THEN 'amount_invalid' END],
+          |    x -> x IS NOT NULL), '|'), '') AS validation_issues
+          |FROM basis_clean""".stripMargin))),
+
+    QueryDef(
+      "ea_reconcile",
+      (s, dir) =>
+        MatchPlanId.reconcile(Testdata.cleanRelius(s, dir), Testdata.cleanMatrix(s, dir))
+          .select(
+            col("plan_id"), col("ssn"), col("gross_amt"), col("_merge"),
+            dstr("exported_date"), dstr("txn_date"), col("tax_year"),
+            col("dist_code_1"), col("dist_category_relius"), col("full_name"),
+            col("tax_code_1"), col("tax_code_2"), col("transaction_id"),
+            col("matrix_account"), col("participant_name"), col("fed_taxable_amt"),
+            col("date_lag_days"), col("date_within_tolerance"),
+            col("expected_tax_code_1"), col("expected_tax_code_2"),
+            col("code_matches_expected"), col("needs_correction"),
+            col("suggested_tax_code_1"), col("suggested_tax_code_2"),
+            col("correction_reason"), col("action"), col("match_status"),
+            col("new_tax_code")),
+      Some(OracleSql.query(
+        """SELECT plan_id, ssn, gross_amt, _merge,
+          |  strftime(exported_date, '%Y-%m-%d') AS exported_date,
+          |  strftime(txn_date, '%Y-%m-%d') AS txn_date,
+          |  tax_year, dist_code_1, dist_category_relius, full_name,
+          |  tax_code_1, tax_code_2, transaction_id, matrix_account,
+          |  participant_name, fed_taxable_amt, date_lag_days,
+          |  date_within_tolerance, expected_tax_code_1, expected_tax_code_2,
+          |  code_matches_expected, needs_correction, suggested_tax_code_1,
+          |  suggested_tax_code_2, correction_reason, action, match_status,
+          |  new_tax_code
+          |FROM ea""".stripMargin, OracleSql.EngineA))),
+
+    QueryDef(
+      "ea_correction_file",
+      (s, dir) => {
+        val ea = MatchPlanId.reconcile(
+          Testdata.cleanRelius(s, dir), Testdata.cleanMatrix(s, dir))
+        BuildCorrectionFile.buildCorrectionDataFrame(ea).select(
+          col("Transaction Id").as("transaction_id"),
+          date_format(col("Transaction Date"), "yyyy-MM-dd").as("transaction_date"),
+          col("Participant SSN").as("participant_ssn"),
+          col("Participant Name").as("participant_name"),
+          col("Matrix Account").as("matrix_account"),
+          col("Current Tax Code 1").as("current_tax_code_1"),
+          col("Current Tax Code 2").as("current_tax_code_2"),
+          col("New Tax Code").as("new_tax_code"),
+          col("New Taxable Amount").as("new_taxable_amount"),
+          col("New First Year contrib").as("new_first_year_contrib"),
+          col("Reason").as("reason"),
+          col("Action").as("action"))
+      },
+      Some(OracleSql.query(
+        """SELECT transaction_id,
+          |  strftime(txn_date, '%Y-%m-%d') AS transaction_date,
+          |  ssn AS participant_ssn, participant_name, matrix_account,
+          |  tax_code_1 AS current_tax_code_1, tax_code_2 AS current_tax_code_2,
+          |  new_tax_code, CAST(NULL AS DOUBLE) AS new_taxable_amount,
+          |  CAST(NULL AS BIGINT) AS new_first_year_contrib,
+          |  correction_reason AS reason, action
+          |FROM ea
+          |WHERE match_status IN ('match_needs_correction','match_needs_review')
+          |  AND (suggested_tax_code_1 IS NOT NULL
+          |    OR suggested_tax_code_2 IS NOT NULL
+          |    OR list_contains(list_filter(list_transform(
+          |      string_split(coalesce(action, ''), chr(10)),
+          |      x -> upper(trim(x))), x -> x <> ''), 'INVESTIGATE'))
+          |  AND _merge = 'both' AND date_within_tolerance
+          |  AND list_has_any(list_filter(list_transform(
+          |    string_split(coalesce(action, ''), chr(10)),
+          |    x -> upper(trim(x))), x -> x <> ''),
+          |    ['UPDATE_1099','INVESTIGATE'])""".stripMargin, OracleSql.EngineA))),
+
+    QueryDef(
+      "eb_age_taxcode",
+      (s, dir) =>
+        AgeTaxCode.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir))
+          .select(
+            col("plan_id"), col("ssn"), col("transaction_id"),
+            col("matrix_account"), dstr("txn_date"), col("tax_code_1"),
+            col("tax_code_2"), dstr("dob"), dstr("term_date"), col("full_name"),
+            col("participant_name"), col("dob_year"), col("txn_year"),
+            col("term_year"), col("age_at_distribution_year"),
+            col("age_at_termination_year"), col("attained_59_5_in_txn_year"),
+            col("attained_55_in_txn_year"), col("attained_55_in_term_year"),
+            col("age_engine_excluded"), col("expected_tax_code_1"),
+            col("expected_tax_code_2"), col("code_matches_expected"),
+            col("match_status"), col("action"), col("correction_reason"),
+            col("suggested_tax_code_1"), col("suggested_tax_code_2"),
+            col("new_tax_code")),
+      Some(OracleSql.query(
+        """SELECT plan_id, ssn, transaction_id, matrix_account,
+          |  strftime(txn_date, '%Y-%m-%d') AS txn_date, tax_code_1, tax_code_2,
+          |  strftime(dob, '%Y-%m-%d') AS dob,
+          |  strftime(term_date, '%Y-%m-%d') AS term_date,
+          |  full_name, participant_name, dob_year, txn_year, term_year,
+          |  age_at_distribution_year, age_at_termination_year,
+          |  attained_59_5_in_txn_year, attained_55_in_txn_year,
+          |  attained_55_in_term_year, age_engine_excluded, expected_tax_code_1,
+          |  CAST(NULL AS VARCHAR) AS expected_tax_code_2, code_matches_expected,
+          |  match_status, action, correction_reason, suggested_tax_code_1,
+          |  suggested_tax_code_2, new_tax_code
+          |FROM eb""".stripMargin, OracleSql.EngineB))),
+
+    QueryDef(
+      "ec_roth_taxable",
+      (s, dir) =>
+        RothTaxable.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir),
+          Testdata.cleanBasis(s, dir))
+          .withColumn("txn_date", date_format(col("txn_date"), "yyyy-MM-dd")),
+      Some(OracleSql.query(
+        """SELECT transaction_id, strftime(txn_date, '%Y-%m-%d') AS txn_date,
+          |  ssn, participant_name, matrix_account, plan_id, tax_code_1,
+          |  tax_code_2, suggested_tax_code_1, suggested_tax_code_2,
+          |  CASE WHEN nullif(upper(trim(suggested_tax_code_1)), '') IS NOT NULL
+          |    THEN nullif(upper(trim(suggested_tax_code_1)), '')
+          |      || coalesce(nullif(upper(trim(suggested_tax_code_2)), ''), '')
+          |    END AS new_tax_code,
+          |  fed_d AS fed_taxable_amt, gross_amt,
+          |  roth_init_d AS roth_initial_contribution_year,
+          |  first_roth_d AS first_roth_tax_year, start_roth_year,
+          |  roth_basis_amt, age_at_txn, suggested_taxable_amt,
+          |  suggested_first_roth_tax_year, correction_reason, action,
+          |  match_status
+          |FROM ec""".stripMargin, OracleSql.EngineC))),
+
+    QueryDef(
+      "ed_ira_rollover",
+      (s, dir) =>
+        IraRollover.run(Testdata.cleanMatrix(s, dir)).select(
+          col("transaction_id"), dstr("txn_date"), col("ssn"),
+          col("participant_name"), col("matrix_account"), col("plan_id"),
+          col("txn_method"), col("federal_taxing_method"), col("tax_form"),
+          col("tax_code_1"), col("tax_code_2"), col("match_status"),
+          col("action"), col("suggested_tax_code_1"),
+          col("suggested_tax_code_2"), col("new_tax_code"),
+          col("correction_reason")),
+      Some(OracleSql.query(
+        """SELECT transaction_id, strftime(txn_date, '%Y-%m-%d') AS txn_date,
+          |  ssn, participant_name, matrix_account, plan_id, txn_method,
+          |  federal_taxing_method, tax_form, tax_code_1, tax_code_2,
+          |  match_status, action, suggested_tax_code_1,
+          |  CAST(NULL AS VARCHAR) AS suggested_tax_code_2, new_tax_code,
+          |  correction_reason
+          |FROM ed""".stripMargin, OracleSql.EngineD))),
+  )
 }
