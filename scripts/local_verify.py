@@ -49,6 +49,8 @@ def values_equal(a, b) -> bool:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    con.execute("SET threads TO 4")
+    con.execute("SET memory_limit = '8GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

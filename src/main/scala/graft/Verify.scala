@@ -15,6 +15,7 @@ object Verify {
       // pandas errors="coerce" cast semantics (invalid -> NULL), matching
       // the reference's normalizers; Spark 4 defaults ANSI on.
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

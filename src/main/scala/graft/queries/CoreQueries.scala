@@ -1,17 +1,20 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Foundational queries over the testdata tables: scans, projections,
-  * filters, aggregations (SURVEY §2.1/2.2/2.4 analogues).
+/** Foundational relational queries over the testdata tables: scans,
+  * projections, filters, joins, aggregations, windows, dedup, pivot,
+  * set ops, top-k, sessionization (SURVEY §2.1/2.2/2.3/2.4/2.7 + §2.10
+  * extensions). All aggregates are integer-exact so results hash-match
+  * the DuckDB oracle bit-for-bit.
   */
 object CoreQueries {
   import Registry.table
 
   def defs: Seq[QueryDef] = Seq(
-    // A-family hash aggregation with map-side partial aggregation; the
-    // grouped sum over integral-valued doubles is exact, so it hash-matches
-    // the DuckDB oracle bit-for-bit.
+    // A-family hash aggregation with map-side partial aggregation.
     QueryDef(
       "q1_agg",
       (s, dir) =>
@@ -23,5 +26,192 @@ object CoreQueries {
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n_rows
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // J-family shuffle join + aggregation; integral price sum stays exact.
+    QueryDef(
+      "q2_join_agg",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice")).cast(LongType)).as("sum_price")),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  sum(CAST(FLOOR(o_totalprice) AS BIGINT)) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1""".stripMargin)),
+
+    // Predicate + projection pushdown to the parquet scan.
+    QueryDef(
+      "q3_filter_pushdown",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .filter(to_date(col("l_shipdate")) >= lit("1995-06-01").cast(DateType)
+            && col("l_discount") > 0.05)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty")),
+      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+             |FROM lineitem
+             |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-06-01'
+             |  AND l_discount > 0.05
+             |GROUP BY 1""".stripMargin)),
+
+    // Analytic window: per-customer running order count + price total.
+    QueryDef(
+      "q4_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        table(s, dir, "orders")
+          .filter(col("o_custkey") % 100 === 0)
+          .withColumn("fp", floor(col("o_totalprice")).cast(LongType))
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).as("rn"),
+            sum("fp").over(w).as("running_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  row_number() OVER w AS rn,
+             |  sum(CAST(FLOOR(o_totalprice) AS BIGINT)) OVER w AS running_price
+             |FROM orders WHERE o_custkey % 100 = 0
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
+    // D1-style keep-first dedup via row_number window.
+    QueryDef(
+      "q5_dedup_keepfirst",
+      (s, dir) => {
+        // The synthetic lineitem carries duplicate (orderkey, linenumber)
+        // pairs, so the keep-first ordering needs a total tie-break.
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        table(s, dir, "lineitem")
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select("l_orderkey", "l_partkey", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+             |QUALIFY row_number() OVER (PARTITION BY l_orderkey
+             |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) = 1""".stripMargin)),
+
+    // A9-style pivot with a fixed vocabulary (null-safe zero fill).
+    QueryDef(
+      "q6_pivot_month_flag",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .count()
+          .na.fill(0L),
+      Some("""SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+             |  count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS "A",
+             |  count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS "N",
+             |  count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS "R"
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // A8-style crosstab in long form.
+    QueryDef(
+      "q7_crosstab",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    // A5-style value_counts.
+    QueryDef(
+      "q8_value_counts",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n")),
+      Some("SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1")),
+
+    // A6-style date-lag histogram across a join.
+    QueryDef(
+      "q9_date_lag_hist",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))).as("lag_days"))
+          .groupBy("lag_days")
+          .agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+             |    AS INTEGER) AS lag_days, count(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin)),
+
+    // Deterministic top-k (order + tie-break + limit).
+    QueryDef(
+      "q10_topk",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("o_custkey"))
+          .limit(25),
+      Some("""SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+             |ORDER BY n DESC, o_custkey LIMIT 25""".stripMargin)),
+
+    // Set operation: INTERSECT of two key sets.
+    QueryDef(
+      "q11_setops",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("key")).distinct()
+          .intersect(
+            table(s, dir, "customer")
+              .filter(col("c_acctbal") > 1000)
+              .select(col("c_custkey").as("key"))),
+      Some("""SELECT DISTINCT o_custkey AS key FROM orders
+             |WHERE o_orderstatus = 'F'
+             |INTERSECT
+             |SELECT c_custkey AS key FROM customer
+             |WHERE c_acctbal > 1000""".stripMargin)),
+
+    // Gaps-and-islands sessionization over the events stream table
+    // (30-minute inactivity gap), the batch twin of the streaming
+    // session-window operator.
+    QueryDef(
+      "q12_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        // events.ts is parquet TIMESTAMP(NANOS) -> read as nano longs
+        // (spark.sql.legacy.parquet.nanosAsLong); integer div to seconds.
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000000000").as("sec"))
+          .withColumn("prev_sec", lag("sec", 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("sec", "event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("sec").as("start_sec"), max("sec").as("end_sec"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |flags AS (
+             |  SELECT *,
+             |    CASE WHEN lag(sec) OVER w IS NULL
+             |      OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+             |sess AS (
+             |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+             |    ORDER BY sec, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM flags)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(sec) AS start_sec, max(sec) AS end_sec
+             |FROM sess GROUP BY 1, 2""".stripMargin)),
   )
 }

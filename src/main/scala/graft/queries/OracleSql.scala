@@ -102,7 +102,7 @@ relius_flags AS (
     coalesce(upper(trim(dist_code_1)) IN
       ('1','2','4','7','8','B','G','H','L','P','Q'), FALSE) AS code_1099r_valid
   FROM relius_clean0),
-relius_clean AS (
+relius_clean AS MATERIALIZED (
   SELECT *, list_filter([
       CASE WHEN ssn_valid = FALSE THEN 'ssn_invalid' END,
       CASE WHEN amount_valid = FALSE THEN 'amount_invalid' END,
@@ -227,7 +227,7 @@ matrix_flags AS (
         THEN 'cross_taxable_exceeds_gross_150pct' END],
       x -> x IS NOT NULL) AS cross_issues
   FROM matrix_clean0),
-matrix_clean AS (
+matrix_clean AS MATERIALIZED (
   SELECT *, list_filter([
       CASE WHEN ssn_valid = FALSE THEN 'ssn_invalid' END,
       CASE WHEN amount_valid = FALSE THEN 'amount_invalid' END,
@@ -256,7 +256,7 @@ demo_raw AS (
          ELSE (dob0 + 1) + CAST(18000 + (c % 4000) AS INTEGER) END,
     k + 100000000
   FROM demo_raw0 WHERE k % 23 = 0),
-demo_clean AS (
+demo_clean AS MATERIALIZED (
   SELECT trim(plan_id) AS plan_id, ssn_base AS ssn,
     trim(first_name) AS first_name, trim(last_name) AS last_name,
     dob, term_date,
@@ -286,7 +286,7 @@ basis_raw AS (
   UNION ALL
   SELECT plan_id, ssn_base, first_name, last_name, NULL, NULL, k + 100000000
   FROM basis_raw0 WHERE k % 29 = 0),
-basis_clean AS (
+basis_clean AS MATERIALIZED (
   SELECT trim(plan_id) AS plan_id, ssn_base AS ssn,
     trim(first_name) AS first_name, trim(last_name) AS last_name,
     CAST(TRUNC(year_raw) AS BIGINT) AS first_roth_tax_year,
@@ -349,7 +349,7 @@ ea3 AS (
         AND coalesce(tax_code_2, '') = coalesce(expected_tax_code_2, '')))
       AS needs_correction
   FROM ea2),
-ea AS (
+ea AS MATERIALIZED (
   SELECT *,
     CASE WHEN needs_correction THEN expected_tax_code_1 END AS suggested_tax_code_1,
     CASE WHEN needs_correction THEN expected_tax_code_2 END AS suggested_tax_code_2,
@@ -446,7 +446,7 @@ eb6 AS (
     CASE WHEN need_corr THEN 'UPDATE_1099' END AS action,
     CASE WHEN NOT code_matches_expected THEN reason_ladder END AS correction_reason
   FROM eb5),
-eb AS (
+eb AS MATERIALIZED (
   SELECT *,
     CASE WHEN match_status <> 'match_no_action' THEN expected_tax_code_1 END
       AS suggested_tax_code_1,
@@ -621,7 +621,7 @@ ec13 AS (
          WHEN list_contains(actions, 'INVESTIGATE') THEN 'match_needs_review'
          ELSE 'match_no_action' END AS match_status
   FROM ec12),
-ec AS (
+ec AS MATERIALIZED (
   SELECT *,
     CASE WHEN len(actions) > 0 THEN array_to_string(actions, chr(10)) END AS action,
     CASE WHEN match_status = 'match_no_action' THEN NULL
@@ -668,7 +668,7 @@ ed3 AS (
     ftm_rollover AND form_notax AS mask_no_action,
     ftm_rollover AND form_1099r AS mask_correction
   FROM ed2),
-ed AS (
+ed AS MATERIALIZED (
   SELECT *,
     CASE WHEN mask_no_action THEN 'match_no_action'
          WHEN mask_correction THEN 'match_needs_correction'

@@ -17,7 +17,8 @@ object Registry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   def all: Seq[QueryDef] =
-    CoreQueries.defs ++ EngineQueries.defs ++ TdpQueries.defs
+    CoreQueries.defs ++ EngineQueries.defs ++ FunctionQueries.defs ++
+      SummaryQueries.defs ++ TdpQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
