@@ -1,8 +1,437 @@
 package graft.queries
 
-/** Training-data pipeline operators over documents/embeddings (dedup,
-  * similarity search, text analysis) — populated as those land.
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline operators over documents/embeddings: exact and
+  * near-duplicate detection (MinHash+LSH, SimHash, n-gram Jaccard),
+  * similarity search (brute-force cosine top-k + IVF bucketed variant),
+  * and text analysis (language-ID, quality scoring, token counting,
+  * fingerprinting).
+  *
+  * All hashing is integer polynomial arithmetic and all float reductions
+  * are left-folds in element order, so both engines produce bit-identical
+  * results. Everything is native Catalyst expressions (higher-order
+  * functions) — no UDFs — and every stage is a shuffle-conscious
+  * groupBy/join that scales horizontally.
   */
 object TdpQueries {
-  def defs: Seq[QueryDef] = Seq()
+  import Registry.table
+
+  /** Polynomial rolling hash of a string column (mod 1e9+7); the SQL twin
+    * is a left-fold over character codes in both engines.
+    */
+  private val P = "1000000007"
+  private def polyHashExpr(c: String): String =
+    s"aggregate(transform(sequence(1, length($c)), i -> ascii(substr($c, i, 1)))," +
+      s" 0L, (acc, x) -> (acc * 31 + x) % $P)"
+  private def polyHashSql(c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
+      s"range(1, length($c) + 1), i -> CAST(ascii(substr($c, i, 1)) AS BIGINT)))," +
+      s" (acc, x) -> (acc * 31 + x) % $P)"
+
+  /** Whitespace tokens (non-empty). */
+  private val toksExpr = raw"filter(split(text, '\\s+'), x -> x != '')"
+  private val toksSql = raw"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+  /** Distinct word 3-gram shingles. */
+  private val shinglesExpr =
+    s"""array_distinct(CASE WHEN size(toks) >= 3 THEN
+       |  transform(sequence(1, size(toks) - 2), i ->
+       |    concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',
+       |      element_at(toks, i + 2)))
+       |  ELSE array() END)""".stripMargin
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(toks) >= 3 THEN
+      |  list_transform(range(1, len(toks) - 1), i ->
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |  ELSE [] END)""".stripMargin
+
+  /** MinHash permutation constants (a_j * h + b_j mod P). */
+  private val MhA = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
+  private val MhB = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("hashes", expr(s"transform(shingles, sh -> ${polyHashExpr("sh")})"))
+
+  private val docsShinglesSql =
+    s"""doc_sh AS (
+       |  SELECT doc_id, list_transform(shingles, sh -> ${polyHashSql("sh")}) AS hashes,
+       |    shingles
+       |  FROM (SELECT doc_id, $shinglesSql AS shingles
+       |        FROM (SELECT doc_id, $toksSql AS toks FROM documents)))""".stripMargin
+
+  /** Embeddings with double-precision norm; fold order = element order so
+    * both engines agree bitwise.
+    */
+  private def embWithNorm(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .withColumn("norm", expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
+          " CAST(0 AS DOUBLE), (acc, x) -> acc + x))"))
+
+  private val embNormSql =
+    """emb AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, len(embedding) + 1),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+      |      (acc, x) -> acc + x)) AS norm
+      |  FROM embeddings)""".stripMargin
+
+  private val dotSql =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, len(q.embedding) + 1),
+      |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+      |      (acc, x) -> acc + x)""".stripMargin
+
+  private val dotExpr =
+    "aggregate(zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))," +
+      " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  def defs: Seq[QueryDef] = Seq(
+    // Exact dedup: content-hash groupBy (the 100 TB path: one shuffle on a
+    // 128-bit hash, never on the full text).
+    QueryDef(
+      "tdp_exact_dedup",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
+          .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+             |  count(*) AS n_copies
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // Document fingerprint: min rolling-hash over word 3-gram shingles
+    // (winnowing-style representative hash).
+    QueryDef(
+      "tdp_fingerprint",
+      (s, dir) =>
+        docsWithShingles(s, dir)
+          .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+            expr("array_min(hashes)").as("fingerprint")),
+      Some(s"""WITH $docsShinglesSql
+              |SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_shingles,
+              |  list_min(hashes) AS fingerprint
+              |FROM doc_sh""".stripMargin)),
+
+    // MinHash signatures: 8 permutations of the shingle hash set.
+    QueryDef(
+      "tdp_minhash_signatures",
+      (s, dir) => {
+        val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+          expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
+        }
+        docsWithShingles(s, dir).select(col("doc_id") +: sigs: _*)
+      },
+      Some {
+        val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(hashes, h -> (h * $a + $b) % $P)) AS mh$j"
+        }.mkString(",\n  ")
+        s"""WITH $docsShinglesSql
+           |SELECT doc_id, $sigs
+           |FROM doc_sh""".stripMargin
+      }),
+
+    // MinHash + LSH banding (4 bands x 2 rows): candidate near-dup pairs
+    // via an equi-join on band signatures — the shuffle key is the band,
+    // never the document, so this scales to arbitrary corpus sizes.
+    QueryDef(
+      "tdp_minhash_lsh_pairs",
+      (s, dir) => {
+        val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+          expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
+        }
+        val sigDf = docsWithShingles(s, dir)
+          .filter(size(col("shingles")) > 0)
+          .select(col("doc_id") +: sigs: _*)
+        val bands = (0 until 4).map { band =>
+          sigDf.select(col("doc_id"), lit(band).as("band"),
+            concat_ws(":", col(s"mh${2 * band}"), col(s"mh${2 * band + 1}")).as("sig"))
+        }.reduce(_ unionAll _)
+        val a = bands.as("a")
+        val b = bands.as("b")
+        a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      },
+      Some {
+        val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(hashes, h -> (h * $a + $b) % $P)) AS mh$j"
+        }.mkString(",\n  ")
+        val bandSelects = (0 until 4).map { band =>
+          s"SELECT doc_id, $band AS band, CAST(mh${2 * band} AS VARCHAR) || ':' || " +
+            s"CAST(mh${2 * band + 1} AS VARCHAR) AS sig FROM sigs"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $docsShinglesSql,
+           |sigs AS (
+           |  SELECT doc_id, $sigs
+           |  FROM doc_sh WHERE len(shingles) > 0),
+           |bands AS (
+           |  $bandSelects)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+      }),
+
+    // SimHash: 16-bit signature from per-bit majority votes over token
+    // hashes (explode -> 16 conditional sums -> assemble).
+    QueryDef(
+      "tdp_simhash",
+      (s, dir) => {
+        val tokens = table(s, dir, "documents")
+          .withColumn("toks", expr(s"array_distinct($toksExpr)"))
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .withColumn("h", expr(polyHashExpr("tok")))
+        val bitSums = (0 until 16).map { i =>
+          sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"s$i")
+        }
+        val assembled = (0 until 16).map { i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
+        }.reduce(_ + _)
+        tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), assembled.as("simhash"))
+      },
+      Some {
+        val bitSums = (0 until 16).map { i =>
+          s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+        }.mkString(",\n    ")
+        val assembled = (0 until 16).map { i =>
+          s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+           |  FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, ${polyHashSql("tok")} AS h FROM tok),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $bitSums
+           |  FROM hashed GROUP BY 1)
+           |SELECT doc_id, $assembled AS simhash FROM bits""".stripMargin
+      }),
+
+    // n-gram Jaccard near-dup: shared-shingle equi-join builds candidates,
+    // exact Jaccard filters them (>= 0.2).
+    QueryDef(
+      "tdp_ngram_jaccard",
+      (s, dir) => {
+        val d = docsWithShingles(s, dir)
+          .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+          .filter(col("n_sh") > 0)
+        val exploded = d.select(col("doc_id"), col("n_sh"),
+          explode(col("shingles")).as("sh"))
+        val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+          col("sh"))
+        val b = exploded.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+          col("sh"))
+        a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b", "na", "nb")
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jaccard",
+            col("inter").cast(DoubleType)
+              / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+          .filter(col("jaccard") >= 0.2)
+          .select("doc_a", "doc_b", "inter", "jaccard")
+      },
+      Some(s"""WITH $docsShinglesSql,
+              |d AS (
+              |  SELECT doc_id, shingles, len(shingles) AS n_sh FROM doc_sh
+              |  WHERE len(shingles) > 0),
+              |ex AS (
+              |  SELECT doc_id, n_sh, unnest(shingles) AS sh FROM d),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+              |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2, 3, 4)
+              |SELECT doc_a, doc_b, inter,
+              |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+              |FROM pairs
+              |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.2""".stripMargin)),
+
+    // Brute-force cosine top-k: the correctness baseline for ANN. Queries
+    // are broadcast against the candidate set; double-precision left-fold
+    // dot products are bit-identical across engines.
+    QueryDef(
+      "tdp_cosine_topk",
+      (s, dir) => {
+        val e = embWithNorm(s, dir)
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("norm").as("c_norm"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+        broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("q_id", "c_id", "rank", "sim")
+      },
+      Some(s"""WITH $embNormSql
+              |SELECT q_id, c_id, rank, sim FROM (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |    ($dotSql) / (q.norm * c.norm) AS sim,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id) AS rank
+              |  FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id % 50 = 0)
+              |WHERE rank <= 5""".stripMargin)),
+
+    // IVF-style bucketed ANN: assign every vector to its nearest of 16
+    // seed centroids, then search only within the query's bucket — the
+    // scale path (shuffle on cluster id, cluster-local top-k).
+    QueryDef(
+      "tdp_ann_ivf",
+      (s, dir) => {
+        val e = embWithNorm(s, dir)
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("q_emb"),
+            col("norm").as("cent_norm"))
+        val vecs = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("norm").as("c_norm"))
+        val wAssign = Window.partitionBy("c_id").orderBy(desc("sim"), col("cent_id"))
+        val assigned = vecs.crossJoin(broadcast(cent))
+          .withColumn("sim", expr(dotExpr) / (col("cent_norm") * col("c_norm")))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("c_id").as("vec_id"), col("cent_id").as("cluster"))
+        val withCluster = e.join(assigned, "vec_id")
+        val q = withCluster.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"), col("cluster"))
+        val c = withCluster.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("norm").as("c_norm"), col("cluster"))
+        val wTop = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+        q.join(c, Seq("cluster")).filter(col("q_id") =!= col("c_id"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3)
+          .select("q_id", "c_id", "cluster", "rank", "sim")
+      },
+      Some {
+        val dotQC = dotSql
+        s"""WITH $embNormSql,
+           |assigned AS (
+           |  SELECT c_id AS vec_id, cent_id AS cluster FROM (
+           |    SELECT c.vec_id AS c_id, q.vec_id AS cent_id,
+           |      row_number() OVER (PARTITION BY c.vec_id
+           |        ORDER BY ($dotQC) / (q.norm * c.norm) DESC, q.vec_id) AS rn
+           |    FROM emb c CROSS JOIN emb q WHERE q.vec_id < 16)
+           |  WHERE rn = 1),
+           |wc AS (
+           |  SELECT e.vec_id, e.embedding, e.norm, a.cluster
+           |  FROM emb e JOIN assigned a ON e.vec_id = a.vec_id)
+           |SELECT q_id, c_id, cluster, rank, sim FROM (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.cluster,
+           |    ($dotQC) / (q.norm * c.norm) AS sim,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ($dotQC) / (q.norm * c.norm) DESC, c.vec_id) AS rank
+           |  FROM wc q JOIN wc c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id % 50 = 0)
+           |WHERE rank <= 3""".stripMargin
+      }),
+
+    // Language ID: marker-substring scoring (n-gram heuristic); argmax
+    // with a fixed tie-break order.
+    QueryDef(
+      "tdp_lang_id",
+      (s, dir) => {
+        def score(marker: String): Column =
+          ((length(col("text")) - length(replace(col("text"), lit(marker), lit(""))))
+            / lit(marker.length)).cast(LongType)
+        val scored = table(s, dir, "documents")
+          .withColumn("s_en", score(" the "))
+          .withColumn("s_es", score(" data "))
+          .withColumn("s_de", score(" join "))
+          .withColumn("s_fr", score(" filter "))
+          .withColumn("s_zh", score(" query "))
+        val best = greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+          col("s_zh"))
+        scored.select(col("doc_id"), col("lang").as("labeled_lang"),
+          col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("s_zh"),
+          when(col("s_en") === best, "en").when(col("s_es") === best, "es")
+            .when(col("s_de") === best, "de").when(col("s_fr") === best, "fr")
+            .otherwise("zh").as("predicted_lang"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang,
+             |    CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+             |      AS BIGINT) AS s_en,
+             |    CAST((length(text) - length(replace(text, ' data ', ''))) / 6
+             |      AS BIGINT) AS s_es,
+             |    CAST((length(text) - length(replace(text, ' join ', ''))) / 6
+             |      AS BIGINT) AS s_de,
+             |    CAST((length(text) - length(replace(text, ' filter ', ''))) / 8
+             |      AS BIGINT) AS s_fr,
+             |    CAST((length(text) - length(replace(text, ' query ', ''))) / 7
+             |      AS BIGINT) AS s_zh
+             |  FROM documents)
+             |SELECT doc_id, lang AS labeled_lang, s_en, s_es, s_de, s_fr, s_zh,
+             |  CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+             |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+             |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+             |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+             |       ELSE 'zh' END AS predicted_lang
+             |FROM scored""".stripMargin)),
+
+    // Quality scoring: length/whitespace/alpha/stopword ratios + a fixed
+    // linear composite (identical operation order on both sides).
+    QueryDef(
+      "tdp_quality_score",
+      (s, dir) => {
+        val t = col("text")
+        val nChars = length(t).cast(DoubleType)
+        val nSpaces = (length(t) - length(replace(t, lit(" "), lit("")))).cast(DoubleType)
+        val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast(DoubleType)
+        val nThe = ((length(t) - length(replace(t, lit(" the "), lit("")))) / lit(5))
+          .cast(DoubleType)
+        table(s, dir, "documents").select(
+          col("doc_id"), col("n_chars"),
+          (nSpaces / nChars).as("ws_ratio"),
+          (nAlpha / nChars).as("alpha_ratio"),
+          (nThe * lit(5.0) / nChars).as("stop_ratio"),
+          ((nAlpha / nChars) * 0.6 + (lit(1.0) - nSpaces / nChars) * 0.3
+            + (nThe * lit(5.0) / nChars) * 0.1).as("quality_score"))
+      },
+      Some("""SELECT doc_id, n_chars,
+             |  ws / n AS ws_ratio,
+             |  alpha / n AS alpha_ratio,
+             |  sw * 5.0 / n AS stop_ratio,
+             |  (alpha / n) * 0.6 + (1.0 - ws / n) * 0.3 + (sw * 5.0 / n) * 0.1
+             |    AS quality_score
+             |FROM (
+             |  SELECT doc_id, n_chars,
+             |    CAST(length(text) AS DOUBLE) AS n,
+             |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS ws,
+             |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             |      AS alpha,
+             |    CAST(CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+             |      AS BIGINT) AS DOUBLE) AS sw
+             |  FROM documents)""".stripMargin)),
+
+    // Token counting: whitespace tokens + BPE-ish alnum-run tokens.
+    QueryDef(
+      "tdp_token_count",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr(s"size($toksExpr)").as("n_ws_tokens"),
+            expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))")
+              .as("n_alnum_tokens"),
+            length(col("text")).as("len_chars")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len($toksSql) AS INTEGER) AS n_ws_tokens,
+              |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+              |    AS INTEGER) AS n_alnum_tokens,
+              |  CAST(length(text) AS INTEGER) AS len_chars
+              |FROM documents""".stripMargin)),
+  )
 }
