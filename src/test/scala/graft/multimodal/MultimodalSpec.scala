@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  private def files = Seq(
+    MediaFile(1L, "/img/a.png", "image", "PNGDATA-aaaa".getBytes("UTF-8"),
+      MediaMeta("png", 12L, 0L)),
+    MediaFile(2L, "/img/b.png", "image", "PNGDATA-bbbb".getBytes("UTF-8"),
+      MediaMeta("png", 12L, 0L)),
+    MediaFile(3L, "/vid/c.mp4", "video", "MP4DATA-cccc-long".getBytes("UTF-8"),
+      MediaMeta("mp4", 17L, 60000L)))
+
+  test("decodePartitions: deterministic stub decode, one pass per partition") {
+    val s = spark
+    import s.implicits._
+    val ds = s.createDataset(files).repartition(2)
+    val decoded = decodePartitions(ds).collect().sortBy(_.media_id)
+    assert(decoded.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
+    // Deterministic: same payload -> same dims on every run.
+    val again = decodePartitions(ds).collect().sortBy(_.media_id)
+    assert(decoded.map(d => (d.width, d.height, d.n_frames)).toSeq ==
+      again.map(d => (d.width, d.height, d.n_frames)).toSeq)
+    assert(decoded.forall(d => d.width >= 64 && d.height >= 64))
+    assert(decoded.find(_.media_id == 3L).get.n_frames > 1) // video
+    assert(decoded.forall(_.features.length == 8))
+  }
+
+  test("mediaStats prunes content: metadata aggregation over binary table") {
+    val s = spark
+    import s.implicits._
+    val df = s.createDataset(files).toDF()
+    val stats = mediaStats(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stats.toSeq == Seq(("image", 2L, 24L), ("video", 1L, 17L)))
+    // The aggregation plan must not reference the payload column.
+    val plan = mediaStats(df).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("content"))
+  }
+
+  test("sampleFrameIndexes + resizePlan on decoded metadata") {
+    val s = spark
+    import s.implicits._
+    val decoded = decodePartitions(s.createDataset(files)).toDF()
+    val frames = sampleFrameIndexes(decoded, stride = 30).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.nonEmpty && frames.forall(_._1 == 3L))
+    assert(frames.map(_._2).forall(_ % 30 == 0))
+
+    val resized = resizePlan(decoded, maxSide = 256).collect()
+    assert(resized.forall { r =>
+      r.getInt(3) <= 256 && r.getInt(4) <= 256 && r.getInt(3) > 0 && r.getInt(4) > 0
+    })
+  }
+
+  test("featureCosine yields pairwise similarities in [-1, 1]") {
+    val s = spark
+    import s.implicits._
+    val decoded = decodePartitions(s.createDataset(files)).toDF()
+    val sims = featureCosine(decoded).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sims.length == 3) // 3 choose 2
+    assert(sims.forall { case (_, _, c) => c >= -1.0 && c <= 1.0 + 1e-12 })
+  }
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engines.IraRollover
+
+class StreamingSpec extends SparkSpec {
+  import EventsStream._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts: tumbling window aggregation with watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = windowedCounts(df, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (1L, ts("2026-01-01 10:05:00"), 1L, "click", 2.0, "{}"),
+        (2L, ts("2026-01-01 10:45:00"), 2L, "click", 3.0, "{}"),
+        (3L, ts("2026-01-01 11:05:00"), 1L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT event_type, n_events, sum_value FROM win_counts ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("click", 2L, 5.0), ("view", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("sessionCounts: built-in session windows merge events within gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = sessionCounts(df, "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("sess_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+        (2L, ts("2026-01-01 10:10:00"), 1L, "click", 1.0, "{}"),
+        // > 30 min gap -> second session for user 1
+        (3L, ts("2026-01-01 11:30:00"), 1L, "click", 1.0, "{}"),
+        (4L, ts("2026-01-01 10:00:00"), 2L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT user_id, n_events FROM sess_counts ORDER BY user_id, session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: flatMapGroupsWithState emits closed sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapSec = 1800L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1L, ts("2026-01-01 10:00:00"), "click"),
+        Event(1L, ts("2026-01-01 10:10:00"), "click"))
+      q.processAllAvailable()
+      // A later event for the same user closes the first session inline.
+      mem.addData(Event(1L, ts("2026-01-01 12:00:00"), "click"))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT user_id, n_events FROM sessions ORDER BY start_sec")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("Engine D runs unchanged on a streaming DataFrame") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[(String, String, String, String, String, String,
+      String, String, String, String)]
+    val df = mem.toDF().toDF("plan_id", "txn_method", "federal_taxing_method",
+      "tax_form", "transaction_id", "txn_date", "ssn", "matrix_account",
+      "participant_name", "tax_code_1")
+      .withColumn("txn_date", to_date(col("txn_date")))
+      .withColumn("tax_code_2", lit(null).cast("string"))
+    val q = IraRollover.run(df)
+      .select("transaction_id", "match_status", "new_tax_code")
+      .writeStream.format("memory").queryName("ed_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("300001IRA", "Check Distribution", "Rollover", "1099-R", "T1",
+          "2025-03-01", "123456780", "MA01", "A B", "G"),
+        ("300001IRA", "Check Distribution", "Rollover", "No Tax", "T2",
+          "2025-03-01", "123456781", "MA01", "C D", "G"),
+        ("200100", "Check Distribution", "Rollover", "1099-R", "T3",
+          "2025-03-01", "123456782", "MA01", "E F", "G"))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT transaction_id, match_status, new_tax_code FROM ed_stream ORDER BY 1")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(rows.toSeq == Seq(
+        ("T1", "match_needs_correction", "0"),
+        ("T2", "match_no_action", null)))
+    } finally q.stop()
+  }
+}
