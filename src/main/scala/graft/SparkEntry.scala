@@ -7,9 +7,11 @@ import graft.queries.Registry
   * thin stable surface the driver invokes.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Engine A end-to-end: adapter -> cleaners -> full-outer reconciliation.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Registry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    Registry.queries("ea_reconcile")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Registry.queries

@@ -110,7 +110,8 @@ object EngineQueries {
     QueryDef(
       "ea_reconcile",
       (s, dir) =>
-        MatchPlanId.reconcile(Testdata.cleanRelius(s, dir), Testdata.cleanMatrix(s, dir))
+        Registry.memo(s, dir, "summary_ea")(
+          MatchPlanId.reconcile(Testdata.cleanRelius(s, dir), Testdata.cleanMatrix(s, dir)))
           .select(
             col("plan_id"), col("ssn"), col("gross_amt"), col("_merge"),
             dstr("exported_date"), dstr("txn_date"), col("tax_year"),
@@ -139,8 +140,9 @@ object EngineQueries {
     QueryDef(
       "ea_correction_file",
       (s, dir) => {
-        val ea = MatchPlanId.reconcile(
-          Testdata.cleanRelius(s, dir), Testdata.cleanMatrix(s, dir))
+        val ea = Registry.memo(s, dir, "summary_ea")(
+          MatchPlanId.reconcile(
+            Testdata.cleanRelius(s, dir), Testdata.cleanMatrix(s, dir)))
         BuildCorrectionFile.buildCorrectionDataFrame(ea).select(
           col("Transaction Id").as("transaction_id"),
           date_format(col("Transaction Date"), "yyyy-MM-dd").as("transaction_date"),
@@ -179,7 +181,8 @@ object EngineQueries {
     QueryDef(
       "eb_age_taxcode",
       (s, dir) =>
-        AgeTaxCode.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir))
+        Registry.memo(s, dir, "summary_eb")(
+          AgeTaxCode.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir)))
           .select(
             col("plan_id"), col("ssn"), col("transaction_id"),
             col("matrix_account"), dstr("txn_date"), col("tax_code_1"),
@@ -210,8 +213,9 @@ object EngineQueries {
     QueryDef(
       "ec_roth_taxable",
       (s, dir) =>
-        RothTaxable.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir),
-          Testdata.cleanBasis(s, dir))
+        Registry.memo(s, dir, "summary_ec")(
+          RothTaxable.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir),
+            Testdata.cleanBasis(s, dir)))
           .withColumn("txn_date", date_format(col("txn_date"), "yyyy-MM-dd")),
       Some(OracleSql.query(
         """SELECT transaction_id, strftime(txn_date, '%Y-%m-%d') AS txn_date,

@@ -16,6 +16,22 @@ object Registry {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private val memoCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Memoize + persist a shared intermediate (cleaned inputs, engine
+    * outputs) so the many queries built on top of it materialize it once
+    * per session/SF — the local analogue of caching hot dimension tables
+    * on a cluster.
+    */
+  def memo(spark: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    memoCache.getOrElseUpdate((System.identityHashCode(spark) + dir, key), {
+      val df = build
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+
   def all: Seq[QueryDef] =
     CoreQueries.defs ++ EngineQueries.defs ++ FunctionQueries.defs ++
       SummaryQueries.defs ++ TdpQueries.defs

@@ -14,14 +14,17 @@ import graft.engines.{AgeTaxCode, MatchPlanId, RothTaxable}
 object SummaryQueries {
 
   private def ea(s: SparkSession, dir: String): DataFrame =
-    MatchPlanId.reconcile(Testdata.cleanRelius(s, dir), Testdata.cleanMatrix(s, dir))
+    Registry.memo(s, dir, "summary_ea")(
+      MatchPlanId.reconcile(Testdata.cleanRelius(s, dir), Testdata.cleanMatrix(s, dir)))
 
   private def eb(s: SparkSession, dir: String): DataFrame =
-    AgeTaxCode.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir))
+    Registry.memo(s, dir, "summary_eb")(
+      AgeTaxCode.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir)))
 
   private def ec(s: SparkSession, dir: String): DataFrame =
-    RothTaxable.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir),
-      Testdata.cleanBasis(s, dir))
+    Registry.memo(s, dir, "summary_ec")(
+      RothTaxable.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir),
+        Testdata.cleanBasis(s, dir)))
 
   private val Statuses: Seq[String] = Seq(
     Config.MatchStatus.NoAction, Config.MatchStatus.NeedsCorrection,

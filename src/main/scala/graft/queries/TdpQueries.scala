@@ -147,13 +147,19 @@ object TdpQueries {
         val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
           expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
         }
-        val sigDf = docsWithShingles(s, dir)
-          .filter(size(col("shingles")) > 0)
-          .select(col("doc_id") +: sigs: _*)
-        val bands = (0 until 4).map { band =>
-          sigDf.select(col("doc_id"), lit(band).as("band"),
+        val sigDf = Registry.memo(s, dir, "tdp_minhash_sigs")(
+          docsWithShingles(s, dir)
+            .filter(size(col("shingles")) > 0)
+            .select(col("doc_id") +: sigs: _*))
+        // One explode instead of a 4-way union: the signature computation
+        // (the expensive part) runs once, the band fan-out is a generator.
+        val bandStructs = (0 until 4).map { band =>
+          struct(lit(band).as("band"),
             concat_ws(":", col(s"mh${2 * band}"), col(s"mh${2 * band + 1}")).as("sig"))
-        }.reduce(_ unionAll _)
+        }
+        val bands = sigDf
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
         val a = bands.as("a")
         val b = bands.as("b")
         a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")

@@ -206,17 +206,22 @@ object Testdata {
     main.unionAll(dups)
   }
 
-  // --- Cleaned inputs (deterministic `today`) -------------------------------
+  // --- Cleaned inputs (deterministic `today`), memoized + persisted so the
+  // many engine/summary queries stacked on top materialize each once.
 
   def cleanRelius(spark: SparkSession, dir: String): DataFrame =
-    CleanRelius(reliusRaw(spark, dir), today = Today)
+    Registry.memo(spark, dir, "clean_relius")(
+      CleanRelius(reliusRaw(spark, dir), today = Today))
 
   def cleanMatrix(spark: SparkSession, dir: String): DataFrame =
-    CleanMatrix(matrixRaw(spark, dir), today = Today)
+    Registry.memo(spark, dir, "clean_matrix")(
+      CleanMatrix(matrixRaw(spark, dir), today = Today))
 
   def cleanDemo(spark: SparkSession, dir: String): DataFrame =
-    CleanReliusDemo(demoRaw(spark, dir), today = Today)
+    Registry.memo(spark, dir, "clean_demo")(
+      CleanReliusDemo(demoRaw(spark, dir), today = Today))
 
   def cleanBasis(spark: SparkSession, dir: String): DataFrame =
-    CleanRothBasis(basisRaw(spark, dir))
+    Registry.memo(spark, dir, "clean_basis")(
+      CleanRothBasis(basisRaw(spark, dir)))
 }

@@ -1,0 +1,64 @@
+package graft.io
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.cleaning.{CleanMatrix, CleanRelius}
+import graft.core.GenerateSampleData
+import graft.engines.MatchPlanId
+import graft.outputs.BuildCorrectionFile
+
+class IoSpec extends SparkSpec {
+
+  test("sanitizeSheetNames truncates to 31 chars and dedupes") {
+    val long = "x" * 40
+    val out = Write.sanitizeSheetNames(Seq(long, long, "Correction", "Correction"))
+    assert(out.head == "x" * 31)
+    assert(out(1) == "x" * 29 + "_1")
+    assert(out(2) == "Correction" && out(3) == "Correction_1")
+    assert(out.forall(_.length <= 31))
+  }
+
+  test("reportDir routes by engine and sample flag; rejects unknown engines") {
+    assert(Write.reportDir("/tmp/r", "match_planid", sample = true)
+      == "/tmp/r/reports/samples/match_planid")
+    assert(Write.reportDir("/tmp/r", "roth_taxable", sample = false)
+      == "/tmp/r/reports/outputs/roth_taxable")
+    intercept[IllegalArgumentException] {
+      Write.reportDir("/tmp/r", "nope", sample = false)
+    }
+  }
+
+  test("sample generator: deterministic, planted edges, join coverage") {
+    val s1 = GenerateSampleData(spark, nBase = 50, seed = 42L)
+    val s2 = GenerateSampleData(spark, nBase = 50, seed = 42L)
+    assert(s1.relius.collect().toSeq == s2.relius.collect().toSeq)
+    assert(s1.relius.count() == 52) // 50 base + 2 edge rows
+    assert(s1.matrix.count() == 52)
+    val coverage = GenerateSampleData.joinCoverage(s1)
+    assert(coverage > 0.8 && coverage <= 1.0) // base rows all match; edges don't
+  }
+
+  test("end-to-end: sample -> clean -> reconcile -> correction file -> write") {
+    val sample = GenerateSampleData(spark, nBase = 40, seed = 7L)
+    val matches = MatchPlanId.reconcile(
+      CleanRelius(sample.relius), CleanMatrix(sample.matrix))
+    val corrections = BuildCorrectionFile.buildCorrectionDataFrame(matches)
+    val out = Files.createTempDirectory("graft-io").toString
+    val paths = Write.writeCorrectionFile(corrections, out, sample = true)
+    assert(paths.length == 2)
+    assert(paths.forall(_.contains("reports/samples/match_planid")))
+    val written = spark.read.option("header", "true").csv(paths.head)
+    assert(written.columns.contains("New Tax Code"))
+  }
+
+  test("Load validates required columns") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq(("p", "s")).toDF("PLANID_1", "SSNUM_1")
+    val e = intercept[IllegalArgumentException] {
+      Load.validateColumns(bad, Load.ReliusRawSchema.fieldNames.toSeq, "Relius")
+    }
+    assert(e.getMessage.contains("FIRSTNAM"))
+  }
+}
