@@ -12,8 +12,11 @@ import graft.core.{Config, Normalizers => N, Validators => V}
   *
   * Spark translation of `/root/reference/src/engines/match_planid.py:254-422`
   * (+ rules at :124-250). The plan-scope filter runs BEFORE the join on both
-  * sides so Catalyst pushes it into the parquet scans; the filtered Relius
-  * side (3 inherited plans by default) is broadcast.
+  * sides so Catalyst pushes it into the parquet scans. The full-outer join
+  * itself cannot use a broadcast build side (Spark supports broadcasting
+  * only inner/semi/one-sided-outer builds), so it is a sort-merge join on
+  * (plan_id, ssn, gross_amt) — with the plan-scope filter applied first,
+  * both shuffled sides are already minimal, and AQE handles residual skew.
   */
 object MatchPlanId {
 
@@ -52,9 +55,10 @@ object MatchPlanId {
 
     // Full outer join with pre-tagged side markers: after the join the
     // marker nullness identifies the source side (payload nulls would be
-    // ambiguous — SURVEY §7.5.6).
-    val rTagged0 = r.withColumn(InRelius, lit(true))
-    val rTagged = if (broadcastRelius) broadcast(rTagged0) else rTagged0
+    // ambiguous — SURVEY §7.5.6). No broadcast hint: Spark rejects
+    // broadcast builds for full-outer joins (HintErrorLogger warns and
+    // falls back), so the hint would be a silent no-op.
+    val rTagged = r.withColumn(InRelius, lit(true))
     val mTagged = m.withColumn(InMatrix, lit(true))
     var merged = rTagged.join(mTagged, joinKeys, "full_outer")
       .withColumn("_merge",

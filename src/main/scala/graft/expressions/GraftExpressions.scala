@@ -1,0 +1,150 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar kernels shared by interpreted eval and generated code. Top-level
+  * object methods compile to static forwarders, so whole-stage codegen can
+  * call them directly (the same pattern Spark's own regexp/url expressions
+  * use for their heavy kernels).
+  */
+object Kernels {
+
+  /** F1 SSN normalization (reference src/core/normalizers.py:59-101):
+    * strip a trailing ".0" float artifact, drop non-digits, left-pad to 9;
+    * null when empty or longer than 9 digits. Single pass, no regex.
+    */
+  def normalizeSsn(input: UTF8String): UTF8String = {
+    val s = input.toString.trim
+    val defloated =
+      if (s.endsWith(".0") && s.length > 2 && isAllDigits(s, 0, s.length - 2))
+        s.substring(0, s.length - 2)
+      else s
+    val sb = new java.lang.StringBuilder(defloated.length)
+    var i = 0
+    while (i < defloated.length) {
+      val c = defloated.charAt(i)
+      if (c >= '0' && c <= '9') sb.append(c)
+      i += 1
+    }
+    val n = sb.length
+    if (n == 0 || n > 9) null
+    else {
+      val out = new java.lang.StringBuilder(9)
+      var p = n
+      while (p < 9) { out.append('0'); p += 1 }
+      out.append(sb)
+      UTF8String.fromString(out.toString)
+    }
+  }
+
+  private def isAllDigits(s: String, from: Int, until: Int): Boolean = {
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return false
+      i += 1
+    }
+    i > from
+  }
+
+  /** Polynomial rolling hash over code points, mod 1e9+7 — the tight-loop
+    * kernel behind the TDP shingle hashing (same value as the
+    * `aggregate(transform(sequence(...)))` higher-order-function fold, at a
+    * fraction of the per-row cost).
+    */
+  def polyHash(input: UTF8String): Long = {
+    val s = input.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Native Catalyst expression for F1 SSN normalization: codegen emits a
+  * direct static call, so the operator stays inside whole-stage codegen
+  * (no UDF boundary, no serialization).
+  */
+case class NormalizeSsnExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_normalize_ssn"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.normalizeSsn(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.Kernels.normalizeSsn($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeSsnExpr =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression for the polynomial rolling hash. */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.polyHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.polyHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+}
+
+/** Session extension registering the native expressions as SQL functions
+  * (usable inside higher-order-function lambdas). Install either via
+  * `spark.sql.extensions=graft.expressions.GraftExtensions` or
+  * programmatically with [[GraftExtensions.registerAll]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_normalize_ssn"),
+      new ExpressionInfo(classOf[NormalizeSsnExpr].getName, "graft_normalize_ssn"),
+      (exprs: Seq[Expression]) => NormalizeSsnExpr(exprs.head)),
+    (FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
+      (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)))
+
+  /** Idempotent per-session registration (for sessions built without the
+    * extensions config, e.g. the driver-owned Verify/Bench sessions).
+    */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -12,9 +12,14 @@ final case class QueryDef(
     oracle: Option[String])
 
 object Registry {
-  /** Load a testdata table from the per-SF directory. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Load a testdata table from the per-SF directory. Also (idempotently)
+    * registers the graft native SQL functions so queries can use them
+    * inside higher-order-function lambdas on any session.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.expressions.GraftExtensions.registerAll(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   private val memoCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]

@@ -24,9 +24,11 @@ object TdpQueries {
     * is a left-fold over character codes in both engines.
     */
   private val P = "1000000007"
-  private def polyHashExpr(c: String): String =
-    s"aggregate(transform(sequence(1, length($c)), i -> ascii(substr($c, i, 1)))," +
-      s" 0L, (acc, x) -> (acc * 31 + x) % $P)"
+  /** Native codegen'd kernel (graft.expressions.PolyHashExpr) — same value
+    * as the `aggregate(transform(sequence(...)))` fold the oracle uses,
+    * without the per-character lambda overhead.
+    */
+  private def polyHashExpr(c: String): String = s"graft_polyhash($c)"
   private def polyHashSql(c: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
       s"range(1, length($c) + 1), i -> CAST(ascii(substr($c, i, 1)) AS BIGINT)))," +

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engines.{AgeTaxCode, MatchPlanId}
+
+/** Plan-quality assertions: the properties that matter at 100 TB — filters
+  * reaching the parquet scan, small dimensions broadcast, codegen spans —
+  * checked against the actual physical plans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q3: filter and projection push down to the parquet scan") {
+    val df = Registry.queries("q3_filter_pushdown")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan.take(3000))
+    // Only the referenced columns reach the scan.
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_extendedprice"), "unused column not pruned")
+  }
+
+  test("Engine A: scope filter below the join; full outer = sort-merge") {
+    val df = MatchPlanId.reconcile(
+      Testdata.cleanRelius(spark, dir), Testdata.cleanMatrix(spark, dir))
+    val plan = df.queryExecution.executedPlan.toString
+    // Full-outer joins cannot broadcast a build side in Spark; the correct
+    // scale plan is SMJ over two ALREADY plan-scope-filtered inputs.
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      plan.take(3000))
+    assert(plan.contains("IN (300004PLAT,300004MBD,300004MBDII)"),
+      "plan-scope filter not pushed below the join")
+  }
+
+  test("Engine B: demographics dimension joins via broadcast") {
+    val df = AgeTaxCode.run(
+      Testdata.cleanMatrix(spark, dir), Testdata.cleanDemo(spark, dir))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q1: aggregation runs with map-side partial aggregation in codegen") {
+    val df = Registry.queries("q1_agg")(spark, dir)
+    df.collect() // finalize THIS frame's adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      "aggregation not codegen'd") // "*(N)" prefix = codegen stage
+    // partial + final pair around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
+  }
+
+  test("engine pipelines read only needed columns from orders") {
+    val df = Testdata.cleanBasis(spark, dir)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // basis derives from o_orderkey/o_custkey only (plan/ssn/year/total are
+    // pure functions of the two keys).
+    assert(!scan.contains("o_orderdate") && !scan.contains("o_orderpriority"),
+      scan)
+  }
+}
