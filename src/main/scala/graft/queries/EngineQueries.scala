@@ -178,6 +178,52 @@ object EngineQueries {
           |    x -> upper(trim(x))), x -> x <> ''),
           |    ['UPDATE_1099','INVESTIGATE'])""".stripMargin, OracleSql.EngineA))),
 
+    // Scale-stress variant: the same reconciliation without the plan scope,
+    // so the full-outer SMJ shuffles the complete cleaned inputs.
+    QueryDef(
+      "ea_reconcile_all",
+      (s, dir) =>
+        Registry.memo(s, dir, "summary_ea_all")(
+          MatchPlanId.reconcile(Testdata.cleanRelius(s, dir),
+            Testdata.cleanMatrix(s, dir), planIds = None))
+          .select(
+            col("plan_id"), col("ssn"), col("gross_amt"), col("_merge"),
+            dstr("exported_date"), dstr("txn_date"),
+            col("date_lag_days"), col("date_within_tolerance"),
+            col("needs_correction"), col("suggested_tax_code_1"),
+            col("suggested_tax_code_2"), col("correction_reason"),
+            col("action"), col("match_status"), col("new_tax_code")),
+      Some(OracleSql.query(
+        """SELECT plan_id, ssn, gross_amt, _merge,
+          |  strftime(exported_date, '%Y-%m-%d') AS exported_date,
+          |  strftime(txn_date, '%Y-%m-%d') AS txn_date,
+          |  date_lag_days, date_within_tolerance, needs_correction,
+          |  suggested_tax_code_1, suggested_tax_code_2, correction_reason,
+          |  action, match_status, new_tax_code
+          |FROM ea""".stripMargin, OracleSql.EngineAAll))),
+
+    // P5 — inclusive date-range + month-set filter inside the Matrix
+    // cleaner (the filter reaches the scan before the dedup window).
+    QueryDef(
+      "p5_date_filter",
+      (s, dir) => {
+        import graft.core.Config
+        val cfg = Config.DateFilterConfig(
+          Some(java.time.LocalDate.of(2024, 9, 1)),
+          Some(java.time.LocalDate.of(2025, 3, 31)),
+          Some(Set(1, 2, 9, 10, 11)))
+        graft.cleaning.CleanMatrix(Testdata.matrixRaw(s, dir),
+          dateFilter = cfg, today = Testdata.Today)
+          .select(col("plan_id"), col("ssn"), col("gross_amt"),
+            dstr("txn_date"), col("tax_code_1"))
+      },
+      Some(OracleSql.query(
+        """SELECT plan_id, ssn, gross_amt,
+          |  strftime(txn_date, '%Y-%m-%d') AS txn_date, tax_code_1
+          |FROM matrix_clean
+          |WHERE txn_date >= DATE '2024-09-01' AND txn_date <= DATE '2025-03-31'
+          |  AND month(txn_date) IN (1, 2, 9, 10, 11)""".stripMargin))),
+
     QueryDef(
       "eb_age_taxcode",
       (s, dir) =>

@@ -370,6 +370,19 @@ ea AS MATERIALIZED (
       AS new_tax_code
   FROM ea3)"""
 
+  /** Engine A without the plan-scope filter (scale-stress variant): same
+    * CTE chain over the full cleaned inputs.
+    */
+  val EngineAAll: String = EngineA
+    .replace(
+      """er AS (SELECT * FROM relius_clean
+        |       WHERE plan_id IN ('300004PLAT','300004MBD','300004MBDII')),""".stripMargin,
+      "er AS (SELECT * FROM relius_clean),")
+    .replace(
+      """em AS (SELECT * FROM matrix_clean
+        |       WHERE plan_id IN ('300004PLAT','300004MBD','300004MBDII')),""".stripMargin,
+      "em AS (SELECT * FROM matrix_clean),")
+
   /** Engine B CTEs (twin of graft.engines.AgeTaxCode), ending in `eb`. */
   val EngineB: String = """
 eb0 AS (
