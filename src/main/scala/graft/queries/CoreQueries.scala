@@ -173,6 +173,22 @@ object CoreQueries {
              |SELECT c_custkey AS key FROM customer
              |WHERE c_acctbal > 1000""".stripMargin)),
 
+    // Tumbling-window aggregation over the events table — the batch twin
+    // of graft.streaming.EventsStream.windowedCounts.
+    QueryDef(
+      "q13_tumbling_window",
+      (s, dir) =>
+        table(s, dir, "events")
+          .select(expr("ts div 3600000000000").as("hour_bucket"),
+            col("event_type"),
+            floor(col("value")).cast(LongType).as("v"))
+          .groupBy("hour_bucket", "event_type")
+          .agg(count(lit(1)).as("n_events"), sum("v").as("sum_v")),
+      Some("""SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+             |  event_type, count(*) AS n_events,
+             |  sum(CAST(FLOOR(value) AS BIGINT)) AS sum_v
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // Gaps-and-islands sessionization over the events stream table
     // (30-minute inactivity gap), the batch twin of the streaming
     // session-window operator.
