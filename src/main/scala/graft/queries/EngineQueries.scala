@@ -279,6 +279,116 @@ object EngineQueries {
           |  match_status
           |FROM ec""".stripMargin, OracleSql.EngineC))),
 
+    // O1 over Engines B/C/D: the same correction-file builder handles the
+    // engine-specific optional suggestion columns.
+    QueryDef(
+      "eb_correction_file",
+      (s, dir) => {
+        val eb = Registry.memo(s, dir, "summary_eb")(
+          AgeTaxCode.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir)))
+        BuildCorrectionFile.buildCorrectionDataFrame(eb).select(
+          col("Transaction Id").as("transaction_id"),
+          date_format(col("Transaction Date"), "yyyy-MM-dd").as("transaction_date"),
+          col("Participant SSN").as("participant_ssn"),
+          col("Matrix Account").as("matrix_account"),
+          col("Current Tax Code 1").as("current_tax_code_1"),
+          col("New Tax Code").as("new_tax_code"),
+          col("Reason").as("reason"),
+          col("Action").as("action"))
+      },
+      Some(OracleSql.query(
+        """SELECT transaction_id,
+          |  strftime(txn_date, '%Y-%m-%d') AS transaction_date,
+          |  ssn AS participant_ssn, matrix_account,
+          |  tax_code_1 AS current_tax_code_1, new_tax_code,
+          |  correction_reason AS reason, action
+          |FROM eb
+          |WHERE match_status IN ('match_needs_correction','match_needs_review')
+          |  AND (suggested_tax_code_1 IS NOT NULL
+          |    OR suggested_tax_code_2 IS NOT NULL
+          |    OR list_contains(list_filter(list_transform(
+          |      string_split(coalesce(action, ''), chr(10)),
+          |      x -> upper(trim(x))), x -> x <> ''), 'INVESTIGATE'))
+          |  AND list_has_any(list_filter(list_transform(
+          |    string_split(coalesce(action, ''), chr(10)),
+          |    x -> upper(trim(x))), x -> x <> ''),
+          |    ['UPDATE_1099','INVESTIGATE'])""".stripMargin, OracleSql.EngineB))),
+
+    QueryDef(
+      "ec_correction_file",
+      (s, dir) => {
+        val ec = Registry.memo(s, dir, "summary_ec")(
+          RothTaxable.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir),
+            Testdata.cleanBasis(s, dir)))
+        BuildCorrectionFile.buildCorrectionDataFrame(ec).select(
+          col("Transaction Id").as("transaction_id"),
+          date_format(col("Transaction Date"), "yyyy-MM-dd").as("transaction_date"),
+          col("Participant SSN").as("participant_ssn"),
+          col("Matrix Account").as("matrix_account"),
+          col("Current Tax Code 1").as("current_tax_code_1"),
+          col("Current Tax Code 2").as("current_tax_code_2"),
+          col("New Tax Code").as("new_tax_code"),
+          col("New Taxable Amount").as("new_taxable_amount"),
+          col("New First Year contrib").as("new_first_year_contrib"),
+          col("Reason").as("reason"),
+          col("Action").as("action"))
+      },
+      Some(OracleSql.query(
+        """SELECT transaction_id,
+          |  strftime(txn_date, '%Y-%m-%d') AS transaction_date,
+          |  ssn AS participant_ssn, matrix_account,
+          |  tax_code_1 AS current_tax_code_1, tax_code_2 AS current_tax_code_2,
+          |  CASE WHEN nullif(upper(trim(suggested_tax_code_1)), '') IS NOT NULL
+          |    THEN nullif(upper(trim(suggested_tax_code_1)), '')
+          |      || coalesce(nullif(upper(trim(suggested_tax_code_2)), ''), '')
+          |    END AS new_tax_code,
+          |  suggested_taxable_amt AS new_taxable_amount,
+          |  suggested_first_roth_tax_year AS new_first_year_contrib,
+          |  correction_reason AS reason, action
+          |FROM ec
+          |WHERE match_status IN ('match_needs_correction','match_needs_review')
+          |  AND (suggested_tax_code_1 IS NOT NULL
+          |    OR suggested_tax_code_2 IS NOT NULL
+          |    OR suggested_taxable_amt IS NOT NULL
+          |    OR suggested_first_roth_tax_year IS NOT NULL
+          |    OR list_contains(list_filter(list_transform(
+          |      string_split(coalesce(action, ''), chr(10)),
+          |      x -> upper(trim(x))), x -> x <> ''), 'INVESTIGATE'))
+          |  AND list_has_any(list_filter(list_transform(
+          |    string_split(coalesce(action, ''), chr(10)),
+          |    x -> upper(trim(x))), x -> x <> ''),
+          |    ['UPDATE_1099','INVESTIGATE'])""".stripMargin, OracleSql.EngineC))),
+
+    QueryDef(
+      "ed_correction_file",
+      (s, dir) => {
+        val ed = Registry.memo(s, dir, "summary_ed")(
+          IraRollover.run(Testdata.cleanMatrix(s, dir)))
+        BuildCorrectionFile.buildCorrectionDataFrame(ed).select(
+          col("Transaction Id").as("transaction_id"),
+          date_format(col("Transaction Date"), "yyyy-MM-dd").as("transaction_date"),
+          col("Participant SSN").as("participant_ssn"),
+          col("Matrix Account").as("matrix_account"),
+          col("New Tax Code").as("new_tax_code"),
+          col("Reason").as("reason"),
+          col("Action").as("action"))
+      },
+      Some(OracleSql.query(
+        """SELECT transaction_id,
+          |  strftime(txn_date, '%Y-%m-%d') AS transaction_date,
+          |  ssn AS participant_ssn, matrix_account, new_tax_code,
+          |  correction_reason AS reason, action
+          |FROM ed
+          |WHERE match_status IN ('match_needs_correction','match_needs_review')
+          |  AND (suggested_tax_code_1 IS NOT NULL
+          |    OR list_contains(list_filter(list_transform(
+          |      string_split(coalesce(action, ''), chr(10)),
+          |      x -> upper(trim(x))), x -> x <> ''), 'INVESTIGATE'))
+          |  AND list_has_any(list_filter(list_transform(
+          |    string_split(coalesce(action, ''), chr(10)),
+          |    x -> upper(trim(x))), x -> x <> ''),
+          |    ['UPDATE_1099','INVESTIGATE'])""".stripMargin, OracleSql.EngineD))),
+
     QueryDef(
       "ed_ira_rollover",
       (s, dir) =>
