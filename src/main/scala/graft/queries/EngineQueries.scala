@@ -359,6 +359,76 @@ object EngineQueries {
           |    x -> upper(trim(x))), x -> x <> ''),
           |    ['UPDATE_1099','INVESTIGATE'])""".stripMargin, OracleSql.EngineC))),
 
+    // O2 — tab split over Engine C's corrections: dual-action rows land in
+    // BOTH outputs with the action literal overwritten.
+    QueryDef(
+      "ec_split_correction",
+      (s, dir) => {
+        val ec = Registry.memo(s, dir, "summary_ec")(
+          RothTaxable.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir),
+            Testdata.cleanBasis(s, dir)))
+        val tabs = BuildCorrectionFile.splitCorrectionsByAction(
+          BuildCorrectionFile.buildCorrectionDataFrame(ec))
+        tabs("Correction").select(
+          col("Transaction Id").as("transaction_id"),
+          col("Participant SSN").as("participant_ssn"),
+          col("New Tax Code").as("new_tax_code"),
+          col("New Taxable Amount").as("new_taxable_amount"),
+          col("Action").as("action"))
+      },
+      Some(OracleSql.query(
+        """SELECT transaction_id, ssn AS participant_ssn,
+          |  CASE WHEN nullif(upper(trim(suggested_tax_code_1)), '') IS NOT NULL
+          |    THEN nullif(upper(trim(suggested_tax_code_1)), '')
+          |      || coalesce(nullif(upper(trim(suggested_tax_code_2)), ''), '')
+          |    END AS new_tax_code,
+          |  suggested_taxable_amt AS new_taxable_amount,
+          |  'UPDATE_1099' AS action
+          |FROM ec
+          |WHERE match_status IN ('match_needs_correction','match_needs_review')
+          |  AND (suggested_tax_code_1 IS NOT NULL
+          |    OR suggested_tax_code_2 IS NOT NULL
+          |    OR suggested_taxable_amt IS NOT NULL
+          |    OR suggested_first_roth_tax_year IS NOT NULL
+          |    OR list_contains(list_filter(list_transform(
+          |      string_split(coalesce(action, ''), chr(10)),
+          |      x -> upper(trim(x))), x -> x <> ''), 'INVESTIGATE'))
+          |  AND list_contains(list_filter(list_transform(
+          |    string_split(coalesce(action, ''), chr(10)),
+          |    x -> upper(trim(x))), x -> x <> ''), 'UPDATE_1099')""".stripMargin,
+        OracleSql.EngineC))),
+
+    QueryDef(
+      "ec_split_investigate",
+      (s, dir) => {
+        val ec = Registry.memo(s, dir, "summary_ec")(
+          RothTaxable.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir),
+            Testdata.cleanBasis(s, dir)))
+        val tabs = BuildCorrectionFile.splitCorrectionsByAction(
+          BuildCorrectionFile.buildCorrectionDataFrame(ec))
+        tabs("Investigate").select(
+          col("Transaction Id").as("transaction_id"),
+          col("Participant SSN").as("participant_ssn"),
+          col("Reason").as("reason"),
+          col("Action").as("action"))
+      },
+      Some(OracleSql.query(
+        """SELECT transaction_id, ssn AS participant_ssn,
+          |  correction_reason AS reason, 'INVESTIGATE' AS action
+          |FROM ec
+          |WHERE match_status IN ('match_needs_correction','match_needs_review')
+          |  AND (suggested_tax_code_1 IS NOT NULL
+          |    OR suggested_tax_code_2 IS NOT NULL
+          |    OR suggested_taxable_amt IS NOT NULL
+          |    OR suggested_first_roth_tax_year IS NOT NULL
+          |    OR list_contains(list_filter(list_transform(
+          |      string_split(coalesce(action, ''), chr(10)),
+          |      x -> upper(trim(x))), x -> x <> ''), 'INVESTIGATE'))
+          |  AND list_contains(list_filter(list_transform(
+          |    string_split(coalesce(action, ''), chr(10)),
+          |    x -> upper(trim(x))), x -> x <> ''), 'INVESTIGATE')""".stripMargin,
+        OracleSql.EngineC))),
+
     QueryDef(
       "ed_correction_file",
       (s, dir) => {

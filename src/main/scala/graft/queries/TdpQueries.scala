@@ -347,6 +347,40 @@ object TdpQueries {
            |WHERE rank <= 3""".stripMargin
       }),
 
+    // Random-hyperplane LSH for cosine similarity: 8 deterministic
+    // pseudo-planes -> 8-bit sign signature -> bucket histogram. Vectors
+    // sharing a bucket are cosine-similar candidates; the shuffle key is
+    // the signature, so bucketing scales to arbitrary corpus sizes.
+    QueryDef(
+      "tdp_lsh_cosine_buckets",
+      (s, dir) => {
+        def dotPlane(j: Int): String =
+          s"aggregate(transform(sequence(1, 64), i -> " +
+            s"CAST(element_at(embedding, i) AS DOUBLE) * " +
+            s"CAST(((i * 2654435761L + $j * 40503) % 97) - 48 AS DOUBLE))," +
+            s" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        val sig = (0 until 8).map(j =>
+          s"(CASE WHEN (${dotPlane(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        table(s, dir, "embeddings")
+          .select(col("vec_id"), expr(sig).as("signature"))
+          .groupBy("signature")
+          .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
+      },
+      Some {
+        def dotPlane(j: Int): String =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+            s"range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
+            s"CAST(((i * 2654435761 + $j * 40503) % 97) - 48 AS DOUBLE)))," +
+            s" (acc, x) -> acc + x)"
+        val sig = (0 until 8).map(j =>
+          s"(CASE WHEN (${dotPlane(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""SELECT signature, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+           |FROM (SELECT vec_id, $sig AS signature FROM embeddings)
+           |GROUP BY 1""".stripMargin
+      }),
+
     // Language ID: marker-substring scoring (n-gram heuristic); argmax
     // with a fixed tie-break order.
     QueryDef(

@@ -29,9 +29,23 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source reader (parquet dir, append-only). */
+  /** On-disk schema of the driver's events.parquet: `ts` is parquet
+    * TIMESTAMP(NANOS), which these sessions read as nano longs
+    * (spark.sql.legacy.parquet.nanosAsLong).
+    */
+  val EventsNanoSchema: StructType = StructType(
+    EventsSchema.fields.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+
+  /** File-source reader (parquet dir, append-only) over the driver's
+    * events feed: nano longs are converted to a proper event-time
+    * timestamp column so watermarks work downstream.
+    */
   def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(EventsSchema).parquet(path)
+    spark.readStream.schema(EventsNanoSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Tumbling-window counts + sums per event type with a watermark bounding
     * state. At scale the shuffle key is (window, event_type) and late data

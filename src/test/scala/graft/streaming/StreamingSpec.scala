@@ -85,6 +85,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readEvents streams the driver's nano-timestamp events feed") {
+    val s = spark
+    // File streams require a directory; stage the feed file into one.
+    val dir = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = windowedCounts(
+      readEvents(s, dir.toString), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val n = s.sql("SELECT sum(n_events) FROM file_win").head.getLong(0)
+      // All events from the feed are windowed (none dropped on ingest).
+      val total = s.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+      assert(n == total)
+    } finally q.stop()
+  }
+
   test("Engine D runs unchanged on a streaming DataFrame") {
     val s = spark
     import s.implicits._
