@@ -189,6 +189,38 @@ object CoreQueries {
              |  sum(CAST(FLOOR(value) AS BIGINT)) AS sum_v
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // As-of join (nearest prior event per user) — Spark lacks the operator;
+    // graft.operators.AsOfJoin composes it from one shuffle + an ordered
+    // window. The oracle is DuckDB's native ASOF LEFT JOIN.
+    QueryDef(
+      "q14_asof_join",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+            col("event_id"), col("value"))
+        val l = e.filter(col("event_id") % 5 === 0)
+          .select("user_id", "sec", "event_id")
+        val rw = Window.partitionBy("user_id", "sec").orderBy(desc("event_id"))
+        val r = e.filter(col("event_id") % 5 =!= 0)
+          .withColumn("_rn", row_number().over(rw)).filter(col("_rn") === 1)
+          .select("user_id", "sec", "event_id", "value")
+        graft.operators.AsOfJoin.asOf(l, r, Seq("user_id"), "sec",
+          Seq("event_id", "value"), "event_id")
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id
+             |  FROM events WHERE event_id % 5 = 0),
+             |r AS (
+             |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             |    event_id, value
+             |  FROM events WHERE event_id % 5 <> 0
+             |  QUALIFY row_number() OVER (PARTITION BY user_id,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) ORDER BY event_id DESC) = 1)
+             |SELECT l.user_id, l.sec, l.event_id,
+             |  r.event_id AS event_id_asof, r.value AS value_asof
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.sec >= r.sec""".stripMargin)),
+
     // Gaps-and-islands sessionization over the events stream table
     // (30-minute inactivity gap), the batch twin of the streaming
     // session-window operator.
