@@ -189,6 +189,23 @@ object CoreQueries {
              |  sum(CAST(FLOOR(value) AS BIGINT)) AS sum_v
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // JSON extraction from the events props payload (get_json_object stays
+    // in codegen; schema-on-read without a parsing pass).
+    QueryDef(
+      "q15_json_extract",
+      (s, dir) =>
+        table(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+            min("k").as("min_k"), max("k").as("max_k")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // As-of join (nearest prior event per user) — Spark lacks the operator;
     // graft.operators.AsOfJoin composes it from one shuffle + an ordered
     // window. The oracle is DuckDB's native ASOF LEFT JOIN.

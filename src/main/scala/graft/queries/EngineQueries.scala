@@ -317,10 +317,12 @@ object EngineQueries {
     QueryDef(
       "ec_correction_file",
       (s, dir) => {
-        val ec = Registry.memo(s, dir, "summary_ec")(
-          RothTaxable.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir),
-            Testdata.cleanBasis(s, dir)))
-        BuildCorrectionFile.buildCorrectionDataFrame(ec).select(
+        val corrections = Registry.memo(s, dir, "ec_corrections")(
+          BuildCorrectionFile.buildCorrectionDataFrame(
+            Registry.memo(s, dir, "summary_ec")(
+              RothTaxable.run(Testdata.cleanMatrix(s, dir),
+                Testdata.cleanDemo(s, dir), Testdata.cleanBasis(s, dir)))))
+        corrections.select(
           col("Transaction Id").as("transaction_id"),
           date_format(col("Transaction Date"), "yyyy-MM-dd").as("transaction_date"),
           col("Participant SSN").as("participant_ssn"),
@@ -364,11 +366,12 @@ object EngineQueries {
     QueryDef(
       "ec_split_correction",
       (s, dir) => {
-        val ec = Registry.memo(s, dir, "summary_ec")(
-          RothTaxable.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir),
-            Testdata.cleanBasis(s, dir)))
         val tabs = BuildCorrectionFile.splitCorrectionsByAction(
-          BuildCorrectionFile.buildCorrectionDataFrame(ec))
+          Registry.memo(s, dir, "ec_corrections")(
+            BuildCorrectionFile.buildCorrectionDataFrame(
+              Registry.memo(s, dir, "summary_ec")(
+                RothTaxable.run(Testdata.cleanMatrix(s, dir),
+                  Testdata.cleanDemo(s, dir), Testdata.cleanBasis(s, dir))))))
         tabs("Correction").select(
           col("Transaction Id").as("transaction_id"),
           col("Participant SSN").as("participant_ssn"),
@@ -401,11 +404,12 @@ object EngineQueries {
     QueryDef(
       "ec_split_investigate",
       (s, dir) => {
-        val ec = Registry.memo(s, dir, "summary_ec")(
-          RothTaxable.run(Testdata.cleanMatrix(s, dir), Testdata.cleanDemo(s, dir),
-            Testdata.cleanBasis(s, dir)))
         val tabs = BuildCorrectionFile.splitCorrectionsByAction(
-          BuildCorrectionFile.buildCorrectionDataFrame(ec))
+          Registry.memo(s, dir, "ec_corrections")(
+            BuildCorrectionFile.buildCorrectionDataFrame(
+              Registry.memo(s, dir, "summary_ec")(
+                RothTaxable.run(Testdata.cleanMatrix(s, dir),
+                  Testdata.cleanDemo(s, dir), Testdata.cleanBasis(s, dir))))))
         tabs("Investigate").select(
           col("Transaction Id").as("transaction_id"),
           col("Participant SSN").as("participant_ssn"),
