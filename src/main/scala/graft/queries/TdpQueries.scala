@@ -226,15 +226,18 @@ object TdpQueries {
       }),
 
     // n-gram Jaccard near-dup: shared-shingle equi-join builds candidates,
-    // exact Jaccard filters them (>= 0.2).
+    // exact Jaccard filters them (>= 0.2). The join key is the 8-byte
+    // shingle hash, not the shingle string — at 100 TB that's the
+    // difference between shuffling longs and shuffling text (the oracle
+    // hashes identically, so results stay exact).
     QueryDef(
       "tdp_ngram_jaccard",
       (s, dir) => {
         val d = docsWithShingles(s, dir)
-          .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+          .select(col("doc_id"), col("hashes"), size(col("hashes")).as("n_sh"))
           .filter(col("n_sh") > 0)
         val exploded = d.select(col("doc_id"), col("n_sh"),
-          explode(col("shingles")).as("sh"))
+          explode(col("hashes")).as("sh"))
         val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
           col("sh"))
         val b = exploded.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
@@ -250,10 +253,10 @@ object TdpQueries {
       },
       Some(s"""WITH $docsShinglesSql,
               |d AS (
-              |  SELECT doc_id, shingles, len(shingles) AS n_sh FROM doc_sh
-              |  WHERE len(shingles) > 0),
+              |  SELECT doc_id, hashes, len(hashes) AS n_sh FROM doc_sh
+              |  WHERE len(hashes) > 0),
               |ex AS (
-              |  SELECT doc_id, n_sh, unnest(shingles) AS sh FROM d),
+              |  SELECT doc_id, n_sh, unnest(hashes) AS sh FROM d),
               |pairs AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |    a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
