@@ -189,6 +189,37 @@ object CoreQueries {
              |  sum(CAST(FLOOR(value) AS BIGINT)) AS sum_v
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Hierarchical rollup (subtotals + grand total in one pass).
+    QueryDef(
+      "q16_rollup",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+            col("n"), col("sum_qty")),
+      Some("""SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+             |  coalesce(l_linestatus, '<all>') AS l_linestatus,
+             |  count(*) AS n, sum(l_quantity) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // Distinct aggregates (exact; the approximate HLL variant is not
+    // oracle-matchable across engines by construction).
+    QueryDef(
+      "q17_distinct_agg",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // JSON extraction from the events props payload (get_json_object stays
     // in codegen; schema-on-read without a parsing pass).
     QueryDef(
