@@ -173,6 +173,38 @@ object CoreQueries {
              |SELECT c_custkey AS key FROM customer
              |WHERE c_acctbal > 1000""".stripMargin)),
 
+    // Set operation: EXCEPT (customers with no 'F' orders).
+    QueryDef(
+      "q18_except",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .select(col("c_custkey").as("key")).distinct()
+          .except(
+            table(s, dir, "orders")
+              .filter(col("o_orderstatus") === "F")
+              .select(col("o_custkey").as("key"))),
+      Some("""SELECT DISTINCT c_custkey AS key FROM customer
+             |EXCEPT
+             |SELECT o_custkey AS key FROM orders
+             |WHERE o_orderstatus = 'F'""".stripMargin)),
+
+    // Full cube over two dimensions (all grouping-set combinations).
+    QueryDef(
+      "q19_cube",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("<all>")).as("o_orderstatus"),
+            coalesce(col("o_orderpriority"), lit("<all>")).as("o_orderpriority"),
+            col("n")),
+      Some("""SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+             |  coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+             |  count(*) AS n
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
     // Tumbling-window aggregation over the events table — the batch twin
     // of graft.streaming.EventsStream.windowedCounts.
     QueryDef(
