@@ -28,22 +28,43 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+# Mirrors the driver's hash compare: the driver hashes the materialized
+# frames exactly, so an int64 Spark column vs a float64 oracle column
+# (e.g. DuckDB HUGEINT sum() -> pandas float64) must FAIL even when the
+# values are numerically identical.
+def dtype_family(dtype) -> str:
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
 def values_equal(a, b) -> bool:
-    if pd.isna(a) and pd.isna(b):
+    """Exact equality — no tolerance, matching the driver's hash gate."""
+    if pd.isna(a) is True and pd.isna(b) is True:
         return True
-    if pd.isna(a) != pd.isna(b):
+    if (pd.isna(a) is True) != (pd.isna(b) is True):
         return False
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
         except (TypeError, ValueError):
-            return str(a) == str(b)
+            return False
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return fa == fb or math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
-    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
-        return list(a) == list(b)
-    return a == b or str(a) == str(b)
+        return fa == fb
+    if isinstance(a, (list, tuple)) or hasattr(a, "tolist"):
+        la = list(a.tolist() if hasattr(a, "tolist") else a)
+        lb = list(b.tolist() if hasattr(b, "tolist") else b)
+        return len(la) == len(lb) and all(
+            values_equal(x, y) for x, y in zip(la, lb))
+    return bool(a == b)
 
 
 def main():
@@ -76,6 +97,15 @@ def main():
             continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+            failures += 1
+            continue
+        bad_dtype = [
+            (c, dtype_family(g[c].dtype), dtype_family(e[c].dtype))
+            for c in g.columns
+            if dtype_family(g[c].dtype) != dtype_family(e[c].dtype)]
+        if bad_dtype:
+            c, fg, fe = bad_dtype[0]
+            print(f"FAIL {name}: dtype family col={c}: spark={fg} oracle={fe}")
             failures += 1
             continue
         mismatch = None

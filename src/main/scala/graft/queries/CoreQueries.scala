@@ -38,7 +38,7 @@ object CoreQueries {
           .agg(count(lit(1)).as("n_orders"),
             sum(floor(col("o_totalprice")).cast(LongType)).as("sum_price")),
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
-             |  sum(CAST(FLOOR(o_totalprice) AS BIGINT)) AS sum_price
+             |  CAST(sum(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1""".stripMargin)),
 
@@ -72,7 +72,8 @@ object CoreQueries {
       },
       Some("""SELECT o_custkey, o_orderkey,
              |  row_number() OVER w AS rn,
-             |  sum(CAST(FLOOR(o_totalprice) AS BIGINT)) OVER w AS running_price
+             |  CAST(sum(CAST(FLOOR(o_totalprice) AS BIGINT)) OVER w AS BIGINT)
+             |    AS running_price
              |FROM orders WHERE o_custkey % 100 = 0
              |WINDOW w AS (PARTITION BY o_custkey
              |  ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
@@ -218,7 +219,7 @@ object CoreQueries {
           .agg(count(lit(1)).as("n_events"), sum("v").as("sum_v")),
       Some("""SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
              |  event_type, count(*) AS n_events,
-             |  sum(CAST(FLOOR(value) AS BIGINT)) AS sum_v
+             |  CAST(sum(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_v
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // Hierarchical rollup (subtotals + grand total in one pass).
@@ -264,7 +265,8 @@ object CoreQueries {
           .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
             min("k").as("min_k"), max("k").as("max_k")),
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS BIGINT) AS sum_k,
              |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
              |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY 1""".stripMargin)),
@@ -334,9 +336,9 @@ object CoreQueries {
              |      OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
              |sess AS (
-             |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+             |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
              |    ORDER BY sec, event_id
-             |    ROWS UNBOUNDED PRECEDING) AS session_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM flags)
              |SELECT user_id, session_id, count(*) AS n_events,
              |  min(sec) AS start_sec, max(sec) AS end_sec

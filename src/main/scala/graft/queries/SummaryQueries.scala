@@ -49,8 +49,8 @@ object SummaryQueries {
           |  CAST(corrections AS DOUBLE) / CAST(total AS DOUBLE) AS rate
           |FROM (
           |  SELECT strftime(txn_date, '%Y-%m') AS txn_month, count(*) AS total,
-          |    sum(CASE WHEN match_status = 'match_needs_correction'
-          |      THEN 1 ELSE 0 END) AS corrections
+          |    CAST(sum(CASE WHEN match_status = 'match_needs_correction'
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS corrections
           |  FROM eb GROUP BY 1)""".stripMargin, OracleSql.EngineB))),
 
     // A3 — status KPI summary preserving zero-count statuses (Engine A).
@@ -181,8 +181,8 @@ object SummaryQueries {
           |  SELECT CASE WHEN term_date IS NOT NULL THEN 'with_term_date'
           |    ELSE 'without_term_date' END AS group_label,
           |    count(*) AS total,
-          |    sum(CASE WHEN match_status = 'match_needs_correction'
-          |      THEN 1 ELSE 0 END) AS corrections
+          |    CAST(sum(CASE WHEN match_status = 'match_needs_correction'
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS corrections
           |  FROM eb GROUP BY 1)""".stripMargin, OracleSql.EngineB))),
 
     // A11 — action-mix counts over Engine C's multi-line action cells.
@@ -202,12 +202,13 @@ object SummaryQueries {
       },
       Some(OracleSql.query(
         """SELECT count(*) AS total,
-          |  sum(CASE WHEN list_contains(t, 'UPDATE_1099') THEN 1 ELSE 0 END)
-          |    AS n_update,
-          |  sum(CASE WHEN list_contains(t, 'INVESTIGATE') THEN 1 ELSE 0 END)
-          |    AS n_investigate,
-          |  sum(CASE WHEN list_contains(t, 'UPDATE_1099')
-          |    AND list_contains(t, 'INVESTIGATE') THEN 1 ELSE 0 END) AS n_both
+          |  CAST(sum(CASE WHEN list_contains(t, 'UPDATE_1099') THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_update,
+          |  CAST(sum(CASE WHEN list_contains(t, 'INVESTIGATE') THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_investigate,
+          |  CAST(sum(CASE WHEN list_contains(t, 'UPDATE_1099')
+          |    AND list_contains(t, 'INVESTIGATE') THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_both
           |FROM (SELECT list_filter(list_transform(
           |    string_split(coalesce(action, ''), chr(10)),
           |    x -> upper(trim(x))), x -> x <> '') AS t FROM ec)""".stripMargin,

@@ -225,11 +225,18 @@ object TdpQueries {
            |SELECT doc_id, $assembled AS simhash FROM bits""".stripMargin
       }),
 
-    // n-gram Jaccard near-dup: shared-shingle equi-join builds candidates,
-    // exact Jaccard filters them (>= 0.2). The join key is the 8-byte
-    // shingle hash, not the shingle string — at 100 TB that's the
-    // difference between shuffling longs and shuffling text (the oracle
-    // hashes identically, so results stay exact).
+    // n-gram Jaccard near-dup via PREFIX FILTERING (Bayardo et al.
+    // "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
+    // PPJoin): order each doc's shingle hashes by ascending global
+    // document frequency, join only on each doc's prefix of length
+    // n - ceil(t*n) + 1 (t = 0.2), then compute the EXACT Jaccard on the
+    // candidate pairs with array_intersect. Provably lossless for
+    // J >= t under any consistent global element order, so the result is
+    // identical to the naive all-shared-shingles join (which the oracle
+    // still runs) — but the df-ascending order puts stop-shingles in the
+    // suffix, so a shingle shared by thousands of docs never becomes a
+    // join key. Candidate fan-out drops from sum(df^2) over all shingles
+    // to sum(df^2) over prefix (rare) shingles — the 100 TB scale path.
     QueryDef(
       "tdp_ngram_jaccard",
       (s, dir) => {
@@ -238,13 +245,24 @@ object TdpQueries {
           .filter(col("n_sh") > 0)
         val exploded = d.select(col("doc_id"), col("n_sh"),
           explode(col("hashes")).as("sh"))
-        val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
-          col("sh"))
-        val b = exploded.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
-          col("sh"))
-        a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b", "na", "nb")
-          .agg(count(lit(1)).as("inter"))
+        val dfreq = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
+        // Prefix length n - ceil(n/5) + 1, in exact integer arithmetic.
+        val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+        val prefix = exploded.join(dfreq, "sh")
+          .withColumn("rk", row_number().over(wDoc))
+          .filter(col("rk") <= expr("n_sh - ((n_sh + 4) div 5) + 1"))
+          .select("doc_id", "sh")
+        val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
+          .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        cand
+          .join(d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
+            col("n_sh").as("na")), Seq("doc_a"))
+          .join(d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
+            col("n_sh").as("nb")), Seq("doc_b"))
+          .withColumn("inter",
+            size(array_intersect(col("ha"), col("hb"))).cast(LongType))
           .withColumn("jaccard",
             col("inter").cast(DoubleType)
               / (col("na") + col("nb") - col("inter")).cast(DoubleType))
