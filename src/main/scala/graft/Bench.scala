@@ -14,9 +14,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated query-name filter for focused local timing;
+    // the driver's invocation leaves it unset and benches everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Deterministic order so shared-frame materialization costs attribute
     // to the same query on every run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

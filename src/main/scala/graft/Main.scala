@@ -39,8 +39,15 @@ object Main {
         sys.exit(2)
     }
 
-    val reliusClean = CleanRelius(reliusRaw)
-    val matrixClean = CleanMatrix(matrixRaw)
+    // V7 parity: the reference warns eagerly during cleaning; the CLI
+    // enables the counters (library callers default to lazy/silent).
+    val reliusClean = CleanRelius(reliusRaw, warnCounts = true)
+    val matrixClean = CleanMatrix(matrixRaw, warnCounts = true)
+    val qa = graft.cleaning.Cleaning.drainQaCounts()
+    if (qa.nonEmpty) {
+      println("QA summary:")
+      qa.foreach(q => println(f"  ${q.n}%8d  ${q.message}"))
+    }
     val matches = MatchPlanId.reconcile(reliusClean, matrixClean)
     val corrections = BuildCorrectionFile.buildCorrectionDataFrame(matches)
 

@@ -92,13 +92,33 @@ object Cleaning {
   def withColumnIfPresent(df: DataFrame, colName: String, f: Column => Column): DataFrame =
     if (df.columns.contains(colName)) df.withColumn(colName, f(col(colName))) else df
 
-  /** V7 — cleaner warning counters. The reference warns eagerly
-    * (src/cleaning/clean_matrix.py:327-335); we defer the count action to
-    * keep pipelines lazy, triggering it only when `enabled`.
+  /** One V7 warning observation: the reference's message with its count. */
+  final case class QaCount(message: String, n: Long)
+
+  private val qaBuffer = scala.collection.mutable.ListBuffer.empty[QaCount]
+
+  /** Drain the QA counts recorded by [[warnIf]] since the last drain
+    * (insertion order). The CLI prints these as its QA summary.
+    */
+  def drainQaCounts(): Seq[QaCount] = qaBuffer.synchronized {
+    val out = qaBuffer.toList
+    qaBuffer.clear()
+    out
+  }
+
+  /** V7 — cleaner warning counters, mirroring the reference's eager
+    * mid-pipeline warns (src/cleaning/clean_matrix.py:327-335,
+    * clean_relius.py:251-288: SSN invalids counted before the date
+    * filter, code lengths after normalization). Enabled, each check runs
+    * one count() at its pipeline position — exactly the frame the
+    * reference counts — logs when n > 0, and records the observation for
+    * the CLI's QA summary. Library callers keep `enabled = false` and
+    * stay fully lazy.
     */
   def warnIf(df: DataFrame, cond: Column, message: Long => String, enabled: Boolean): Unit =
     if (enabled) {
       val n = df.filter(cond).count()
       if (n > 0) org.apache.log4j.Logger.getLogger(getClass).warn(message(n))
+      qaBuffer.synchronized { qaBuffer += QaCount(message(n), n) }
     }
 }

@@ -10,9 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Per-row salt in [0, buckets): payload hash mixed with the row's
+    * partition-local ordinal (`monotonically_increasing_id`), so EXACT
+    * DUPLICATE rows — the common hot-key shape dedup-style workloads
+    * produce — still spread over all buckets instead of collapsing into
+    * one. Deterministic for a deterministic scan: Spark recomputes whole
+    * partitions on retry, so the ordinal (and thus the salt) is stable.
+    * Callers with a natural per-row discriminator (an ingest id, a line
+    * number) should pass it as `saltBy` for full input-order independence.
+    */
+  private[operators] def saltExpr(
+      payload: Seq[String],
+      buckets: Int,
+      saltBy: Option[Column]): Column = {
+    val basis = saltBy match {
+      case Some(c) => Seq(c)
+      case None => payload.map(col) :+ monotonically_increasing_id()
+    }
+    pmod(hash(basis: _*), lit(buckets))
+  }
+
   /** Salted equi-join: the (large, skewed) left side gets a deterministic
-    * salt derived from its non-key payload hash; the (smaller) right side
-    * is replicated across all salt buckets. Key cardinality seen by the
+    * per-row salt (see [[saltExpr]]); the (smaller) right side is
+    * replicated across all salt buckets. Key cardinality seen by the
     * shuffle becomes |keys| x buckets, splitting each hot key's rows over
     * `buckets` reducers.
     *
@@ -24,16 +44,14 @@ object SkewJoin {
       right: DataFrame,
       keys: Seq[String],
       buckets: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      saltBy: Option[Column] = None): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(Set("inner", "left", "left_outer").contains(joinType),
       s"salted join supports inner/left joins, got $joinType")
     val saltCol = "_salt"
     val payload = left.columns.filterNot(keys.contains)
-    val leftSalt =
-      if (payload.isEmpty) lit(0)
-      else pmod(hash(payload.map(col): _*), lit(buckets))
-    val l = left.withColumn(saltCol, leftSalt)
+    val l = left.withColumn(saltCol, saltExpr(payload, buckets, saltBy))
     val r = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(buckets - 1))))
     l.join(r, keys :+ saltCol, joinType).drop(saltCol)
@@ -50,14 +68,12 @@ object SkewJoin {
       keys: Seq[String],
       buckets: Int,
       partialAggs: Seq[Column],
-      finalAggs: Seq[Column]): DataFrame = {
+      finalAggs: Seq[Column],
+      saltBy: Option[Column] = None): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val saltCol = "_salt"
     val payload = df.columns.filterNot(keys.contains)
-    val salt =
-      if (payload.isEmpty) lit(0)
-      else pmod(hash(payload.map(col): _*), lit(buckets))
-    df.withColumn(saltCol, salt)
+    df.withColumn(saltCol, saltExpr(payload, buckets, saltBy))
       .groupBy((keys :+ saltCol).map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(keys.map(col): _*)

@@ -202,18 +202,20 @@ object EngineQueries {
           |  action, match_status, new_tax_code
           |FROM ea""".stripMargin, OracleSql.EngineAAll))),
 
-    // P5 — inclusive date-range + month-set filter inside the Matrix
-    // cleaner (the filter reaches the scan before the dedup window).
+    // P5 — inclusive date-range + month-set filter (V8 config +
+    // Validators.applyDateFilter), applied over the memoized cleaned
+    // Matrix frame — the oracle filters matrix_clean post-clean too, so
+    // both sides agree by construction and the cleaner pipeline's codegen
+    // is paid once per session, not once per date-filter variant.
     QueryDef(
       "p5_date_filter",
       (s, dir) => {
-        import graft.core.Config
+        import graft.core.{Config, Validators => V}
         val cfg = Config.DateFilterConfig(
           Some(java.time.LocalDate.of(2024, 9, 1)),
           Some(java.time.LocalDate.of(2025, 3, 31)),
           Some(Set(1, 2, 9, 10, 11)))
-        graft.cleaning.CleanMatrix(Testdata.matrixRaw(s, dir),
-          dateFilter = cfg, today = Testdata.Today)
+        V.applyDateFilter(Testdata.cleanMatrix(s, dir), "txn_date", cfg)
           .select(col("plan_id"), col("ssn"), col("gross_amt"),
             dstr("txn_date"), col("tax_code_1"))
       },

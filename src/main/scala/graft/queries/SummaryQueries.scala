@@ -79,6 +79,35 @@ object SummaryQueries {
           |LEFT JOIN (SELECT match_status, count(*) AS n0 FROM ea GROUP BY 1) c
           |  ON s.match_status = c.match_status""".stripMargin, OracleSql.EngineA))),
 
+    // A4 — unmatched Relius-vs-Matrix summary: fixed two-group frame with
+    // counts and share of ALL reconciled rows (reference
+    // src/visualization/match_planid_visualization.py:107-134).
+    QueryDef(
+      "a4_unmatched_summary",
+      (s, dir) => {
+        import s.implicits._
+        val counts = ea(s, dir).groupBy("match_status").agg(count(lit(1)).as("n0"))
+        val total = ea(s, dir).agg(count(lit(1)).as("total"))
+        Seq(
+          ("unmatched_relius", Config.MatchStatus.UnmatchedRelius),
+          ("unmatched_matrix", Config.MatchStatus.UnmatchedMatrix))
+          .toDF("unmatched_group", "match_status")
+          .join(counts, Seq("match_status"), "left")
+          .crossJoin(broadcast(total))
+          .select(col("unmatched_group"),
+            coalesce(col("n0"), lit(0L)).as("count"),
+            (coalesce(col("n0"), lit(0L)).cast("double")
+              / col("total").cast("double")).as("percent"))
+      },
+      Some(OracleSql.query(
+        """SELECT g.unmatched_group, CAST(coalesce(c.n0, 0) AS BIGINT) AS count,
+          |  CAST(coalesce(c.n0, 0) AS DOUBLE)
+          |    / CAST((SELECT count(*) FROM ea) AS DOUBLE) AS percent
+          |FROM (VALUES ('unmatched_relius', 'unmatched_relius'),
+          |  ('unmatched_matrix', 'unmatched_matrix')) g(unmatched_group, status)
+          |LEFT JOIN (SELECT match_status, count(*) AS n0 FROM ea GROUP BY 1) c
+          |  ON g.status = c.match_status""".stripMargin, OracleSql.EngineA))),
+
     // A5 — value_counts of correction reasons with null -> 'Unknown'.
     QueryDef(
       "a5_reason_counts",

@@ -55,6 +55,12 @@ object TdpQueries {
   private val MhA = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
   private val MhB = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
 
+  /** Max members of one LSH (band, sig) bucket that still self-join. */
+  private val LshBucketCap = 50
+
+  /** IVF centroid count (recall/cost knob; buckets shrink as it grows). */
+  private val IvfNlist = 64
+
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .withColumn("toks", expr(toksExpr))
@@ -162,8 +168,19 @@ object TdpQueries {
         val bands = sigDf
           .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
           .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-        val a = bands.as("a")
-        val b = bands.as("b")
+        // Hot-bucket cap: dedup corpora are dup-heavy by construction, so a
+        // single (band, sig) bucket holding N identical docs would emit
+        // N^2/2 pairs inside one task. Buckets larger than LshBucketCap are
+        // dropped before the self-join (their members are still paired via
+        // any smaller band bucket they share), bounding per-bucket work to
+        // cap^2/2 — the adversarial-input guard for the 100 TB path.
+        val sized = bands
+          .withColumn("bucket_n",
+            count(lit(1)).over(Window.partitionBy("band", "sig")))
+          .filter(col("bucket_n") <= LshBucketCap)
+          .select("doc_id", "band", "sig")
+        val a = sized.as("a")
+        val b = sized.as("b")
         a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
           && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -182,14 +199,23 @@ object TdpQueries {
            |  SELECT doc_id, $sigs
            |  FROM doc_sh WHERE len(shingles) > 0),
            |bands AS (
-           |  $bandSelects)
+           |  $bandSelects),
+           |sized AS (
+           |  SELECT doc_id, band, sig FROM bands
+           |  QUALIFY count(*) OVER (PARTITION BY band, sig) <= $LshBucketCap)
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM bands a JOIN bands b
+           |FROM sized a JOIN sized b
            |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
       }),
 
-    // SimHash: 16-bit signature from per-bit majority votes over token
-    // hashes (explode -> 16 conditional sums -> assemble).
+    // SimHash: 64-bit signature from per-bit majority votes over token
+    // hashes (explode -> 64 conditional sums -> assemble). The base token
+    // hash has only ~30 bits (mod 1e9+7), so bit i is NOT bit i of h —
+    // it's the parity of an independent affine permutation of h,
+    // ((h*(2i+3) + (7i+1)) mod P) mod 2, which gives 64 genuinely
+    // independent hyperplanes in 64-bit-safe integer arithmetic on both
+    // engines. 64 bits ≈ 1.8e19 buckets, so bucket collisions stay rare
+    // even at 100 TB corpus sizes (16 bits = 65k buckets was toy-scale).
     QueryDef(
       "tdp_simhash",
       (s, dir) => {
@@ -197,21 +223,27 @@ object TdpQueries {
           .withColumn("toks", expr(s"array_distinct($toksExpr)"))
           .select(col("doc_id"), explode(col("toks")).as("tok"))
           .withColumn("h", expr(polyHashExpr("tok")))
-        val bitSums = (0 until 16).map { i =>
-          sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"s$i")
+        val bitSums = (0 until 64).map { i =>
+          sum(when(expr(s"((h * ${2 * i + 3} + ${7 * i + 1}) % $P) % 2 = 1"), 1L)
+            .otherwise(-1L)).as(s"s$i")
         }
-        val assembled = (0 until 16).map { i =>
+        val assembled = (0 until 64).map { i =>
           when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
         }.reduce(_ + _)
         tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"), assembled.as("simhash"))
       },
       Some {
-        val bitSums = (0 until 16).map { i =>
-          s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+        val bitSums = (0 until 64).map { i =>
+          s"sum(CASE WHEN ((h * ${2 * i + 3} + ${7 * i + 1}) % $P) % 2 = 1 " +
+            s"THEN 1 ELSE -1 END) AS s$i"
         }.mkString(",\n    ")
-        val assembled = (0 until 16).map { i =>
-          s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END"
+        val assembled = (0 until 64).map { i =>
+          // 1L << 63 stringifies as -9223372036854775808, which SQL parses
+          // as -(9223372036854775808): out of BIGINT range, so DuckDB would
+          // promote to HUGEINT (-> pandas float64). Spell it as min-1 math.
+          val lit = if (i == 63) "(-9223372036854775807 - 1)" else s"${1L << i}"
+          s"CASE WHEN s$i > 0 THEN $lit ELSE 0 END"
         }.mkString(" + ")
         s"""WITH tok AS (
            |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
@@ -314,14 +346,24 @@ object TdpQueries {
               |  WHERE q.vec_id % 50 = 0)
               |WHERE rank <= 5""".stripMargin)),
 
-    // IVF-style bucketed ANN: assign every vector to its nearest of 16
-    // seed centroids, then search only within the query's bucket — the
-    // scale path (shuffle on cluster id, cluster-local top-k).
+    // IVF-style bucketed ANN: assign every vector to its nearest of
+    // `IvfNlist` seed centroids, then search only within the query's
+    // bucket — the scale path (shuffle on cluster id, cluster-local
+    // top-k). Centroids are a deterministic hash-ordered sample of the
+    // corpus (TakeOrdered on a multiplicative id hash — no global window,
+    // no data-order dependence), so seeding stays uniform-ish at any
+    // scale. nlist is the recall/cost knob: larger nlist = smaller
+    // buckets = faster search and lower recall; a production k-means
+    // refinement would start from exactly this seed set.
     QueryDef(
       "tdp_ann_ivf",
       (s, dir) => {
         val e = embWithNorm(s, dir)
-        val cent = e.filter(col("vec_id") < 16)
+        val cent = e
+          .withColumn("seed_rank",
+            expr("(vec_id * 2654435761) % 1000000007"))
+          .orderBy("seed_rank", "vec_id")
+          .limit(IvfNlist)
           .select(col("vec_id").as("cent_id"), col("embedding").as("q_emb"),
             col("norm").as("cent_norm"))
         val vecs = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
@@ -348,12 +390,16 @@ object TdpQueries {
       Some {
         val dotQC = dotSql
         s"""WITH $embNormSql,
+           |cent AS (
+           |  SELECT vec_id, embedding, norm FROM emb
+           |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+           |  LIMIT $IvfNlist),
            |assigned AS (
            |  SELECT c_id AS vec_id, cent_id AS cluster FROM (
            |    SELECT c.vec_id AS c_id, q.vec_id AS cent_id,
            |      row_number() OVER (PARTITION BY c.vec_id
            |        ORDER BY ($dotQC) / (q.norm * c.norm) DESC, q.vec_id) AS rn
-           |    FROM emb c CROSS JOIN emb q WHERE q.vec_id < 16)
+           |    FROM emb c CROSS JOIN cent q)
            |  WHERE rn = 1),
            |wc AS (
            |  SELECT e.vec_id, e.embedding, e.norm, a.cluster

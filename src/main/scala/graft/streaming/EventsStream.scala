@@ -105,6 +105,15 @@ object EventsStream {
         var cur = state.getOption
         sorted.foreach { sec =>
           cur match {
+            // Late event from BEFORE the open session (out of order across
+            // micro-batches but inside the watermark): extend the session
+            // backwards when it is within the gap of the session start;
+            // otherwise it is an isolated earlier session — emit it
+            // directly rather than gluing it onto the current one.
+            case Some(s) if sec < s.startSec =>
+              if (s.startSec - sec <= gapSec)
+                cur = Some(s.copy(startSec = sec, n = s.n + 1))
+              else closed ::= SessionOut(userId, sec, sec, 1)
             case Some(s) if sec - s.endSec <= gapSec =>
               cur = Some(s.copy(endSec = math.max(s.endSec, sec), n = s.n + 1))
             case Some(s) =>

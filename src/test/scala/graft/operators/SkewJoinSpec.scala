@@ -34,6 +34,24 @@ class SkewJoinSpec extends SparkSpec {
     assert(out.count(_._3.isEmpty) == 2) // b and c unmatched, once each
   }
 
+  test("salt spreads exact-duplicate payload rows across buckets") {
+    val s = spark
+    import s.implicits._
+    // The classic dedup-shaped hot key: thousands of IDENTICAL rows. A
+    // payload-only hash collapses them into one bucket; the per-row
+    // ordinal in the salt must keep them spread.
+    val dups = Seq.fill(4000)(("hot", 7L)).toDF("k", "v")
+    val nSalts = dups
+      .withColumn("_salt", SkewJoin.saltExpr(Seq("v"), 8, None))
+      .select(countDistinct(col("_salt"))).head.getLong(0)
+    assert(nSalts >= 4, s"expected duplicates over >=4 of 8 buckets, got $nSalts")
+
+    // And the join result stays correct: every duplicate matches once.
+    val right = Seq(("hot", 2.0)).toDF("k", "w")
+    val n = SkewJoin.saltedJoin(dups, right, Seq("k"), buckets = 8).count()
+    assert(n == 4000L)
+  }
+
   test("saltedAggregate matches direct aggregation") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,88 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.SparkSpec
+
+/** Scale-guard behavior of the near-dup operators: the LSH hot-bucket
+  * cap, the losslessness of the prefix-filtered Jaccard join, and the
+  * 64-bit SimHash width.
+  */
+class TdpSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("LSH pairs: a hot bucket larger than the cap emits no pairs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_lsh_hot").toString
+    // 60 identical docs -> every band bucket has 60 members (> cap 50);
+    // two more identical docs form a bucket of 2 that must survive.
+    val cloneText = "alpha beta gamma delta epsilon zeta eta theta"
+    val pairText = "one two three four five six seven eight nine"
+    val docs = (0L until 60L).map(i => (i, cloneText)) ++
+      Seq((100L, pairText), (101L, pairText))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val pairs = Registry.queries("tdp_minhash_lsh_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)),
+      "small bucket must still produce its pair")
+    assert(!pairs.exists { case (a, b) => a < 60L && b < 60L },
+      s"capped hot bucket must emit no pairs, got ${pairs.size}")
+  }
+
+  /** The naive all-shared-shingles Jaccard join (round-1 formulation). */
+  private def naiveJaccard(d: DataFrame): DataFrame = {
+    val exploded = d.select(col("doc_id"), col("n_sh"),
+      explode(col("hashes")).as("sh"))
+    val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+      col("sh"))
+    val b = exploded.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+      col("sh"))
+    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType)
+          / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+
+  test("prefix-filtered Jaccard equals the naive all-pairs join") {
+    graft.expressions.GraftExtensions.registerAll(spark)
+    val toks = raw"filter(split(text, '\\s+'), x -> x != '')"
+    val shingles =
+      """array_distinct(CASE WHEN size(toks) >= 3 THEN
+        |  transform(sequence(1, size(toks) - 2), i ->
+        |    concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',
+        |      element_at(toks, i + 2)))
+        |  ELSE array() END)""".stripMargin
+    val d = Registry.table(spark, sf, "documents")
+      .withColumn("toks", expr(toks))
+      .withColumn("shingles", expr(shingles))
+      .withColumn("hashes", expr("transform(shingles, sh -> graft_polyhash(sh))"))
+      .select(col("doc_id"), col("hashes"), size(col("hashes")).as("n_sh"))
+      .filter(col("n_sh") > 0)
+    val expected = naiveJaccard(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Registry.queries("tdp_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "fixture should contain near-dup pairs")
+    assert(got === expected)
+  }
+
+  test("simhash signatures use the full 64-bit range") {
+    val sigs = Registry.queries("tdp_simhash")(spark, sf)
+      .select(col("simhash").cast(LongType)).collect().map(_.getLong(0))
+    assert(sigs.nonEmpty)
+    // With 64 independent hyperplanes, high bits are ~uniform: some doc
+    // must set bit 63 (negative long) and bits 32..62.
+    assert(sigs.exists(_ < 0L), "bit 63 never set — signature is not 64-bit")
+    assert(sigs.exists(s => (s >>> 32) != 0L && s > 0L),
+      "bits 32..62 never set")
+  }
+}

@@ -85,6 +85,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: out-of-order events extend the session backwards, not forwards") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapSec = 1800L)
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1L, ts("2026-01-01 10:30:00"), "click"))
+      q.processAllAvailable()
+      // Late-but-within-watermark event 20 min BEFORE the open session:
+      // must move start_sec back, not misreport it.
+      mem.addData(Event(1L, ts("2026-01-01 10:10:00"), "click"))
+      q.processAllAvailable()
+      // An event far in the future closes the session.
+      mem.addData(Event(1L, ts("2026-01-01 13:00:00"), "click"))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT user_id, start_sec, end_sec, n_events FROM sessions_ooo")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val startSec = ts("2026-01-01 10:10:00").getTime / 1000L
+      val endSec = ts("2026-01-01 10:30:00").getTime / 1000L
+      assert(rows.toSeq == Seq((1L, startSec, endSec, 2L)))
+    } finally q.stop()
+  }
+
   test("readEvents streams the driver's nano-timestamp events feed") {
     val s = spark
     // File streams require a directory; stage the feed file into one.
