@@ -55,14 +55,22 @@ object IraRollover {
     val maskNoAction = ftmRollover && taxFormNoTax
     val maskCorrection = ftmRollover && taxForm1099r
 
-    // Review reasons in reference append order, joined with "; ".
-    var reasons: Column = array().cast("array<string>")
-    def appendReason(mask: Column, tok: String): Unit =
-      reasons = N.appendWhere(reasons, mask, tok)
-    appendReason(missingFtm, "missing_federal_taxing_method")
-    appendReason(missingTaxForm, "missing_tax_form")
-    appendReason(ftmNonRollover, "federal_taxing_method_not_rollover")
-    appendReason(taxFormUnknown, "unrecognized_tax_form")
+    // Review reasons in reference append order, joined with "; ". Built
+    // FLAT — concat_ws skips null entries, so one when() per token gives
+    // the same string as the appended-array fold without nesting four
+    // array expressions inside each other (the nested form blew the
+    // generated projection past what janino could compile, knocking the
+    // whole cache-fill stage out of whole-stage codegen). Tokens are
+    // distinct constants, so the fold's seen-before dedup is vacuous.
+    val reasonTokens = Seq(
+      missingFtm -> "missing_federal_taxing_method",
+      missingTaxForm -> "missing_tax_form",
+      ftmNonRollover -> "federal_taxing_method_not_rollover",
+      taxFormUnknown -> "unrecognized_tax_form")
+    val reasonsJoined =
+      nullif(concat_ws("; ", reasonTokens.map { case (m, tok) =>
+        when(m, tok).otherwise(lit(null).cast(StringType))
+      }: _*), lit(""))
 
     df.withColumn("match_status",
         when(maskNoAction, status.NoAction)
@@ -78,6 +86,6 @@ object IraRollover {
       .withColumn("correction_reason",
         when(maskCorrection, "ira_rollover_tax_form_1099r_expected_no_tax")
           .when(maskNoAction, lit(null).cast(StringType))
-          .otherwise(when(size(reasons) > 0, array_join(reasons, "; "))))
+          .otherwise(reasonsJoined))
   }
 }
