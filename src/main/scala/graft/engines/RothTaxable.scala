@@ -67,7 +67,21 @@ object RothTaxable {
       .withColumn("roth_initial_contribution_year",
         N.toNumeric(col("roth_initial_contribution_year")))
 
-    val firstYearValid =
+    // ---- Staged mask materialization -------------------------------------
+    // Every mask below is written to an intermediate column and downstream
+    // logic references the COLUMN, not the expression. Inlining these
+    // (round-1 style) nests the regexp/date arithmetic multiplicatively —
+    // the 18 reason slots each embed the age masks, which embed the fix
+    // masks, which embed the normalized codes — and the single collapsed
+    // Project's generated `processNext()` exceeds janino's 64 KB method
+    // limit: Spark burns ~40 s attempting the compile, then silently runs
+    // the whole stage INTERPRETED (observed 49 s for the first Engine C
+    // consumer at sf0.1). Materialized mask columns are non-cheap and
+    // multiply-referenced, so CollapseProject keeps the projections
+    // separate and each stays comfortably inside codegen. Same root cause
+    // and cure as the round-1 Engine D reason-building fix.
+
+    val firstYearValidExpr =
       col("first_roth_tax_year").isNotNull &&
         col("first_roth_tax_year") > 0 &&
         col("first_roth_tax_year").between(cfg.validYearMin, cfg.validYearMax)
@@ -87,27 +101,63 @@ object RothTaxable {
       sum(when(col("txn_year") === cfg.basisCoverageYear, col("gross_amt")))
         .over(wParticipant))
 
-    val rawMissingFirstYear = !firstYearValid
+    // Current codes, normalized + null->"" (reference :186-187), plus the
+    // attained-age predicates — the most-reused (and regexp/date-heavy)
+    // subexpressions, each materialized exactly once.
+    df = df
+      .withColumn("_cc1", coalesce(N.normalizeTaxCode(col("tax_code_1")), lit("")))
+      .withColumn("_cc2", coalesce(N.normalizeTaxCode(col("tax_code_2")), lit("")))
+      .withColumn("_att595",
+        N.attainedAgeByYearEnd(col("dob"), col("txn_year"), 59, 6))
+      .withColumn("_att_qualified",
+        N.attainedAgeByYearEnd(col("dob"), col("txn_year"),
+          cfg.qualifiedAgeYears.toInt,
+          math.round((cfg.qualifiedAgeYears - cfg.qualifiedAgeYears.toInt) * 12).toInt))
+      .withColumn("_att55_txn",
+        N.attainedAgeByYearEnd(col("dob"), col("txn_year"),
+          ageCfg.termRuleAgeYears.toInt))
+      .withColumn("_att55_term",
+        N.attainedAgeByYearEnd(col("dob"), col("term_year"),
+          ageCfg.termRuleAgeYears.toInt))
+      .withColumn("_first_year_valid", firstYearValidExpr)
+    val currentCode1 = col("_cc1")
+    val currentCode2 = col("_cc2")
+    val attained595 = col("_att595")
+    val attained55Txn = col("_att55_txn")
+    val attained55Term = col("_att55_term")
+    val firstYearValid = col("_first_year_valid")
 
-    // Current codes, normalized + null->"" (reference :186-187).
-    val currentCode1 = coalesce(N.normalizeTaxCode(col("tax_code_1")), lit(""))
-    val currentCode2 = coalesce(N.normalizeTaxCode(col("tax_code_2")), lit(""))
-
-    val maskEngineExcluded = currentCode1.isin(tc.excludedCodesTaxcode: _*)
+    df = df.withColumn("_m_excluded",
+      currentCode1.isin(tc.excludedCodesTaxcode: _*))
+    val maskEngineExcluded = col("_m_excluded")
     val maskLocked = (currentCode1 === tc.rothRolloverCode) ||
       ((currentCode1 === tc.rothCode) && (currentCode2 === tc.deathCode))
     df = df.withColumn("tax_code_locked", maskLocked)
 
     // C4 — pre-taxable tax-code fix rules (reference :196-231); the six
     // masks are mutually exclusive (distinct (code1, code2) patterns).
-    val maskFixBG = (currentCode1 === tc.rothCode) && (currentCode2 === tc.rolloverCode) && !maskEngineExcluded
-    val maskFixG4 = (currentCode1 === tc.rolloverCode) && (currentCode2 === tc.deathCode) && !maskEngineExcluded
-    val maskFix4Blank = (currentCode1 === tc.deathCode) && (currentCode2 === "") && !maskEngineExcluded
-    val maskFixBlank4 = (currentCode2 === tc.deathCode) && (currentCode1 === "") && !maskEngineExcluded
-    val maskFixGBlank = (currentCode1 === tc.rolloverCode) && (currentCode2 === "") && !maskEngineExcluded
-    val maskFixBlankG = (currentCode1 === "") && (currentCode2 === tc.rolloverCode) && !maskEngineExcluded
-    val maskOverride = maskFixBG || maskFixG4 || maskFix4Blank || maskFixBlank4 ||
-      maskFixGBlank || maskFixBlankG
+    df = df
+      .withColumn("_m_fix_bg", (currentCode1 === tc.rothCode) &&
+        (currentCode2 === tc.rolloverCode) && !maskEngineExcluded)
+      .withColumn("_m_fix_g4", (currentCode1 === tc.rolloverCode) &&
+        (currentCode2 === tc.deathCode) && !maskEngineExcluded)
+      .withColumn("_m_fix_4blank", (currentCode1 === tc.deathCode) &&
+        (currentCode2 === "") && !maskEngineExcluded)
+      .withColumn("_m_fix_blank4", (currentCode2 === tc.deathCode) &&
+        (currentCode1 === "") && !maskEngineExcluded)
+      .withColumn("_m_fix_gblank", (currentCode1 === tc.rolloverCode) &&
+        (currentCode2 === "") && !maskEngineExcluded)
+      .withColumn("_m_fix_blankg", (currentCode1 === "") &&
+        (currentCode2 === tc.rolloverCode) && !maskEngineExcluded)
+    val maskFixBG = col("_m_fix_bg")
+    val maskFixG4 = col("_m_fix_g4")
+    val maskFix4Blank = col("_m_fix_4blank")
+    val maskFixBlank4 = col("_m_fix_blank4")
+    val maskFixGBlank = col("_m_fix_gblank")
+    val maskFixBlankG = col("_m_fix_blankg")
+    df = df.withColumn("_m_override", maskFixBG || maskFixG4 || maskFix4Blank ||
+      maskFixBlank4 || maskFixGBlank || maskFixBlankG)
+    val maskOverride = col("_m_override")
 
     val suggested1FromFix =
       when(maskFixBG || maskFixG4 || maskFixGBlank || maskFixBlankG, tc.rothRolloverCode)
@@ -117,67 +167,79 @@ object RothTaxable {
 
     // Taxable / basis / year logic (reference :242-313).
     val activeMask = !maskEngineExcluded
-    val basisMask = activeMask &&
-      col("roth_basis_amt").isNotNull && col("gross_2025_total").isNotNull &&
-      col("roth_basis_amt") >= col("gross_2025_total")
-
-    val attained595 = N.attainedAgeByYearEnd(col("dob"), col("txn_year"), 59, 6)
-    val attainedQualified = N.attainedAgeByYearEnd(col("dob"), col("txn_year"),
-      cfg.qualifiedAgeYears.toInt,
-      math.round((cfg.qualifiedAgeYears - cfg.qualifiedAgeYears.toInt) * 12).toInt)
-    val attained55Txn = N.attainedAgeByYearEnd(col("dob"), col("txn_year"),
-      ageCfg.termRuleAgeYears.toInt)
-    val attained55Term = N.attainedAgeByYearEnd(col("dob"), col("term_year"),
-      ageCfg.termRuleAgeYears.toInt)
-
-    val rawQualifiedMask = activeMask && attainedQualified && startYearValid &&
-      coalesce(col("txn_year") - startYear >= cfg.qualifiedYearsSinceFirst, lit(false))
+    df = df
+      .withColumn("_m_basis", activeMask &&
+        col("roth_basis_amt").isNotNull && col("gross_2025_total").isNotNull &&
+        col("roth_basis_amt") >= col("gross_2025_total"))
+      .withColumn("_m_rawq", activeMask && col("_att_qualified") && startYearValid &&
+        coalesce(col("txn_year") - startYear >= cfg.qualifiedYearsSinceFirst,
+          lit(false)))
+    val basisMask = col("_m_basis")
+    val rawQualifiedMask = col("_m_rawq")
     // basis rule sets suggested_taxable first; qualified only fills gaps
     // (reference :279: qualified_mask = suggested.isna() & raw_qualified).
-    val suggestedTaxable = when(basisMask || rawQualifiedMask, lit(0.0))
+    df = df.withColumn("_sugg_taxable", when(basisMask || rawQualifiedMask, lit(0.0)))
+    val suggestedTaxable = col("_sugg_taxable")
 
     val taxableSuggested = activeMask && suggestedTaxable.isNotNull
-    val taxableMissingCurrent = taxableSuggested && col("fed_taxable_amt").isNull
-    val taxableChangeRequired = taxableSuggested && col("fed_taxable_amt").isNotNull &&
-      abs(col("fed_taxable_amt") - suggestedTaxable) > 0.01
-    val rothYearChangeRequired = activeMask && firstYearValid &&
-      (col("roth_initial_contribution_year").isNull ||
-        !(col("roth_initial_contribution_year") <=> col("first_roth_tax_year")))
+    df = df
+      .withColumn("_m_tax_missing", taxableSuggested && col("fed_taxable_amt").isNull)
+      .withColumn("_m_tax_change", taxableSuggested &&
+        col("fed_taxable_amt").isNotNull &&
+        abs(col("fed_taxable_amt") - suggestedTaxable) > 0.01)
+      .withColumn("_m_year_change", activeMask && firstYearValid &&
+        (col("roth_initial_contribution_year").isNull ||
+          !(col("roth_initial_contribution_year") <=> col("first_roth_tax_year"))))
+      .withColumn("_m_missing_first", activeMask && !firstYearValid)
+      .withColumn("_m_proximity", activeMask &&
+        coalesce(col("fed_taxable_amt") > 0, lit(false)) &&
+        coalesce(col("gross_amt") <= col("fed_taxable_amt") * (1 + cfg.taxableProximityPct),
+          lit(false)))
+    val taxableMissingCurrent = col("_m_tax_missing")
+    val taxableChangeRequired = col("_m_tax_change")
+    val rothYearChangeRequired = col("_m_year_change")
+    val missingFirstYearMask = col("_m_missing_first")
+    val rawProximityMask = col("_m_proximity")
 
     df = df.withColumn("suggested_first_roth_tax_year",
       when(rothYearChangeRequired, col("first_roth_tax_year")))
-
-    val missingFirstYearMask = activeMask && rawMissingFirstYear
-    val rawProximityMask = activeMask &&
-      coalesce(col("fed_taxable_amt") > 0, lit(false)) &&
-      coalesce(col("gross_amt") <= col("fed_taxable_amt") * (1 + cfg.taxableProximityPct),
-        lit(false))
 
     // Roth age-based expectations (reference :315-344).
     val hasDob = col("dob").isNotNull
     val hasTxnYear = col("txn_year").isNotNull
     val hasTermYear = col("term_year").isNotNull
-    val maskAgeApplicable = activeMask && !maskOverride && !maskLocked && hasDob && hasTxnYear
-    val maskAgeNormal = maskAgeApplicable && attained595
-    val maskUnderNormal = maskAgeApplicable && !maskAgeNormal
-    val maskTerm55Plus = maskUnderNormal && hasTermYear && attained55Term
-    val maskTermUnder55 = maskUnderNormal && hasTermYear && !attained55Term
-    val maskDistUnder55 = maskUnderNormal && !hasTermYear && !attained55Txn
-    val maskDist55Plus = maskUnderNormal && !hasTermYear && attained55Txn
+    df = df.withColumn("_m_age_app", activeMask && !maskOverride &&
+      !col("tax_code_locked") && hasDob && hasTxnYear)
+    val maskAgeApplicable = col("_m_age_app")
+    df = df
+      .withColumn("_m_age_normal", maskAgeApplicable && attained595)
+      .withColumn("_m_under_normal", maskAgeApplicable && !col("_m_age_normal"))
+    val maskAgeNormal = col("_m_age_normal")
+    val maskUnderNormal = col("_m_under_normal")
+    df = df
+      .withColumn("_m_term55p", maskUnderNormal && hasTermYear && attained55Term)
+      .withColumn("_m_term_u55", maskUnderNormal && hasTermYear && !attained55Term)
+      .withColumn("_m_dist_u55", maskUnderNormal && !hasTermYear && !attained55Txn)
+      .withColumn("_m_dist55p", maskUnderNormal && !hasTermYear && attained55Txn)
+    val maskTerm55Plus = col("_m_term55p")
+    val maskTermUnder55 = col("_m_term_u55")
+    val maskDistUnder55 = col("_m_dist_u55")
+    val maskDist55Plus = col("_m_dist55p")
 
-    val expectedCode2 =
-      when(maskAgeNormal, "7")
-        .when(maskTerm55Plus, "2")
-        .when(maskTermUnder55, "1")
-        .when(maskDistUnder55, "1")
-        .when(maskDist55Plus, "2")
     df = df
       .withColumn("expected_tax_code_1", lit(tc.rothCode))
-      .withColumn("expected_tax_code_2", expectedCode2)
+      .withColumn("expected_tax_code_2",
+        when(maskAgeNormal, "7")
+          .when(maskTerm55Plus, "2")
+          .when(maskTermUnder55, "1")
+          .when(maskDistUnder55, "1")
+          .when(maskDist55Plus, "2"))
+    val expectedCode2 = col("expected_tax_code_2")
 
-    val ageCodeMismatch = maskAgeApplicable && (
+    df = df.withColumn("_m_age_mismatch", maskAgeApplicable && (
       (currentCode1 =!= tc.rothCode) ||
-        (expectedCode2.isNotNull && (currentCode2 =!= coalesce(expectedCode2, lit("")))))
+        (expectedCode2.isNotNull && (currentCode2 =!= coalesce(expectedCode2, lit(""))))))
+    val ageCodeMismatch = col("_m_age_mismatch")
 
     // Suggested codes: fixes win; age rule fills only unset slots
     // (reference :353-357).
@@ -213,6 +275,9 @@ object RothTaxable {
     // Reason accumulation in reference append order (:205-231, :361-393).
     // Every token is distinct, so dedup never fires and the append order is
     // just the static slot order: a conditional-token array + null filter.
+    // Slot predicates reference ONLY materialized mask columns (see the
+    // staging note above) so this projection's generated code is linear in
+    // the slot count, not multiplicative in the mask depth.
     val ageUpdateMask = ageCodeMismatch && expectedCode2.isNotNull
     val reasonSlots: Seq[(Column, String)] = Seq(
       maskFixBG -> "roth_rollover_code_fix_B_G_to_H",

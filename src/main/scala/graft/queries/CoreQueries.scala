@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -302,6 +303,137 @@ object CoreQueries {
              |  r.event_id AS event_id_asof, r.value AS value_asof
              |FROM l ASOF LEFT JOIN r
              |  ON l.user_id = r.user_id AND l.sec >= r.sec""".stripMargin)),
+
+    // Left-semi join (EXISTS): customers with at least one urgent order.
+    // Semi joins shuffle only the join keys of the right side — no
+    // payload — so the filter scales independently of order width.
+    QueryDef(
+      "q20_semi_join",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .join(
+            table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"),
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey
+             |    AND o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // Left-anti join (NOT EXISTS): customers with no urgent orders.
+    QueryDef(
+      "q21_anti_join",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .join(
+            table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"),
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey
+             |    AND o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // Ordered string aggregation (collect_set -> sort -> join keeps the
+    // result deterministic; Spark's collect order alone is not).
+    QueryDef(
+      "q22_string_agg",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+              .as("statuses"),
+            countDistinct(col("o_orderstatus")).as("n_statuses")),
+      Some("""SELECT o_orderpriority,
+             |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             |    AS statuses,
+             |  count(DISTINCT o_orderstatus) AS n_statuses
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // Exact nearest-rank percentiles (p50/p90/p99) via ordered windows.
+    // Interpolating percentile_cont/quantile_cont is NOT cross-engine
+    // hash-stable (the interpolation arithmetic differs in the last ulp);
+    // nearest-rank picks an actual data value so the result is exact on
+    // both engines. ceil(p*n) in integer arithmetic: (n*p + 99) div 100.
+    QueryDef(
+      "q23_percentile_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("pri").orderBy("fp")
+        val wn = Window.partitionBy("pri")
+        def atRank(k: Column) = max(when(col("rn") === k, col("fp")))
+        table(s, dir, "orders")
+          .select(col("o_orderpriority").as("pri"),
+            floor(col("o_totalprice")).cast(LongType).as("fp"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("pri")
+          .agg(
+            atRank(expr("(n * 50 + 99) div 100")).as("p50"),
+            atRank(expr("(n * 90 + 99) div 100")).as("p90"),
+            atRank(expr("(n * 99 + 99) div 100")).as("p99"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""WITH d AS (
+             |  SELECT o_orderpriority AS pri,
+             |    CAST(FLOOR(o_totalprice) AS BIGINT) AS fp
+             |  FROM orders),
+             |r AS (
+             |  SELECT pri, fp, row_number() OVER (PARTITION BY pri ORDER BY fp)
+             |      AS rn,
+             |    count(*) OVER (PARTITION BY pri) AS n
+             |  FROM d)
+             |SELECT pri,
+             |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN fp END) AS p50,
+             |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN fp END) AS p90,
+             |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN fp END) AS p99,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM r GROUP BY 1""".stripMargin)),
+
+    // Band range-join: same-user event pairs within 300 s of each other.
+    // graft.operators.RangeJoin turns the non-equi band predicate into a
+    // bucketed equi-join (see its doc); the oracle runs the naive theta
+    // join, proving the bucketed plan is lossless.
+    QueryDef(
+      "q24_range_join",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+            col("event_id"))
+        val a = e.select(col("user_id"), col("sec").as("sec_a"),
+          col("event_id").as("id_a"))
+        val b = e.select(col("user_id"), col("sec").as("sec_b"),
+          col("event_id").as("id_b"))
+        graft.operators.RangeJoin.bandJoin(a, b, Seq("user_id"),
+            "sec_a", "sec_b", 300L)
+          .filter(col("id_a") < col("id_b"))
+          .select("user_id", "id_a", "id_b", "sec_a", "sec_b")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id
+             |  FROM events)
+             |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+             |  a.sec AS sec_a, b.sec AS sec_b
+             |FROM e a JOIN e b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             |  AND abs(a.sec - b.sec) <= 300""".stripMargin)),
+
+    // Lateral explode (flatten + re-aggregate): top-20 corpus tokens.
+    QueryDef(
+      "q25_explode_tokens",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(explode(expr(raw"filter(split(text, '\\s+'), x -> x != '')"))
+            .as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("tok"))
+          .limit(20),
+      Some("""SELECT tok, count(*) AS n FROM (
+             |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |    x -> x <> '')) AS tok
+             |  FROM documents)
+             |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
 
     // Gaps-and-islands sessionization over the events stream table
     // (30-minute inactivity gap), the batch twin of the streaming

@@ -59,12 +59,12 @@ object SummaryQueries {
       (s, dir) => {
         import s.implicits._
         val counts = ea(s, dir).groupBy("match_status").agg(count(lit(1)).as("n0"))
+        val total = ea(s, dir).agg(count(lit(1)).as("total"))
         Statuses.toDF("match_status")
           .join(counts, Seq("match_status"), "left")
           .withColumn("n", coalesce(col("n0"), lit(0L)))
-          .withColumn("pct",
-            col("n").cast("double")
-              / sum("n").over(Window.partitionBy()).cast("double"))
+          .crossJoin(broadcast(total))
+          .withColumn("pct", col("n").cast("double") / col("total").cast("double"))
           .select("match_status", "n", "pct")
       },
       Some(OracleSql.query(

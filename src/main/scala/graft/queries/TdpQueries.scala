@@ -102,6 +102,34 @@ object TdpQueries {
     "aggregate(zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))," +
       " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
 
+  /** Deterministic pseudo-random hyperplane j dotted with `embedding`
+    * (integer plane weights in [-48, 48]); shared by the LSH bucket
+    * histogram and the embedding near-dup pair queries.
+    */
+  private def lshPlaneDotExpr(j: Int): String =
+    s"aggregate(transform(sequence(1, 64), i -> " +
+      s"CAST(element_at(embedding, i) AS DOUBLE) * " +
+      s"CAST(((i * 2654435761L + $j * 40503) % 97) - 48 AS DOUBLE))," +
+      s" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  private def lshPlaneDotSql(j: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+      s"range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
+      s"CAST(((i * 2654435761 + $j * 40503) % 97) - 48 AS DOUBLE)))," +
+      s" (acc, x) -> acc + x)"
+
+  /** Exact-cosine threshold for the embedding near-dup pair query (on the
+    * synthetic corpus the max pairwise cosine is ~0.5-0.6, so 0.35
+    * exercises the operator; production near-dup would use ~0.9+).
+    */
+  private val NearDupCosine = 0.35
+
+  /** Hot-bucket guard for the embedding near-dup self-join (same rationale
+    * as LshBucketCap: a degenerate corpus of N identical vectors must not
+    * generate N^2/2 pairs in one task).
+    */
+  private val EmbBucketCap = 1000
+
   def defs: Seq[QueryDef] = Seq(
     // Exact dedup: content-hash groupBy (the 100 TB path: one shuffle on a
     // 128-bit hash, never on the full text).
@@ -421,13 +449,8 @@ object TdpQueries {
     QueryDef(
       "tdp_lsh_cosine_buckets",
       (s, dir) => {
-        def dotPlane(j: Int): String =
-          s"aggregate(transform(sequence(1, 64), i -> " +
-            s"CAST(element_at(embedding, i) AS DOUBLE) * " +
-            s"CAST(((i * 2654435761L + $j * 40503) % 97) - 48 AS DOUBLE))," +
-            s" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
         val sig = (0 until 8).map(j =>
-          s"(CASE WHEN (${dotPlane(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+          s"(CASE WHEN (${lshPlaneDotExpr(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
           .mkString(" + ")
         table(s, dir, "embeddings")
           .select(col("vec_id"), expr(sig).as("signature"))
@@ -435,17 +458,57 @@ object TdpQueries {
           .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
       },
       Some {
-        def dotPlane(j: Int): String =
-          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
-            s"range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
-            s"CAST(((i * 2654435761 + $j * 40503) % 97) - 48 AS DOUBLE)))," +
-            s" (acc, x) -> acc + x)"
         val sig = (0 until 8).map(j =>
-          s"(CASE WHEN (${dotPlane(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+          s"(CASE WHEN (${lshPlaneDotSql(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
           .mkString(" + ")
         s"""SELECT signature, count(*) AS n_vectors, min(vec_id) AS min_vec_id
            |FROM (SELECT vec_id, $sig AS signature FROM embeddings)
            |GROUP BY 1""".stripMargin
+      }),
+
+    // Embedding-cosine near-dup: the dedup-flavored companion to the LSH
+    // bucket histogram. Candidates are pairs sharing an 8-bit
+    // random-hyperplane signature (shuffle key = signature, so candidate
+    // generation scales like any bucketed self-join), then the EXACT
+    // cosine is computed on candidates only and thresholded. Recall is
+    // governed by the plane count (8 planes keeps buckets coarse here;
+    // production would band multiple signatures like the MinHash path).
+    // The same hot-bucket cap as tdp_minhash_lsh_pairs bounds the
+    // per-bucket pair fan-out on dup-heavy corpora.
+    QueryDef(
+      "tdp_embedding_near_dup",
+      (s, dir) => {
+        val sig = (0 until 8).map(j =>
+          s"(CASE WHEN (${lshPlaneDotExpr(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        val e = embWithNorm(s, dir).withColumn("signature", expr(sig))
+          .withColumn("bucket_n",
+            count(lit(1)).over(Window.partitionBy("signature")))
+          .filter(col("bucket_n") <= EmbBucketCap)
+        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("q_emb"),
+          col("norm").as("na"), col("signature"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("c_emb"),
+          col("norm").as("nb"), col("signature"))
+        a.join(b, Seq("signature"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("sim", expr(dotExpr) / (col("na") * col("nb")))
+          .filter(col("sim") >= lit(NearDupCosine))
+          .select("vec_a", "vec_b", "sim")
+      },
+      Some {
+        val sig = (0 until 8).map(j =>
+          s"(CASE WHEN (${lshPlaneDotSql(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $embNormSql,
+           |sgn AS (
+           |  SELECT * FROM (
+           |    SELECT vec_id, embedding, norm, $sig AS signature FROM emb)
+           |  QUALIFY count(*) OVER (PARTITION BY signature) <= $EmbBucketCap)
+           |SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+           |  ($dotSql) / (q.norm * c.norm) AS sim
+           |FROM sgn q JOIN sgn c
+           |  ON q.signature = c.signature AND q.vec_id < c.vec_id
+           |WHERE ($dotSql) / (q.norm * c.norm) >= $NearDupCosine""".stripMargin
       }),
 
     // Language ID: marker-substring scoring (n-gram heuristic); argmax
