@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Scalar kernels shared by interpreted eval and generated code. Top-level
@@ -42,6 +43,34 @@ object Kernels {
       out.append(sb)
       UTF8String.fromString(out.toString)
     }
+  }
+
+  /** Sequential-order dot product of two numeric arrays in double
+    * precision: acc = acc + (double)a[i] * (double)b[i], i ascending —
+    * the same IEEE operation order as the
+    * `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, +)` higher-order
+    * fold (and DuckDB's list_reduce twin), so results are bit-identical,
+    * at a fraction of the cost: HOF lambdas are evaluated interpreted
+    * with per-element allocation, this is a primitive loop inside
+    * whole-stage codegen. Exactly mirrors the zip_with+fold null
+    * semantics: unequal lengths null the result (zip_with pads the short
+    * side with nulls, and a null product nulls the running sum), as does
+    * a null element. Returns a boxed Double (null marker) for codegen
+    * simplicity.
+    */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
   }
 
   private def isAllDigits(s: String, from: Int, until: Int): Boolean = {
@@ -119,14 +148,65 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression for the double-precision array dot product
+  * (see [[Kernels.dot]] for the exact fold semantics). Drives the
+  * similarity-search family: embedding norms, cosine top-k, IVF
+  * assignment/search, LSH plane signatures, and near-dup thresholds.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two float/double array arguments, got " +
+          s"${left.dataType} and ${right.dataType}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private lazy val leftFloat = elemType(left.dataType).contains(FloatType)
+  private lazy val rightFloat = elemType(right.dataType).contains(FloatType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_boxed =
+        graft.expressions.Kernels.dot($a, $b, $leftFloat, $rightFloat);
+      if (${ev.value}_boxed == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_boxed.doubleValue();
+      }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extension registering the native expressions as SQL functions
   * (usable inside higher-order-function lambdas). Install either via
   * `spark.sql.extensions=graft.expressions.GraftExtensions` or
   * programmatically with [[GraftExtensions.registerAll]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+  }
 }
 
 object GraftExtensions {
@@ -138,13 +218,21 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => NormalizeSsnExpr(exprs.head)),
     (FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
-      (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)))
+      (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
 
   /** Idempotent per-session registration (for sessions built without the
-    * extensions config, e.g. the driver-owned Verify/Bench sessions).
+    * extensions config, e.g. the driver-owned Verify/Bench sessions):
+    * native functions plus the dot-product rewrite rule.
     */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteDotProduct
+  }
 }

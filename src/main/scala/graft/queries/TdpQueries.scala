@@ -61,11 +61,24 @@ object TdpQueries {
   /** IVF centroid count (recall/cost knob; buckets shrink as it grows). */
   private val IvfNlist = 64
 
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
-      .withColumn("toks", expr(toksExpr))
-      .withColumn("shingles", expr(shinglesExpr))
-      .withColumn("hashes", expr(s"transform(shingles, sh -> ${polyHashExpr("sh")})"))
+  /** Per-document shingle hashes, memoized + materialized ONCE per (session,
+    * SF). Two reasons this is load-bearing for throughput: (a) higher-order
+    * functions (transform/filter/aggregate lambdas) are evaluated
+    * INTERPRETED in Spark — this is the most expensive projection in the
+    * TDP family — and (b) the documents parquet is a single input split at
+    * test scale, so without an explicit repartition the whole interpreted
+    * pipeline runs on ONE core (~7 s at sf0.1; ~0.3 s spread over 32).
+    * Downstream queries (fingerprint, minhash, LSH, Jaccard) each used to
+    * re-evaluate it up to 6x per run.
+    */
+  private def docHashes(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_doc_hashes")(
+      table(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("shingles", expr(shinglesExpr))
+        .withColumn("hashes", expr(s"transform(shingles, sh -> ${polyHashExpr("sh")})"))
+        .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("hashes")))
 
   private val docsShinglesSql =
     s"""doc_sh AS (
@@ -77,11 +90,16 @@ object TdpQueries {
   /** Embeddings with double-precision norm; fold order = element order so
     * both engines agree bitwise.
     */
+  /** Embeddings + norm, memoized for the same reasons as [[docHashes]]:
+    * the norm fold is an interpreted higher-order function over a
+    * single-split parquet file, and the ANN queries evaluate this frame up
+    * to five times each (centroids, assignment, query, candidate sides).
+    */
   private def embWithNorm(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "embeddings")
-      .withColumn("norm", expr(
-        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))," +
-          " CAST(0 AS DOUBLE), (acc, x) -> acc + x))"))
+    Registry.memo(s, dir, "tdp_emb_norm")(
+      table(s, dir, "embeddings")
+        .repartition(col("vec_id"))
+        .withColumn("norm", expr("sqrt(graft_dot(embedding, embedding))")))
 
   private val embNormSql =
     """emb AS (
@@ -98,19 +116,24 @@ object TdpQueries {
       |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
       |      (acc, x) -> acc + x)""".stripMargin
 
-  private val dotExpr =
-    "aggregate(zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))," +
-      " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  /** Codegen'd kernel (graft.expressions.DotProductExpr) — bit-identical
+    * to the `aggregate(zip_with(...))` fold (same element-order double
+    * accumulation) without the interpreted per-element lambda cost.
+    */
+  private val dotExpr = "graft_dot(q_emb, c_emb)"
 
   /** Deterministic pseudo-random hyperplane j dotted with `embedding`
     * (integer plane weights in [-48, 48]); shared by the LSH bucket
-    * histogram and the embedding near-dup pair queries.
+    * histogram and the embedding near-dup pair queries. The plane is a
+    * constant-folded literal array, so the whole signature stays inside
+    * codegen via graft_dot.
     */
-  private def lshPlaneDotExpr(j: Int): String =
-    s"aggregate(transform(sequence(1, 64), i -> " +
-      s"CAST(element_at(embedding, i) AS DOUBLE) * " +
-      s"CAST(((i * 2654435761L + $j * 40503) % 97) - 48 AS DOUBLE))," +
-      s" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  private def lshPlaneDotExpr(j: Int): String = {
+    val weights = (1 to 64)
+      .map(i => s"${(((i * 2654435761L + j * 40503L) % 97) - 48).toDouble}D")
+      .mkString(", ")
+    s"graft_dot(embedding, array($weights))"
+  }
 
   private def lshPlaneDotSql(j: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
@@ -148,8 +171,8 @@ object TdpQueries {
     QueryDef(
       "tdp_fingerprint",
       (s, dir) =>
-        docsWithShingles(s, dir)
-          .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+        docHashes(s, dir)
+          .select(col("doc_id"), col("n_sh").as("n_shingles"),
             expr("array_min(hashes)").as("fingerprint")),
       Some(s"""WITH $docsShinglesSql
               |SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_shingles,
@@ -163,7 +186,7 @@ object TdpQueries {
         val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
           expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
         }
-        docsWithShingles(s, dir).select(col("doc_id") +: sigs: _*)
+        docHashes(s, dir).select(col("doc_id") +: sigs: _*)
       },
       Some {
         val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -184,8 +207,8 @@ object TdpQueries {
           expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
         }
         val sigDf = Registry.memo(s, dir, "tdp_minhash_sigs")(
-          docsWithShingles(s, dir)
-            .filter(size(col("shingles")) > 0)
+          docHashes(s, dir)
+            .filter(col("n_sh") > 0)
             .select(col("doc_id") +: sigs: _*))
         // One explode instead of a 4-way union: the signature computation
         // (the expensive part) runs once, the band fan-out is a generator.
@@ -300,9 +323,7 @@ object TdpQueries {
     QueryDef(
       "tdp_ngram_jaccard",
       (s, dir) => {
-        val d = docsWithShingles(s, dir)
-          .select(col("doc_id"), col("hashes"), size(col("hashes")).as("n_sh"))
-          .filter(col("n_sh") > 0)
+        val d = docHashes(s, dir).filter(col("n_sh") > 0)
         val exploded = d.select(col("doc_id"), col("n_sh"),
           explode(col("hashes")).as("sh"))
         val dfreq = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -316,11 +337,18 @@ object TdpQueries {
           .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
+        // Attach the shingle-hash arrays to the (many) candidate pairs via
+        // BROADCAST joins: the docs frame is tiny next to the candidate
+        // stream, and a shuffle join here would move |cand| rows carrying
+        // two ~n_sh-element arrays each (the dominant cost at sf0.1:
+        // ~800k candidates x ~1 KB). At cluster scale the doc side is
+        // per-partition-bounded, so the same broadcast (or a bucketed
+        // co-located join) applies.
         cand
-          .join(d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
-            col("n_sh").as("na")), Seq("doc_a"))
-          .join(d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
-            col("n_sh").as("nb")), Seq("doc_b"))
+          .join(broadcast(d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
+            col("n_sh").as("na"))), Seq("doc_a"))
+          .join(broadcast(d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
+            col("n_sh").as("nb"))), Seq("doc_b"))
           .withColumn("inter",
             size(array_intersect(col("ha"), col("hb"))).cast(LongType))
           .withColumn("jaccard",
@@ -510,6 +538,28 @@ object TdpQueries {
            |  ON q.signature = c.signature AND q.vec_id < c.vec_id
            |WHERE ($dotSql) / (q.norm * c.norm) >= $NearDupCosine""".stripMargin
       }),
+
+    // Opaque-binary metadata: the documents payload treated as a binary
+    // column (the multimodal pattern — image/audio bytes with typed
+    // metadata). Byte length, full-content hash, and a 16-byte-prefix
+    // hash, all computed on the binary representation without ever
+    // materializing a decoded form; graft.multimodal.Multimodal carries
+    // the decode/feature plumbing for true media bytes. The oracle works
+    // on the identical UTF-8 bytes (the corpus is ASCII; the driver data
+    // has octet_length == char length for every row).
+    QueryDef(
+      "tdp_binary_meta",
+      (s, dir) =>
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text").cast(BinaryType)).as("n_bytes"),
+          md5(col("text").cast(BinaryType)).as("content_md5"),
+          md5(substring(col("text"), 1, 16).cast(BinaryType)).as("prefix_md5")),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             |  md5(text) AS content_md5,
+             |  md5(substr(text, 1, 16)) AS prefix_md5
+             |FROM documents""".stripMargin)),
 
     // Language ID: marker-substring scoring (n-gram heuristic); argmax
     // with a fixed tie-break order.

@@ -76,6 +76,18 @@ object EventsStream {
         col("session_window.end").as("session_end"), col("user_id"),
         col("n_events"))
 
+  /** Streaming exact dedup on event_id — the streaming twin of the batch
+    * tdp_exact_dedup operator for an at-least-once ingest feed. State is
+    * watermark-bounded: `dropDuplicatesWithinWatermark` ages dedup keys
+    * out once the event-time watermark passes them, so state is
+    * O(events inside the watermark horizon), never unbounded — the
+    * property that makes this safe on an infinite 100 TB/day feed.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionState(startSec: Long, endSec: Long, n: Long)
   final case class SessionOut(

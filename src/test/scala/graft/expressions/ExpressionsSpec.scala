@@ -97,4 +97,37 @@ class ExpressionsSpec extends SparkSpec {
     out.foreach(o =>
       assert(o == null || (o.nonEmpty && o.forall(_.isDigit)), s"bad: '$o'"))
   }
+  test("DotProductExpr is bit-identical to the zip_with fold") {
+    val s = registered
+    import s.implicits._
+    // Float embeddings (the parquet element type) incl. negatives, zeros,
+    // and magnitudes that make double-rounding order observable.
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      val a = Array.fill(64)((rnd.nextFloat() - 0.5f) * (1 + rnd.nextInt(100)))
+      val b = Array.fill(64)((rnd.nextFloat() - 0.5f) * (1 + rnd.nextInt(100)))
+      (i, a, b)
+    }
+    val out = rows.toDF("i", "a", "b").select(
+      expr("graft_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))," +
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("hof")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+  }
+
+  test("DotProductExpr nullifies on null elements and handles double arrays") {
+    val s = registered
+    import s.implicits._
+    val r1 = s.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .collect()(0)
+    assert(r1.getDouble(0) == 11.0)
+    val r2 = s.sql("SELECT graft_dot(array(1.0D, NULL), array(3.0D, 4.0D))")
+      .collect()(0)
+    assert(r2.isNullAt(0))
+  }
+
 }

@@ -113,6 +113,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents drops in-watermark duplicates across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = dedupEvents(df, "2 hours")
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode("append").start()
+    try {
+      // Same event id delivered twice in one batch and again in the next
+      // (at-least-once redelivery): must survive exactly once.
+      mem.addData(
+        (1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+        (1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+        (2L, ts("2026-01-01 10:01:00"), 1L, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      mem.addData(
+        (1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+        (3L, ts("2026-01-01 10:02:00"), 2L, "click", 3.0, "{}"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT event_id FROM dedup_events ORDER BY event_id")
+        .collect().map(_.getLong(0))
+      assert(rows.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("readEvents streams the driver's nano-timestamp events feed") {
     val s = spark
     // File streams require a directory; stage the feed file into one.
