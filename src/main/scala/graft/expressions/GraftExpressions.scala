@@ -221,7 +221,10 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottomk"),
+      (exprs: Seq[Expression]) => BottomKAgg(exprs(0), exprs(1))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config, e.g. the driver-owned Verify/Bench sessions):

@@ -435,6 +435,58 @@ object CoreQueries {
              |  FROM documents)
              |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
 
+    // RANGE-frame window: per-user rolling sum over a trailing 1-hour
+    // event-time band (value-based frame, not row-based — peers at the
+    // same timestamp are always included, so ties are deterministic).
+    QueryDef(
+      "q26_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("sec")
+          .rangeBetween(-3600L, Window.currentRow)
+        table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+            col("event_id"), floor(col("value")).cast(LongType).as("v"))
+          .select(col("user_id"), col("event_id"), col("sec"),
+            sum("v").over(w).as("rolling_v"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             |    event_id, CAST(FLOOR(value) AS BIGINT) AS v
+             |  FROM events)
+             |SELECT user_id, event_id, sec,
+             |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY sec
+             |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS rolling_v
+             |FROM e""".stripMargin)),
+
+    // Navigation analytics: lag/lead/first_value + an inter-row delta over
+    // a deterministic per-customer order sequence.
+    QueryDef(
+      "q27_analytics",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        table(s, dir, "orders")
+          .filter(col("o_custkey") % 200 === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag("o_orderkey", 1).over(w).as("prev_order"),
+            lead("o_orderkey", 1).over(w).as("next_order"),
+            first_value(col("o_orderkey")).over(w).as("first_order"),
+            (floor(col("o_totalprice")).cast(LongType)
+              - floor(lag("o_totalprice", 1).over(w)).cast(LongType))
+              .as("price_delta"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lag(o_orderkey) OVER w AS prev_order,
+             |  lead(o_orderkey) OVER w AS next_order,
+             |  first_value(o_orderkey) OVER w AS first_order,
+             |  CAST(FLOOR(o_totalprice) AS BIGINT)
+             |    - CAST(FLOOR(lag(o_totalprice) OVER w) AS BIGINT) AS price_delta
+             |FROM orders
+             |WHERE o_custkey % 200 = 0
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
     // Gaps-and-islands sessionization over the events stream table
     // (30-minute inactivity gap), the batch twin of the streaming
     // session-window operator.

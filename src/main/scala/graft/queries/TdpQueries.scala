@@ -539,6 +539,51 @@ object TdpQueries {
            |WHERE ($dotSql) / (q.norm * c.norm) >= $NearDupCosine""".stripMargin
       }),
 
+    // Bottom-k (KMV) distinct sketch over shingle hashes, one sketch per
+    // document bucket — the custom-AGGREGATE Expression showcase
+    // (graft.expressions.BottomKAgg, a TypedImperativeAggregate with
+    // map-side partial sketches merged through the shuffle). The sketch is
+    // deterministic (k smallest distinct values is a pure set function),
+    // so the oracle reproduces it exactly with sorted-list slicing, and
+    // the (k-1)*H/h_k estimator is plain arithmetic on both engines.
+    // At 100 TB: O(k) state per group at every stage, shuffle carries only
+    // serialized k-entry buffers — the aggregate-side counterpart of the
+    // per-document MinHash signatures.
+    QueryDef(
+      "tdp_bottomk_sketch",
+      (s, dir) => {
+        val K = 32
+        docHashes(s, dir)
+          .select((col("doc_id") % 8).as("bucket"), explode(col("hashes")).as("h"))
+          .groupBy("bucket")
+          .agg(expr(s"graft_bottomk(h, $K)").as("sk"),
+            countDistinct(col("h")).as("n_exact"))
+          .select(col("bucket"),
+            expr("array_join(transform(sk, x -> CAST(x AS STRING)), '|')")
+              .as("sketch"),
+            size(col("sk")).as("sketch_size"),
+            col("n_exact"),
+            when(size(col("sk")) < K, col("n_exact").cast(DoubleType))
+              .otherwise(lit((K - 1).toDouble) * lit(1000000007.0)
+                / element_at(col("sk"), K).cast(DoubleType))
+              .as("est_distinct"))
+      },
+      Some(s"""WITH $docsShinglesSql,
+              |ex AS (
+              |  SELECT doc_id % 8 AS bucket, unnest(hashes) AS h FROM doc_sh),
+              |agg AS (
+              |  SELECT bucket, list_slice(list_sort(list(DISTINCT h)), 1, 32) AS sk,
+              |    count(DISTINCT h) AS n_exact
+              |  FROM ex GROUP BY 1)
+              |SELECT bucket,
+              |  coalesce(array_to_string(sk, '|'), '') AS sketch,
+              |  CAST(len(sk) AS INTEGER) AS sketch_size,
+              |  CAST(n_exact AS BIGINT) AS n_exact,
+              |  CASE WHEN len(sk) < 32 THEN CAST(n_exact AS DOUBLE)
+              |       ELSE 31.0 * 1000000007.0 / CAST(sk[32] AS DOUBLE) END
+              |    AS est_distinct
+              |FROM agg""".stripMargin)),
+
     // Opaque-binary metadata: the documents payload treated as a binary
     // column (the multimodal pattern — image/audio bytes with typed
     // metadata). Byte length, full-content hash, and a 16-byte-prefix
