@@ -74,6 +74,7 @@ object TdpQueries {
   private def docHashes(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_doc_hashes")(
       table(s, dir, "documents")
+        .select("doc_id", "text") // prune BEFORE the spreading shuffle
         .repartition(col("doc_id"))
         .withColumn("toks", expr(toksExpr))
         .withColumn("shingles", expr(shinglesExpr))
@@ -98,6 +99,7 @@ object TdpQueries {
   private def embWithNorm(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_emb_norm")(
       table(s, dir, "embeddings")
+        .select("vec_id", "embedding") // prune BEFORE the spreading shuffle
         .repartition(col("vec_id"))
         .withColumn("norm", expr("sqrt(graft_dot(embedding, embedding))")))
 

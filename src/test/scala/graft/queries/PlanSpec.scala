@@ -61,4 +61,19 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("o_orderdate") && !scan.contains("o_orderpriority"),
       scan)
   }
+
+  test("TDP base frames prune their scans before the spreading shuffle") {
+    // The memoized shingle-hash / embedding-norm frames repartition before
+    // the interpreted lambda work; the scan under that exchange must carry
+    // only the needed columns (shuffling lang/n_chars/label bytes at
+    // 100 TB corpus scale would be pure waste).
+    val fp = Registry.queries("tdp_fingerprint")(spark, dir)
+    val plan = fp.queryExecution.executedPlan.toString
+    assert(!plan.contains("lang") && !plan.contains("n_chars"),
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    val nd = Registry.queries("tdp_embedding_near_dup")(spark, dir)
+    val plan2 = nd.queryExecution.executedPlan.toString
+    assert(!plan2.contains("label"),
+      plan2.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
 }
