@@ -72,6 +72,26 @@ object Write {
     }
   }
 
+  /** Scale-path sink: parquet partitioned by the given columns. At 100 TB
+    * this is the layout that makes downstream scans cheap — a filter on a
+    * partition column prunes whole directories at planning time
+    * (PartitionFilters in the scan, asserted in IoSpec) instead of reading
+    * and discarding rows. `maxRecordsPerFile` bounds file sizes so a
+    * skewed partition cannot produce one giant file.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): String = {
+    df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+    path
+  }
+
   /** S8 — correction file: Correction/Investigate tab split, engine-routed
     * path (reference build_correction_file.py:309-361).
     */

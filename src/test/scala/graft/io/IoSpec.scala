@@ -61,4 +61,25 @@ class IoSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("FIRSTNAM"))
   }
+
+  test("writePartitioned: partition filter prunes directories at read time") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 3000).map(i => (i.toLong, s"2026-0${i % 3 + 1}", i * 2.0))
+      .toDF("id", "month", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Write.writePartitioned(df, dir, Seq("month"))
+    // Layout: one directory per month value.
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("month=2026-01", "month=2026-02", "month=2026-03"))
+    // A filter on the partition column reaches the scan as a
+    // PartitionFilter (pruned at planning, not a row filter).
+    val back = s.read.parquet(dir).filter(col("month") === "2026-02")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("month"),
+      plan.take(2000))
+    assert(back.count() == 1000)
+  }
 }
