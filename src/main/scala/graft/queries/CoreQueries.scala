@@ -487,6 +487,55 @@ object CoreQueries {
              |WINDOW w AS (PARTITION BY o_custkey
              |  ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
 
+    // Schema-evolution union: unionByName aligns by column NAME, not
+    // position (the positional union of these two frames would scramble
+    // columns); oracle is DuckDB's UNION ALL BY NAME.
+    QueryDef(
+      "q28_union_byname",
+      (s, dir) => {
+        val a = table(s, dir, "orders")
+          .groupBy(col("o_orderstatus").as("key"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("key"), lit("orders").as("src"), col("n"))
+        val b = table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag").as("key"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("n"), col("key"), lit("lineitem").as("src"))
+        a.unionByName(b)
+      },
+      Some("""SELECT o_orderstatus AS key, 'orders' AS src, count(*) AS n
+             |FROM orders GROUP BY 1
+             |UNION ALL BY NAME
+             |SELECT count(*) AS n, l_returnflag AS key, 'lineitem' AS src
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // Date/time function battery: interval arithmetic, month boundaries,
+    // day-of-week (normalized to DuckDB's Sunday=0 numbering; Spark's
+    // dayofweek is Sunday=1), year extraction. Dates emitted as strings so
+    // both engines hash identical scalars.
+    QueryDef(
+      "q29_datetime_funcs",
+      (s, dir) => {
+        val d = to_date(col("o_orderdate"))
+        table(s, dir, "orders")
+          .filter(col("o_orderkey") % 500 === 0)
+          .select(col("o_orderkey"),
+            date_format(date_add(d, 30), "yyyy-MM-dd").as("plus30"),
+            date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+            date_format(trunc(d, "month"), "yyyy-MM-dd").as("month_start"),
+            (dayofweek(d) - 1).as("dow"),
+            year(d).cast(LongType).as("yr"))
+      },
+      Some("""SELECT o_orderkey,
+             |  strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE),
+             |    '%Y-%m-%d') AS plus30,
+             |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+             |  strftime(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE),
+             |    '%Y-%m-%d') AS month_start,
+             |  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow,
+             |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr
+             |FROM orders WHERE o_orderkey % 500 = 0""".stripMargin)),
+
     // Gaps-and-islands sessionization over the events stream table
     // (30-minute inactivity gap), the batch twin of the streaming
     // session-window operator.
