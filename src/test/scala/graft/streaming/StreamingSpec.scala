@@ -161,6 +161,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Engine B runs on a streaming fact with a static broadcast dimension") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // Static demographics dimension (the stream-static join pattern: the
+    // dimension is broadcast once, the streaming fact never shuffles).
+    val demo = Seq(
+      ("200100", "123456780", "1960-01-15", "2020-06-30", "A", "B"),
+      ("200100", "123456781", "2000-05-20", null, "C", "D"))
+      .toDF("plan_id", "ssn", "dob", "term_date", "first_name", "last_name")
+
+    val mem = MemoryStream[(String, String, String, String, String, Double)]
+    val matrix = mem.toDF().toDF("plan_id", "ssn", "txn_date",
+      "tax_code_1", "tax_code_2", "gross_amt")
+      .withColumn("txn_date", to_date(col("txn_date")))
+    val q = graft.engines.AgeTaxCode.run(matrix, demo)
+      .select("ssn", "match_status", "expected_tax_code_1")
+      .writeStream.format("memory").queryName("eb_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        // age 65 at txn year -> normal distribution expects code 7
+        ("200100", "123456780", "2025-03-01", "1", null.asInstanceOf[String], 100.0),
+        // age 24, no term date -> expects 1 (matches) -> no action
+        ("200100", "123456781", "2025-03-01", "1", null.asInstanceOf[String], 50.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT ssn, match_status, expected_tax_code_1 FROM eb_stream ORDER BY ssn")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(rows.toSeq == Seq(
+        ("123456780", "match_needs_correction", "7"),
+        ("123456781", "match_no_action", "1")))
+    } finally q.stop()
+  }
+
   test("Engine D runs unchanged on a streaming DataFrame") {
     val s = spark
     import s.implicits._
