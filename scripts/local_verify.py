@@ -13,6 +13,7 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -59,11 +60,20 @@ def values_equal(a, b) -> bool:
         if math.isnan(fa) and math.isnan(fb):
             return True
         return fa == fb
-    if isinstance(a, (list, tuple)) or hasattr(a, "tolist"):
-        la = list(a.tolist() if hasattr(a, "tolist") else a)
-        lb = list(b.tolist() if hasattr(b, "tolist") else b)
+    # Explicit sequence types only: a bare hasattr(a, "tolist") check
+    # would also route numpy SCALARS (np.int64 etc.) here and crash on
+    # list(scalar). Current pandas yields Python scalars when iterating
+    # numeric Series, but don't depend on that.
+    if isinstance(a, (list, tuple, np.ndarray)) or isinstance(b, (list, tuple, np.ndarray)):
+        if np.isscalar(a) or np.isscalar(b):
+            return False
+        la = list(a.tolist() if isinstance(a, np.ndarray) else a)
+        lb = list(b.tolist() if isinstance(b, np.ndarray) else b)
         return len(la) == len(lb) and all(
             values_equal(x, y) for x, y in zip(la, lb))
+    if isinstance(a, np.generic) or isinstance(b, np.generic):
+        # numpy scalar vs python scalar: compare as plain values.
+        return bool(np.asarray(a) == np.asarray(b))
     return bool(a == b)
 
 

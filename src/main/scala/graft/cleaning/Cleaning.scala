@@ -95,14 +95,21 @@ object Cleaning {
   /** One V7 warning observation: the reference's message with its count. */
   final case class QaCount(message: String, n: Long)
 
-  private val qaBuffer = scala.collection.mutable.ListBuffer.empty[QaCount]
+  // Thread-local so concurrent cleaner runs (parallel pipelines or test
+  // suites in one JVM) cannot contaminate each other's QA summaries: the
+  // eager warnIf counts run on the caller's thread, and the same thread
+  // drains them right after the cleaner returns.
+  private val qaBuffer = new ThreadLocal[scala.collection.mutable.ListBuffer[QaCount]] {
+    override def initialValue() = scala.collection.mutable.ListBuffer.empty[QaCount]
+  }
 
-  /** Drain the QA counts recorded by [[warnIf]] since the last drain
-    * (insertion order). The CLI prints these as its QA summary.
+  /** Drain the QA counts recorded by [[warnIf]] ON THIS THREAD since the
+    * last drain (insertion order). The CLI prints these as its QA summary.
     */
-  def drainQaCounts(): Seq[QaCount] = qaBuffer.synchronized {
-    val out = qaBuffer.toList
-    qaBuffer.clear()
+  def drainQaCounts(): Seq[QaCount] = {
+    val buf = qaBuffer.get()
+    val out = buf.toList
+    buf.clear()
     out
   }
 
@@ -119,6 +126,6 @@ object Cleaning {
     if (enabled) {
       val n = df.filter(cond).count()
       if (n > 0) org.apache.log4j.Logger.getLogger(getClass).warn(message(n))
-      qaBuffer.synchronized { qaBuffer += QaCount(message(n), n) }
+      qaBuffer.get() += QaCount(message(n), n)
     }
 }

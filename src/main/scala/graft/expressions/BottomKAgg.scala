@@ -45,6 +45,8 @@ case class BottomKAgg(
     else if (kExpr.dataType != IntegerType || !kExpr.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a foldable int k, got $kExpr")
+    else if (kExpr.eval(InternalRow.empty) == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a non-null k")
     else if (k <= 0)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0, got $k")
     else TypeCheckResult.TypeCheckSuccess

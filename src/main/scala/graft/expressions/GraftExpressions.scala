@@ -224,7 +224,11 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))),
     (FunctionIdentifier("graft_bottomk"),
       new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottomk"),
-      (exprs: Seq[Expression]) => BottomKAgg(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_bottomk(value, k) takes 2 arguments, got ${exprs.length}")
+        BottomKAgg(exprs(0), exprs(1))
+      }))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config, e.g. the driver-owned Verify/Bench sessions):

@@ -14,10 +14,18 @@ object SkewJoin {
     * partition-local ordinal (`monotonically_increasing_id`), so EXACT
     * DUPLICATE rows — the common hot-key shape dedup-style workloads
     * produce — still spread over all buckets instead of collapsing into
-    * one. Deterministic for a deterministic scan: Spark recomputes whole
-    * partitions on retry, so the ordinal (and thus the salt) is stable.
-    * Callers with a natural per-row discriminator (an ingest id, a line
-    * number) should pass it as `saltBy` for full input-order independence.
+    * one.
+    *
+    * Retry safety: `monotonically_increasing_id` is row-order-dependent,
+    * so for a non-scan input (a join/aggregate output with unstable
+    * intra-partition order) the salt is NOT stable across partial
+    * recomputes. Spark marks such expressions nondeterministic and its
+    * scheduler handles a fetch failure in an indeterminate shuffle stage
+    * by rerunning the WHOLE stage, not individual map tasks, so rows are
+    * not lost or duplicated — the cost is a full-stage retry. Callers
+    * with a natural per-row discriminator (an ingest id, a line number)
+    * should pass it as `saltBy`: the salt is then a pure column function,
+    * fully deterministic, and cheap to retry.
     */
   private[operators] def saltExpr(
       payload: Seq[String],

@@ -207,6 +207,13 @@ object EngineQueries {
     // Matrix frame — the oracle filters matrix_clean post-clean too, so
     // both sides agree by construction and the cleaner pipeline's codegen
     // is paid once per session, not once per date-filter variant.
+    // Deliberate semantic choice: the reference's CleanMatrix runs the
+    // date filter BEFORE the keep-first dedup window (a duplicate group
+    // straddling the range boundary can resolve differently); this query
+    // checks applyDateFilter itself, while the in-pipeline
+    // filter-before-dedup order is exercised (with its own dateFilter
+    // config) by the engine pipelines via CleanMatrix — see
+    // cleaning/CleanMatrix.scala:57.
     QueryDef(
       "p5_date_filter",
       (s, dir) => {

@@ -339,18 +339,17 @@ object TdpQueries {
           .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
-        // Attach the shingle-hash arrays to the (many) candidate pairs via
-        // BROADCAST joins: the docs frame is tiny next to the candidate
-        // stream, and a shuffle join here would move |cand| rows carrying
-        // two ~n_sh-element arrays each (the dominant cost at sf0.1:
-        // ~800k candidates x ~1 KB). At cluster scale the doc side is
-        // per-partition-bounded, so the same broadcast (or a bucketed
-        // co-located join) applies.
+        // Attach the shingle-hash arrays to the candidate pairs with plain
+        // shuffle joins on the doc ids: the doc side is the memoized
+        // in-memory frame, and at corpus scale it does NOT fit a broadcast
+        // (a broadcast is bounded by TOTAL size, not per-partition size) —
+        // the 100 TB path is this shuffle join, or a bucketed co-located
+        // join when the corpus is stored bucketed by doc_id.
         cand
-          .join(broadcast(d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
-            col("n_sh").as("na"))), Seq("doc_a"))
-          .join(broadcast(d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
-            col("n_sh").as("nb"))), Seq("doc_b"))
+          .join(d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
+            col("n_sh").as("na")), Seq("doc_a"))
+          .join(d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
+            col("n_sh").as("nb")), Seq("doc_b"))
           .withColumn("inter",
             size(array_intersect(col("ha"), col("hb"))).cast(LongType))
           .withColumn("jaccard",

@@ -112,34 +112,31 @@ object EventsStream {
         state.remove()
         Iterator(SessionOut(userId, s.startSec, s.endSec, s.n))
       } else {
-        val sorted = rows.map(_.ts.getTime / 1000L).toSeq.sorted
-        var closed = List.empty[SessionOut]
-        var cur = state.getOption
-        sorted.foreach { sec =>
-          cur match {
-            // Late event from BEFORE the open session (out of order across
-            // micro-batches but inside the watermark): extend the session
-            // backwards when it is within the gap of the session start;
-            // otherwise it is an isolated earlier session — emit it
-            // directly rather than gluing it onto the current one.
-            case Some(s) if sec < s.startSec =>
-              if (s.startSec - sec <= gapSec)
-                cur = Some(s.copy(startSec = sec, n = s.n + 1))
-              else closed ::= SessionOut(userId, sec, sec, 1)
-            case Some(s) if sec - s.endSec <= gapSec =>
-              cur = Some(s.copy(endSec = math.max(s.endSec, sec), n = s.n + 1))
-            case Some(s) =>
-              closed ::= SessionOut(userId, s.startSec, s.endSec, s.n)
-              cur = Some(SessionState(sec, sec, 1))
-            case None =>
-              cur = Some(SessionState(sec, sec, 1))
-          }
+        // Gaps-and-islands fold over the open session plus ALL the batch's
+        // events in time order — the same construction as the q12 batch
+        // twin, so in-batch out-of-order events (including several late
+        // events that belong to a common EARLIER session) merge correctly
+        // instead of each becoming a singleton. The latest island stays
+        // open as state; earlier islands close immediately. Known
+        // limitation of one-island state: a late event can only merge
+        // with islands present in ITS batch — an earlier-island event
+        // already emitted in a previous batch is not reopened.
+        val intervals = (state.getOption.map(s => (s.startSec, s.endSec, s.n)).toList
+          ++ rows.map(e => { val sec = e.ts.getTime / 1000L; (sec, sec, 1L) }))
+          .sortBy(t => (t._1, t._2))
+        val islandsDesc = intervals.foldLeft(List.empty[(Long, Long, Long)]) {
+          case ((as, ae, an) :: tail, (bs, be, bn)) if bs - ae <= gapSec =>
+            (as, math.max(ae, be), an + bn) :: tail
+          case (acc, b) => b :: acc
         }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp((s.endSec + gapSec) * 1000L)
+        islandsDesc match {
+          case Nil => Iterator.empty
+          case open :: closedDesc =>
+            state.update(SessionState(open._1, open._2, open._3))
+            state.setTimeoutTimestamp((open._2 + gapSec) * 1000L)
+            closedDesc.reverseIterator
+              .map(s => SessionOut(userId, s._1, s._2, s._3))
         }
-        closed.reverseIterator
       }
     }
 

@@ -30,6 +30,28 @@ class CleaningQaSpec extends SparkSpec {
     assert(qa(2).n === 0L) // tax_code_2 all valid
   }
 
+  test("CleanMatrix date filter runs BEFORE the keep-first dedup window") {
+    import spark.implicits._
+    import graft.core.Config
+    // Duplicate (plan_id, ssn, txn keys) group where the FIRST-ingested
+    // row is outside the range and a later duplicate is inside: the
+    // reference filters before deduping, so the in-range duplicate must
+    // survive (a filter-after-dedup order would drop the whole group).
+    val raw = Seq(
+      ("300004PLAT", "123456789", 100.0, "2024-01-05", "7", ""),
+      ("300004PLAT", "123456789", 100.0, "2025-01-05", "7", ""))
+      .toDF("Client Account", "Participant SSN", "Gross Amount",
+        "Transaction Date", "Tax Code", "Tax Code 2")
+    val cfg = Config.DateFilterConfig(
+      Some(java.time.LocalDate.of(2025, 1, 1)),
+      Some(java.time.LocalDate.of(2025, 12, 31)), None)
+    val out = CleanMatrix(raw, dateFilter = cfg,
+      today = java.time.LocalDate.of(2026, 1, 1))
+    val dates = out.select("txn_date").collect().map(_.get(0).toString)
+    assert(dates.toSeq == Seq("2025-01-05"),
+      s"in-range duplicate must survive the pre-dedup filter, got $dates")
+  }
+
   test("warnIf stays silent and lazy when disabled") {
     import spark.implicits._
     val raw = Seq(("300004PLAT", "BADSSN", 1.0, "2025-01-01", "7", "G"))

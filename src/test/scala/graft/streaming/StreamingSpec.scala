@@ -113,6 +113,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: consecutive late events merge into one earlier session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapSec = 1800L)
+      .writeStream.format("memory").queryName("sessions_late_pair")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1L, ts("2026-01-01 12:00:00"), "click"))
+      q.processAllAvailable()
+      // Two late-but-in-watermark events 10 min apart, both > gap (30 min)
+      // before the open session: they form ONE earlier session, not two
+      // singletons (watermark is 1 h, so 11:05/11:15 still pass ingest).
+      mem.addData(
+        Event(1L, ts("2026-01-01 11:05:00"), "click"),
+        Event(1L, ts("2026-01-01 11:15:00"), "click"))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT user_id, start_sec, end_sec, n_events FROM sessions_late_pair")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val st = ts("2026-01-01 11:05:00").getTime / 1000L
+      val en = ts("2026-01-01 11:15:00").getTime / 1000L
+      assert(rows.toSeq == Seq((1L, st, en, 2L)))
+    } finally q.stop()
+  }
+
   test("dedupEvents drops in-watermark duplicates across batches") {
     val s = spark
     import s.implicits._
