@@ -540,6 +540,119 @@ object TdpQueries {
            |WHERE ($dotSql) / (q.norm * c.norm) >= $NearDupCosine""".stripMargin
       }),
 
+    // Decontamination: remove training documents sharing ANY word-3-gram
+    // shingle hash with the held-out eval slice (doc_id % 100 == 0 plays
+    // the eval set). The overlap test is a semi-join on the shingle hash
+    // followed by an anti-join on doc_id — both plain shuffle joins keyed
+    // by hash/id, so the pass scales like any dedup sweep; in production
+    // the eval-side shingle set is small and broadcastable. The standard
+    // train/test-leakage sweep a training-data pipeline runs before
+    // publishing a corpus.
+    QueryDef(
+      "tdp_decontaminate",
+      (s, dir) => {
+        val ex = docHashes(s, dir)
+          .select(col("doc_id"), explode(col("hashes")).as("h"))
+        val evalSh = ex.filter(col("doc_id") % 100 === 0).select("h").distinct()
+        val contaminated = ex.filter(col("doc_id") % 100 =!= 0)
+          .join(evalSh, Seq("h"), "left_semi")
+          .select("doc_id").distinct()
+        table(s, dir, "documents")
+          .filter(col("doc_id") % 100 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang")
+      },
+      Some(s"""WITH $docsShinglesSql,
+              |ex AS (SELECT doc_id, unnest(hashes) AS h FROM doc_sh),
+              |ev AS (SELECT DISTINCT h FROM ex WHERE doc_id % 100 = 0),
+              |cont AS (
+              |  SELECT DISTINCT doc_id FROM ex
+              |  WHERE doc_id % 100 <> 0 AND h IN (SELECT h FROM ev))
+              |SELECT d.doc_id, d.lang FROM documents d
+              |WHERE d.doc_id % 100 <> 0
+              |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin)),
+
+    // Stratified sampling with per-stratum rates (corpus rebalancing:
+    // keep ~80% of en, ~40% of es, ~20% of the rest). Deterministic
+    // SYSTEMATIC sampling — a multiplicative hash of the id against a
+    // prime modulus — instead of RNG-based sampleBy, so the sample is
+    // reproducible across engines/runs and exactly oracle-checkable.
+    // Per-row predicate, no shuffle at all.
+    QueryDef(
+      "tdp_stratified_sample",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .filter(expr("(doc_id * 2654435761) % 97") <
+            when(col("lang") === "en", 80)
+              .when(col("lang") === "es", 40).otherwise(20))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id")),
+      Some("""SELECT lang, count(*) AS n_sampled,
+             |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+             |FROM documents
+             |WHERE (doc_id * 2654435761) % 97 <
+             |  CASE lang WHEN 'en' THEN 80 WHEN 'es' THEN 40 ELSE 20 END
+             |GROUP BY 1""".stripMargin)),
+
+    // End-to-end corpus curation: quality-filter -> exact-dedup ->
+    // per-language corpus stats, composed from the same building blocks
+    // the individual queries verify (the shape of a real pre-training
+    // data pipeline run). Aggregates are chosen order-insensitive
+    // (count / integer sum / min / max) so the result is exact under any
+    // partial-aggregation schedule — a double avg() would not be.
+    QueryDef(
+      "tdp_corpus_pipeline",
+      (s, dir) => {
+        val t = col("text")
+        val nChars = length(t).cast(DoubleType)
+        val nSpaces = (length(t) - length(replace(t, lit(" "), lit("")))).cast(DoubleType)
+        val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast(DoubleType)
+        val nThe = ((length(t) - length(replace(t, lit(" the "), lit("")))) / lit(5))
+          .cast(DoubleType)
+        val quality = (nAlpha / nChars) * 0.6 +
+          (lit(1.0) - nSpaces / nChars) * 0.3 + (nThe * lit(5.0) / nChars) * 0.1
+        val scored = table(s, dir, "documents")
+          .withColumn("quality", quality)
+          .filter(col("quality") >= 0.74)
+        val w = Window.partitionBy(md5(t.cast(BinaryType)))
+          .orderBy("doc_id")
+        scored
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .withColumn("n_ws_tokens",
+            expr(s"size($toksExpr)").cast(LongType))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_ws_tokens").as("n_tokens"),
+            min("quality").as("min_quality"),
+            max("quality").as("max_quality"))
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, lang, text,
+              |    (alpha / n) * 0.6 + (1.0 - ws / n) * 0.3 + (sw * 5.0 / n) * 0.1
+              |      AS quality
+              |  FROM (
+              |    SELECT doc_id, lang, text,
+              |      CAST(length(text) AS DOUBLE) AS n,
+              |      CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+              |        AS ws,
+              |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              |        AS DOUBLE) AS alpha,
+              |      CAST(CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+              |        AS BIGINT) AS DOUBLE) AS sw
+              |    FROM documents)
+              |  WHERE (alpha / n) * 0.6 + (1.0 - ws / n) * 0.3 + (sw * 5.0 / n) * 0.1
+              |    >= 0.74),
+              |deduped AS (
+              |  SELECT * FROM scored
+              |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+              |    ORDER BY doc_id) = 1)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_tokens,
+              |  min(quality) AS min_quality, max(quality) AS max_quality
+              |FROM deduped GROUP BY 1""".stripMargin)),
+
     // Bottom-k (KMV) distinct sketch over shingle hashes, one sketch per
     // document bucket — the custom-AGGREGATE Expression showcase
     // (graft.expressions.BottomKAgg, a TypedImperativeAggregate with
