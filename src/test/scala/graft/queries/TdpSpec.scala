@@ -34,6 +34,22 @@ class TdpSpec extends SparkSpec {
       s"capped hot bucket must emit no pairs, got ${pairs.size}")
   }
 
+  test("decontamination removes exactly the train docs sharing a shingle with eval") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_decon").toString
+    // doc 200 is the eval slice (doc_id % 100 == 0); doc 1 shares the
+    // "secret eval holdout" 3-gram with it; doc 2 has no overlap.
+    val docs = Seq(
+      (200L, "the secret eval holdout passage lives right here", "en"),
+      (1L, "many prefix words then secret eval holdout appears", "en"),
+      (2L, "completely different sentence with no shared trigrams anywhere", "de"))
+    docs.toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    val survivors = Registry.queries("tdp_decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(survivors == Set((2L, "de")),
+      s"only the non-overlapping train doc may survive, got $survivors")
+  }
+
   /** The naive all-shared-shingles Jaccard join (round-1 formulation). */
   private def naiveJaccard(d: DataFrame): DataFrame = {
     val exploded = d.select(col("doc_id"), col("n_sh"),
