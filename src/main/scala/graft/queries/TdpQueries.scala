@@ -261,6 +261,77 @@ object TdpQueries {
            |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
       }),
 
+    // MinHash as a Jaccard ESTIMATOR: for every pair agreeing on at least
+    // one of the 8 permutation minima (a bucketed signature self-join, no
+    // cartesian anywhere), the estimate is the fraction of agreeing
+    // signatures — E[mh_a = mh_b] = J(a, b), the defining property of
+    // MinHash — reported next to the exact Jaccard from the shingle sets.
+    // This is what turns the signatures from a bucketing trick into a
+    // similarity measure: at 100 TB only the k-long signatures (not the
+    // shingle sets) need to meet per pair.
+    QueryDef(
+      "tdp_minhash_jaccard_est",
+      (s, dir) => {
+        val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+          expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
+        }
+        val d = docHashes(s, dir).filter(col("n_sh") > 0)
+          .select(Seq(col("doc_id"), col("hashes"), col("n_sh")) ++ sigs: _*)
+        val ex = d.select(col("doc_id"),
+          explode(array((0 until 8).map(j =>
+            struct(lit(j).as("j"), col(s"mh$j").as("mh"))): _*)).as("e"))
+          .select(col("doc_id"), col("e.j").as("j"), col("e.mh").as("mh"))
+        val cand = ex.select(col("doc_id").as("doc_a"), col("j"), col("mh"))
+          .join(ex.select(col("doc_id").as("doc_b"), col("j"), col("mh")),
+            Seq("j", "mh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val agree = (0 until 8).map(j =>
+          when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+          .reduce(_ + _)
+        val aSide = d.select(Seq(col("doc_id").as("doc_a"),
+          col("hashes").as("ha"), col("n_sh").as("na")) ++
+          (0 until 8).map(j => col(s"mh$j").as(s"a_mh$j")): _*)
+        val bSide = d.select(Seq(col("doc_id").as("doc_b"),
+          col("hashes").as("hb"), col("n_sh").as("nb")) ++
+          (0 until 8).map(j => col(s"mh$j").as(s"b_mh$j")): _*)
+        cand.join(aSide, Seq("doc_a")).join(bSide, Seq("doc_b"))
+          .withColumn("inter",
+            size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+          .select(col("doc_a"), col("doc_b"),
+            (agree.cast(DoubleType) / lit(8.0)).as("est_jaccard"),
+            (col("inter").cast(DoubleType)
+              / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+              .as("exact_jaccard"))
+      },
+      Some {
+        val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(hashes, h -> (h * $a + $b) % $P)) AS mh$j"
+        }.mkString(",\n  ")
+        val agree = (0 until 8).map(j =>
+          s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH $docsShinglesSql,
+           |s AS (
+           |  SELECT doc_id, hashes, len(hashes) AS n_sh, $sigs
+           |  FROM doc_sh WHERE len(hashes) > 0),
+           |sl AS (SELECT *, [mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7] AS sig FROM s),
+           |ex AS (
+           |  SELECT doc_id, r.range AS j, sig[r.range] AS mh
+           |  FROM sl, range(1, 9) r),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM ex a JOIN ex b
+           |    ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id)
+           |SELECT p.doc_a, p.doc_b,
+           |  CAST($agree AS DOUBLE) / 8.0 AS est_jaccard,
+           |  CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE)
+           |    / CAST(a.n_sh + b.n_sh - len(list_intersect(a.hashes, b.hashes))
+           |        AS DOUBLE) AS exact_jaccard
+           |FROM pairs p
+           |JOIN s a ON p.doc_a = a.doc_id
+           |JOIN s b ON p.doc_b = b.doc_id""".stripMargin
+      }),
+
     // SimHash: 64-bit signature from per-bit majority votes over token
     // hashes (explode -> 64 conditional sums -> assemble). The base token
     // hash has only ~30 bits (mod 1e9+7), so bit i is NOT bit i of h —
