@@ -62,6 +62,29 @@ class IoSpec extends SparkSpec {
     assert(e.getMessage.contains("FIRSTNAM"))
   }
 
+  test("JSON-lines and ORC round-trip with explicit schemas") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null, 3.5))
+      .toDF("id", "tag", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    df.write.mode("overwrite").json(s"$base/j")
+    df.write.mode("overwrite").orc(s"$base/o")
+    // Explicit schema on read — never infer on a production source.
+    val back_j = s.read.schema(df.schema).json(s"$base/j")
+    val back_o = s.read.schema(df.schema).orc(s"$base/o")
+    for (back <- Seq(back_j, back_o)) {
+      // File reads surface every column nullable; compare names + types.
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      val got = back.orderBy("id").collect().map(r =>
+        (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+      assert(got == Seq((1L, Some("a"), 1.5), (2L, Some("b"), 2.5),
+        (3L, None, 3.5)))
+    }
+  }
+
   test("writePartitioned: partition filter prunes directories at read time") {
     val s = spark
     import s.implicits._
