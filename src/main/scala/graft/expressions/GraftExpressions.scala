@@ -211,24 +211,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Registry entry with a uniform arity check so a wrong-arity call
+    * fails analysis with a clear message instead of an
+    * IndexOutOfBoundsException from the builder body.
+    */
+  private def entry(name: String, clazz: Class[_], arity: Int)(
+      build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == arity,
+          s"$name takes $arity argument(s), got ${exprs.length}")
+        build(exprs)
+      })
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
-    (FunctionIdentifier("graft_normalize_ssn"),
-      new ExpressionInfo(classOf[NormalizeSsnExpr].getName, "graft_normalize_ssn"),
-      (exprs: Seq[Expression]) => NormalizeSsnExpr(exprs.head)),
-    (FunctionIdentifier("graft_polyhash"),
-      new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
-      (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)),
-    (FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))),
-    (FunctionIdentifier("graft_bottomk"),
-      new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottomk"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          s"graft_bottomk(value, k) takes 2 arguments, got ${exprs.length}")
-        BottomKAgg(exprs(0), exprs(1))
-      }))
+    entry("graft_normalize_ssn", classOf[NormalizeSsnExpr], 1)(
+      exprs => NormalizeSsnExpr(exprs.head)),
+    entry("graft_polyhash", classOf[PolyHashExpr], 1)(
+      exprs => PolyHashExpr(exprs.head)),
+    entry("graft_dot", classOf[DotProductExpr], 2)(
+      exprs => DotProductExpr(exprs(0), exprs(1))),
+    entry("graft_bottomk", classOf[BottomKAgg], 2)(
+      exprs => BottomKAgg(exprs(0), exprs(1))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config, e.g. the driver-owned Verify/Bench sessions):

@@ -207,13 +207,12 @@ object EngineQueries {
     // Matrix frame — the oracle filters matrix_clean post-clean too, so
     // both sides agree by construction and the cleaner pipeline's codegen
     // is paid once per session, not once per date-filter variant.
-    // Deliberate semantic choice: the reference's CleanMatrix runs the
-    // date filter BEFORE the keep-first dedup window (a duplicate group
-    // straddling the range boundary can resolve differently); this query
-    // checks applyDateFilter itself, while the in-pipeline
-    // filter-before-dedup order is exercised (with its own dateFilter
-    // config) by the engine pipelines via CleanMatrix — see
-    // cleaning/CleanMatrix.scala:57.
+    // Post-clean filtering is RESULT-EQUIVALENT to the reference's
+    // filter-before-dedup order here: txn_date is one of the dedup match
+    // keys, so every duplicate group shares a txn_date and the filter
+    // keeps or drops a group uniformly regardless of ordering
+    // (CleaningQaSpec pins the equivalence on planted duplicates). The
+    // in-pipeline order itself is exercised by DateFilterEnginesSpec.
     QueryDef(
       "p5_date_filter",
       (s, dir) => {

@@ -155,6 +155,41 @@ object TdpQueries {
     */
   private val EmbBucketCap = 1000
 
+  /** Quality-score building blocks, ONE definition shared by
+    * tdp_quality_score and tdp_corpus_pipeline so the bit-exact float
+    * operation order the oracle contract depends on can never drift
+    * between the two queries. Both sides guard to non-empty text: for an
+    * empty document Spark (ansi off) yields NULL for 0.0/0.0 while DuckDB
+    * yields NaN (which it orders ABOVE every value), so quality
+    * thresholds would diverge between engines.
+    */
+  private val qNChars = length(col("text")).cast(DoubleType)
+  private val qNSpaces =
+    (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))).cast(DoubleType)
+  private val qNAlpha =
+    length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast(DoubleType)
+  private val qNThe =
+    ((length(col("text")) - length(replace(col("text"), lit(" the "), lit("")))) / lit(5))
+      .cast(DoubleType)
+  private val qualityScore: Column =
+    (qNAlpha / qNChars) * 0.6 + (lit(1.0) - qNSpaces / qNChars) * 0.3 +
+      (qNThe * lit(5.0) / qNChars) * 0.1
+
+  /** DuckDB twin of the quality parts: one subquery carrying every column
+    * either quality consumer needs.
+    */
+  private val qualityPartsSql =
+    """SELECT doc_id, lang, text, n_chars,
+      |    CAST(length(text) AS DOUBLE) AS n,
+      |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS ws,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |      AS alpha,
+      |    CAST(CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+      |      AS BIGINT) AS DOUBLE) AS sw
+      |  FROM documents WHERE length(text) > 0""".stripMargin
+  private val qualitySql =
+    "(alpha / n) * 0.6 + (1.0 - ws / n) * 0.3 + (sw * 5.0 / n) * 0.1"
+
   def defs: Seq[QueryDef] = Seq(
     // Exact dedup: content-hash groupBy (the 100 TB path: one shuffle on a
     // 128-bit hash, never on the full text).
@@ -275,14 +310,25 @@ object TdpQueries {
         val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
           expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
         }
-        val d = docHashes(s, dir).filter(col("n_sh") > 0)
-          .select(Seq(col("doc_id"), col("hashes"), col("n_sh")) ++ sigs: _*)
+        // Memoized: the 8 interpreted signature transforms are consumed
+        // three times below (candidate explode + both attach sides).
+        val d = Registry.memo(s, dir, "tdp_minhash_est_base")(
+          docHashes(s, dir).filter(col("n_sh") > 0)
+            .select(Seq(col("doc_id"), col("hashes"), col("n_sh")) ++ sigs: _*))
         val ex = d.select(col("doc_id"),
           explode(array((0 until 8).map(j =>
             struct(lit(j).as("j"), col(s"mh$j").as("mh"))): _*)).as("e"))
           .select(col("doc_id"), col("e.j").as("j"), col("e.mh").as("mh"))
-        val cand = ex.select(col("doc_id").as("doc_a"), col("j"), col("mh"))
-          .join(ex.select(col("doc_id").as("doc_b"), col("j"), col("mh")),
+        // Same hot-bucket guard as tdp_minhash_lsh_pairs: N identical docs
+        // share every permutation minimum, so an uncapped (j, mh) bucket
+        // would emit 8*N^2/2 join rows in single tasks.
+        val capped = ex
+          .withColumn("bucket_n",
+            count(lit(1)).over(Window.partitionBy("j", "mh")))
+          .filter(col("bucket_n") <= LshBucketCap)
+          .select("doc_id", "j", "mh")
+        val cand = capped.select(col("doc_id").as("doc_a"), col("j"), col("mh"))
+          .join(capped.select(col("doc_id").as("doc_b"), col("j"), col("mh")),
             Seq("j", "mh"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
@@ -317,7 +363,9 @@ object TdpQueries {
            |sl AS (SELECT *, [mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7] AS sig FROM s),
            |ex AS (
            |  SELECT doc_id, r.range AS j, sig[r.range] AS mh
-           |  FROM sl, range(1, 9) r),
+           |  FROM sl, range(1, 9) r
+           |  QUALIFY count(*) OVER (PARTITION BY r.range, sig[r.range])
+           |    <= $LshBucketCap),
            |pairs AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM ex a JOIN ex b
@@ -675,18 +723,11 @@ object TdpQueries {
     QueryDef(
       "tdp_corpus_pipeline",
       (s, dir) => {
-        val t = col("text")
-        val nChars = length(t).cast(DoubleType)
-        val nSpaces = (length(t) - length(replace(t, lit(" "), lit("")))).cast(DoubleType)
-        val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast(DoubleType)
-        val nThe = ((length(t) - length(replace(t, lit(" the "), lit("")))) / lit(5))
-          .cast(DoubleType)
-        val quality = (nAlpha / nChars) * 0.6 +
-          (lit(1.0) - nSpaces / nChars) * 0.3 + (nThe * lit(5.0) / nChars) * 0.1
         val scored = table(s, dir, "documents")
-          .withColumn("quality", quality)
+          .filter(length(col("text")) > 0)
+          .withColumn("quality", qualityScore)
           .filter(col("quality") >= 0.74)
-        val w = Window.partitionBy(md5(t.cast(BinaryType)))
+        val w = Window.partitionBy(md5(col("text").cast(BinaryType)))
           .orderBy("doc_id")
         scored
           .withColumn("_rn", row_number().over(w))
@@ -700,21 +741,10 @@ object TdpQueries {
             max("quality").as("max_quality"))
       },
       Some(s"""WITH scored AS (
-              |  SELECT doc_id, lang, text,
-              |    (alpha / n) * 0.6 + (1.0 - ws / n) * 0.3 + (sw * 5.0 / n) * 0.1
-              |      AS quality
+              |  SELECT doc_id, lang, text, $qualitySql AS quality
               |  FROM (
-              |    SELECT doc_id, lang, text,
-              |      CAST(length(text) AS DOUBLE) AS n,
-              |      CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
-              |        AS ws,
-              |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-              |        AS DOUBLE) AS alpha,
-              |      CAST(CAST((length(text) - length(replace(text, ' the ', ''))) / 5
-              |        AS BIGINT) AS DOUBLE) AS sw
-              |    FROM documents)
-              |  WHERE (alpha / n) * 0.6 + (1.0 - ws / n) * 0.3 + (sw * 5.0 / n) * 0.1
-              |    >= 0.74),
+              |  $qualityPartsSql)
+              |  WHERE $qualitySql >= 0.74),
               |deduped AS (
               |  SELECT * FROM scored
               |  QUALIFY row_number() OVER (PARTITION BY md5(text)
@@ -835,39 +865,25 @@ object TdpQueries {
              |FROM scored""".stripMargin)),
 
     // Quality scoring: length/whitespace/alpha/stopword ratios + a fixed
-    // linear composite (identical operation order on both sides).
+    // linear composite (shared bit-exact building blocks, see qualityScore).
     QueryDef(
       "tdp_quality_score",
-      (s, dir) => {
-        val t = col("text")
-        val nChars = length(t).cast(DoubleType)
-        val nSpaces = (length(t) - length(replace(t, lit(" "), lit("")))).cast(DoubleType)
-        val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast(DoubleType)
-        val nThe = ((length(t) - length(replace(t, lit(" the "), lit("")))) / lit(5))
-          .cast(DoubleType)
-        table(s, dir, "documents").select(
-          col("doc_id"), col("n_chars"),
-          (nSpaces / nChars).as("ws_ratio"),
-          (nAlpha / nChars).as("alpha_ratio"),
-          (nThe * lit(5.0) / nChars).as("stop_ratio"),
-          ((nAlpha / nChars) * 0.6 + (lit(1.0) - nSpaces / nChars) * 0.3
-            + (nThe * lit(5.0) / nChars) * 0.1).as("quality_score"))
-      },
-      Some("""SELECT doc_id, n_chars,
-             |  ws / n AS ws_ratio,
-             |  alpha / n AS alpha_ratio,
-             |  sw * 5.0 / n AS stop_ratio,
-             |  (alpha / n) * 0.6 + (1.0 - ws / n) * 0.3 + (sw * 5.0 / n) * 0.1
-             |    AS quality_score
-             |FROM (
-             |  SELECT doc_id, n_chars,
-             |    CAST(length(text) AS DOUBLE) AS n,
-             |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS ws,
-             |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-             |      AS alpha,
-             |    CAST(CAST((length(text) - length(replace(text, ' the ', ''))) / 5
-             |      AS BIGINT) AS DOUBLE) AS sw
-             |  FROM documents)""".stripMargin)),
+      (s, dir) =>
+        table(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(
+            col("doc_id"), col("n_chars"),
+            (qNSpaces / qNChars).as("ws_ratio"),
+            (qNAlpha / qNChars).as("alpha_ratio"),
+            (qNThe * lit(5.0) / qNChars).as("stop_ratio"),
+            qualityScore.as("quality_score")),
+      Some(s"""SELECT doc_id, n_chars,
+              |  ws / n AS ws_ratio,
+              |  alpha / n AS alpha_ratio,
+              |  sw * 5.0 / n AS stop_ratio,
+              |  $qualitySql AS quality_score
+              |FROM (
+              |  $qualityPartsSql)""".stripMargin)),
 
     // Token counting: whitespace tokens + BPE-ish alnum-run tokens.
     QueryDef(

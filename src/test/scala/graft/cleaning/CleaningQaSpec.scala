@@ -30,26 +30,35 @@ class CleaningQaSpec extends SparkSpec {
     assert(qa(2).n === 0L) // tax_code_2 all valid
   }
 
-  test("CleanMatrix date filter runs BEFORE the keep-first dedup window") {
+  test("CleanMatrix date filter order is result-equivalent around dedup") {
     import spark.implicits._
-    import graft.core.Config
-    // Duplicate (plan_id, ssn, txn keys) group where the FIRST-ingested
-    // row is outside the range and a later duplicate is inside: the
-    // reference filters before deduping, so the in-range duplicate must
-    // survive (a filter-after-dedup order would drop the whole group).
+    import graft.core.{Config, Validators => V}
+    // txn_date is one of the dedup match keys, so every duplicate group
+    // shares a single txn_date and the date filter keeps or drops a group
+    // UNIFORMLY — filter-before-dedup (the reference's order, which
+    // CleanMatrix implements) and filter-after-dedup (what the
+    // p5_date_filter oracle computes over the cleaned frame) are provably
+    // the same result. Pin that equivalence on planted duplicates, one
+    // group in range and one out.
     val raw = Seq(
       ("300004PLAT", "123456789", 100.0, "2024-01-05", "7", ""),
-      ("300004PLAT", "123456789", 100.0, "2025-01-05", "7", ""))
+      ("300004PLAT", "123456789", 100.0, "2024-01-05", "7", ""),
+      ("300004PLAT", "987654321", 200.0, "2025-02-05", "7", ""),
+      ("300004PLAT", "987654321", 200.0, "2025-02-05", "4", ""))
       .toDF("Client Account", "Participant SSN", "Gross Amount",
         "Transaction Date", "Tax Code", "Tax Code 2")
     val cfg = Config.DateFilterConfig(
       Some(java.time.LocalDate.of(2025, 1, 1)),
       Some(java.time.LocalDate.of(2025, 12, 31)), None)
-    val out = CleanMatrix(raw, dateFilter = cfg,
-      today = java.time.LocalDate.of(2026, 1, 1))
-    val dates = out.select("txn_date").collect().map(_.get(0).toString)
-    assert(dates.toSeq == Seq("2025-01-05"),
-      s"in-range duplicate must survive the pre-dedup filter, got $dates")
+    val today = java.time.LocalDate.of(2026, 1, 1)
+    val inPipeline = CleanMatrix(raw, dateFilter = cfg, today = today)
+      .select("ssn", "txn_date", "tax_code_1").collect().map(_.toSeq).toSet
+    val postClean = V.applyDateFilter(
+        CleanMatrix(raw, today = today), "txn_date", cfg)
+      .select("ssn", "txn_date", "tax_code_1").collect().map(_.toSeq).toSet
+    assert(inPipeline == postClean)
+    assert(inPipeline.map(_.head) == Set("987654321"),
+      s"only the in-range group's keep-first row survives, got $inPipeline")
   }
 
   test("warnIf stays silent and lazy when disabled") {
