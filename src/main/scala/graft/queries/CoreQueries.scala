@@ -576,5 +576,35 @@ object CoreQueries {
              |SELECT user_id, session_id, count(*) AS n_events,
              |  min(sec) AS start_sec, max(sec) AS end_sec
              |FROM sess GROUP BY 1, 2""".stripMargin)),
+
+    // Correlated aggregate subquery: orders strictly above their
+    // customer's average order value. Spark has no correlated-scalar
+    // runtime — the idiomatic plan is a shuffle groupBy on the
+    // correlation key joined back to the fact (Catalyst performs the
+    // same de-correlation for SQL-written subqueries). The comparison is
+    // division-free (price * n > sum) in exact DECIMAL arithmetic so
+    // both engines agree bitwise; output is key columns only, keeping
+    // the hashed schema integer-typed.
+    QueryDef(
+      "q30_correlated_agg",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+        val avgs = o.groupBy("o_custkey")
+          .agg(sum("p").as("s"), count(lit(1)).as("n"))
+        o.join(avgs, "o_custkey")
+          .filter(col("p") * col("n") > col("s"))
+          .select("o_orderkey", "o_custkey")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+             |  FROM orders)
+             |SELECT o_orderkey, o_custkey FROM o a
+             |WHERE a.p * (SELECT count(*) FROM o b
+             |              WHERE b.o_custkey = a.o_custkey)
+             |    > (SELECT sum(p) FROM o c
+             |        WHERE c.o_custkey = a.o_custkey)""".stripMargin)),
   )
 }

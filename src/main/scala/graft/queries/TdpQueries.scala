@@ -175,6 +175,86 @@ object TdpQueries {
     (qNAlpha / qNChars) * 0.6 + (lit(1.0) - qNSpaces / qNChars) * 0.3 +
       (qNThe * lit(5.0) / qNChars) * 0.1
 
+  /** Whitespace tokens per document (doc_id, toks), memoized for the same
+    * single-split/interpreted-HOF reasons as [[docHashes]]; shared by the
+    * TF-IDF and repetition queries, which need the raw (non-distinct)
+    * token array that docHashes prunes away.
+    */
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_doc_toks")(
+      table(s, dir, "documents")
+        .select("doc_id", "text")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), expr(toksExpr).as("toks")))
+
+  /** MinHash-LSH candidate pairs (doc_a < doc_b), memoized: consumed by
+    * the pair query itself AND as the edge set of the duplicate-cluster
+    * connected-components query.
+    */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_lsh_pairs") {
+      val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+        expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
+      }
+      val sigDf = Registry.memo(s, dir, "tdp_minhash_sigs")(
+        docHashes(s, dir)
+          .filter(col("n_sh") > 0)
+          .select(col("doc_id") +: sigs: _*))
+      // One explode instead of a 4-way union: the signature computation
+      // (the expensive part) runs once, the band fan-out is a generator.
+      val bandStructs = (0 until 4).map { band =>
+        struct(lit(band).as("band"),
+          concat_ws(":", col(s"mh${2 * band}"), col(s"mh${2 * band + 1}")).as("sig"))
+      }
+      val bands = sigDf
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      // Hot-bucket cap: dedup corpora are dup-heavy by construction, so a
+      // single (band, sig) bucket holding N identical docs would emit
+      // N^2/2 pairs inside one task. Buckets larger than LshBucketCap are
+      // dropped before the self-join (their members are still paired via
+      // any smaller band bucket they share), bounding per-bucket work to
+      // cap^2/2 — the adversarial-input guard for the 100 TB path.
+      val sized = bands
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy("band", "sig")))
+        .filter(col("bucket_n") <= LshBucketCap)
+        .select("doc_id", "band", "sig")
+      val a = sized.as("a")
+      val b = sized.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+        && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }
+
+  /** DuckDB CTE chain ending in `pairs(doc_a, doc_b)` — the SQL twin of
+    * [[lshPairs]], shared by the pair query's oracle and the
+    * connected-components oracle.
+    */
+  private val lshPairsSqlCtes: String = {
+    val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(hashes, h -> (h * $a + $b) % $P)) AS mh$j"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 4).map { band =>
+      s"SELECT doc_id, $band AS band, CAST(mh${2 * band} AS VARCHAR) || ':' || " +
+        s"CAST(mh${2 * band + 1} AS VARCHAR) AS sig FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""$docsShinglesSql,
+       |sigs AS (
+       |  SELECT doc_id, $sigs
+       |  FROM doc_sh WHERE len(shingles) > 0),
+       |bands AS (
+       |  $bandSelects),
+       |sized AS (
+       |  SELECT doc_id, band, sig FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band, sig) <= $LshBucketCap),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sized a JOIN sized b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** DuckDB twin of the quality parts: one subquery carrying every column
     * either quality consumer needs.
     */
@@ -239,62 +319,74 @@ object TdpQueries {
     // never the document, so this scales to arbitrary corpus sizes.
     QueryDef(
       "tdp_minhash_lsh_pairs",
-      (s, dir) => {
-        val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
-          expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
+      (s, dir) => lshPairs(s, dir),
+      Some(s"""WITH $lshPairsSqlCtes
+              |SELECT doc_a, doc_b FROM pairs""".stripMargin)),
+
+    // Duplicate CLUSTERS: connected components over the MinHash-LSH
+    // candidate-pair graph — the step that turns pairwise near-dup hits
+    // into dedup decisions (one kept representative per cluster). The
+    // implementation is Pregel-style min-label propagation: every doc
+    // starts labeled with its own id, and each round every doc takes the
+    // minimum label among itself and its neighbors, until a fixpoint.
+    // Each round is one shuffle keyed by vertex id — the standard
+    // MapReduce-CC shape (cf. Kiveris et al., "Connected Components in
+    // MapReduce and Beyond", SoCC'14); rounds = graph diameter, which for
+    // near-dup graphs is small (dup clusters are dense). At 100 TB the
+    // same loop runs with the large-star/small-star optimization to
+    // collapse long chains in O(log n) rounds; `localCheckpoint` becomes
+    // a reliable checkpoint to cut lineage across iterations.
+    QueryDef(
+      "tdp_dup_clusters",
+      (s, dir) => Registry.memo(s, dir, "tdp_dup_clusters") {
+        val pairs = lshPairs(s, dir)
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .persist()
+        var labels = table(s, dir, "documents")
+          .select(col("doc_id"), col("doc_id").as("lab"))
+          .localCheckpoint()
+        var converged = false
+        while (!converged) {
+          val prop = edges
+            .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
+            .groupBy(col("dst").as("doc_id"))
+            .agg(min("lab").as("nlab"))
+          val next = labels.join(prop, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+            .localCheckpoint()
+          // Fixpoint test: any label still shrinking? (limit(1) stops the
+          // scan at the first changed row.)
+          val changed = next
+            .join(labels.withColumnRenamed("lab", "old"), "doc_id")
+            .filter(col("lab") < col("old"))
+            .limit(1).count()
+          labels = next
+          converged = changed == 0L
         }
-        val sigDf = Registry.memo(s, dir, "tdp_minhash_sigs")(
-          docHashes(s, dir)
-            .filter(col("n_sh") > 0)
-            .select(col("doc_id") +: sigs: _*))
-        // One explode instead of a 4-way union: the signature computation
-        // (the expensive part) runs once, the band fan-out is a generator.
-        val bandStructs = (0 until 4).map { band =>
-          struct(lit(band).as("band"),
-            concat_ws(":", col(s"mh${2 * band}"), col(s"mh${2 * band + 1}")).as("sig"))
-        }
-        val bands = sigDf
-          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-        // Hot-bucket cap: dedup corpora are dup-heavy by construction, so a
-        // single (band, sig) bucket holding N identical docs would emit
-        // N^2/2 pairs inside one task. Buckets larger than LshBucketCap are
-        // dropped before the self-join (their members are still paired via
-        // any smaller band bucket they share), bounding per-bucket work to
-        // cap^2/2 — the adversarial-input guard for the 100 TB path.
-        val sized = bands
-          .withColumn("bucket_n",
-            count(lit(1)).over(Window.partitionBy("band", "sig")))
-          .filter(col("bucket_n") <= LshBucketCap)
-          .select("doc_id", "band", "sig")
-        val a = sized.as("a")
-        val b = sized.as("b")
-        a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-          && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+        labels
+          .withColumn("cluster_n",
+            count(lit(1)).over(Window.partitionBy("lab")))
+          .select(col("doc_id"), col("lab").as("cluster_id"),
+            col("cluster_n"), (col("doc_id") === col("lab")).as("is_kept"))
       },
-      Some {
-        val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
-          s"list_min(list_transform(hashes, h -> (h * $a + $b) % $P)) AS mh$j"
-        }.mkString(",\n  ")
-        val bandSelects = (0 until 4).map { band =>
-          s"SELECT doc_id, $band AS band, CAST(mh${2 * band} AS VARCHAR) || ':' || " +
-            s"CAST(mh${2 * band + 1} AS VARCHAR) AS sig FROM sigs"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH $docsShinglesSql,
-           |sigs AS (
-           |  SELECT doc_id, $sigs
-           |  FROM doc_sh WHERE len(shingles) > 0),
-           |bands AS (
-           |  $bandSelects),
-           |sized AS (
-           |  SELECT doc_id, band, sig FROM bands
-           |  QUALIFY count(*) OVER (PARTITION BY band, sig) <= $LshBucketCap)
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM sized a JOIN sized b
-           |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
-      }),
+      Some(s"""WITH RECURSIVE $lshPairsSqlCtes,
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |reach AS (
+              |  SELECT doc_id AS doc, doc_id AS lab FROM documents
+              |  UNION
+              |  SELECT e.dst AS doc, r.lab
+              |  FROM reach r JOIN edges e ON e.src = r.doc),
+              |cc AS (
+              |  SELECT doc AS doc_id, min(lab) AS cluster_id
+              |  FROM reach GROUP BY 1)
+              |SELECT doc_id, cluster_id,
+              |  count(*) OVER (PARTITION BY cluster_id) AS cluster_n,
+              |  doc_id = cluster_id AS is_kept
+              |FROM cc""".stripMargin)),
 
     // MinHash as a Jaccard ESTIMATOR: for every pair agreeing on at least
     // one of the 8 permutation minima (a bucketed signature self-join, no
@@ -901,5 +993,144 @@ object TdpQueries {
               |    AS INTEGER) AS n_alnum_tokens,
               |  CAST(length(text) AS INTEGER) AS len_chars
               |FROM documents""".stripMargin)),
+
+    // TF-IDF top terms per document. The idf factor is the INTEGER
+    // surrogate (N - df) — tf * (N - df) ranks identically to tf·idf for
+    // a fixed corpus ordering tie-broken by term, while staying in exact
+    // 64-bit arithmetic that both engines hash identically (a float
+    // log(N/df) would be libm-dependent). Shape is the inverted-index
+    // classic: explode -> (doc, term) tf -> term df -> join -> per-doc
+    // top-k window; every stage is keyed by term or doc, so it scales
+    // like any shuffle aggregation. The corpus size joins in as a
+    // broadcast 1-row frame, not a driver-side collect.
+    QueryDef(
+      "tdp_tfidf_topterms",
+      (s, dir) => {
+        val tf = docToks(s, dir)
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val total = table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("tok"))
+        tf.join(dfreq, "tok").crossJoin(broadcast(total))
+          .withColumn("score", col("tf") * (col("n_docs") - col("df")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "tok", "tf", "df", "score", "rank")
+      },
+      Some(s"""WITH tf AS (
+              |  SELECT doc_id, tok, count(*) AS tf
+              |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+              |  GROUP BY 1, 2),
+              |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT count(*) AS n_docs FROM documents)
+              |SELECT doc_id, tok, tf, df, score, rank FROM (
+              |  SELECT t.doc_id, t.tok, t.tf, d.df,
+              |    t.tf * (n.n_docs - d.df) AS score,
+              |    row_number() OVER (PARTITION BY t.doc_id
+              |      ORDER BY t.tf * (n.n_docs - d.df) DESC, t.tok) AS rank
+              |  FROM tf t JOIN dfq d USING (tok) CROSS JOIN n)
+              |WHERE rank <= 3""".stripMargin)),
+
+    // Repetition / boilerplate scoring: the fraction of repeated tokens
+    // and repeated 3-gram shingles per document — the standard "is this
+    // document templated/spammy" quality signal (cf. Gopher/C4 repetition
+    // filters). Pure per-row arithmetic over the shared token/shingle
+    // frames; no shuffle beyond the memoized base frames' own.
+    QueryDef(
+      "tdp_repetition",
+      (s, dir) =>
+        docToks(s, dir)
+          .select(col("doc_id"), size(col("toks")).as("n_toks"),
+            size(array_distinct(col("toks"))).as("n_distinct_toks"))
+          .filter(col("n_toks") >= 3)
+          .join(docHashes(s, dir).select(col("doc_id"), col("n_sh")), "doc_id")
+          .select(col("doc_id"), col("n_toks"), col("n_distinct_toks"),
+            (lit(1.0) - col("n_distinct_toks").cast(DoubleType)
+              / col("n_toks").cast(DoubleType)).as("token_rep_ratio"),
+            (lit(1.0) - col("n_sh").cast(DoubleType)
+              / (col("n_toks") - 2).cast(DoubleType)).as("shingle_rep_ratio")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |base AS (
+              |  SELECT doc_id,
+              |    CAST(len(toks) AS INTEGER) AS n_toks,
+              |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_toks,
+              |    len($shinglesSql) AS n_sh
+              |  FROM t)
+              |SELECT doc_id, n_toks, n_distinct_toks,
+              |  1.0 - CAST(n_distinct_toks AS DOUBLE) / CAST(n_toks AS DOUBLE)
+              |    AS token_rep_ratio,
+              |  1.0 - CAST(n_sh AS DOUBLE) / CAST(n_toks - 2 AS DOUBLE)
+              |    AS shingle_rep_ratio
+              |FROM base WHERE n_toks >= 3""".stripMargin)),
+
+    // PII scan + redaction audit: regex detectors for long digit runs
+    // (SSN/account-number-shaped) and email-shaped tokens, plus the md5
+    // of the digit-redacted text so a downstream release step can verify
+    // redaction without shipping the raw value. Runs over the customer
+    // names (the one testdata column carrying real digit runs); the same
+    // detector column-functions apply to any text column (documents.text
+    // in a corpus release sweep). Per-row regex, fully codegen'd, no
+    // shuffle — the 100 TB cost is exactly one scan.
+    QueryDef(
+      "tdp_pii_scan",
+      (s, dir) =>
+        table(s, dir, "customer").select(
+          col("c_custkey"),
+          expr("size(regexp_extract_all(c_name, '[0-9]{9,}', 0))")
+            .as("n_id_like"),
+          expr("size(regexp_extract_all(c_name, " +
+            "'[A-Za-z0-9._]+@[A-Za-z0-9.]+', 0))").as("n_email_like"),
+          md5(regexp_replace(col("c_name"), "[0-9]", "#").cast(BinaryType))
+            .as("redacted_md5")),
+      Some("""SELECT c_custkey,
+             |  CAST(len(regexp_extract_all(c_name, '[0-9]{9,}')) AS INTEGER)
+             |    AS n_id_like,
+             |  CAST(len(regexp_extract_all(c_name,
+             |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INTEGER) AS n_email_like,
+             |  md5(regexp_replace(c_name, '[0-9]', '#', 'g')) AS redacted_md5
+             |FROM customer""".stripMargin)),
+
+    // Quality-tertile bucketing (CCNet-style head/middle/tail): rank all
+    // docs by the shared quality score, split into thirds, report each
+    // bucket's size and quality range. The exact global row_number makes
+    // the oracle bit-checkable; at 100 TB the cutoffs would come from an
+    // approx-quantile sketch (two scans, no global sort) with the same
+    // downstream bucket logic.
+    QueryDef(
+      "tdp_quality_buckets",
+      (s, dir) => {
+        val scored = table(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .withColumn("quality", qualityScore)
+        val total = scored.agg(count(lit(1)).as("n"))
+        val wAll = Window.orderBy(desc("quality"), col("doc_id"))
+        scored.crossJoin(broadcast(total))
+          .withColumn("rn", row_number().over(wAll))
+          .withColumn("bucket",
+            when(col("rn") * 3 <= col("n"), "head")
+              .when(col("rn") * 3 <= col("n") * 2, "middle")
+              .otherwise("tail"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("quality").as("min_quality"),
+            max("quality").as("max_quality"))
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, $qualitySql AS quality FROM (
+              |  $qualityPartsSql)),
+              |ranked AS (
+              |  SELECT doc_id, quality,
+              |    row_number() OVER (ORDER BY quality DESC, doc_id) AS rn,
+              |    (SELECT count(*) FROM scored) AS n
+              |  FROM scored)
+              |SELECT
+              |  CASE WHEN rn * 3 <= n THEN 'head'
+              |       WHEN rn * 3 <= n * 2 THEN 'middle'
+              |       ELSE 'tail' END AS bucket,
+              |  count(*) AS n_docs, min(quality) AS min_quality,
+              |  max(quality) AS max_quality
+              |FROM ranked GROUP BY 1""".stripMargin)),
   )
 }

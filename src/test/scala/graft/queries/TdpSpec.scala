@@ -101,4 +101,94 @@ class TdpSpec extends SparkSpec {
     assert(sigs.exists(s => (s >>> 32) != 0L && s > 0L),
       "bits 32..62 never set")
   }
+
+  test("dup clusters: planted clone groups collapse to min-id components") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_cc").toString
+    // Two clone groups (LSH pairs them via identical signatures in every
+    // band) plus a singleton: components {0,1,2}, {10,11}, {20}.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten eleven"
+    val c = "lonely document with entirely distinct trigram content here"
+    val docs = Seq((0L, a), (1L, a), (2L, a), (10L, b), (11L, b), (20L, c))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_dup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(rows === Set(
+      (0L, 0L, 3L, true), (1L, 0L, 3L, false), (2L, 0L, 3L, false),
+      (10L, 10L, 2L, true), (11L, 10L, 2L, false),
+      (20L, 20L, 1L, true)))
+  }
+
+  test("pii scan counts digit runs and emails, redaction is digit-free") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_pii").toString
+    Seq((1L, "Customer#000000001"), (2L, "write me at bob.smith@example.com"),
+      (3L, "no sensitive content"))
+      .toDF("c_custkey", "c_name").write.parquet(s"$dir/customer.parquet")
+    val rows = Registry.queries("tdp_pii_scan")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(rows === Set((1L, 1, 0), (2L, 0, 1), (3L, 0, 0)))
+    // Redaction invariant: the md5 of the digit-masked text equals a
+    // direct recomputation (no digits survive the mask).
+    val direct = Registry.table(spark, dir, "customer")
+      .select(md5(regexp_replace(col("c_name"), "[0-9]", "#")
+        .cast(org.apache.spark.sql.types.BinaryType)).as("m"))
+      .collect().map(_.getString(0)).toSet
+    val fromQuery = Registry.queries("tdp_pii_scan")(spark, dir)
+      .select("redacted_md5").collect().map(_.getString(0)).toSet
+    assert(fromQuery === direct)
+  }
+
+  test("repetition ratios: a fully-repeated doc scores high, a distinct one zero") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_rep").toString
+    Seq((1L, "spam spam spam spam spam spam"),
+      (2L, "six completely distinct tokens right here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // doc 1: 6 tokens, 1 distinct; 4 shingle slots, 1 distinct shingle.
+    assert(rows(1L) === ((6, 1, 1.0 - 1.0 / 6.0, 1.0 - 1.0 / 4.0)))
+    // doc 2: all distinct -> both ratios exactly 0.
+    assert(rows(2L)._3 === 0.0 && rows(2L)._4 === 0.0)
+  }
+
+  test("tfidf top terms rank rare-but-frequent terms first") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_tfidf").toString
+    // "rare" appears 3x in doc 1 only (df=1); "common" is everywhere
+    // (df=3 = N, so score 0). Top term of doc 1 must be "rare".
+    Seq((1L, "rare rare rare common filler"),
+      (2L, "common other words here"),
+      (3L, "common more words again"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val top1 = Registry.queries("tdp_tfidf_topterms")(spark, dir)
+      .filter(col("doc_id") === 1L && col("rank") === 1)
+      .collect().map(r => (r.getString(1), r.getLong(4))).head
+    assert(top1 === (("rare", 3L * (3L - 1L))))
+    // N == df terms carry zero weight.
+    val commonScores = Registry.queries("tdp_tfidf_topterms")(spark, dir)
+      .filter(col("tok") === "common").select("score")
+      .collect().map(_.getLong(0)).toSet
+    assert(commonScores.subsetOf(Set(0L)))
+  }
+
+  test("quality buckets split the corpus into exact tertiles") {
+    val rows = Registry.queries("tdp_quality_buckets")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set("head", "middle", "tail"))
+    val n = rows.values.sum
+    // row_number tertiles: sizes differ by at most 1.
+    assert(rows.values.forall(v => (v - n / 3).abs <= 1))
+    // Quality ordering across buckets: (min, max) ranges must not
+    // interleave — head's floor >= middle's ceiling >= ... (ties equal).
+    val full = Registry.queries("tdp_quality_buckets")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(full("head")._1 >= full("middle")._2)
+    assert(full("middle")._1 >= full("tail")._2)
+  }
 }
