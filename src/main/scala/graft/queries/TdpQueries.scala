@@ -255,6 +255,25 @@ object TdpQueries {
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Quality-scored documents, memoized: the ratio projections are
+    * regex-heavy and the documents parquet is a single input split at
+    * test scale, so the three quality consumers (score, tertile buckets,
+    * corpus pipeline) would otherwise each pay the full one-core scan.
+    * Same bit-exact expressions as before — only the evaluation count
+    * changes.
+    */
+  private def qualityScored(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_quality_scored")(
+      table(s, dir, "documents")
+        .select("doc_id", "lang", "text", "n_chars")
+        .filter(length(col("text")) > 0)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+          (qNSpaces / qNChars).as("ws_ratio"),
+          (qNAlpha / qNChars).as("alpha_ratio"),
+          (qNThe * lit(5.0) / qNChars).as("stop_ratio"),
+          qualityScore.as("quality")))
+
   /** DuckDB twin of the quality parts: one subquery carrying every column
     * either quality consumer needs.
     */
@@ -343,8 +362,12 @@ object TdpQueries {
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .persist()
-        var labels = table(s, dir, "documents")
-          .select(col("doc_id"), col("doc_id").as("lab"))
+        // Iterate ONLY over vertices that touch an edge: on a real corpus
+        // the near-dup graph is a vanishing fraction of the documents, so
+        // the per-round shuffles are sized by the duplicate graph, not the
+        // corpus. Singletons rejoin as their own cluster in one pass below.
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("lab", col("doc_id"))
           .localCheckpoint()
         var converged = false
         while (!converged) {
@@ -365,7 +388,10 @@ object TdpQueries {
           labels = next
           converged = changed == 0L
         }
-        labels
+        table(s, dir, "documents").select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lab"), col("doc_id")).as("lab"))
           .withColumn("cluster_n",
             count(lit(1)).over(Window.partitionBy("lab")))
           .select(col("doc_id"), col("lab").as("cluster_id"),
@@ -815,10 +841,7 @@ object TdpQueries {
     QueryDef(
       "tdp_corpus_pipeline",
       (s, dir) => {
-        val scored = table(s, dir, "documents")
-          .filter(length(col("text")) > 0)
-          .withColumn("quality", qualityScore)
-          .filter(col("quality") >= 0.74)
+        val scored = qualityScored(s, dir).filter(col("quality") >= 0.74)
         val w = Window.partitionBy(md5(col("text").cast(BinaryType)))
           .orderBy("doc_id")
         scored
@@ -961,14 +984,10 @@ object TdpQueries {
     QueryDef(
       "tdp_quality_score",
       (s, dir) =>
-        table(s, dir, "documents")
-          .filter(length(col("text")) > 0)
-          .select(
-            col("doc_id"), col("n_chars"),
-            (qNSpaces / qNChars).as("ws_ratio"),
-            (qNAlpha / qNChars).as("alpha_ratio"),
-            (qNThe * lit(5.0) / qNChars).as("stop_ratio"),
-            qualityScore.as("quality_score")),
+        qualityScored(s, dir).select(
+          col("doc_id"), col("n_chars"), col("ws_ratio"),
+          col("alpha_ratio"), col("stop_ratio"),
+          col("quality").as("quality_score")),
       Some(s"""SELECT doc_id, n_chars,
               |  ws / n AS ws_ratio,
               |  alpha / n AS alpha_ratio,
@@ -1101,9 +1120,7 @@ object TdpQueries {
     QueryDef(
       "tdp_quality_buckets",
       (s, dir) => {
-        val scored = table(s, dir, "documents")
-          .filter(length(col("text")) > 0)
-          .withColumn("quality", qualityScore)
+        val scored = qualityScored(s, dir)
         val total = scored.agg(count(lit(1)).as("n"))
         val wAll = Window.orderBy(desc("quality"), col("doc_id"))
         scored.crossJoin(broadcast(total))
