@@ -914,6 +914,75 @@ object TdpQueries {
               |    AS est_distinct
               |FROM agg""".stripMargin)),
 
+    // Sketch-based corpus overlap: estimate the Jaccard similarity of two
+    // corpus slices (even vs odd doc ids) from their KMV bottom-k sketches
+    // alone — k smallest of the union, counted against membership in both
+    // sketches (Beyer et al., SIGMOD'07) — reported next to the exact
+    // Jaccard over the full shingle-hash sets. This is the sketch-algebra
+    // path for corpus-level dedup planning at 100 TB: per-slice sketches
+    // are O(k), mergeable (map-side partials through the shuffle via
+    // graft_bottomk), and slice-vs-slice overlap needs only the sketches
+    // to meet — never the hash sets.
+    QueryDef(
+      "tdp_sketch_overlap",
+      (s, dir) => {
+        val K = 128
+        val ex = docHashes(s, dir)
+          .select((col("doc_id") % 2).as("side"), explode(col("hashes")).as("h"))
+          .distinct()
+        val sk = ex.groupBy("side").agg(expr(s"graft_bottomk(h, $K)").as("sk"))
+        val a = sk.filter(col("side") === 0).select(col("sk").as("sk_a"))
+        val b = sk.filter(col("side") === 1).select(col("sk").as("sk_b"))
+        val exact = ex.groupBy("h").agg(
+          max(when(col("side") === 0, 1).otherwise(0)).as("in_a"),
+          max(when(col("side") === 1, 1).otherwise(0)).as("in_b"))
+          .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+            .otherwise(0L)).as("n_inter"),
+            count(lit(1)).as("n_union"))
+        a.crossJoin(b).crossJoin(exact)
+          .withColumn("sk_u",
+            expr(s"slice(array_sort(array_union(sk_a, sk_b)), 1, $K)"))
+          .withColumn("k_eff", least(lit(K), size(col("sk_u"))))
+          .withColumn("matched",
+            size(array_intersect(col("sk_u"),
+              array_intersect(col("sk_a"), col("sk_b")))))
+          .select(col("k_eff"), col("matched"),
+            (col("matched").cast(DoubleType) / col("k_eff").cast(DoubleType))
+              .as("est_jaccard"),
+            (col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
+              .as("exact_jaccard"))
+      },
+      Some(s"""WITH $docsShinglesSql,
+              |ex AS (
+              |  SELECT DISTINCT side, h FROM (
+              |    SELECT doc_id % 2 AS side, unnest(hashes) AS h FROM doc_sh)),
+              |sk AS (
+              |  SELECT side, list_slice(list_sort(list(DISTINCT h)), 1, 128) AS sk
+              |  FROM ex GROUP BY 1),
+              |ab AS (SELECT
+              |  (SELECT sk FROM sk WHERE side = 0) AS sk_a,
+              |  (SELECT sk FROM sk WHERE side = 1) AS sk_b),
+              |abu AS (
+              |  SELECT *, list_slice(list_sort(list_distinct(
+              |    list_concat(sk_a, sk_b))), 1, 128) AS sk_u FROM ab),
+              |exact AS (
+              |  SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_inter,
+              |    count(*) AS n_union
+              |  FROM (SELECT h,
+              |      max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+              |      max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+              |    FROM ex GROUP BY 1))
+              |SELECT
+              |  CAST(least(128, len(sk_u)) AS INTEGER) AS k_eff,
+              |  CAST(len(list_intersect(sk_u, list_intersect(sk_a, sk_b)))
+              |    AS INTEGER) AS matched,
+              |  CAST(len(list_intersect(sk_u, list_intersect(sk_a, sk_b)))
+              |      AS DOUBLE)
+              |    / CAST(least(128, len(sk_u)) AS DOUBLE) AS est_jaccard,
+              |  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS exact_jaccard
+              |FROM abu, exact""".stripMargin)),
+
     // Opaque-binary metadata: the documents payload treated as a binary
     // column (the multimodal pattern — image/audio bytes with typed
     // metadata). Byte length, full-content hash, and a 16-byte-prefix

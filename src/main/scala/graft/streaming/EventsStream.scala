@@ -88,6 +88,46 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: attribute each click to the view(s) by
+    * the same user within `horizon` BEFORE the click. Both sides carry
+    * watermarks and the join predicate bounds event time on both ends —
+    * exactly the conditions Spark needs to retire buffered join state as
+    * the watermark advances, so state is O(events inside horizon), never
+    * unbounded. Self-joining one source stream is supported; at scale the
+    * join shuffles both sides on user_id only.
+    */
+  def attributeClicks(
+      events: DataFrame,
+      horizon: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
+  /** Streaming content dedup: first occurrence of each payload hash inside
+    * the watermark horizon wins — the streaming twin of the batch
+    * tdp_exact_dedup operator (hash the content, never shuffle the body).
+    * Same bounded-state guarantee as [[dedupEvents]].
+    */
+  def dedupByContent(
+      events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("content_hash", md5(col("props").cast(BinaryType)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionState(startSec: Long, endSec: Long, n: Long)
   final case class SessionOut(

@@ -176,6 +176,15 @@ class TdpSpec extends SparkSpec {
     assert(commonScores.subsetOf(Set(0L)))
   }
 
+  test("sketch overlap estimates slice Jaccard within KMV error bounds") {
+    val r = Registry.queries("tdp_sketch_overlap")(spark, sf).collect().head
+    val (kEff, est, exact) = (r.getInt(0), r.getDouble(2), r.getDouble(3))
+    assert(kEff === 128, "union sketch should be full at this corpus size")
+    // KMV standard error ~ 1/sqrt(k) ≈ 0.088 at k=128; 3 sigma bound.
+    assert((est - exact).abs <= 3.0 / math.sqrt(128.0),
+      s"estimate $est too far from exact $exact")
+  }
+
   test("quality buckets split the corpus into exact tertiles") {
     val rows = Registry.queries("tdp_quality_buckets")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -258,4 +258,60 @@ class StreamingSpec extends SparkSpec {
         ("T2", "match_no_action", null)))
     } finally q.stop()
   }
+
+  test("attributeClicks: stream-stream interval join within the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = attributeClicks(df, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        // view v1 at 10:00 -> click c1 at 10:05 joins (5 min <= horizon);
+        // click c2 at 10:30 is 30 min after the view -> no match;
+        // user 2 clicks with no view -> no match.
+        (1L, ts("2026-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+        (2L, ts("2026-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+        (3L, ts("2026-01-01 10:30:00"), 1L, "click", 1.0, "{}"),
+        (4L, ts("2026-01-01 10:02:00"), 2L, "click", 1.0, "{}"),
+        // advance the watermark so joined results emit in append mode
+        (5L, ts("2026-01-01 13:00:00"), 9L, "error", 0.0, "{}"))
+      q.processAllAvailable()
+      mem.addData((6L, ts("2026-01-01 14:00:00"), 9L, "error", 0.0, "{}"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT user_id, click_id, view_id FROM attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupByContent keeps the first payload occurrence within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = dedupByContent(df, "2 hours")
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0, """{"p":1}"""),
+        (2L, ts("2026-01-01 10:01:00"), 2L, "click", 1.0, """{"p":1}"""))
+      q.processAllAvailable()
+      // second batch: same payload redelivered -> dropped (in-watermark)
+      mem.addData(
+        (3L, ts("2026-01-01 10:02:00"), 3L, "click", 1.0, """{"p":1}"""),
+        (4L, ts("2026-01-01 10:03:00"), 4L, "click", 1.0, """{"p":2}"""))
+      q.processAllAvailable()
+      val ids = s.sql("SELECT event_id FROM content_dedup ORDER BY 1")
+        .collect().map(_.getLong(0))
+      assert(ids.toSeq == Seq(1L, 4L))
+    } finally q.stop()
+  }
 }
