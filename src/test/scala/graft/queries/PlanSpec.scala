@@ -76,4 +76,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan2.contains("label"),
       plan2.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
   }
+
+  test("pii scan is a single pass: no exchange anywhere in the plan") {
+    val df = Registry.queries("tdp_pii_scan")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    // "*(1)" is the whole-stage-codegen marker in the compact plan string.
+    assert(plan.trim.startsWith("*("), "regex scan should codegen")
+  }
+
+  test("q30 de-correlates to a shuffle join — no nested loop, no cartesian") {
+    val df = Registry.queries("q30_correlated_agg")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("tfidf attaches the corpus size as a broadcast, never a shuffle") {
+    val df = Registry.queries("tdp_tfidf_topterms")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The 1-row corpus-count frame must come in via a broadcast join (a
+    // nested-loop against one broadcast row is the correct plan); the
+    // (doc, term) tf aggregation still shuffles on its keys.
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(3000))
+  }
 }
