@@ -28,12 +28,15 @@ object Bench {
     }
     // Millisecond precision keeps the ONE-line JSON short enough to
     // survive tail-buffer capture by the calling harness (full Double
-    // toString pushed the r02 line past the captured window).
+    // toString pushed the r02 line past the captured window). The total
+    // is summed over the SAME rounded values so value == sum(queries)
+    // holds exactly for a consumer cross-checking the line.
     def sec3(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
+    val rounded = results.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
+    val qs = rounded.map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = rounded.map(_._2).sum
     println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

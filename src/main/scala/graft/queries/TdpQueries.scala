@@ -71,12 +71,14 @@ object TdpQueries {
     * Downstream queries (fingerprint, minhash, LSH, Jaccard) each used to
     * re-evaluate it up to 6x per run.
     */
+  /** Built on [[docToks]] so the corpus is scanned, tokenized (the
+    * interpreted filter/split HOF) and shuffled exactly once for BOTH
+    * frame families; the shingle step inherits docToks' doc_id
+    * partitioning, so no second exchange.
+    */
   private def docHashes(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_doc_hashes")(
-      table(s, dir, "documents")
-        .select("doc_id", "text") // prune BEFORE the spreading shuffle
-        .repartition(col("doc_id"))
-        .withColumn("toks", expr(toksExpr))
+      docToks(s, dir)
         .withColumn("shingles", expr(shinglesExpr))
         .withColumn("hashes", expr(s"transform(shingles, sh -> ${polyHashExpr("sh")})"))
         .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("hashes")))
@@ -175,10 +177,13 @@ object TdpQueries {
     (qNAlpha / qNChars) * 0.6 + (lit(1.0) - qNSpaces / qNChars) * 0.3 +
       (qNThe * lit(5.0) / qNChars) * 0.1
 
-  /** Whitespace tokens per document (doc_id, toks), memoized for the same
-    * single-split/interpreted-HOF reasons as [[docHashes]]; shared by the
-    * TF-IDF and repetition queries, which need the raw (non-distinct)
-    * token array that docHashes prunes away.
+  /** Whitespace tokens per document (doc_id, toks) — the single
+    * tokenization pass of the corpus: pruned before the spreading
+    * repartition, memoized because the filter/split lambda evaluates
+    * interpreted and the parquet is one input split at test scale.
+    * [[docHashes]] builds on it (one scan + one shuffle for both frame
+    * families); TF-IDF and repetition consume the raw token array
+    * directly.
     */
   private def docToks(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_doc_toks")(
@@ -388,6 +393,11 @@ object TdpQueries {
           labels = next
           converged = changed == 0L
         }
+        // The final labels frame is already materialized (eager
+        // localCheckpoint), so the edge cache can be released; superseded
+        // per-round checkpoint blocks are freed by the ContextCleaner once
+        // their RDD references (the rebound `labels` vars) are collected.
+        edges.unpersist(blocking = false)
         table(s, dir, "documents").select(col("doc_id"))
           .join(labels, Seq("doc_id"), "left")
           .select(col("doc_id"),

@@ -120,11 +120,18 @@ object EventsStream {
     * the watermark horizon wins — the streaming twin of the batch
     * tdp_exact_dedup operator (hash the content, never shuffle the body).
     * Same bounded-state guarantee as [[dedupEvents]].
+    *
+    * Null payloads get a per-event key (dropDuplicates treats equal NULL
+    * keys as duplicates, which would silently swallow every null-payload
+    * event after the first — a content-less event carries no evidence of
+    * being a duplicate, so it must survive).
     */
   def dedupByContent(
       events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
-      .withColumn("content_hash", md5(col("props").cast(BinaryType)))
+      .withColumn("content_hash",
+        coalesce(md5(col("props").cast(BinaryType)),
+          concat(lit("null-payload:"), col("event_id"))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 

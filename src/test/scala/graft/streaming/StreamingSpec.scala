@@ -273,15 +273,13 @@ class StreamingSpec extends SparkSpec {
       mem.addData(
         // view v1 at 10:00 -> click c1 at 10:05 joins (5 min <= horizon);
         // click c2 at 10:30 is 30 min after the view -> no match;
-        // user 2 clicks with no view -> no match.
+        // user 2 clicks with no view -> no match. Inner stream-stream
+        // joins emit matches as soon as both sides arrive — no watermark
+        // advancement needed for emission (it only bounds buffered state).
         (1L, ts("2026-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
         (2L, ts("2026-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
         (3L, ts("2026-01-01 10:30:00"), 1L, "click", 1.0, "{}"),
-        (4L, ts("2026-01-01 10:02:00"), 2L, "click", 1.0, "{}"),
-        // advance the watermark so joined results emit in append mode
-        (5L, ts("2026-01-01 13:00:00"), 9L, "error", 0.0, "{}"))
-      q.processAllAvailable()
-      mem.addData((6L, ts("2026-01-01 14:00:00"), 9L, "error", 0.0, "{}"))
+        (4L, ts("2026-01-01 10:02:00"), 2L, "click", 1.0, "{}"))
       q.processAllAvailable()
       val rows = s.sql("SELECT user_id, click_id, view_id FROM attrib")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -304,14 +302,18 @@ class StreamingSpec extends SparkSpec {
         (1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0, """{"p":1}"""),
         (2L, ts("2026-01-01 10:01:00"), 2L, "click", 1.0, """{"p":1}"""))
       q.processAllAvailable()
-      // second batch: same payload redelivered -> dropped (in-watermark)
+      // second batch: same payload redelivered -> dropped (in-watermark);
+      // two DISTINCT null-payload events -> both survive (a content-less
+      // event carries no duplicate evidence; see dedupByContent's keying)
       mem.addData(
         (3L, ts("2026-01-01 10:02:00"), 3L, "click", 1.0, """{"p":1}"""),
-        (4L, ts("2026-01-01 10:03:00"), 4L, "click", 1.0, """{"p":2}"""))
+        (4L, ts("2026-01-01 10:03:00"), 4L, "click", 1.0, """{"p":2}"""),
+        (5L, ts("2026-01-01 10:04:00"), 5L, "click", 1.0, null),
+        (6L, ts("2026-01-01 10:05:00"), 6L, "click", 1.0, null))
       q.processAllAvailable()
       val ids = s.sql("SELECT event_id FROM content_dedup ORDER BY 1")
         .collect().map(_.getLong(0))
-      assert(ids.toSeq == Seq(1L, 4L))
+      assert(ids.toSeq == Seq(1L, 4L, 5L, 6L))
     } finally q.stop()
   }
 }
