@@ -233,6 +233,69 @@ object TdpQueries {
         .distinct()
     }
 
+  /** Exact n-gram Jaccard near-dup pairs (J >= 0.2) via prefix filtering,
+    * memoized: consumed by tdp_ngram_jaccard and as the ground truth of
+    * the tdp_lsh_recall metric query. See the tdp_ngram_jaccard QueryDef
+    * comment for the AllPairs/PPJoin construction and its losslessness.
+    */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_ngram_pairs") {
+      val d = docHashes(s, dir).filter(col("n_sh") > 0)
+      val exploded = d.select(col("doc_id"), col("n_sh"),
+        explode(col("hashes")).as("sh"))
+      val dfreq = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
+      // Prefix length n - ceil(n/5) + 1, in exact integer arithmetic.
+      val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+      val prefix = exploded.join(dfreq, "sh")
+        .withColumn("rk", row_number().over(wDoc))
+        .filter(col("rk") <= expr("n_sh - ((n_sh + 4) div 5) + 1"))
+        .select("doc_id", "sh")
+      val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      // Attach the shingle-hash arrays to the candidate pairs with plain
+      // shuffle joins on the doc ids: the doc side is the memoized
+      // in-memory frame, and at corpus scale it does NOT fit a broadcast
+      // (a broadcast is bounded by TOTAL size, not per-partition size) —
+      // the 100 TB path is this shuffle join, or a bucketed co-located
+      // join when the corpus is stored bucketed by doc_id.
+      cand
+        .join(d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
+          col("n_sh").as("na")), Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
+          col("n_sh").as("nb")), Seq("doc_b"))
+        .withColumn("inter",
+          size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType)
+            / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    }
+
+  /** DuckDB CTE chain computing the same exact pairs as
+    * [[ngramJaccardPairs]] (naive all-shared-shingles formulation — the
+    * oracle side deliberately takes the un-optimized route), ending in
+    * `jp(doc_a, doc_b, inter, jaccard)`. Expects `doc_sh` in scope.
+    */
+  private val ngramPairsSqlCtes: String =
+    """jd AS (
+      |  SELECT doc_id, hashes, len(hashes) AS n_sh FROM doc_sh
+      |  WHERE len(hashes) > 0),
+      |jex AS (
+      |  SELECT doc_id, n_sh, unnest(hashes) AS sh FROM jd),
+      |jpairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+      |  FROM jex a JOIN jex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |jp AS (
+      |  SELECT doc_a, doc_b, inter,
+      |    CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+      |  FROM jpairs
+      |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.2)""".stripMargin
+
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b)` — the SQL twin of
     * [[lshPairs]], shared by the pair query's oracle and the
     * connected-components oracle.
@@ -258,6 +321,30 @@ object TdpQueries {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sized a JOIN sized b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Per-document language-ID scoring (marker-substring counts + argmax
+    * with fixed tie-break) — the tdp_lang_id output frame, also consumed
+    * by the tdp_lang_confusion evaluation query. Pure per-row string
+    * arithmetic; cheap enough to not memoize.
+    */
+  private def langScored(s: SparkSession, dir: String): DataFrame = {
+    def score(marker: String): Column =
+      ((length(col("text")) - length(replace(col("text"), lit(marker), lit(""))))
+        / lit(marker.length)).cast(LongType)
+    val scored = table(s, dir, "documents")
+      .withColumn("s_en", score(" the "))
+      .withColumn("s_es", score(" data "))
+      .withColumn("s_de", score(" join "))
+      .withColumn("s_fr", score(" filter "))
+      .withColumn("s_zh", score(" query "))
+    val best = greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+      col("s_zh"))
+    scored.select(col("doc_id"), col("lang").as("labeled_lang"),
+      col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("s_zh"),
+      when(col("s_en") === best, "en").when(col("s_es") === best, "es")
+        .when(col("s_de") === best, "de").when(col("s_fr") === best, "fr")
+        .otherwise("zh").as("predicted_lang"))
   }
 
   /** Quality-scored documents, memoized: the ratio projections are
@@ -571,40 +658,7 @@ object TdpQueries {
     // to sum(df^2) over prefix (rare) shingles — the 100 TB scale path.
     QueryDef(
       "tdp_ngram_jaccard",
-      (s, dir) => {
-        val d = docHashes(s, dir).filter(col("n_sh") > 0)
-        val exploded = d.select(col("doc_id"), col("n_sh"),
-          explode(col("hashes")).as("sh"))
-        val dfreq = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
-        // Prefix length n - ceil(n/5) + 1, in exact integer arithmetic.
-        val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
-        val prefix = exploded.join(dfreq, "sh")
-          .withColumn("rk", row_number().over(wDoc))
-          .filter(col("rk") <= expr("n_sh - ((n_sh + 4) div 5) + 1"))
-          .select("doc_id", "sh")
-        val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
-          .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        // Attach the shingle-hash arrays to the candidate pairs with plain
-        // shuffle joins on the doc ids: the doc side is the memoized
-        // in-memory frame, and at corpus scale it does NOT fit a broadcast
-        // (a broadcast is bounded by TOTAL size, not per-partition size) —
-        // the 100 TB path is this shuffle join, or a bucketed co-located
-        // join when the corpus is stored bucketed by doc_id.
-        cand
-          .join(d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
-            col("n_sh").as("na")), Seq("doc_a"))
-          .join(d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
-            col("n_sh").as("nb")), Seq("doc_b"))
-          .withColumn("inter",
-            size(array_intersect(col("ha"), col("hb"))).cast(LongType))
-          .withColumn("jaccard",
-            col("inter").cast(DoubleType)
-              / (col("na") + col("nb") - col("inter")).cast(DoubleType))
-          .filter(col("jaccard") >= 0.2)
-          .select("doc_a", "doc_b", "inter", "jaccard")
-      },
+      (s, dir) => ngramJaccardPairs(s, dir),
       Some(s"""WITH $docsShinglesSql,
               |d AS (
               |  SELECT doc_id, hashes, len(hashes) AS n_sh FROM doc_sh
@@ -1019,24 +1073,7 @@ object TdpQueries {
     // with a fixed tie-break order.
     QueryDef(
       "tdp_lang_id",
-      (s, dir) => {
-        def score(marker: String): Column =
-          ((length(col("text")) - length(replace(col("text"), lit(marker), lit(""))))
-            / lit(marker.length)).cast(LongType)
-        val scored = table(s, dir, "documents")
-          .withColumn("s_en", score(" the "))
-          .withColumn("s_es", score(" data "))
-          .withColumn("s_de", score(" join "))
-          .withColumn("s_fr", score(" filter "))
-          .withColumn("s_zh", score(" query "))
-        val best = greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
-          col("s_zh"))
-        scored.select(col("doc_id"), col("lang").as("labeled_lang"),
-          col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("s_zh"),
-          when(col("s_en") === best, "en").when(col("s_es") === best, "es")
-            .when(col("s_de") === best, "de").when(col("s_fr") === best, "fr")
-            .otherwise("zh").as("predicted_lang"))
-      },
+      (s, dir) => langScored(s, dir),
       Some("""WITH scored AS (
              |  SELECT doc_id, lang,
              |    CAST((length(text) - length(replace(text, ' the ', ''))) / 5
@@ -1228,5 +1265,83 @@ object TdpQueries {
               |  count(*) AS n_docs, min(quality) AS min_quality,
               |  max(quality) AS max_quality
               |FROM ranked GROUP BY 1""".stripMargin)),
+
+    // Pipeline-QA metric: RECALL of the MinHash-LSH candidate generator
+    // against the exact J >= 0.2 near-dup pairs (the prefix-filtered
+    // ground truth). The production knob this measures is bands x rows —
+    // more bands raise recall and candidate volume; a dedup pipeline
+    // publishes this number alongside its corpus. All three counts are
+    // aggregates of already-memoized frames; the hit count is a semi-join
+    // keyed on the pair.
+    QueryDef(
+      "tdp_lsh_recall",
+      (s, dir) => {
+        val exact = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+        val cand = lshPairs(s, dir)
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val nHit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nExact.crossJoin(nCand).crossJoin(nHit)
+          .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+            (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+              .as("recall"))
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+              |$ngramPairsSqlCtes,
+              |ne AS (SELECT count(*) AS n_exact FROM jp),
+              |nc AS (SELECT count(*) AS n_candidates FROM pairs),
+              |nh AS (
+              |  SELECT count(*) AS n_hit
+              |  FROM jp JOIN pairs USING (doc_a, doc_b))
+              |SELECT n_exact, n_candidates, n_hit,
+              |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+              |FROM ne, nc, nh""".stripMargin)),
+
+    // Pipeline-QA metric: language-ID confusion matrix — predicted vs
+    // labeled language counts plus per-cell share of the labeled class
+    // (row-normalized). The standard classifier-drift check a corpus
+    // pipeline runs before trusting a heuristic labeler; one shuffle on
+    // the (labeled, predicted) pair.
+    QueryDef(
+      "tdp_lang_confusion",
+      (s, dir) => {
+        val w = Window.partitionBy("labeled_lang")
+        langScored(s, dir)
+          .groupBy("labeled_lang", "predicted_lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("label_share",
+            col("n_docs").cast(DoubleType)
+              / sum("n_docs").over(w).cast(DoubleType))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang AS labeled_lang,
+             |    CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+             |      AS BIGINT) AS s_en,
+             |    CAST((length(text) - length(replace(text, ' data ', ''))) / 6
+             |      AS BIGINT) AS s_es,
+             |    CAST((length(text) - length(replace(text, ' join ', ''))) / 6
+             |      AS BIGINT) AS s_de,
+             |    CAST((length(text) - length(replace(text, ' filter ', ''))) / 8
+             |      AS BIGINT) AS s_fr,
+             |    CAST((length(text) - length(replace(text, ' query ', ''))) / 7
+             |      AS BIGINT) AS s_zh
+             |  FROM documents),
+             |pred AS (
+             |  SELECT labeled_lang,
+             |    CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+             |         WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+             |         WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+             |         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+             |         ELSE 'zh' END AS predicted_lang
+             |  FROM scored),
+             |cm AS (
+             |  SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+             |  FROM pred GROUP BY 1, 2)
+             |SELECT labeled_lang, predicted_lang, n_docs,
+             |  CAST(n_docs AS DOUBLE)
+             |    / CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE)
+             |    AS label_share
+             |FROM cm""".stripMargin)),
   )
 }

@@ -185,6 +185,29 @@ class TdpSpec extends SparkSpec {
       s"estimate $est too far from exact $exact")
   }
 
+  test("lsh recall metric is consistent: hits bounded by exact and candidates") {
+    val r = Registry.queries("tdp_lsh_recall")(spark, sf).collect().head
+    val (nExact, nCand, nHit, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nExact > 0, "fixture corpus should contain exact near-dup pairs")
+    assert(nHit <= nExact && nHit <= nCand)
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(recall == nHit.toDouble / nExact.toDouble)
+  }
+
+  test("lang confusion matrix partitions the corpus; shares sum to 1 per label") {
+    val rows = Registry.queries("tdp_lang_confusion")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val total = rows.map(_._3).sum
+    val corpus = Registry.table(spark, sf, "documents").count()
+    assert(total === corpus, "confusion cells must partition the corpus")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val share = cells.map(_._4).sum
+      assert((share - 1.0).abs < 1e-9, s"label $lang shares sum to $share")
+    }
+  }
+
   test("quality buckets split the corpus into exact tertiles") {
     val rows = Registry.queries("tdp_quality_buckets")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
