@@ -606,5 +606,36 @@ object CoreQueries {
              |              WHERE b.o_custkey = a.o_custkey)
              |    > (SELECT sum(p) FROM o c
              |        WHERE c.o_custkey = a.o_custkey)""".stripMargin)),
+
+    // Sliding (hopping) windows in batch: Spark's native window(ts, 1h,
+    // 30m) — each event lands in w/s = 2 overlapping windows. The oracle
+    // reproduces the window assignment arithmetically (an event at second
+    // t belongs to windows starting at 1800*k for k in {t div 1800,
+    // t div 1800 - 1}), which is exactly Spark's epoch-aligned origin.
+    // Completes the window-family coverage next to tumbling (q13),
+    // session (q12), and RANGE frames (q26); the streaming twin is the
+    // same expression under a watermark.
+    QueryDef(
+      "q31_sliding_window",
+      (s, dir) =>
+        table(s, dir, "events")
+          .select(expr("timestamp_micros((ts div 1000000000) * 1000000)").as("t"),
+            col("event_type"), col("user_id"))
+          .groupBy(window(col("t"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .select(col("window.start").cast(LongType).as("window_start_sec"),
+            col("event_type"), col("n_events"), col("n_users")),
+      Some("""WITH e AS (
+             |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_type, user_id
+             |  FROM events),
+             |assigned AS (
+             |  SELECT (sec // 1800 - k) * 1800 AS window_start_sec,
+             |    event_type, user_id
+             |  FROM e, unnest([0, 1]) AS u(k))
+             |SELECT window_start_sec, event_type,
+             |  count(*) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM assigned GROUP BY 1, 2""".stripMargin)),
   )
 }
