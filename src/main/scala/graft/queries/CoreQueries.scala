@@ -626,11 +626,17 @@ object CoreQueries {
             countDistinct(col("user_id")).as("n_users"))
           .select(col("window.start").cast(LongType).as("window_start_sec"),
             col("event_type"), col("n_events"), col("n_users")),
+      // TRUNC(epoch) mirrors Spark's `ts div 1e9` truncation and
+      // FLOOR(sec/1800.0) mirrors window()'s floored bucket assignment —
+      // both also correct for pre-1970 timestamps, where `//` would
+      // truncate toward zero; the IS NOT NULL guard mirrors window()
+      // silently dropping null event times.
       Some("""WITH e AS (
-             |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_type, user_id
-             |  FROM events),
+             |  SELECT CAST(TRUNC(epoch(ts)) AS BIGINT) AS sec, event_type, user_id
+             |  FROM events WHERE ts IS NOT NULL),
              |assigned AS (
-             |  SELECT (sec // 1800 - k) * 1800 AS window_start_sec,
+             |  SELECT (CAST(FLOOR(sec / 1800.0) AS BIGINT) - k) * 1800
+             |      AS window_start_sec,
              |    event_type, user_id
              |  FROM e, unnest([0, 1]) AS u(k))
              |SELECT window_start_sec, event_type,

@@ -347,6 +347,35 @@ object TdpQueries {
         .otherwise("zh").as("predicted_lang"))
   }
 
+  /** DuckDB twin of [[langScored]] — ONE definition of the marker
+    * strings, divisors and argmax tie-break, ending in
+    * `lang_pred(doc_id, labeled_lang, s_*, predicted_lang)`; shared by
+    * the tdp_lang_id and tdp_lang_confusion oracles so the classifier
+    * they evaluate can never drift apart.
+    */
+  private val langScoredSqlCtes: String =
+    """lang_scored AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+      |      AS BIGINT) AS s_en,
+      |    CAST((length(text) - length(replace(text, ' data ', ''))) / 6
+      |      AS BIGINT) AS s_es,
+      |    CAST((length(text) - length(replace(text, ' join ', ''))) / 6
+      |      AS BIGINT) AS s_de,
+      |    CAST((length(text) - length(replace(text, ' filter ', ''))) / 8
+      |      AS BIGINT) AS s_fr,
+      |    CAST((length(text) - length(replace(text, ' query ', ''))) / 7
+      |      AS BIGINT) AS s_zh
+      |  FROM documents),
+      |lang_pred AS (
+      |  SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr, s_zh,
+      |    CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+      |         WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+      |         WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+      |         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+      |         ELSE 'zh' END AS predicted_lang
+      |  FROM lang_scored)""".stripMargin
+
   /** Quality-scored documents, memoized: the ratio projections are
     * regex-heavy and the documents parquet is a single input split at
     * test scale, so the three quality consumers (score, tertile buckets,
@@ -659,21 +688,11 @@ object TdpQueries {
     QueryDef(
       "tdp_ngram_jaccard",
       (s, dir) => ngramJaccardPairs(s, dir),
+      // Shares ngramPairsSqlCtes with the tdp_lsh_recall oracle so the
+      // ground-truth pair definition can never drift between the two.
       Some(s"""WITH $docsShinglesSql,
-              |d AS (
-              |  SELECT doc_id, hashes, len(hashes) AS n_sh FROM doc_sh
-              |  WHERE len(hashes) > 0),
-              |ex AS (
-              |  SELECT doc_id, n_sh, unnest(hashes) AS sh FROM d),
-              |pairs AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-              |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2, 3, 4)
-              |SELECT doc_a, doc_b, inter,
-              |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
-              |FROM pairs
-              |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.2""".stripMargin)),
+              |$ngramPairsSqlCtes
+              |SELECT doc_a, doc_b, inter, jaccard FROM jp""".stripMargin)),
 
     // Brute-force cosine top-k: the correctness baseline for ANN. Queries
     // are broadcast against the candidate set; double-precision left-fold
@@ -1074,26 +1093,10 @@ object TdpQueries {
     QueryDef(
       "tdp_lang_id",
       (s, dir) => langScored(s, dir),
-      Some("""WITH scored AS (
-             |  SELECT doc_id, lang,
-             |    CAST((length(text) - length(replace(text, ' the ', ''))) / 5
-             |      AS BIGINT) AS s_en,
-             |    CAST((length(text) - length(replace(text, ' data ', ''))) / 6
-             |      AS BIGINT) AS s_es,
-             |    CAST((length(text) - length(replace(text, ' join ', ''))) / 6
-             |      AS BIGINT) AS s_de,
-             |    CAST((length(text) - length(replace(text, ' filter ', ''))) / 8
-             |      AS BIGINT) AS s_fr,
-             |    CAST((length(text) - length(replace(text, ' query ', ''))) / 7
-             |      AS BIGINT) AS s_zh
-             |  FROM documents)
-             |SELECT doc_id, lang AS labeled_lang, s_en, s_es, s_de, s_fr, s_zh,
-             |  CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
-             |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
-             |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
-             |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
-             |       ELSE 'zh' END AS predicted_lang
-             |FROM scored""".stripMargin)),
+      Some(s"""WITH $langScoredSqlCtes
+              |SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr, s_zh,
+              |  predicted_lang
+              |FROM lang_pred""".stripMargin)),
 
     // Quality scoring: length/whitespace/alpha/stopword ratios + a fixed
     // linear composite (shared bit-exact building blocks, see qualityScore).
@@ -1314,34 +1317,14 @@ object TdpQueries {
             col("n_docs").cast(DoubleType)
               / sum("n_docs").over(w).cast(DoubleType))
       },
-      Some("""WITH scored AS (
-             |  SELECT doc_id, lang AS labeled_lang,
-             |    CAST((length(text) - length(replace(text, ' the ', ''))) / 5
-             |      AS BIGINT) AS s_en,
-             |    CAST((length(text) - length(replace(text, ' data ', ''))) / 6
-             |      AS BIGINT) AS s_es,
-             |    CAST((length(text) - length(replace(text, ' join ', ''))) / 6
-             |      AS BIGINT) AS s_de,
-             |    CAST((length(text) - length(replace(text, ' filter ', ''))) / 8
-             |      AS BIGINT) AS s_fr,
-             |    CAST((length(text) - length(replace(text, ' query ', ''))) / 7
-             |      AS BIGINT) AS s_zh
-             |  FROM documents),
-             |pred AS (
-             |  SELECT labeled_lang,
-             |    CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
-             |         WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
-             |         WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
-             |         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
-             |         ELSE 'zh' END AS predicted_lang
-             |  FROM scored),
-             |cm AS (
-             |  SELECT labeled_lang, predicted_lang, count(*) AS n_docs
-             |  FROM pred GROUP BY 1, 2)
-             |SELECT labeled_lang, predicted_lang, n_docs,
-             |  CAST(n_docs AS DOUBLE)
-             |    / CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE)
-             |    AS label_share
-             |FROM cm""".stripMargin)),
+      Some(s"""WITH $langScoredSqlCtes,
+              |cm AS (
+              |  SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+              |  FROM lang_pred GROUP BY 1, 2)
+              |SELECT labeled_lang, predicted_lang, n_docs,
+              |  CAST(n_docs AS DOUBLE)
+              |    / CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE)
+              |    AS label_share
+              |FROM cm""".stripMargin)),
   )
 }
