@@ -347,6 +347,126 @@ object TdpQueries {
         .otherwise("zh").as("predicted_lang"))
   }
 
+  /** Duplicate clusters over the LSH pair graph (see the tdp_dup_clusters
+    * QueryDef comment for the min-label-propagation construction),
+    * memoized: consumed by the cluster query and the duplication-rate
+    * metric.
+    */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_dup_clusters") {
+      val pairs = lshPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      // Iterate ONLY over vertices that touch an edge: on a real corpus
+      // the near-dup graph is a vanishing fraction of the documents, so
+      // the per-round shuffles are sized by the duplicate graph, not the
+      // corpus. Singletons rejoin as their own cluster in one pass below.
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("lab", col("doc_id"))
+        .localCheckpoint()
+      var converged = false
+      while (!converged) {
+        val prop = edges
+          .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min("lab").as("nlab"))
+        val next = labels.join(prop, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          .localCheckpoint()
+        // Fixpoint test: any label still shrinking? (limit(1) stops the
+        // scan at the first changed row.)
+        val changed = next
+          .join(labels.withColumnRenamed("lab", "old"), "doc_id")
+          .filter(col("lab") < col("old"))
+          .limit(1).count()
+        labels = next
+        converged = changed == 0L
+      }
+      // The final labels frame is already materialized (eager
+      // localCheckpoint), so the edge cache can be released; superseded
+      // per-round checkpoint blocks are freed by the ContextCleaner once
+      // their RDD references (the rebound `labels` vars) are collected.
+      edges.unpersist(blocking = false)
+      table(s, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lab"), col("doc_id")).as("lab"))
+        .withColumn("cluster_n",
+          count(lit(1)).over(Window.partitionBy("lab")))
+        .select(col("doc_id"), col("lab").as("cluster_id"),
+          col("cluster_n"), (col("doc_id") === col("lab")).as("is_kept"))
+    }
+
+  /** DuckDB recursive-CTE chain ending in `cc(doc_id, cluster_id)` — the
+    * SQL twin of [[dupClusters]] (min reachable id = component label),
+    * shared by the cluster and duplication-rate oracles. Callers must
+    * open with `WITH RECURSIVE`.
+    */
+  private val dupClustersSqlCtes: String =
+    s"""$lshPairsSqlCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS doc, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc, r.lab
+       |  FROM reach r JOIN edges e ON e.src = r.doc),
+       |cc AS (
+       |  SELECT doc AS doc_id, min(lab) AS cluster_id
+       |  FROM reach GROUP BY 1)""".stripMargin
+
+  /** 64-bit SimHash signature per document (see the tdp_simhash QueryDef
+    * comment for the independent-hyperplane construction), memoized:
+    * consumed by the signature query and the banded hamming-pair query.
+    */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_simhash_sigs") {
+      val tokens = table(s, dir, "documents")
+        .withColumn("toks", expr(s"array_distinct($toksExpr)"))
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .withColumn("h", expr(polyHashExpr("tok")))
+      val bitSums = (0 until 64).map { i =>
+        sum(when(expr(s"((h * ${2 * i + 3} + ${7 * i + 1}) % $P) % 2 = 1"), 1L)
+          .otherwise(-1L)).as(s"s$i")
+      }
+      val assembled = (0 until 64).map { i =>
+        when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+      tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), assembled.as("simhash"))
+    }
+
+  /** DuckDB CTE chain ending in `sims(doc_id, simhash)` — the SQL twin of
+    * [[simhashSigs]], shared by the signature and hamming-pair oracles.
+    */
+  private val simhashSqlCtes: String = {
+    val bitSums = (0 until 64).map { i =>
+      s"sum(CASE WHEN ((h * ${2 * i + 3} + ${7 * i + 1}) % $P) % 2 = 1 " +
+        s"THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(",\n    ")
+    val assembled = (0 until 64).map { i =>
+      // 1L << 63 stringifies as -9223372036854775808, which SQL parses
+      // as -(9223372036854775808): out of BIGINT range, so DuckDB would
+      // promote to HUGEINT (-> pandas float64). Spell it as min-1 math.
+      val lit = if (i == 63) "(-9223372036854775807 - 1)" else s"${1L << i}"
+      s"CASE WHEN s$i > 0 THEN $lit ELSE 0 END"
+    }.mkString(" + ")
+    s"""sh_tok AS (
+       |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+       |  FROM documents),
+       |sh_hashed AS (
+       |  SELECT doc_id, ${polyHashSql("tok")} AS h FROM sh_tok),
+       |sh_bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM sh_hashed GROUP BY 1),
+       |sims AS (
+       |  SELECT doc_id, $assembled AS simhash FROM sh_bits)""".stripMargin
+  }
+
   /** DuckDB twin of [[langScored]] — ONE definition of the marker
     * strings, divisors and argmax tie-break, ending in
     * `lang_pred(doc_id, labeled_lang, s_*, predicted_lang)`; shared by
@@ -478,66 +598,36 @@ object TdpQueries {
     // a reliable checkpoint to cut lineage across iterations.
     QueryDef(
       "tdp_dup_clusters",
-      (s, dir) => Registry.memo(s, dir, "tdp_dup_clusters") {
-        val pairs = lshPairs(s, dir)
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .persist()
-        // Iterate ONLY over vertices that touch an edge: on a real corpus
-        // the near-dup graph is a vanishing fraction of the documents, so
-        // the per-round shuffles are sized by the duplicate graph, not the
-        // corpus. Singletons rejoin as their own cluster in one pass below.
-        var labels = edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("lab", col("doc_id"))
-          .localCheckpoint()
-        var converged = false
-        while (!converged) {
-          val prop = edges
-            .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
-            .groupBy(col("dst").as("doc_id"))
-            .agg(min("lab").as("nlab"))
-          val next = labels.join(prop, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-            .localCheckpoint()
-          // Fixpoint test: any label still shrinking? (limit(1) stops the
-          // scan at the first changed row.)
-          val changed = next
-            .join(labels.withColumnRenamed("lab", "old"), "doc_id")
-            .filter(col("lab") < col("old"))
-            .limit(1).count()
-          labels = next
-          converged = changed == 0L
-        }
-        // The final labels frame is already materialized (eager
-        // localCheckpoint), so the edge cache can be released; superseded
-        // per-round checkpoint blocks are freed by the ContextCleaner once
-        // their RDD references (the rebound `labels` vars) are collected.
-        edges.unpersist(blocking = false)
-        table(s, dir, "documents").select(col("doc_id"))
-          .join(labels, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("lab"), col("doc_id")).as("lab"))
-          .withColumn("cluster_n",
-            count(lit(1)).over(Window.partitionBy("lab")))
-          .select(col("doc_id"), col("lab").as("cluster_id"),
-            col("cluster_n"), (col("doc_id") === col("lab")).as("is_kept"))
-      },
-      Some(s"""WITH RECURSIVE $lshPairsSqlCtes,
-              |edges AS (
-              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-              |reach AS (
-              |  SELECT doc_id AS doc, doc_id AS lab FROM documents
-              |  UNION
-              |  SELECT e.dst AS doc, r.lab
-              |  FROM reach r JOIN edges e ON e.src = r.doc),
-              |cc AS (
-              |  SELECT doc AS doc_id, min(lab) AS cluster_id
-              |  FROM reach GROUP BY 1)
+      (s, dir) => dupClusters(s, dir),
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes
               |SELECT doc_id, cluster_id,
               |  count(*) OVER (PARTITION BY cluster_id) AS cluster_n,
               |  doc_id = cluster_id AS is_kept
+              |FROM cc""".stripMargin)),
+
+    // Corpus duplication-rate summary: the one-row release metric a dedup
+    // sweep publishes — how many documents are redundant copies (cluster
+    // non-representatives) and what fraction of the corpus that is. Rides
+    // entirely on the memoized cluster frame; order-insensitive integer
+    // aggregates plus one double division.
+    QueryDef(
+      "tdp_dup_rate",
+      (s, dir) =>
+        dupClusters(s, dir).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(when(col("is_kept"), 0L).otherwise(1L)).as("n_dup_docs"))
+          .select(col("n_docs"), col("n_clusters"), col("n_dup_docs"),
+            (col("n_dup_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
+              .as("dup_rate")),
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes
+              |SELECT count(*) AS n_docs,
+              |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+              |  CAST(sum(CASE WHEN doc_id = cluster_id THEN 0 ELSE 1 END)
+              |    AS BIGINT) AS n_dup_docs,
+              |  CAST(sum(CASE WHEN doc_id = cluster_id THEN 0 ELSE 1 END)
+              |      AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS dup_rate
               |FROM cc""".stripMargin)),
 
     // MinHash as a Jaccard ESTIMATOR: for every pair agreeing on at least
@@ -634,43 +724,68 @@ object TdpQueries {
     // even at 100 TB corpus sizes (16 bits = 65k buckets was toy-scale).
     QueryDef(
       "tdp_simhash",
+      (s, dir) => simhashSigs(s, dir),
+      Some(s"""WITH $simhashSqlCtes
+              |SELECT doc_id, simhash FROM sims""".stripMargin)),
+
+    // SimHash near-dup pairs by banded hamming search: split the 64-bit
+    // signature into 4 16-bit bands — any pair within hamming distance 3
+    // agrees exactly on at least one band (pigeonhole), so the candidate
+    // join is an equi-join on (band, chunk), never all-pairs — then keep
+    // candidates whose full-signature popcount(xor) <= 3. Same shape and
+    // hot-bucket cap as the MinHash LSH path; this is the Manku/Jain/
+    // Sarma (WWW'07) web-dedup construction. Completes the SimHash
+    // family: tdp_simhash builds the signature, this query uses it.
+    QueryDef(
+      "tdp_simhash_pairs",
       (s, dir) => {
-        val tokens = table(s, dir, "documents")
-          .withColumn("toks", expr(s"array_distinct($toksExpr)"))
-          .select(col("doc_id"), explode(col("toks")).as("tok"))
-          .withColumn("h", expr(polyHashExpr("tok")))
-        val bitSums = (0 until 64).map { i =>
-          sum(when(expr(s"((h * ${2 * i + 3} + ${7 * i + 1}) % $P) % 2 = 1"), 1L)
-            .otherwise(-1L)).as(s"s$i")
+        val sig = simhashSigs(s, dir)
+        val bandStructs = (0 until 4).map { k =>
+          struct(lit(k).as("band"),
+            expr(s"shiftright(simhash, ${16 * k}) & 65535").as("chunk"))
         }
-        val assembled = (0 until 64).map { i =>
-          when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
-        }.reduce(_ + _)
-        tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), assembled.as("simhash"))
+        val bands = sig
+          .select(col("doc_id"), col("simhash"),
+            explode(array(bandStructs: _*)).as("b"))
+          .select(col("doc_id"), col("simhash"),
+            col("b.band").as("band"), col("b.chunk").as("chunk"))
+        val capped = bands
+          .withColumn("bucket_n",
+            count(lit(1)).over(Window.partitionBy("band", "chunk")))
+          .filter(col("bucket_n") <= LshBucketCap)
+          .select("doc_id", "simhash", "band", "chunk")
+        val a = capped.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sig_a"), col("band"), col("chunk"))
+        val b = capped.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sig_b"), col("band"), col("chunk"))
+        a.join(b, Seq("band", "chunk"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+          .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming")
       },
       Some {
-        val bitSums = (0 until 64).map { i =>
-          s"sum(CASE WHEN ((h * ${2 * i + 3} + ${7 * i + 1}) % $P) % 2 = 1 " +
-            s"THEN 1 ELSE -1 END) AS s$i"
-        }.mkString(",\n    ")
-        val assembled = (0 until 64).map { i =>
-          // 1L << 63 stringifies as -9223372036854775808, which SQL parses
-          // as -(9223372036854775808): out of BIGINT range, so DuckDB would
-          // promote to HUGEINT (-> pandas float64). Spell it as min-1 math.
-          val lit = if (i == 63) "(-9223372036854775807 - 1)" else s"${1L << i}"
-          s"CASE WHEN s$i > 0 THEN $lit ELSE 0 END"
-        }.mkString(" + ")
-        s"""WITH tok AS (
-           |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
-           |  FROM documents),
-           |hashed AS (
-           |  SELECT doc_id, ${polyHashSql("tok")} AS h FROM tok),
-           |bits AS (
-           |  SELECT doc_id,
-           |    $bitSums
-           |  FROM hashed GROUP BY 1)
-           |SELECT doc_id, $assembled AS simhash FROM bits""".stripMargin
+        val bandSelects = (0 until 4).map { k =>
+          s"SELECT doc_id, simhash, $k AS band, " +
+            s"(simhash >> ${16 * k}) & 65535 AS chunk FROM sims"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $simhashSqlCtes,
+           |sbands AS (
+           |  $bandSelects),
+           |scapped AS (
+           |  SELECT doc_id, simhash, band, chunk FROM sbands
+           |  QUALIFY count(*) OVER (PARTITION BY band, chunk) <= $LshBucketCap),
+           |spairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.simhash AS sig_a, b.simhash AS sig_b
+           |  FROM scapped a JOIN scapped b
+           |    ON a.band = b.band AND a.chunk = b.chunk
+           |    AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+           |FROM spairs
+           |WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin
       }),
 
     // n-gram Jaccard near-dup via PREFIX FILTERING (Bayardo et al.

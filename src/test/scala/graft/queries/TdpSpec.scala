@@ -208,6 +208,30 @@ class TdpSpec extends SparkSpec {
     }
   }
 
+  test("simhash pairs: clones collide at hamming 0; all pairs within threshold") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_sh_pairs").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val c = "utterly different words compose this other document body text"
+    Seq((1L, a), (2L, a), (9L, c)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_simhash_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.contains((1L, 2L, 0)), s"clones must pair at hamming 0: ${rows.toSeq}")
+    assert(rows.forall(_._3 <= 3))
+    assert(rows.forall(p => p._1 < p._2))
+  }
+
+  test("dup rate aggregates the cluster frame consistently") {
+    val clusters = Registry.queries("tdp_dup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val r = Registry.queries("tdp_dup_rate")(spark, sf).collect().head
+    assert(r.getLong(0) === clusters.length.toLong)
+    assert(r.getLong(1) === clusters.map(_._2).distinct.length.toLong)
+    assert(r.getLong(2) === clusters.count(!_._3).toLong)
+    assert(r.getDouble(3) === r.getLong(2).toDouble / r.getLong(0).toDouble)
+  }
+
   test("quality buckets split the corpus into exact tertiles") {
     val rows = Registry.queries("tdp_quality_buckets")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
