@@ -125,6 +125,6 @@ object GenerateSampleData {
       .dropDuplicates("plan", "ssn", "gross")
     val joined = r.join(m, Seq("plan", "ssn", "gross"), "left")
     joined.agg(avg(when(col("_in_m").isNotNull, 1.0).otherwise(0.0)))
-      .head.getDouble(0)
+      .head().getDouble(0)
   }
 }

@@ -59,7 +59,7 @@ object SkewJoin {
       s"salted join supports inner/left joins, got $joinType")
     val saltCol = "_salt"
     val payload = left.columns.filterNot(keys.contains)
-    val l = left.withColumn(saltCol, saltExpr(payload, buckets, saltBy))
+    val l = left.withColumn(saltCol, saltExpr(payload.toIndexedSeq, buckets, saltBy))
     val r = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(buckets - 1))))
     l.join(r, keys :+ saltCol, joinType).drop(saltCol)
@@ -81,7 +81,7 @@ object SkewJoin {
     require(buckets > 0, "buckets must be positive")
     val saltCol = "_salt"
     val payload = df.columns.filterNot(keys.contains)
-    df.withColumn(saltCol, saltExpr(payload, buckets, saltBy))
+    df.withColumn(saltCol, saltExpr(payload.toIndexedSeq, buckets, saltBy))
       .groupBy((keys :+ saltCol).map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(keys.map(col): _*)

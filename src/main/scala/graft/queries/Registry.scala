@@ -31,7 +31,7 @@ object Registry {
     */
   def memo(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame =
-    memoCache.getOrElseUpdate((System.identityHashCode(spark) + dir, key), {
+    memoCache.getOrElseUpdate((s"${System.identityHashCode(spark)}$dir", key), {
       val df = build
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df
