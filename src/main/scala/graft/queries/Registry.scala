@@ -22,7 +22,7 @@ object Registry {
   }
 
   private val memoCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[((Int, String), String), DataFrame]
 
   /** Memoize + persist a shared intermediate (cleaned inputs, engine
     * outputs) so the many queries built on top of it materialize it once
@@ -31,7 +31,7 @@ object Registry {
     */
   def memo(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame =
-    memoCache.getOrElseUpdate((s"${System.identityHashCode(spark)}$dir", key), {
+    memoCache.getOrElseUpdate(((System.identityHashCode(spark), dir), key), {
       val df = build
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df

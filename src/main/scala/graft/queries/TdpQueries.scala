@@ -214,23 +214,32 @@ object TdpQueries {
       val bands = sigDf
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      // Hot-bucket cap: dedup corpora are dup-heavy by construction, so a
-      // single (band, sig) bucket holding N identical docs would emit
-      // N^2/2 pairs inside one task. Buckets larger than LshBucketCap are
-      // dropped before the self-join (their members are still paired via
-      // any smaller band bucket they share), bounding per-bucket work to
-      // cap^2/2 — the adversarial-input guard for the 100 TB path.
+      // Hot-bucket guard: dedup corpora are dup-heavy by construction, so
+      // a single (band, sig) bucket holding N identical docs would emit
+      // N^2/2 pairs inside one task. Buckets up to LshBucketCap self-join
+      // normally (<= cap^2/2 pairs per bucket); LARGER buckets collapse to
+      // a star — every member pairs with the bucket's minimum doc_id —
+      // which is O(N) edges per bucket, still bounded per task, and keeps
+      // the group CONNECTED for the duplicate-cluster / dup-rate
+      // consumers. (Dropping oversize buckets outright would report the
+      // heaviest duplication — N exact clones agreeing in every band — as
+      // singletons: the one case a dedup sweep exists to catch.)
+      val wBucket = Window.partitionBy("band", "sig")
       val sized = bands
-        .withColumn("bucket_n",
-          count(lit(1)).over(Window.partitionBy("band", "sig")))
-        .filter(col("bucket_n") <= LshBucketCap)
+        .withColumn("bucket_n", count(lit(1)).over(wBucket))
+        .withColumn("bucket_min", min("doc_id").over(wBucket))
+      val small = sized.filter(col("bucket_n") <= LshBucketCap)
         .select("doc_id", "band", "sig")
-      val a = sized.as("a")
-      val b = sized.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-        && col("a.doc_id") < col("b.doc_id"))
+      val a = small.as("a")
+      val b = small.as("b")
+      val smallPairs = a
+        .join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val starPairs = sized
+        .filter(col("bucket_n") > LshBucketCap && col("doc_id") =!= col("bucket_min"))
+        .select(col("bucket_min").as("doc_a"), col("doc_id").as("doc_b"))
+      smallPairs.union(starPairs).distinct()
     }
 
   /** Exact n-gram Jaccard near-dup pairs (J >= 0.2) via prefix filtering,
@@ -315,12 +324,20 @@ object TdpQueries {
        |bands AS (
        |  $bandSelects),
        |sized AS (
-       |  SELECT doc_id, band, sig FROM bands
-       |  QUALIFY count(*) OVER (PARTITION BY band, sig) <= $LshBucketCap),
+       |  SELECT doc_id, band, sig,
+       |    count(*) OVER (PARTITION BY band, sig) AS bucket_n,
+       |    min(doc_id) OVER (PARTITION BY band, sig) AS bucket_min
+       |  FROM bands),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sized a JOIN sized b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM sized a JOIN sized b
+       |      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |    WHERE a.bucket_n <= $LshBucketCap AND b.bucket_n <= $LshBucketCap
+       |    UNION ALL
+       |    SELECT bucket_min AS doc_a, doc_id AS doc_b
+       |    FROM sized
+       |    WHERE bucket_n > $LshBucketCap AND doc_id <> bucket_min))""".stripMargin
   }
 
   /** Per-document language-ID scoring (marker-substring counts + argmax
@@ -358,23 +375,38 @@ object TdpQueries {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .persist()
+      // Lineage cut per round: a RELIABLE checkpoint when the session has
+      // a checkpoint dir configured (the fault-tolerant 100 TB path —
+      // blocks survive executor loss), else the executor-local fast path
+      // for the test harness.
+      def cut(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint()
+      // Rounds = near-dup-graph diameter, which star-collapsed clone
+      // buckets keep tiny; a runaway bound turns a never-converging loop
+      // (a bug, or adversarial chain topology without the large-star
+      // optimization) into a loud failure instead of an infinite job.
+      val maxRounds = 64
       // Iterate ONLY over vertices that touch an edge: on a real corpus
       // the near-dup graph is a vanishing fraction of the documents, so
       // the per-round shuffles are sized by the duplicate graph, not the
       // corpus. Singletons rejoin as their own cluster in one pass below.
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("lab", col("doc_id"))
-        .localCheckpoint()
+      var labels = cut(edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("lab", col("doc_id")))
       var converged = false
+      var rounds = 0
       while (!converged) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"duplicate-cluster label propagation exceeded $maxRounds rounds" +
+            " without converging — suspect graph bug or adversarial chain")
         val prop = edges
           .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
           .groupBy(col("dst").as("doc_id"))
           .agg(min("lab").as("nlab"))
-        val next = labels.join(prop, Seq("doc_id"), "left")
+        val next = cut(labels.join(prop, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-          .localCheckpoint()
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab")))
         // Fixpoint test: any label still shrinking? (limit(1) stops the
         // scan at the first changed row.)
         val changed = next
@@ -424,9 +456,12 @@ object TdpQueries {
     */
   private def simhashSigs(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_simhash_sigs") {
-      val tokens = table(s, dir, "documents")
-        .withColumn("toks", expr(s"array_distinct($toksExpr)"))
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
+      // Built on [[docToks]]: inherits the memoized single tokenization
+      // pass and its doc_id repartition, so neither SimHash consumer pays
+      // a second interpreted filter/split scan of the one-split parquet.
+      val tokens = docToks(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(col("toks"))).as("tok"))
         .withColumn("h", expr(polyHashExpr("tok")))
       val bitSums = (0 until 64).map { i =>
         sum(when(expr(s"((h * ${2 * i + 3} + ${7 * i + 1}) % $P) % 2 = 1"), 1L)
@@ -655,17 +690,25 @@ object TdpQueries {
           .select(col("doc_id"), col("e.j").as("j"), col("e.mh").as("mh"))
         // Same hot-bucket guard as tdp_minhash_lsh_pairs: N identical docs
         // share every permutation minimum, so an uncapped (j, mh) bucket
-        // would emit 8*N^2/2 join rows in single tasks.
-        val capped = ex
-          .withColumn("bucket_n",
-            count(lit(1)).over(Window.partitionBy("j", "mh")))
-          .filter(col("bucket_n") <= LshBucketCap)
+        // would emit 8*N^2/2 join rows in single tasks. Oversize buckets
+        // star-collapse onto their minimum doc (O(N) candidates per
+        // bucket) instead of dropping — exact clones still get their
+        // est/exact Jaccard reported against the group representative.
+        val wB = Window.partitionBy("j", "mh")
+        val sized = ex
+          .withColumn("bucket_n", count(lit(1)).over(wB))
+          .withColumn("bucket_min", min("doc_id").over(wB))
+        val small = sized.filter(col("bucket_n") <= LshBucketCap)
           .select("doc_id", "j", "mh")
-        val cand = capped.select(col("doc_id").as("doc_a"), col("j"), col("mh"))
-          .join(capped.select(col("doc_id").as("doc_b"), col("j"), col("mh")),
+        val smallCand = small.select(col("doc_id").as("doc_a"), col("j"), col("mh"))
+          .join(small.select(col("doc_id").as("doc_b"), col("j"), col("mh")),
             Seq("j", "mh"))
           .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
+          .select("doc_a", "doc_b")
+        val starCand = sized
+          .filter(col("bucket_n") > LshBucketCap && col("doc_id") =!= col("bucket_min"))
+          .select(col("bucket_min").as("doc_a"), col("doc_id").as("doc_b"))
+        val cand = smallCand.union(starCand).distinct()
         val agree = (0 until 8).map(j =>
           when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
           .reduce(_ + _)
@@ -696,14 +739,20 @@ object TdpQueries {
            |  FROM doc_sh WHERE len(hashes) > 0),
            |sl AS (SELECT *, [mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7] AS sig FROM s),
            |ex AS (
-           |  SELECT doc_id, r.range AS j, sig[r.range] AS mh
-           |  FROM sl, range(1, 9) r
-           |  QUALIFY count(*) OVER (PARTITION BY r.range, sig[r.range])
-           |    <= $LshBucketCap),
+           |  SELECT doc_id, r.range AS j, sig[r.range] AS mh,
+           |    count(*) OVER (PARTITION BY r.range, sig[r.range]) AS bucket_n,
+           |    min(doc_id) OVER (PARTITION BY r.range, sig[r.range])
+           |      AS bucket_min
+           |  FROM sl, range(1, 9) r),
            |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM ex a JOIN ex b
-           |    ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id)
+           |  SELECT DISTINCT doc_a, doc_b FROM (
+           |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |    FROM ex a JOIN ex b
+           |      ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
+           |    WHERE a.bucket_n <= $LshBucketCap AND b.bucket_n <= $LshBucketCap
+           |    UNION ALL
+           |    SELECT bucket_min AS doc_a, doc_id AS doc_b
+           |    FROM ex WHERE bucket_n > $LshBucketCap AND doc_id <> bucket_min))
            |SELECT p.doc_a, p.doc_b,
            |  CAST($agree AS DOUBLE) / 8.0 AS est_jaccard,
            |  CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE)
@@ -749,18 +798,29 @@ object TdpQueries {
             explode(array(bandStructs: _*)).as("b"))
           .select(col("doc_id"), col("simhash"),
             col("b.band").as("band"), col("b.chunk").as("chunk"))
-        val capped = bands
-          .withColumn("bucket_n",
-            count(lit(1)).over(Window.partitionBy("band", "chunk")))
-          .filter(col("bucket_n") <= LshBucketCap)
+        // Oversize buckets star-collapse onto the minimum doc (see
+        // lshPairs): exact clones have hamming 0 against the group
+        // representative, so they survive the <= 3 filter instead of
+        // silently vanishing when a clone group overflows the cap.
+        val wB = Window.partitionBy("band", "chunk")
+        val sized = bands
+          .withColumn("bucket_n", count(lit(1)).over(wB))
+          .withColumn("bmin", min(struct(col("doc_id"), col("simhash"))).over(wB))
+        val small = sized.filter(col("bucket_n") <= LshBucketCap)
           .select("doc_id", "simhash", "band", "chunk")
-        val a = capped.select(col("doc_id").as("doc_a"),
+        val a = small.select(col("doc_id").as("doc_a"),
           col("simhash").as("sig_a"), col("band"), col("chunk"))
-        val b = capped.select(col("doc_id").as("doc_b"),
+        val b = small.select(col("doc_id").as("doc_b"),
           col("simhash").as("sig_b"), col("band"), col("chunk"))
-        a.join(b, Seq("band", "chunk"))
+        val smallPairs = a.join(b, Seq("band", "chunk"))
           .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+          .select("doc_a", "doc_b", "sig_a", "sig_b")
+        val starPairs = sized
+          .filter(col("bucket_n") > LshBucketCap
+            && col("doc_id") =!= col("bmin.doc_id"))
+          .select(col("bmin.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+            col("bmin.simhash").as("sig_a"), col("simhash").as("sig_b"))
+        smallPairs.union(starPairs).distinct()
           .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
           .filter(col("hamming") <= 3)
           .select("doc_a", "doc_b", "hamming")
@@ -773,15 +833,26 @@ object TdpQueries {
         s"""WITH $simhashSqlCtes,
            |sbands AS (
            |  $bandSelects),
-           |scapped AS (
-           |  SELECT doc_id, simhash, band, chunk FROM sbands
-           |  QUALIFY count(*) OVER (PARTITION BY band, chunk) <= $LshBucketCap),
+           |ssized AS (
+           |  SELECT doc_id, simhash, band, chunk,
+           |    count(*) OVER (PARTITION BY band, chunk) AS bucket_n,
+           |    min(doc_id) OVER (PARTITION BY band, chunk) AS bucket_min,
+           |    first_value(simhash) OVER (PARTITION BY band, chunk
+           |      ORDER BY doc_id) AS min_sig
+           |  FROM sbands),
            |spairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |    a.simhash AS sig_a, b.simhash AS sig_b
-           |  FROM scapped a JOIN scapped b
-           |    ON a.band = b.band AND a.chunk = b.chunk
-           |    AND a.doc_id < b.doc_id)
+           |  SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM (
+           |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |      a.simhash AS sig_a, b.simhash AS sig_b
+           |    FROM ssized a JOIN ssized b
+           |      ON a.band = b.band AND a.chunk = b.chunk
+           |      AND a.doc_id < b.doc_id
+           |    WHERE a.bucket_n <= $LshBucketCap AND b.bucket_n <= $LshBucketCap
+           |    UNION ALL
+           |    SELECT bucket_min AS doc_a, doc_id AS doc_b,
+           |      min_sig AS sig_a, simhash AS sig_b
+           |    FROM ssized
+           |    WHERE bucket_n > $LshBucketCap AND doc_id <> bucket_min))
            |SELECT doc_a, doc_b,
            |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
            |FROM spairs
@@ -1128,16 +1199,22 @@ object TdpQueries {
         val ex = docHashes(s, dir)
           .select((col("doc_id") % 2).as("side"), explode(col("hashes")).as("h"))
           .distinct()
-        val sk = ex.groupBy("side").agg(expr(s"graft_bottomk(h, $K)").as("sk"))
-        val a = sk.filter(col("side") === 0).select(col("sk").as("sk_a"))
-        val b = sk.filter(col("side") === 1).select(col("sk").as("sk_b"))
+        // One global aggregation with side-conditional inputs (BottomKAgg
+        // skips nulls), NOT a filter+crossJoin per side: a groupBy-less agg
+        // yields exactly one row even when a corpus slice is empty, which
+        // keeps the engine-agreement contract on degenerate inputs (the
+        // filter formulation yields zero rows while the oracle's scalar
+        // subqueries yield one).
+        val sk = ex.agg(
+          expr(s"graft_bottomk(CASE WHEN side = 0 THEN h END, $K)").as("sk_a"),
+          expr(s"graft_bottomk(CASE WHEN side = 1 THEN h END, $K)").as("sk_b"))
         val exact = ex.groupBy("h").agg(
           max(when(col("side") === 0, 1).otherwise(0)).as("in_a"),
           max(when(col("side") === 1, 1).otherwise(0)).as("in_b"))
           .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
             .otherwise(0L)).as("n_inter"),
             count(lit(1)).as("n_union"))
-        a.crossJoin(b).crossJoin(exact)
+        sk.crossJoin(exact)
           .withColumn("sk_u",
             expr(s"slice(array_sort(array_union(sk_a, sk_b)), 1, $K)"))
           .withColumn("k_eff", least(lit(K), size(col("sk_u"))))
@@ -1154,12 +1231,13 @@ object TdpQueries {
               |ex AS (
               |  SELECT DISTINCT side, h FROM (
               |    SELECT doc_id % 2 AS side, unnest(hashes) AS h FROM doc_sh)),
-              |sk AS (
-              |  SELECT side, list_slice(list_sort(list(DISTINCT h)), 1, 128) AS sk
-              |  FROM ex GROUP BY 1),
-              |ab AS (SELECT
-              |  (SELECT sk FROM sk WHERE side = 0) AS sk_a,
-              |  (SELECT sk FROM sk WHERE side = 1) AS sk_b),
+              |ab AS (
+              |  SELECT
+              |    list_slice(list_sort(list(DISTINCT h)
+              |      FILTER (WHERE side = 0)), 1, 128) AS sk_a,
+              |    list_slice(list_sort(list(DISTINCT h)
+              |      FILTER (WHERE side = 1)), 1, 128) AS sk_b
+              |  FROM ex),
               |abu AS (
               |  SELECT *, list_slice(list_sort(list_distinct(
               |    list_concat(sk_a, sk_b))), 1, 128) AS sk_u FROM ab),

@@ -16,11 +16,14 @@ class TdpSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("LSH pairs: a hot bucket larger than the cap emits no pairs") {
+  test("LSH pairs: a hot bucket larger than the cap star-collapses, O(N) edges") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tdp_lsh_hot").toString
-    // 60 identical docs -> every band bucket has 60 members (> cap 50);
-    // two more identical docs form a bucket of 2 that must survive.
+    // 60 identical docs -> every band bucket has 60 members (> cap 50):
+    // the bucket must NOT emit its 1770 all-pairs (the per-task N^2
+    // guard) but MUST stay connected via the star onto the min doc —
+    // exact clones are exactly what a dedup sweep exists to catch. Two
+    // more identical docs form a bucket of 2 that pairs normally.
     val cloneText = "alpha beta gamma delta epsilon zeta eta theta"
     val pairText = "one two three four five six seven eight nine"
     val docs = (0L until 60L).map(i => (i, cloneText)) ++
@@ -30,8 +33,15 @@ class TdpSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((100L, 101L)),
       "small bucket must still produce its pair")
-    assert(!pairs.exists { case (a, b) => a < 60L && b < 60L },
-      s"capped hot bucket must emit no pairs, got ${pairs.size}")
+    val clonePairs = pairs.filter { case (a, b) => a < 60L && b < 60L }
+    assert(clonePairs === (1L until 60L).map((0L, _)).toSet,
+      s"oversize bucket must star-collapse onto doc 0, got $clonePairs")
+    // And the star keeps the clone group ONE cluster for the dedup
+    // consumers: 60 clones + 2 pair docs -> 2 clusters, 60 dup docs.
+    val rate = Registry.queries("tdp_dup_rate")(spark, dir).collect().head
+    assert(rate.getLong(0) === 62L && rate.getLong(1) === 2L
+      && rate.getLong(2) === 60L,
+      s"clone group must survive as one cluster: $rate")
   }
 
   test("decontamination removes exactly the train docs sharing a shingle with eval") {
