@@ -26,17 +26,44 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Millisecond precision keeps the ONE-line JSON short enough to
-    // survive tail-buffer capture by the calling harness (full Double
-    // toString pushed the r02 line past the captured window). The total
+    // The calling harness captures only the LAST ~2000 chars of stdout
+    // (and sbt's trailing "[success] ..." line eats ~80 of them), so the
+    // ONE-line JSON must fit that window or the harness records
+    // parsed:null — which is exactly what happened to the full 105-entry
+    // map in rounds 1-3. Emit the slowest queries individually (the ones
+    // a reader acts on) and fold the rest into a single summed entry,
+    // budgeted so the whole line stays well under the window. The total
     // is summed over the SAME rounded values so value == sum(queries)
-    // holds exactly for a consumer cross-checking the line.
+    // holds exactly for a consumer cross-checking the line. The complete
+    // per-query map still goes to bench_full_local.json for bookkeeping.
     def sec3(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def entry(k: String, v: Double): String = "\"" + k + "\":" + sec3(v)
     val rounded = results.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
-    val qs = rounded.map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
-      .mkString("{", ",", "}")
     val total = rounded.map(_._2).sum
+    val fullJson = rounded.sortBy(_._1).map((entry _).tupled)
+      .mkString("{\"n\":" + rounded.size + ",\"total\":" + sec3(total) + ",\"queries\":{", ",", "}}")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full_local.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // bookkeeping only — never fail the bench
+    val lineBudget = 1400
+    val overhead = 120 // metric/value/unit/sf framing + an "other" entry
+    val desc = rounded.sortBy { case (k, v) => (-v, k) }
+    val cut = {
+      var used = 0
+      var i = 0
+      while (i < desc.size && used + desc(i)._1.length + 12 < lineBudget - overhead) {
+        used += desc(i)._1.length + 12
+        i += 1
+      }
+      i
+    }
+    val (kept, rest) = desc.splitAt(cut)
+    val parts = kept.map((entry _).tupled) ++
+      (if (rest.isEmpty) Nil
+       else Seq(entry(s"other_${rest.size}_queries", rest.map(_._2).sum)))
+    val qs = parts.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -61,6 +61,12 @@ object TdpQueries {
   /** IVF centroid count (recall/cost knob; buckets shrink as it grows). */
   private val IvfNlist = 64
 
+  /** Chunk-level dedup knobs: segment length in tokens, and the
+    * document-frequency cap above which a chunk counts as boilerplate.
+    */
+  private val ChunkToks = 10
+  private val ChunkDfCap = 3
+
   /** Per-document shingle hashes, memoized + materialized ONCE per (session,
     * SF). Two reasons this is load-bearing for throughput: (a) higher-order
     * functions (transform/filter/aggregate lambdas) are evaluated
@@ -125,6 +131,73 @@ object TdpQueries {
     * accumulation) without the interpreted per-element lambda cost.
     */
   private val dotExpr = "graft_dot(q_emb, c_emb)"
+
+  /** IVF bucketed top-3 search (assign to nearest of IvfNlist hash-sampled
+    * seed centroids, search within the query's bucket), memoized: consumed
+    * by the tdp_ann_ivf query itself AND as the candidate set of the
+    * tdp_ann_recall metric.
+    */
+  private def ivfTop3(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_ann_ivf_top") {
+      val e = embWithNorm(s, dir)
+      val cent = e
+        .withColumn("seed_rank",
+          expr("(vec_id * 2654435761) % 1000000007"))
+        .orderBy("seed_rank", "vec_id")
+        .limit(IvfNlist)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("q_emb"),
+          col("norm").as("cent_norm"))
+      val vecs = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+      val wAssign = Window.partitionBy("c_id").orderBy(desc("sim"), col("cent_id"))
+      val assigned = vecs.crossJoin(broadcast(cent))
+        .withColumn("sim", expr(dotExpr) / (col("cent_norm") * col("c_norm")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("c_id").as("vec_id"), col("cent_id").as("cluster"))
+      val withCluster = e.join(assigned, "vec_id")
+      val q = withCluster.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"), col("cluster"))
+      val c = withCluster.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("norm").as("c_norm"), col("cluster"))
+      val wTop = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+      q.join(c, Seq("cluster")).filter(col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .select("q_id", "c_id", "cluster", "rank", "sim")
+    }
+
+  /** DuckDB CTE chain ending in `ivf(q_id, c_id, cluster, rank, sim)` —
+    * the SQL twin of [[ivfTop3]] (expects `emb` in scope), shared by the
+    * tdp_ann_ivf and tdp_ann_recall oracles so the searched index can
+    * never drift between the query and its QA metric.
+    */
+  private val ivfSqlCtes: String =
+    s"""cent AS (
+       |  SELECT vec_id, embedding, norm FROM emb
+       |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+       |  LIMIT $IvfNlist),
+       |assigned AS (
+       |  SELECT c_id AS vec_id, cent_id AS cluster FROM (
+       |    SELECT c.vec_id AS c_id, q.vec_id AS cent_id,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, q.vec_id) AS rn
+       |    FROM emb c CROSS JOIN cent q)
+       |  WHERE rn = 1),
+       |wc AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, a.cluster
+       |  FROM emb e JOIN assigned a ON e.vec_id = a.vec_id),
+       |ivf AS (
+       |  SELECT q_id, c_id, cluster, rank, sim FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.cluster,
+       |      ($dotSql) / (q.norm * c.norm) AS sim,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id) AS rank
+       |    FROM wc q JOIN wc c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+       |    WHERE q.vec_id % 50 = 0)
+       |  WHERE rank <= 3)""".stripMargin
 
   /** Deterministic pseudo-random hyperplane j dotted with `embedding`
     * (integer plane weights in [-48, 48]); shared by the LSH bucket
@@ -372,8 +445,13 @@ object TdpQueries {
   private def dupClusters(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_dup_clusters") {
       val pairs = lshPairs(s, dir)
+      // Hash-partition the (bigger) edge side ONCE before caching: the
+      // InMemoryRelation advertises the partitioning, so every round's
+      // edges-to-labels join shuffles only the (small) labels frame —
+      // at corpus scale the edge set never moves again.
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src"))
         .persist()
       // Lineage cut per round: a RELIABLE checkpoint when the session has
       // a checkpoint dir configured (the fault-tolerant 100 TB path —
@@ -404,16 +482,16 @@ object TdpQueries {
           .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
           .groupBy(col("dst").as("doc_id"))
           .agg(min("lab").as("nlab"))
+        // The materialized round frame carries its OWN change flag, so the
+        // fixpoint test below is a shuffle-free scan of the fresh cache
+        // (limit(1) stops at the first shrunk label) instead of a second
+        // labels-to-labels join job per round.
         val next = cut(labels.join(prop, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab")))
-        // Fixpoint test: any label still shrinking? (limit(1) stops the
-        // scan at the first changed row.)
-        val changed = next
-          .join(labels.withColumnRenamed("lab", "old"), "doc_id")
-          .filter(col("lab") < col("old"))
-          .limit(1).count()
-        labels = next
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+            (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg")))
+        val changed = next.filter(col("chg")).limit(1).count()
+        labels = next.select("doc_id", "lab")
         converged = changed == 0L
       }
       // The final labels frame is already materialized (eager
@@ -920,62 +998,61 @@ object TdpQueries {
     // refinement would start from exactly this seed set.
     QueryDef(
       "tdp_ann_ivf",
+      (s, dir) => ivfTop3(s, dir),
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes
+              |SELECT q_id, c_id, cluster, rank, sim FROM ivf""".stripMargin)),
+
+    // Pipeline-QA metric: RECALL of the IVF bucketed search against the
+    // brute-force exact top-3 — the embedding-side twin of tdp_lsh_recall
+    // (the number an ANN index publishes next to its latency). Misses are
+    // exactly the neighbors living outside the query's coarse bucket, so
+    // this metric is what the nlist (and a future nprobe) knob trades
+    // against. Both sides reuse the memoized IVF frame and the broadcast
+    // brute-force plan; counts meet in a pair-keyed semi-join.
+    QueryDef(
+      "tdp_ann_recall",
       (s, dir) => {
         val e = embWithNorm(s, dir)
-        val cent = e
-          .withColumn("seed_rank",
-            expr("(vec_id * 2654435761) % 1000000007"))
-          .orderBy("seed_rank", "vec_id")
-          .limit(IvfNlist)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("q_emb"),
-            col("norm").as("cent_norm"))
-        val vecs = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("norm").as("c_norm"))
-        val wAssign = Window.partitionBy("c_id").orderBy(desc("sim"), col("cent_id"))
-        val assigned = vecs.crossJoin(broadcast(cent))
-          .withColumn("sim", expr(dotExpr) / (col("cent_norm") * col("c_norm")))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("c_id").as("vec_id"), col("cent_id").as("cluster"))
-        val withCluster = e.join(assigned, "vec_id")
-        val q = withCluster.filter(col("vec_id") % 50 === 0)
+        val q = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("norm").as("q_norm"), col("cluster"))
-        val c = withCluster.select(col("vec_id").as("c_id"),
-          col("embedding").as("c_emb"), col("norm").as("c_norm"), col("cluster"))
-        val wTop = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
-        q.join(c, Seq("cluster")).filter(col("q_id") =!= col("c_id"))
+            col("norm").as("q_norm"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("norm").as("c_norm"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+        val truth = broadcast(q).join(c, col("q_id") =!= col("c_id"))
           .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
-          .withColumn("rank", row_number().over(wTop))
+          .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
-          .select("q_id", "c_id", "cluster", "rank", "sim")
+          .select("q_id", "c_id")
+        val cand = ivfTop3(s, dir).select("q_id", "c_id")
+        val nTruth = truth.agg(count(lit(1)).as("n_exact"))
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val nHit = truth.join(cand, Seq("q_id", "c_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nTruth.crossJoin(nCand).crossJoin(nHit)
+          .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+            (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+              .as("recall"))
       },
-      Some {
-        val dotQC = dotSql
-        s"""WITH $embNormSql,
-           |cent AS (
-           |  SELECT vec_id, embedding, norm FROM emb
-           |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
-           |  LIMIT $IvfNlist),
-           |assigned AS (
-           |  SELECT c_id AS vec_id, cent_id AS cluster FROM (
-           |    SELECT c.vec_id AS c_id, q.vec_id AS cent_id,
-           |      row_number() OVER (PARTITION BY c.vec_id
-           |        ORDER BY ($dotQC) / (q.norm * c.norm) DESC, q.vec_id) AS rn
-           |    FROM emb c CROSS JOIN cent q)
-           |  WHERE rn = 1),
-           |wc AS (
-           |  SELECT e.vec_id, e.embedding, e.norm, a.cluster
-           |  FROM emb e JOIN assigned a ON e.vec_id = a.vec_id)
-           |SELECT q_id, c_id, cluster, rank, sim FROM (
-           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.cluster,
-           |    ($dotQC) / (q.norm * c.norm) AS sim,
-           |    row_number() OVER (PARTITION BY q.vec_id
-           |      ORDER BY ($dotQC) / (q.norm * c.norm) DESC, c.vec_id) AS rank
-           |  FROM wc q JOIN wc c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
-           |  WHERE q.vec_id % 50 = 0)
-           |WHERE rank <= 3""".stripMargin
-      }),
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |truth AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id) AS rank
+              |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+              |    WHERE q.vec_id % 50 = 0)
+              |  WHERE rank <= 3),
+              |ne AS (SELECT count(*) AS n_exact FROM truth),
+              |nc AS (SELECT count(*) AS n_candidates FROM ivf),
+              |nh AS (
+              |  SELECT count(*) AS n_hit
+              |  FROM truth JOIN ivf USING (q_id, c_id))
+              |SELECT n_exact, n_candidates, n_hit,
+              |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+              |FROM ne, nc, nh""".stripMargin)),
 
     // Random-hyperplane LSH for cosine similarity: 8 deterministic
     // pseudo-planes -> 8-bit sign signature -> bucket histogram. Vectors
@@ -1519,5 +1596,266 @@ object TdpQueries {
               |    / CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE)
               |    AS label_share
               |FROM cm""".stripMargin)),
+
+    // Chunk-level (paragraph) dedup, the RefinedWeb/CCNet-style repeated-
+    // span removal pass: each document is segmented into consecutive
+    // non-overlapping ChunkToks-token chunks; a chunk occurring in >=
+    // ChunkDfCap distinct documents is corpus boilerplate and is dropped;
+    // surviving chunks are reassembled in original order. Scale shape:
+    // the shuffle keys are the chunk text (df count) and doc_id
+    // (reassembly) — never a pairwise comparison; the df frame is
+    // vocab-sized, so at 100 TB this is two aggregations plus one join,
+    // all linear in corpus size.
+    QueryDef(
+      "tdp_chunk_dedup",
+      (s, dir) => {
+        val chunksArr = expr(
+          s"""CASE WHEN size(toks) > 0 THEN
+             |  transform(sequence(1, CAST(ceil(size(toks) / $ChunkToks.0) AS INT)),
+             |    i -> array_join(slice(toks, (i - 1) * $ChunkToks + 1, $ChunkToks), ' '))
+             |ELSE array(CAST(NULL AS STRING)) END""".stripMargin)
+        // Memoized: three consumers below (df count, kept join, per-doc
+        // totals) would otherwise each re-run the interpreted segment
+        // lambda over the corpus.
+        val chunks = Registry.memo(s, dir, "tdp_chunks")(
+          docToks(s, dir)
+            .select(col("doc_id"), posexplode(chunksArr).as(Seq("pos", "chunk")))
+            .filter(col("chunk").isNotNull))
+        val dfreq = chunks.groupBy("chunk")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val kept = chunks.join(dfreq, "chunk").filter(col("df") < ChunkDfCap)
+        val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        val perKept = kept.groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+              x => x.getField("chunk")), " ").as("kept_text"))
+        table(s, dir, "documents").select("doc_id")
+          .join(perDoc, Seq("doc_id"), "left")
+          .join(perKept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (coalesce(col("n_chunks"), lit(0L))
+              - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+            coalesce(col("kept_text"), lit("")).as("kept_text"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |ch AS (
+              |  SELECT doc_id, i - 1 AS pos,
+              |    array_to_string(toks[(i - 1) * $ChunkToks + 1:i * $ChunkToks], ' ')
+              |      AS chunk
+              |  FROM (SELECT doc_id, toks,
+              |          unnest(range(1, CAST(ceil(len(toks) / $ChunkToks.0) AS BIGINT)
+              |            + 1)) AS i
+              |        FROM t)),
+              |dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1),
+              |kept AS (
+              |  SELECT doc_id, pos, chunk FROM ch JOIN dfreq USING (chunk)
+              |  WHERE df < $ChunkDfCap),
+              |per_doc AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1),
+              |per_kept AS (
+              |  SELECT doc_id, count(*) AS n_kept,
+              |    string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+              |  FROM kept GROUP BY 1)
+              |SELECT doc_id,
+              |  CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+              |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+              |  CAST(coalesce(n_chunks, 0) - coalesce(n_kept, 0) AS BIGINT)
+              |    AS n_dropped,
+              |  coalesce(kept_text, '') AS kept_text
+              |FROM documents
+              |LEFT JOIN per_doc USING (doc_id)
+              |LEFT JOIN per_kept USING (doc_id)""".stripMargin)),
+
+    // Corpus bigram language-model score per document — the perplexity-
+    // style quality signal a data pipeline computes against its own corpus
+    // statistics (add-one-smoothed bigram logprob, cf. CCNet's LM filter).
+    // Exactness device: each bigram's ln() is scaled to micro-nats and
+    // FLOORED TO AN INTEGER before the per-document sum, so the aggregate
+    // is an order-insensitive BIGINT sum — bit-identical under any
+    // partial-aggregation schedule — rather than a float sum that depends
+    // on reduction order. Scale shape: the count frames are vocab-sized
+    // (corpus-sublinear); everything joins on token keys, never pairwise.
+    QueryDef(
+      "tdp_bigram_logprob",
+      (s, dir) => {
+        val bg = Registry.memo(s, dir, "tdp_bigrams")(
+          docToks(s, dir).select(col("doc_id"),
+            explode(expr(
+              """CASE WHEN size(toks) >= 2 THEN
+                |  transform(sequence(1, size(toks) - 1), i ->
+                |    struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))
+                |ELSE array() END""".stripMargin)).as("bg"))
+            .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+        val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
+        val cu = bg.groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+        val v = docToks(s, dir).select(explode(col("toks")).as("tok"))
+          .agg(countDistinct(col("tok")).as("vocab"))
+        val scored = bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+          .crossJoin(broadcast(v))
+          .withColumn("s_micro",
+            floor(log((col("c_big") + lit(1.0)) / (col("c_ctx") + col("vocab")))
+              * lit(1000000L)).cast(LongType))
+        val agg = scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(col("s_micro")).as("logprob_micro"))
+        table(s, dir, "documents").select("doc_id")
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"),
+            (col("logprob_micro").cast(DoubleType)
+              / (col("n_bigrams").cast(DoubleType) * lit(1e6))).as("avg_logprob"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |bg AS (
+              |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+              |cb AS (SELECT w1, w2, count(*) AS c_big FROM bg GROUP BY 1, 2),
+              |cu AS (SELECT w1, count(*) AS c_ctx FROM bg GROUP BY 1),
+              |v AS (SELECT count(DISTINCT tok) AS vocab
+              |      FROM (SELECT unnest(toks) AS tok FROM t)),
+              |sc AS (
+              |  SELECT doc_id,
+              |    CAST(floor(ln((c_big + 1.0) / (c_ctx + vocab)) * 1000000)
+              |      AS BIGINT) AS s_micro
+              |  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+              |agg AS (
+              |  SELECT doc_id, count(*) AS n_bigrams,
+              |    CAST(sum(s_micro) AS BIGINT) AS logprob_micro
+              |  FROM sc GROUP BY 1)
+              |SELECT doc_id,
+              |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              |  CAST(coalesce(logprob_micro, 0) AS BIGINT) AS logprob_micro,
+              |  CAST(logprob_micro AS DOUBLE)
+              |    / (CAST(n_bigrams AS DOUBLE) * 1e6) AS avg_logprob
+              |FROM documents LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
+    // IVF TRAINING: one Lloyd (k-means) refinement round over the sampled
+    // seed centroids — assign every vector to its nearest seed, recompute
+    // each cluster's mean, re-assign against the refined centroids, and
+    // report per-cluster membership before/after plus how many vectors
+    // stayed put. This is the missing "train the coarse quantizer" step of
+    // the IVF index (tdp_ann_ivf uses the seeds as-is). Exactness device:
+    // the centroid mean folds member vectors IN vec_id ORDER (sorted-list
+    // left fold, identical on both engines) — the engine-agreement harness
+    // path; the production path at 100 TB is an order-free float partial
+    // aggregation whose last-ulp nondeterminism k-means tolerates. The
+    // per-round shape is the IVF assignment itself: vectors x broadcast
+    // centroids, one row_number window, one vocab-sized aggregation.
+    QueryDef(
+      "tdp_ann_kmeans",
+      (s, dir) => {
+        val e = embWithNorm(s, dir)
+        val cent0 = e
+          .withColumn("seed_rank", expr("(vec_id * 2654435761) % 1000000007"))
+          .orderBy("seed_rank", "vec_id")
+          .limit(IvfNlist)
+          .select(col("vec_id").as("cluster"), col("embedding").as("q_emb"),
+            col("norm").as("cent_norm"))
+        val vecs = e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("norm").as("c_norm"))
+        def assign(cent: DataFrame): DataFrame = {
+          val w = Window.partitionBy("c_id").orderBy(desc("sim"), col("cluster"))
+          vecs.crossJoin(broadcast(cent))
+            .withColumn("sim", expr(dotExpr) / (col("cent_norm") * col("c_norm")))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("c_id").as("vec_id"), col("cluster"))
+        }
+        val assign0 = Registry.memo(s, dir, "tdp_kmeans_assign0")(assign(cent0))
+        val cent1 = assign0
+          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n"),
+            array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
+              .as("lst"))
+          .select(col("cluster"),
+            expr(
+              """transform(
+                |  aggregate(lst,
+                |    transform(element_at(lst, 1).embedding, x -> CAST(0.0 AS DOUBLE)),
+                |    (acc, x) -> zip_with(acc, x.embedding,
+                |      (a, b) -> a + CAST(b AS DOUBLE))),
+                |  v -> v / n)""".stripMargin).as("q_emb"))
+          .withColumn("cent_norm", expr("sqrt(graft_dot(q_emb, q_emb))"))
+        val assign1 = assign(cent1).withColumnRenamed("cluster", "cluster1")
+        val n0 = assign0.groupBy("cluster").agg(count(lit(1)).as("n_iter0"))
+        val n1 = assign1.groupBy(col("cluster1").as("cluster"))
+          .agg(count(lit(1)).as("n_iter1"))
+        val stay = assign0.join(assign1, "vec_id")
+          .filter(col("cluster") === col("cluster1"))
+          .groupBy("cluster").agg(count(lit(1)).as("n_stayed"))
+        n0.join(n1, Seq("cluster"), "full_outer")
+          .join(stay, Seq("cluster"), "full_outer")
+          .select(col("cluster"),
+            coalesce(col("n_iter0"), lit(0L)).as("n_iter0"),
+            coalesce(col("n_iter1"), lit(0L)).as("n_iter1"),
+            coalesce(col("n_stayed"), lit(0L)).as("n_stayed"))
+      },
+      Some(s"""WITH $embNormSql,
+              |cent0 AS (
+              |  SELECT vec_id AS cluster, embedding, norm AS cent_norm FROM emb
+              |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+              |  LIMIT $IvfNlist),
+              |a0 AS (
+              |  SELECT vec_id, cluster FROM (
+              |    SELECT c.vec_id, q.cluster,
+              |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+              |        (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |          list_transform(range(1, len(q.embedding) + 1),
+              |            i -> CAST(q.embedding[i] AS DOUBLE)
+              |              * CAST(c.embedding[i] AS DOUBLE))),
+              |          (acc, x) -> acc + x)) / (q.cent_norm * c.norm) DESC,
+              |        q.cluster) AS rn
+              |    FROM emb c CROSS JOIN cent0 q)
+              |  WHERE rn = 1),
+              |cent1 AS (
+              |  SELECT cluster,
+              |    list_transform(
+              |      list_reduce(
+              |        list_prepend(list_transform(lst[1], x -> CAST(0.0 AS DOUBLE)),
+              |          list_transform(lst, e -> list_transform(
+              |            range(1, len(e) + 1), i -> CAST(e[i] AS DOUBLE)))),
+              |        (acc, x) -> list_transform(range(1, len(acc) + 1),
+              |          i -> acc[i] + x[i])),
+              |      v -> v / n) AS embedding
+              |  FROM (
+              |    SELECT cluster, count(*) AS n,
+              |      list(embedding ORDER BY vec_id) AS lst
+              |    FROM a0 JOIN emb USING (vec_id) GROUP BY 1)),
+              |cent1n AS (
+              |  SELECT cluster, embedding,
+              |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |      list_transform(range(1, len(embedding) + 1),
+              |        i -> embedding[i] * embedding[i])),
+              |      (acc, x) -> acc + x)) AS cent_norm
+              |  FROM cent1),
+              |a1 AS (
+              |  SELECT vec_id, cluster AS cluster1 FROM (
+              |    SELECT c.vec_id, q.cluster,
+              |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+              |        (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |          list_transform(range(1, len(q.embedding) + 1),
+              |            i -> q.embedding[i] * CAST(c.embedding[i] AS DOUBLE))),
+              |          (acc, x) -> acc + x)) / (q.cent_norm * c.norm) DESC,
+              |        q.cluster) AS rn
+              |    FROM emb c CROSS JOIN cent1n q)
+              |  WHERE rn = 1),
+              |n0 AS (SELECT cluster, count(*) AS n_iter0 FROM a0 GROUP BY 1),
+              |n1 AS (SELECT cluster1 AS cluster, count(*) AS n_iter1
+              |       FROM a1 GROUP BY 1),
+              |stay AS (
+              |  SELECT cluster, count(*) AS n_stayed
+              |  FROM a0 JOIN a1 USING (vec_id) WHERE cluster = cluster1
+              |  GROUP BY 1)
+              |SELECT cluster,
+              |  CAST(coalesce(n_iter0, 0) AS BIGINT) AS n_iter0,
+              |  CAST(coalesce(n_iter1, 0) AS BIGINT) AS n_iter1,
+              |  CAST(coalesce(n_stayed, 0) AS BIGINT) AS n_stayed
+              |FROM n0
+              |FULL OUTER JOIN n1 USING (cluster)
+              |FULL OUTER JOIN stay USING (cluster)""".stripMargin)),
   )
 }

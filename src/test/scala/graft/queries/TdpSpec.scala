@@ -205,6 +205,18 @@ class TdpSpec extends SparkSpec {
     assert(recall == nHit.toDouble / nExact.toDouble)
   }
 
+  test("ann recall: truth is 3 per query; hits bounded; misses cross buckets") {
+    val r = Registry.queries("tdp_ann_recall")(spark, sf).collect().head
+    val (nExact, nCand, nHit, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val nq = Registry.table(spark, sf, "embeddings")
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(nExact === nq * 3, "brute-force truth is exactly top-3 per query")
+    assert(nHit <= nExact && nHit <= nCand)
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(recall == nHit.toDouble / nExact.toDouble)
+  }
+
   test("lang confusion matrix partitions the corpus; shares sum to 1 per label") {
     val rows = Registry.queries("tdp_lang_confusion")(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
@@ -240,6 +252,58 @@ class TdpSpec extends SparkSpec {
     assert(r.getLong(1) === clusters.map(_._2).distinct.length.toLong)
     assert(r.getLong(2) === clusters.count(!_._3).toLong)
     assert(r.getDouble(3) === r.getLong(2).toDouble / r.getLong(0).toDouble)
+  }
+
+  test("chunk dedup drops corpus-boilerplate segments, keeps doc order") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_chunk").toString
+    // One 10-token chunk shared by 3 docs (df = 3 = cap -> boilerplate);
+    // each doc's second chunk is unique (df = 1 -> kept). Doc 4 is ONLY
+    // the boilerplate chunk -> everything dropped, empty kept_text.
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    def uniq(i: Int) = (1 to 10).map(j => s"u${i}_$j").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${uniq(1)}"), (2L, s"$boiler ${uniq(2)}"),
+      (3L, s"$boiler ${uniq(3)}"), (4L, boiler))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_chunk_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(rows(1L) === ((2L, 1L, 1L, uniq(1))))
+    assert(rows(2L) === ((2L, 1L, 1L, uniq(2))))
+    assert(rows(3L) === ((2L, 1L, 1L, uniq(3))))
+    assert(rows(4L) === ((1L, 0L, 1L, "")))
+  }
+
+  test("bigram logprob: integer micro-nat sums match a direct computation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_bigram").toString
+    // Corpus: doc 1 = "a b a b" (bigrams ab, ba, ab), doc 2 = "a b",
+    // doc 3 = "x" (no bigrams). cb(ab)=3, cb(ba)=1; cu(a)=3, cu(b)=1;
+    // vocab = {a, b, x} = 3.
+    Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_bigram_logprob")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def m(cBig: Long, cCtx: Long): Long =
+      math.floor(math.log((cBig + 1.0) / (cCtx + 3.0)) * 1e6).toLong
+    val ab = m(3, 3); val ba = m(1, 1)
+    assert(rows(1L) === ((3L, 2 * ab + ba)))
+    assert(rows(2L) === ((1L, ab)))
+    assert(rows(3L) === ((0L, 0L)))
+  }
+
+  test("kmeans round conserves vectors; stayed counts bounded per cluster") {
+    val rows = Registry.queries("tdp_ann_kmeans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val nVecs = Registry.table(spark, sf, "embeddings").count()
+    assert(rows.map(_._2).sum === nVecs, "iter-0 assignment must partition")
+    assert(rows.map(_._3).sum === nVecs, "iter-1 assignment must partition")
+    assert(rows.forall(r => r._4 <= r._2 && r._4 <= r._3),
+      "stayed is a subset of both rounds' members")
+    assert(rows.map(_._4).sum > 0, "a Lloyd round should keep some members")
+    assert(rows.length <= 64, "at most nlist clusters")
   }
 
   test("quality buckets split the corpus into exact tertiles") {
