@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-process stdout passes through UNPREFIXED (no "[info] " per line)
+// and the "[success] Total time ..." epilogue is suppressed, so
+// graft.Bench's one-line JSON is the literal LAST line of
+// `sbt "runMain graft.Bench"` stdout — the calling harness parses exactly
+// that line (rounds 1-4 recorded parsed:null because sbt's log prefix and
+// trailing [success] line wrapped it).
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

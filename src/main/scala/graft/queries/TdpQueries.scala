@@ -132,6 +132,39 @@ object TdpQueries {
     */
   private val dotExpr = "graft_dot(q_emb, c_emb)"
 
+  /** The IvfNlist hash-sampled seed centroids (deterministic TakeOrdered
+    * on a multiplicative id hash — no global window, no data-order
+    * dependence); shared by the IVF search, the nprobe recall metric and
+    * the k-means refinement round.
+    */
+  private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    embWithNorm(s, dir)
+      .withColumn("seed_rank",
+        expr("(vec_id * 2654435761) % 1000000007"))
+      .orderBy("seed_rank", "vec_id")
+      .limit(IvfNlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("q_emb"),
+        col("norm").as("cent_norm"))
+
+  /** Nearest-seed-centroid assignment for EVERY corpus vector (vectors x
+    * broadcast centroids, one per-vector window), memoized: consumed by
+    * the IVF search, the nprobe candidate generator, and as iteration-0
+    * of the k-means round — three queries, one crossJoin pass.
+    */
+  private def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_ivf_assign") {
+      val e = embWithNorm(s, dir)
+      val cent = ivfCentroids(s, dir)
+      val vecs = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+      val wAssign = Window.partitionBy("c_id").orderBy(desc("sim"), col("cent_id"))
+      vecs.crossJoin(broadcast(cent))
+        .withColumn("sim", expr(dotExpr) / (col("cent_norm") * col("c_norm")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("c_id").as("vec_id"), col("cent_id").as("cluster"))
+    }
+
   /** IVF bucketed top-3 search (assign to nearest of IvfNlist hash-sampled
     * seed centroids, search within the query's bucket), memoized: consumed
     * by the tdp_ann_ivf query itself AND as the candidate set of the
@@ -140,22 +173,7 @@ object TdpQueries {
   private def ivfTop3(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_ann_ivf_top") {
       val e = embWithNorm(s, dir)
-      val cent = e
-        .withColumn("seed_rank",
-          expr("(vec_id * 2654435761) % 1000000007"))
-        .orderBy("seed_rank", "vec_id")
-        .limit(IvfNlist)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("q_emb"),
-          col("norm").as("cent_norm"))
-      val vecs = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("norm").as("c_norm"))
-      val wAssign = Window.partitionBy("c_id").orderBy(desc("sim"), col("cent_id"))
-      val assigned = vecs.crossJoin(broadcast(cent))
-        .withColumn("sim", expr(dotExpr) / (col("cent_norm") * col("c_norm")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("c_id").as("vec_id"), col("cent_id").as("cluster"))
-      val withCluster = e.join(assigned, "vec_id")
+      val withCluster = e.join(ivfAssign(s, dir), "vec_id")
       val q = withCluster.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("norm").as("q_norm"), col("cluster"))
@@ -1502,21 +1520,39 @@ object TdpQueries {
 
     // Quality-tertile bucketing (CCNet-style head/middle/tail): rank all
     // docs by the shared quality score, split into thirds, report each
-    // bucket's size and quality range. The exact global row_number makes
-    // the oracle bit-checkable; at 100 TB the cutoffs would come from an
-    // approx-quantile sketch (two scans, no global sort) with the same
-    // downstream bucket logic.
+    // bucket's size and quality range. The global rank is EXACT but never
+    // single-partition: range-partition on the rank key, count rows per
+    // partition (a partition-count-sized collect — the same driver state
+    // RDD.zipWithIndex keeps), and add each partition's cumulative offset
+    // to its local row_number. Every task ranks ~n/P rows, P scales with
+    // the cluster, and the plan stays in DataFrame land (codegen'd sort +
+    // per-partition window) — no `WindowExec: No Partition Defined`.
     QueryDef(
       "tdp_quality_buckets",
       (s, dir) => {
-        val scored = qualityScored(s, dir)
-        val total = scored.agg(count(lit(1)).as("n"))
-        val wAll = Window.orderBy(desc("quality"), col("doc_id"))
-        scored.crossJoin(broadcast(total))
-          .withColumn("rn", row_number().over(wAll))
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val ranged = Registry.memo(s, dir, "tdp_quality_ranged")(
+          qualityScored(s, dir)
+            .select("doc_id", "quality")
+            .repartitionByRange(nPart, desc("quality"), col("doc_id"))
+            .withColumn("pid", spark_partition_id()))
+        // P rows of (partition id, row count) -> cumulative rank offsets.
+        val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val total = counts.map(_._2).sum
+        var acc = 0L
+        val offsets = counts.map { case (p, c) =>
+          val o = acc; acc += c; (p, o)
+        }.toSeq
+        val offDf = s.createDataFrame(offsets).toDF("pid", "off")
+        val wPid =
+          Window.partitionBy("pid").orderBy(desc("quality"), col("doc_id"))
+        ranged.join(broadcast(offDf), "pid")
+          .withColumn("rn",
+            row_number().over(wPid).cast(LongType) + col("off"))
           .withColumn("bucket",
-            when(col("rn") * 3 <= col("n"), "head")
-              .when(col("rn") * 3 <= col("n") * 2, "middle")
+            when(col("rn") * 3 <= total, "head")
+              .when(col("rn") * 3 <= total * 2, "middle")
               .otherwise("tail"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n_docs"),
@@ -1733,27 +1769,24 @@ object TdpQueries {
               |FROM documents LEFT JOIN agg USING (doc_id)""".stripMargin)),
 
     // IVF TRAINING: one Lloyd (k-means) refinement round over the sampled
-    // seed centroids — assign every vector to its nearest seed, recompute
-    // each cluster's mean, re-assign against the refined centroids, and
-    // report per-cluster membership before/after plus how many vectors
-    // stayed put. This is the missing "train the coarse quantizer" step of
-    // the IVF index (tdp_ann_ivf uses the seeds as-is). Exactness device:
-    // the centroid mean folds member vectors IN vec_id ORDER (sorted-list
-    // left fold, identical on both engines) — the engine-agreement harness
-    // path; the production path at 100 TB is an order-free float partial
-    // aggregation whose last-ulp nondeterminism k-means tolerates. The
-    // per-round shape is the IVF assignment itself: vectors x broadcast
-    // centroids, one row_number window, one vocab-sized aggregation.
+    // seed centroids — assign every vector to its nearest seed (the shared
+    // memoized IVF assignment), recompute each cluster's mean, re-assign
+    // against the refined centroids, and report per-cluster membership
+    // before/after plus how many vectors stayed put. This is the missing
+    // "train the coarse quantizer" step of the IVF index (tdp_ann_ivf uses
+    // the seeds as-is). Centroid recompute is a DIMENSION-WISE partial
+    // aggregation: posexplode to (cluster, dim, x), floor each coordinate
+    // to integer micro-units (exact and commutative under any
+    // partial-aggregation schedule — the tdp_bigram_logprob trick), sum
+    // per (cluster, dim), reassemble the nlist x dim mean vectors. Per-
+    // group aggregation state is ONE long — no cluster ever materializes
+    // its membership into a single array, so the round survives a
+    // billion-vector cluster. The oracle applies the identical integer
+    // quantization, so both engines agree bitwise.
     QueryDef(
       "tdp_ann_kmeans",
       (s, dir) => {
         val e = embWithNorm(s, dir)
-        val cent0 = e
-          .withColumn("seed_rank", expr("(vec_id * 2654435761) % 1000000007"))
-          .orderBy("seed_rank", "vec_id")
-          .limit(IvfNlist)
-          .select(col("vec_id").as("cluster"), col("embedding").as("q_emb"),
-            col("norm").as("cent_norm"))
         val vecs = e.select(col("vec_id").as("c_id"),
           col("embedding").as("c_emb"), col("norm").as("c_norm"))
         def assign(cent: DataFrame): DataFrame = {
@@ -1764,21 +1797,24 @@ object TdpQueries {
             .filter(col("rn") === 1)
             .select(col("c_id").as("vec_id"), col("cluster"))
         }
-        val assign0 = Registry.memo(s, dir, "tdp_kmeans_assign0")(assign(cent0))
-        val cent1 = assign0
+        val assign0 = ivfAssign(s, dir)
+        val dimSums = assign0
           .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-          .groupBy("cluster")
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("cluster", "dim")
           .agg(count(lit(1)).as("n"),
-            array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
-              .as("lst"))
+            sum(floor(col("x").cast(DoubleType) * lit(1000000.0)))
+              .as("s_micro"))
+        val cent1 = dimSums
+          .groupBy("cluster")
+          .agg(max("n").as("n"),
+            array_sort(collect_list(struct(col("dim"), col("s_micro"))))
+              .as("dims"))
           .select(col("cluster"),
-            expr(
-              """transform(
-                |  aggregate(lst,
-                |    transform(element_at(lst, 1).embedding, x -> CAST(0.0 AS DOUBLE)),
-                |    (acc, x) -> zip_with(acc, x.embedding,
-                |      (a, b) -> a + CAST(b AS DOUBLE))),
-                |  v -> v / n)""".stripMargin).as("q_emb"))
+            expr("""transform(dims,
+                   |  d -> CAST(d.s_micro AS DOUBLE)
+                   |    / (CAST(n AS DOUBLE) * 1000000.0D))""".stripMargin)
+              .as("q_emb"))
           .withColumn("cent_norm", expr("sqrt(graft_dot(q_emb, q_emb))"))
         val assign1 = assign(cent1).withColumnRenamed("cluster", "cluster1")
         val n0 = assign0.groupBy("cluster").agg(count(lit(1)).as("n_iter0"))
@@ -1815,15 +1851,16 @@ object TdpQueries {
               |  SELECT cluster,
               |    list_transform(
               |      list_reduce(
-              |        list_prepend(list_transform(lst[1], x -> CAST(0.0 AS DOUBLE)),
+              |        list_prepend(list_transform(lst[1], x -> CAST(0 AS BIGINT)),
               |          list_transform(lst, e -> list_transform(
-              |            range(1, len(e) + 1), i -> CAST(e[i] AS DOUBLE)))),
+              |            range(1, len(e) + 1),
+              |            i -> CAST(floor(CAST(e[i] AS DOUBLE) * 1000000)
+              |              AS BIGINT)))),
               |        (acc, x) -> list_transform(range(1, len(acc) + 1),
               |          i -> acc[i] + x[i])),
-              |      v -> v / n) AS embedding
+              |      v -> CAST(v AS DOUBLE) / (n * 1000000.0)) AS embedding
               |  FROM (
-              |    SELECT cluster, count(*) AS n,
-              |      list(embedding ORDER BY vec_id) AS lst
+              |    SELECT cluster, count(*) AS n, list(embedding) AS lst
               |    FROM a0 JOIN emb USING (vec_id) GROUP BY 1)),
               |cent1n AS (
               |  SELECT cluster, embedding,
