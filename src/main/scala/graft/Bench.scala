@@ -1,9 +1,38 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** First field of /proc/loadavg (1-min load), or -1 where unreadable.
+    * Recorded at start AND end of the run so a contended host can never
+    * again masquerade as a code regression (BENCH_r05: 13x wall inflation
+    * from co-tenant CPU starvation looked identical to a plan regression
+    * until the judge re-ran on the idle host).
+    */
+  private def loadavg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Queries benched FIRST, in dependency order, so the one-time
+    * materialization of each memoized shared frame (cleaned inputs, engine
+    * outputs, shingle/embedding frames) is attributed to the query that IS
+    * that chain — not to whichever consumer runs first alphabetically
+    * (historically a10_term_rate absorbed the whole Engine B chain).
+    * Everything not listed runs afterwards in name order at marginal cost.
+    */
+  private val spine = Seq(
+    "clean_relius", "clean_matrix", "clean_demo", "clean_basis",
+    "ea_reconcile", "ea_reconcile_all", "eb_age_taxcode", "ec_roth_taxable",
+    "ec_correction_file", "ed_ira_rollover",
+    "tdp_minhash_signatures", "tdp_minhash_lsh_pairs", "tdp_ngram_jaccard",
+    "tdp_dup_clusters", "tdp_simhash_pairs", "tdp_quality_score",
+    "tdp_ann_ivf", "tdp_ann_kmeans", "tdp_chunk_dedup", "tdp_bigram_logprob")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,17 +43,35 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Executor CPU time accumulator: wall time on a shared host measures
+    // the HOST; executor CPU measures the CODE. taskEnd events arrive on
+    // the (async) listener bus, so per-query deltas can lag by the last
+    // few task-end posts — totals are exact once the bus drains at stop.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+      }
+    })
     // Optional comma-separated query-name filter for focused local timing;
     // the driver's invocation leaves it unset and benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // Warmup: pay the fixed JVM/codegen/parquet-datasource startup cost in
-    // a DEDICATED timed entry instead of silently charging it to whichever
-    // query runs first alphabetically (historically ~12.5 s billed to
-    // a10_term_rate), so per-query numbers stay comparable across rounds.
-    // Exercises the whole-stage-codegen, broadcast-join, window and
-    // parquet-scan paths once over a 5-row table.
-    val warmup = {
+    def timed(name: String)(body: => Unit): (String, (Double, Double)) = {
       val t0 = System.nanoTime()
+      val c0 = cpuNs.get()
+      try body catch { case _: Throwable => () }
+      val wall = (System.nanoTime() - t0) / 1e9
+      name -> (wall, (cpuNs.get() - c0) / 1e9)
+    }
+    // Warmup: pay the fixed JVM/codegen/parquet-datasource startup cost in
+    // a DEDICATED timed entry instead of silently charging it to the first
+    // real query. NOTE: synthetic entry — it IS summed into `value`/n (the
+    // driver's gate covers the whole run), so a consumer cross-checking
+    // value == sum(queries) must include it. Wrapped in the same try/catch
+    // as real queries: a corrupt region.parquet must cost one bad entry,
+    // not the whole JSON line.
+    val warmup = timed("warmup") {
       spark.read.parquet(s"$sfDir/region.parquet")
         .createOrReplaceTempView("graft_warm")
       spark.sql(
@@ -33,17 +80,20 @@ object Bench {
           |FROM graft_warm a JOIN graft_warm b USING (r_regionkey)""".stripMargin
       ).count()
       spark.range(1000000).selectExpr("sum(id * 2) AS s").count()
-      "warmup" -> (System.nanoTime() - t0) / 1e9
     }
-    // Deterministic order so shared-frame materialization costs attribute
-    // to the same query on every run.
-    val results = Seq(warmup) ++ SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Spine first (dependency order), remainder in name order — both
+    // deterministic, so shared-frame materialization costs attribute to
+    // the same query on every run.
+    val names = SparkEntry.queries.keySet
+    val ordered = spine.filter(names) ++
+      (names -- spine).toSeq.sorted
+    val results = Seq(warmup) ++ ordered
+      .filter(n => only.forall(_.contains(n)))
+      .map(n => timed(n)(SparkEntry.queries(n)(spark, sfDir).count()))
+    // Let the listener bus drain the final task-end posts before the
+    // total-CPU snapshot (local mode: normally sub-ms behind the action).
+    Thread.sleep(300)
+    val cpuTotal = cpuNs.get() / 1e9
     // The calling harness captures only the LAST ~2000 chars of stdout,
     // so the ONE-line JSON must fit that window or the harness records
     // parsed:null — which is exactly what happened to the full 105-entry
@@ -53,44 +103,64 @@ object Bench {
     // now sets outputStrategy := StdoutOutput (raw pass-through) and
     // Global/showSuccess := false, and the println below happens AFTER
     // spark.stop(), so the JSON is the literal last line of stdout.
-    // Emit the slowest queries individually (the ones a reader acts on)
-    // and fold the rest into a single summed entry, budgeted so the whole
-    // line stays well under the window. The total is summed over the SAME
-    // rounded values so value == sum(queries) holds exactly for a consumer
-    // cross-checking the line. The complete per-query map still goes to
+    // Emit the slowest queries individually — wall ("queries") AND
+    // executor-CPU ("cpu") so a contended run self-diagnoses (wall >>
+    // cpu/32 => host, not code) — and fold the rest into one summed
+    // entry, budgeted so the whole line stays under the window. The total
+    // is summed over the SAME rounded values so value == sum(queries)
+    // holds exactly. The complete per-query maps still go to
     // bench_full_local.json for bookkeeping.
     def sec3(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def entry(k: String, v: Double): String = "\"" + k + "\":" + sec3(v)
-    val rounded = results.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map((entry _).tupled).mkString("{", ",", "}")
+    val rounded = results.map { case (k, (w, c)) =>
+      (k, math.rint(w * 1000) / 1000, math.rint(c * 1000) / 1000)
+    }
     val total = rounded.map(_._2).sum
-    val fullJson = rounded.sortBy(_._1).map((entry _).tupled)
-      .mkString("{\"n\":" + rounded.size + ",\"total\":" + sec3(total) + ",\"queries\":{", ",", "}}")
+    val fullJson = rounded.sortBy(_._1)
+      .map { case (k, w, c) => "\"" + k + "\":[" + sec3(w) + "," + sec3(c) + "]" }
+      .mkString(
+        "{\"n\":" + rounded.size + ",\"total\":" + sec3(total) +
+          ",\"cpu_total\":" + sec3(cpuTotal) +
+          ",\"loadavg\":[" + sec3(loadStart) + "," + sec3(loadavg()) + "]" +
+          ",\"queries_wall_cpu\":{", ",", "}}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full_local.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // bookkeeping only — never fail the bench
-    val lineBudget = 1400
-    val overhead = 120 // metric/value/unit/sf framing + an "other" entry
-    val desc = rounded.sortBy { case (k, v) => (-v, k) }
+    val lineBudget = 1750
+    val overhead = 220 // metric/value/unit/sf/loadavg/cpu framing + "other" entries
+    val desc = rounded.sortBy { case (k, w, _) => (-w, k) }
     val cut = {
       var used = 0
       var i = 0
-      while (i < desc.size && used + desc(i)._1.length + 12 < lineBudget - overhead) {
-        used += desc(i)._1.length + 12
+      // each kept query appears in BOTH maps: 2*(len+12) chars
+      while (i < desc.size && used + 2 * (desc(i)._1.length + 12) < lineBudget - overhead) {
+        used += 2 * (desc(i)._1.length + 12)
         i += 1
       }
       i
     }
     val (kept, rest) = desc.splitAt(cut)
-    val parts = kept.map((entry _).tupled) ++
-      (if (rest.isEmpty) Nil
-       else Seq(entry(s"other_${rest.size}_queries", rest.map(_._2).sum)))
-    val qs = parts.mkString("{", ",", "}")
+    def withOther(sel: ((String, Double, Double)) => Double): String = {
+      val parts = kept.map(t => entry(t._1, sel(t))) ++
+        (if (rest.isEmpty) Nil
+         else Seq(entry(s"other_${rest.size}_queries", rest.map(sel).sum)))
+      parts.mkString("{", ",", "}")
+    }
+    val qs = withOther(_._2)
+    val cs = withOther(_._3)
+    val loadEnd = loadavg()
+    graft.queries.Registry.evict(spark)
     // Stop Spark FIRST: its shutdown can log to the console, and the JSON
     // line must be the final stdout line for the harness's parser.
     spark.stop()
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,""" +
+        s""""cpu":$cs,"cpu_total":${sec3(cpuTotal)},""" +
+        s""""loadavg":[${sec3(loadStart)},${sec3(loadEnd)}],"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

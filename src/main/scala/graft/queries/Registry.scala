@@ -37,6 +37,21 @@ object Registry {
       df
     })
 
+  /** Unpersist and forget every frame memoized on `spark` (all SF dirs).
+    * One-shot bench/verify JVMs never need this, but a long-lived session
+    * iterating over multiple SF dirs would otherwise accumulate
+    * MEMORY_AND_DISK blocks indefinitely; Bench/Verify call it before
+    * `spark.stop()` as the reference pattern.
+    */
+  def evict(spark: SparkSession): Unit = {
+    val id = System.identityHashCode(spark)
+    memoCache.keys
+      .filter { case ((sid, _), _) => sid == id }
+      .foreach { k =>
+        memoCache.remove(k).foreach(_.unpersist(blocking = false))
+      }
+  }
+
   def all: Seq[QueryDef] =
     CoreQueries.defs ++ EngineQueries.defs ++ FunctionQueries.defs ++
       SummaryQueries.defs ++ TdpQueries.defs

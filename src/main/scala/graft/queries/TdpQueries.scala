@@ -146,13 +146,15 @@ object TdpQueries {
       .select(col("vec_id").as("cent_id"), col("embedding").as("q_emb"),
         col("norm").as("cent_norm"))
 
-  /** Nearest-seed-centroid assignment for EVERY corpus vector (vectors x
-    * broadcast centroids, one per-vector window), memoized: consumed by
-    * the IVF search, the nprobe candidate generator, and as iteration-0
-    * of the k-means round — three queries, one crossJoin pass.
+  /** Top-2 nearest-seed-centroid assignment for EVERY corpus vector
+    * (vectors x broadcast centroids, one per-vector window), memoized:
+    * probe=1 is the classic IVF bucket assignment (consumed by the IVF
+    * search, the recall metrics and iteration-0 of the k-means round);
+    * probe=2 is the second-closest bucket a multi-probe query ALSO
+    * searches. One crossJoin pass feeds all five consumers.
     */
-  private def ivfAssign(s: SparkSession, dir: String): DataFrame =
-    Registry.memo(s, dir, "tdp_ivf_assign") {
+  private def ivfAssign2(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_ivf_assign2") {
       val e = embWithNorm(s, dir)
       val cent = ivfCentroids(s, dir)
       val vecs = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
@@ -161,9 +163,16 @@ object TdpQueries {
       vecs.crossJoin(broadcast(cent))
         .withColumn("sim", expr(dotExpr) / (col("cent_norm") * col("c_norm")))
         .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("c_id").as("vec_id"), col("cent_id").as("cluster"))
+        .filter(col("rn") <= 2)
+        .select(col("c_id").as("vec_id"), col("cent_id").as("cluster"),
+          col("rn").as("probe"))
     }
+
+  /** Nearest-centroid (probe=1) assignment — a cheap filter over the
+    * memoized top-2 frame, NOT a second crossJoin pass.
+    */
+  private def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    ivfAssign2(s, dir).filter(col("probe") === 1).select("vec_id", "cluster")
 
   /** IVF bucketed top-3 search (assign to nearest of IvfNlist hash-sampled
     * seed centroids, search within the query's bucket), memoized: consumed
@@ -187,6 +196,31 @@ object TdpQueries {
         .select("q_id", "c_id", "cluster", "rank", "sim")
     }
 
+  /** Multi-probe IVF top-3 (nprobe=2): each query searches its TWO nearest
+    * centroid buckets; candidates still live in their single nearest
+    * bucket, so the probe fan-out is on the (tiny) query side only — the
+    * shuffle volume is 2x the query count, not 2x the corpus. A candidate
+    * pair can't duplicate across probes (each candidate has exactly one
+    * home bucket and the query's two probe clusters are distinct).
+    */
+  private def ivfTop3Nprobe2(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_ann_ivf2_top") {
+      val e = embWithNorm(s, dir)
+      val q = e.join(ivfAssign2(s, dir), "vec_id")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"), col("cluster"))
+      val c = e.join(ivfAssign(s, dir), "vec_id")
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("norm").as("c_norm"), col("cluster"))
+      val wTop = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+      q.join(c, Seq("cluster")).filter(col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .select("q_id", "c_id", "rank", "sim")
+    }
+
   /** DuckDB CTE chain ending in `ivf(q_id, c_id, cluster, rank, sim)` —
     * the SQL twin of [[ivfTop3]] (expects `emb` in scope), shared by the
     * tdp_ann_ivf and tdp_ann_recall oracles so the searched index can
@@ -197,13 +231,15 @@ object TdpQueries {
        |  SELECT vec_id, embedding, norm FROM emb
        |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
        |  LIMIT $IvfNlist),
-       |assigned AS (
-       |  SELECT c_id AS vec_id, cent_id AS cluster FROM (
+       |assigned2 AS (
+       |  SELECT c_id AS vec_id, cent_id AS cluster, rn AS probe FROM (
        |    SELECT c.vec_id AS c_id, q.vec_id AS cent_id,
        |      row_number() OVER (PARTITION BY c.vec_id
        |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, q.vec_id) AS rn
        |    FROM emb c CROSS JOIN cent q)
-       |  WHERE rn = 1),
+       |  WHERE rn <= 2),
+       |assigned AS (
+       |  SELECT vec_id, cluster FROM assigned2 WHERE probe = 1),
        |wc AS (
        |  SELECT e.vec_id, e.embedding, e.norm, a.cluster
        |  FROM emb e JOIN assigned a ON e.vec_id = a.vec_id),
@@ -215,6 +251,18 @@ object TdpQueries {
        |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id) AS rank
        |    FROM wc q JOIN wc c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
        |    WHERE q.vec_id % 50 = 0)
+       |  WHERE rank <= 3),
+       |wq2 AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, a.cluster
+       |  FROM emb e JOIN assigned2 a ON e.vec_id = a.vec_id
+       |  WHERE e.vec_id % 50 = 0),
+       |ivf2 AS (
+       |  SELECT q_id, c_id, rank, sim FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      ($dotSql) / (q.norm * c.norm) AS sim,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id) AS rank
+       |    FROM wq2 q JOIN wc c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id)
        |  WHERE rank <= 3)""".stripMargin
 
   /** Deterministic pseudo-random hyperplane j dotted with `embedding`
@@ -1072,6 +1120,64 @@ object TdpQueries {
               |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
               |FROM ne, nc, nh""".stripMargin)),
 
+    // Multi-probe sweep: recall@nprobe for nprobe IN (1, 2) against the
+    // same brute-force exact top-3 — one row per probe count, so the
+    // monotone recall improvement the nprobe knob buys (and the 2x
+    // query-side search cost it pays) is a single readable frame. This is
+    // THE operating-point table an IVF index publishes: pick nprobe where
+    // the recall curve flattens. probe=1 rows reuse the memoized
+    // single-probe search; probe=2 adds only the second-bucket query-side
+    // fan-out.
+    QueryDef(
+      "tdp_ann_recall_nprobe",
+      (s, dir) => {
+        val e = embWithNorm(s, dir)
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("norm").as("c_norm"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+        val truth = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("q_id", "c_id")
+        val nTruth = truth.agg(count(lit(1)).as("n_exact"))
+        def metric(np: Int, cand: DataFrame): DataFrame = {
+          val nHit = truth
+            .join(cand.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+          broadcast(nTruth).crossJoin(nHit)
+            .select(lit(np).as("nprobe"), col("n_exact"), col("n_hit"),
+              (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+                .as("recall"))
+        }
+        metric(1, ivfTop3(s, dir)).unionAll(metric(2, ivfTop3Nprobe2(s, dir)))
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |truth AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id) AS rank
+              |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+              |    WHERE q.vec_id % 50 = 0)
+              |  WHERE rank <= 3),
+              |ne AS (SELECT count(*) AS n_exact FROM truth),
+              |h1 AS (SELECT count(*) AS n_hit
+              |       FROM truth JOIN ivf USING (q_id, c_id)),
+              |h2 AS (SELECT count(*) AS n_hit
+              |       FROM truth JOIN ivf2 USING (q_id, c_id))
+              |SELECT 1 AS nprobe, n_exact, h1.n_hit,
+              |  CAST(h1.n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+              |FROM ne, h1
+              |UNION ALL
+              |SELECT 2 AS nprobe, n_exact, h2.n_hit,
+              |  CAST(h2.n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+              |FROM ne, h2""".stripMargin)),
+
     // Random-hyperplane LSH for cosine similarity: 8 deterministic
     // pseudo-planes -> 8-bit sign signature -> bucket histogram. Vectors
     // sharing a bucket are cosine-similar candidates; the shuffle key is
@@ -1536,6 +1642,13 @@ object TdpQueries {
             .select("doc_id", "quality")
             .repartitionByRange(nPart, desc("quality"), col("doc_id"))
             .withColumn("pid", spark_partition_id()))
+        // The persist above is LOAD-BEARING for correctness, not just a
+        // perf memo: the per-pid counts collected below and the later
+        // rank join must observe the SAME spark_partition_id values, which
+        // only holds if both actions read one materialization of the range
+        // exchange. Force it before the first collect so a future
+        // cache-policy change can't silently split the two scans.
+        ranged.count()
         // P rows of (partition id, row count) -> cumulative rank offsets.
         val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
           .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -1802,14 +1915,18 @@ object TdpQueries {
           .join(e.select(col("vec_id"), col("embedding")), "vec_id")
           .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
           .groupBy("cluster", "dim")
-          .agg(count(lit(1)).as("n"),
-            sum(floor(col("x").cast(DoubleType) * lit(1000000.0)))
-              .as("s_micro"))
+          .agg(sum(floor(col("x").cast(DoubleType) * lit(1000000.0)))
+            .as("s_micro"))
+        // Cluster size from count(*) over the ASSIGNMENT (one row per
+        // vector), matching the oracle's `count(*)` — not a max over
+        // per-dim counts, which would silently divide by the wrong n if an
+        // embedding were ever ragged or had null elements.
+        val sizes = assign0.groupBy("cluster").agg(count(lit(1)).as("n"))
         val cent1 = dimSums
           .groupBy("cluster")
-          .agg(max("n").as("n"),
-            array_sort(collect_list(struct(col("dim"), col("s_micro"))))
-              .as("dims"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("s_micro"))))
+            .as("dims"))
+          .join(broadcast(sizes), "cluster")
           .select(col("cluster"),
             expr("""transform(dims,
                    |  d -> CAST(d.s_micro AS DOUBLE)
