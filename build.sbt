@@ -34,5 +34,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g thrashed at sf0.1: the full 110-query bench holds ~15 persisted
+  // MEMORY_AND_DISK frames + 32 concurrent tasks, and late queries' task
+  // CPU inflated ~10x from allocation stalls (ec_roth_taxable: 13 CPU-s
+  // focused vs 132 CPU-s late in the full run). The bench host has
+  // 125 GiB; give the forked driver real headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

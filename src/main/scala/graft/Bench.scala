@@ -14,6 +14,26 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Fixed single-threaded spin (~0.4 s on an idle core), timed at run
+    * start and end. This is the contention yardstick the loadavg and CPU
+    * fields can't provide on this virtualized host: hypervisor steal is
+    * invisible to guest thread-CPU accounting (measured: a fixed Python
+    * spin shows cpu == wall even when wall doubles), so under co-tenant
+    * load BOTH wall and "executor CPU" inflate together and only a
+    * fixed-work probe exposes the slowdown factor.
+    */
+  private def probeSec(): Double = {
+    var x = 0L
+    var i = 0L
+    while (i < 100000000L) { x += i * 31 + (x >> 3); i += 1 } // JIT warm
+    val t0 = System.nanoTime()
+    i = 0L
+    while (i < 800000000L) { x += i * 31 + (x >> 3); i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42) print("") // defeat dead-code elimination
+    dt
+  }
+
   /** Queries benched FIRST, in dependency order, so the one-time
     * materialization of each memoized shared frame (cleaned inputs, engine
     * outputs, shingle/embedding frames) is attributed to the query that IS
@@ -33,6 +53,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val loadStart = loadavg()
+    val probeStart = probeSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,7 +61,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Executor CPU time accumulator: wall time on a shared host measures
@@ -125,13 +146,14 @@ object Bench {
         "{\"n\":" + rounded.size + ",\"total\":" + sec3(total) +
           ",\"cpu_total\":" + sec3(cpuTotal) +
           ",\"loadavg\":[" + sec3(loadStart) + "," + sec3(loadavg()) + "]" +
+          ",\"probe\":[" + sec3(probeStart) + "]" +
           ",\"queries_wall_cpu\":{", ",", "}}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full_local.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // bookkeeping only — never fail the bench
     val lineBudget = 1750
-    val overhead = 220 // metric/value/unit/sf/loadavg/cpu framing + "other" entries
+    val overhead = 260 // metric/value/unit/sf/loadavg/cpu/probe framing + "other" entries
     val desc = rounded.sortBy { case (k, w, _) => (-w, k) }
     val cut = {
       var used = 0
@@ -153,6 +175,7 @@ object Bench {
     val qs = withOther(_._2)
     val cs = withOther(_._3)
     val loadEnd = loadavg()
+    val probeEnd = probeSec()
     graft.queries.Registry.evict(spark)
     // Stop Spark FIRST: its shutdown can log to the console, and the JSON
     // line must be the final stdout line for the harness's parser.
@@ -160,7 +183,8 @@ object Bench {
     println(
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,""" +
         s""""cpu":$cs,"cpu_total":${sec3(cpuTotal)},""" +
-        s""""loadavg":[${sec3(loadStart)},${sec3(loadEnd)}],"sf":"$sfDir"}""")
+        s""""loadavg":[${sec3(loadStart)},${sec3(loadEnd)}],""" +
+        s""""probe":[${sec3(probeStart)},${sec3(probeEnd)}],"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

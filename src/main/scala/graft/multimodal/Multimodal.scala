@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
   * with typed metadata, partition-wise batch decode / feature-extract /
   * frame-sample plumbing.
   *
-  * The decode kernel itself is a clearly marked STUB (this container has no
-  * image/audio codecs): [[FakeDecoder]] derives deterministic pseudo
-  * dimensions/features from the payload bytes. Everything around it — the
-  * schema, the typed Dataset surface, the mapPartitions batch shape, and
-  * the pure-Column metadata operators — is the real Spark plumbing a
-  * production decoder (JNI codec or Python worker via Arrow batches) would
-  * plug into, partition-by-partition.
+  * IMAGE decode is REAL: [[ImageIoDecoder]] parses PNG/BMP/GIF/JPEG
+  * payloads with the JDK's built-in `javax.imageio` (no external codec
+  * needed) and derives dimensions + an 8-bin grayscale histogram from the
+  * actual pixels. Audio/video decode remains a clearly marked STUB (this
+  * container ships no AV codecs): [[FakeDecoder]] derives deterministic
+  * pseudo dimensions/features from the payload bytes, and unparseable
+  * image bytes fall back to it so the decode stays a total function.
+  * Everything around the kernels — the schema, the typed Dataset surface,
+  * the mapPartitions batch shape, and the pure-Column metadata operators —
+  * is the Spark plumbing a production AV decoder (JNI codec or Python
+  * worker via Arrow batches) would plug into, partition-by-partition.
   */
 object Multimodal {
 
@@ -53,17 +57,110 @@ object Multimodal {
     Decoded(f.media_id, w, ht, frames, feat)
   }
 
+  /** REAL image decode kernel via the JDK's `javax.imageio` — PNG, BMP,
+    * GIF and JPEG parse without any external library. Width/height come
+    * from the decoded raster and `features` is the 8-bin normalized
+    * grayscale histogram of the pixels. Non-image media and payloads
+    * ImageIO cannot parse fall back to [[FakeDecoder]] so the kernel is
+    * total (a 100 TB decode job must quarantine, not crash on, the one
+    * corrupt file in a billion).
+    */
+  val ImageIoDecoder: Decoder = { f =>
+    val img =
+      if (f.media_type != "image") null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.content))
+        catch { case _: Throwable => null }
+    if (img == null) FakeDecoder(f)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val g = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          hist(g >> 5) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      Decoded(f.media_id, w, h, 1, hist.map(c => c / n))
+    }
+  }
+
   /** Partition-wise batch decode: the hot path stays an iterator pipeline
     * (one decoder instance per partition, no per-row setup), which is the
-    * shape a JNI/Arrow-batch decoder needs at 100 TB.
+    * shape a JNI/Arrow-batch decoder needs at 100 TB. Images decode for
+    * real ([[ImageIoDecoder]]); audio/video hit the stub.
     */
   def decodePartitions(
       media: Dataset[MediaFile],
-      decoder: Decoder = FakeDecoder): Dataset[Decoded] = {
+      decoder: Decoder = ImageIoDecoder): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // Real impl: initialize the codec once here, then stream the batch.
       it.map(decoder)
+    }
+  }
+
+  final case class ImageMeta(
+      media_id: Long, width: Int, height: Int, mean_gray: Double)
+
+  /** Deterministic solid-gray PNG: dimensions and fill level are pure
+    * arithmetic on the id, so an engine that never touches pixels (the
+    * DuckDB oracle) can predict exactly what a REAL ImageIO decode of
+    * these bytes must return — which is what makes the codec round trip
+    * hash-checkable.
+    */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 48).toInt
+    val h = 16 + ((id * 7) % 48).toInt
+    val g = (id % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Per-partition PNG encode -> ImageIO decode round trip: emits the
+    * decoded raster's true dimensions and exact mean gray level (integer
+    * pixel sums, so bit-stable). PNG is lossless, so the decoded values
+    * equal the synthesis arithmetic — the oracle contract of
+    * `tdp_image_meta`.
+    */
+  def pngRoundTripMeta(ids: Dataset[Long]): Dataset[ImageMeta] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(synthPng(id)))
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        ImageMeta(id, w, h, sum.toDouble / (w.toLong * h))
+      }
     }
   }
 

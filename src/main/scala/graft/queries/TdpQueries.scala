@@ -1482,6 +1482,30 @@ object TdpQueries {
              |  md5(substr(text, 1, 16)) AS prefix_md5
              |FROM documents""".stripMargin)),
 
+    // REAL image-codec round trip, oracle-checked: per doc_id, synthesize
+    // a solid-gray PNG whose dimensions/fill are pure arithmetic on the
+    // id, encode it with javax.imageio, decode it back, and emit the
+    // raster's true width/height/mean-gray (mapPartitions kernel — one
+    // decoder context per partition, graft.multimodal.Multimodal). PNG is
+    // lossless, so the DuckDB oracle predicts the decode output WITHOUT
+    // any codec: if the encode->decode path corrupted a single pixel the
+    // hash check fails. This is the multimodal plumbing exercised with an
+    // actual JDK codec rather than the AV stub.
+    QueryDef(
+      "tdp_image_meta",
+      (s, dir) => {
+        import s.implicits._
+        graft.multimodal.Multimodal
+          .pngRoundTripMeta(table(s, dir, "documents")
+            .select(col("doc_id")).as[Long])
+          .toDF()
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(16 + doc_id % 48 AS INTEGER) AS width,
+             |  CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS height,
+             |  CAST(doc_id % 256 AS DOUBLE) AS mean_gray
+             |FROM documents""".stripMargin)),
+
     // Language ID: marker-substring scoring (n-gram heuristic); argmax
     // with a fixed tie-break order.
     QueryDef(

@@ -28,6 +28,34 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.forall(_.features.length == 8))
   }
 
+  test("ImageIoDecoder decodes a real embedded PNG: true dims + histogram") {
+    val s = spark
+    import s.implicits._
+    // id=100: width 16+100%48=20, height 16+700%48=16+28=44, gray 100 (bin 3).
+    val png = MediaFile(100L, "/img/real.png", "image", synthPng(100L),
+      MediaMeta("png", 0L, 0L))
+    val junk = files.head // unparseable "PNGDATA" bytes -> stub fallback
+    val out = decodePartitions(s.createDataset(Seq(png, junk)))
+      .collect().sortBy(_.media_id)
+    val real = out.find(_.media_id == 100L).get
+    assert(real.width == 20 && real.height == 44 && real.n_frames == 1)
+    // Solid gray 100 -> every pixel lands in histogram bin 100 >> 5 = 3.
+    assert(real.features(3) == 1.0f && real.features.sum == 1.0f)
+    val fallback = out.find(_.media_id == 1L).get
+    assert(fallback.width >= 64) // FakeDecoder's deterministic range
+  }
+
+  test("pngRoundTripMeta: lossless codec round trip matches the arithmetic") {
+    val s = spark
+    import s.implicits._
+    val metas = pngRoundTripMeta(s.range(0, 300).as[Long])
+      .collect().sortBy(_.media_id)
+    assert(metas.length == 300)
+    assert(metas.forall(m => m.width == 16 + (m.media_id % 48).toInt))
+    assert(metas.forall(m => m.height == 16 + ((m.media_id * 7) % 48).toInt))
+    assert(metas.forall(m => m.mean_gray == (m.media_id % 256).toDouble))
+  }
+
   test("mediaStats prunes content: metadata aggregation over binary table") {
     val s = spark
     import s.implicits._

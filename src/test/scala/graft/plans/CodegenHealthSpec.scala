@@ -1,6 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.debug.codegenStringSeq
 
 import graft.SparkSpec
@@ -26,8 +28,16 @@ class CodegenHealthSpec extends SparkSpec {
     val s = spark
     val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    // Memoized (persisted) frames plan as a bare InMemoryTableScan with no
+    // codegen subtree of their own — the real pipeline lives in the cached
+    // relation's physical plan, so recurse through every cache boundary.
+    def throughCaches(p: SparkPlan): Seq[SparkPlan] =
+      p +: p.collect { case scan: InMemoryTableScanExec =>
+        throughCaches(scan.relation.cachedPlan)
+      }.flatten
     val subtrees =
-      try codegenStringSeq(build.queryExecution.executedPlan)
+      try throughCaches(build.queryExecution.executedPlan)
+        .flatMap(codegenStringSeq)
       finally s.conf.set("spark.sql.adaptive.enabled", prev)
     assert(subtrees.nonEmpty, s"$name: no WholeStageCodegen subtree at all")
     subtrees.foreach { case (subtree, _, stats) =>
@@ -64,4 +74,25 @@ class CodegenHealthSpec extends SparkSpec {
     assertAllSubtreesCompile("engineD",
       graft.engines.IraRollover.run(Testdata.cleanMatrix(spark, dir)))
   }
+
+  // --- TDP family -------------------------------------------------------
+  // Spark evaluates higher-order-function lambdas (transform/filter/
+  // aggregate) INTERPRETED by design, so the TDP text/embedding pipelines
+  // can't be 100% codegen — but every subtree Spark DOES hand to janino
+  // must still compile and stay clear of the 64 KB method limit: these
+  // queries stack the deepest projections in the repo (shingle pipelines,
+  // 18-slot reason arrays' cousins, 64-dim dot-product folds), which is
+  // exactly where a collapsed projection silently tips over the limit.
+
+  private val tdpGuarded = Seq(
+    "tdp_quality_score", "tdp_token_count", "tdp_fingerprint",
+    "tdp_minhash_signatures", "tdp_simhash", "tdp_bigram_logprob",
+    "tdp_ann_ivf", "tdp_repetition", "tdp_pii_scan", "tdp_chunk_dedup",
+    "tdp_lang_id", "tdp_lsh_cosine_buckets")
+
+  for (name <- tdpGuarded)
+    test(s"TDP $name: every codegen subtree compiles under the 64 KB limit") {
+      assertAllSubtreesCompile(name,
+        graft.queries.Registry.queries(name)(spark, dir))
+    }
 }
