@@ -809,6 +809,83 @@ object TdpQueries {
               |    / CAST(count(*) AS DOUBLE) AS dup_rate
               |FROM cc""".stripMargin)),
 
+    // SOURCE-MIX report — the table a curator reads to set corpus mixture
+    // weights: per provenance source, document/token counts, exact mean
+    // quality (summed in integer micro-units so partial-aggregation order
+    // can't change the result), the near-dup rate, and CROSS-SOURCE
+    // contamination (docs whose duplicate-cluster root lives in a
+    // different source — the provenance-leakage signal that decides which
+    // copy a dedup pass keeps). Every input is an already-memoized frame
+    // keyed by doc_id; the only new shuffles are the doc_id-keyed joins
+    // and one cluster_id-keyed root-provenance attach, all linear in the
+    // corpus.
+    QueryDef(
+      "tdp_source_mix",
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "source")
+        val toks = docToks(s, dir)
+          .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+        val q = qualityScored(s, dir).select(col("doc_id"),
+          floor(col("quality") * lit(1000000.0)).cast(LongType).as("q_micro"))
+        val clusters = dupClusters(s, dir).select("doc_id", "cluster_id")
+        val rootSource = docs.select(col("doc_id").as("cluster_id"),
+          col("source").as("root_source"))
+        docs
+          .join(toks, Seq("doc_id"), "left")
+          .join(q, Seq("doc_id"), "left") // empty-text docs carry no score
+          .join(clusters, Seq("doc_id"), "left")
+          .join(rootSource, Seq("cluster_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(coalesce(col("n_toks"), lit(0L))).as("n_tokens"),
+            sum(coalesce(col("q_micro"), lit(0L))).as("quality_micro_sum"),
+            sum(when(col("q_micro").isNotNull, 1L).otherwise(0L))
+              .as("n_scored"),
+            sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+              .as("n_dup_docs"),
+            sum(when(col("root_source") =!= col("source"), 1L).otherwise(0L))
+              .as("n_cross_source_dups"))
+          .withColumn("dup_rate",
+            col("n_dup_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .withColumn("mean_quality",
+            col("quality_micro_sum").cast(DoubleType)
+              / (col("n_scored").cast(DoubleType) * 1000000.0))
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |toks AS (
+              |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+              |  FROM documents),
+              |q AS (
+              |  SELECT doc_id,
+              |    CAST(floor(($qualitySql) * 1000000) AS BIGINT) AS q_micro
+              |  FROM ($qualityPartsSql)),
+              |j AS (
+              |  SELECT d.source,
+              |    coalesce(t.n_toks, 0) AS n_toks,
+              |    q.q_micro,
+              |    CASE WHEN c.cluster_id <> d.doc_id THEN 1 ELSE 0 END AS is_dup,
+              |    CASE WHEN r.source <> d.source THEN 1 ELSE 0 END AS cross_dup
+              |  FROM documents d
+              |  LEFT JOIN toks t USING (doc_id)
+              |  LEFT JOIN q USING (doc_id)
+              |  LEFT JOIN cc c USING (doc_id)
+              |  LEFT JOIN documents r ON r.doc_id = c.cluster_id)
+              |SELECT source,
+              |  count(*) AS n_docs,
+              |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              |  CAST(sum(coalesce(q_micro, 0)) AS BIGINT) AS quality_micro_sum,
+              |  CAST(sum(CASE WHEN q_micro IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_scored,
+              |  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+              |  CAST(sum(cross_dup) AS BIGINT) AS n_cross_source_dups,
+              |  CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |    AS dup_rate,
+              |  CAST(sum(coalesce(q_micro, 0)) AS DOUBLE)
+              |    / (CAST(sum(CASE WHEN q_micro IS NOT NULL THEN 1 ELSE 0 END)
+              |        AS DOUBLE) * 1000000.0) AS mean_quality
+              |FROM j GROUP BY 1""".stripMargin)),
+
     // MinHash as a Jaccard ESTIMATOR: for every pair agreeing on at least
     // one of the 8 permutation minima (a bucketed signature self-join, no
     // cartesian anywhere), the estimate is the fraction of agreeing
