@@ -321,4 +321,31 @@ class TdpSpec extends SparkSpec {
     assert(full("head")._1 >= full("middle")._2)
     assert(full("middle")._1 >= full("tail")._2)
   }
+
+  test("multi-probe recall: monotone in nprobe over the same ground truth") {
+    val rows = Registry.queries("tdp_ann_recall_nprobe")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2))
+    assert(rows.map(_._2).distinct.length === 1,
+      "both probe counts score against the same exact top-3 truth")
+    val Seq(r1, r2) = rows.toSeq
+    assert(r2._3 >= r1._3, "probing a second bucket can only add hits")
+    assert(r2._4 >= r1._4, "recall@2 must dominate recall@1")
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
+  test("source mix partitions the corpus; contamination bounded by dups") {
+    val rows = Registry.queries("tdp_source_mix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getLong(6)))
+    val nDocs = Registry.table(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum === nDocs, "per-source doc counts partition")
+    assert(rows.forall(r => r._5 <= r._4),
+      "cross-source dups are a subset of a source's dup docs")
+    val corpusDups = Registry.queries("tdp_dup_rate")(spark, sf)
+      .collect().head.getLong(2)
+    assert(rows.map(_._4).sum === corpusDups,
+      "per-source dup docs must sum to the corpus dup count")
+  }
 }
