@@ -101,4 +101,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan.take(3000))
   }
+
+  test("source mix: only equi-joins — no cartesian, no nested loop") {
+    val df = Registry.queries("tdp_source_mix")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Five joins (doc_id x4, cluster_id root-provenance attach) must all
+    // plan as hash/sort-merge equi-joins: a nested loop here would be
+    // corpus x corpus at 100 TB.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("multi-probe recall: probe fan-out joins stay equi-keyed") {
+    val df = Registry.queries("tdp_ann_recall_nprobe")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The bucket searches join on `cluster` and the hit counts meet the
+    // 1-row totals via broadcast; the only non-equi join allowed is the
+    // documented vectors x broadcast-centroids assignment crossJoin and
+    // the brute-force truth's broadcast(q) != join — both broadcast-
+    // bounded, never a shuffled cartesian.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
