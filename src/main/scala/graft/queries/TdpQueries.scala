@@ -29,9 +29,16 @@ object TdpQueries {
     * without the per-character lambda overhead.
     */
   private def polyHashExpr(c: String): String = s"graft_polyhash($c)"
+  /** The lambda variable is deliberately NOT `i`: callers embed this
+    * inside outer `list_transform(range(...), i -> ...)` lambdas, and
+    * DuckDB resolves the inner lambda's variable over the outer one —
+    * an inner `i` would silently hash with the OUTER loop index
+    * (observed: every window of a doc collapsing to one doc-level hash
+    * in the tdp_repeated_spans oracle).
+    */
   private def polyHashSql(c: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
-      s"range(1, length($c) + 1), i -> CAST(ascii(substr($c, i, 1)) AS BIGINT)))," +
+      s"range(1, length($c) + 1), gpi -> CAST(ascii(substr($c, gpi, 1)) AS BIGINT)))," +
       s" (acc, x) -> (acc * 31 + x) % $P)"
 
   /** Whitespace tokens (non-empty). */
@@ -66,6 +73,16 @@ object TdpQueries {
     */
   private val ChunkToks = 10
   private val ChunkDfCap = 3
+
+  /** Repeated-span knobs: overlapping window width in tokens, and the
+    * distinct-doc count a span must EXCEED to count as repeated — df > 1
+    * is the Lee-et-al definition (any cross-document repetition;
+    * same-doc repeats don't count). Production uses ~50-token windows;
+    * the synthetic docs are 10-60 tokens, so 8 keeps the operator
+    * exercised.
+    */
+  private val SpanW = 8
+  private val SpanDfCap = 1
 
   /** Per-document shingle hashes, memoized + materialized ONCE per (session,
     * SF). Two reasons this is load-bearing for throughput: (a) higher-order
@@ -1820,6 +1837,132 @@ object TdpQueries {
               |SELECT n_exact, n_candidates, n_hit,
               |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
               |FROM ne, nc, nh""".stripMargin)),
+
+    // The candidate generator's FULL operating point: precision alongside
+    // recall plus F1 — recall alone hides a generator that drowns the
+    // verifier in junk pairs (precision is what sizes the exact-verify
+    // stage's bill at 100 TB). Same three memoized counts as
+    // tdp_lsh_recall; guards keep 0/0 identical across engines.
+    QueryDef(
+      "tdp_lsh_pr",
+      (s, dir) => {
+        val exact = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+        val cand = lshPairs(s, dir)
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val nHit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        val p = when(col("n_candidates") > 0,
+          col("n_hit").cast(DoubleType) / col("n_candidates").cast(DoubleType))
+          .otherwise(0.0)
+        val r = when(col("n_exact") > 0,
+          col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+          .otherwise(0.0)
+        nExact.crossJoin(nCand).crossJoin(nHit)
+          .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+            p.as("precision"), r.as("recall"),
+            when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(0.0)
+              .as("f1"))
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+              |$ngramPairsSqlCtes,
+              |ne AS (SELECT count(*) AS n_exact FROM jp),
+              |nc AS (SELECT count(*) AS n_candidates FROM pairs),
+              |nh AS (
+              |  SELECT count(*) AS n_hit
+              |  FROM jp JOIN pairs USING (doc_a, doc_b)),
+              |pr AS (
+              |  SELECT n_exact, n_candidates, n_hit,
+              |    CASE WHEN n_candidates > 0
+              |      THEN CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+              |      ELSE CAST(0 AS DOUBLE) END AS precision,
+              |    CASE WHEN n_exact > 0
+              |      THEN CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)
+              |      ELSE CAST(0 AS DOUBLE) END AS recall
+              |  FROM ne, nc, nh)
+              |SELECT n_exact, n_candidates, n_hit, precision, recall,
+              |  CASE WHEN precision + recall > 0
+              |    THEN 2.0 * precision * recall / (precision + recall)
+              |    ELSE CAST(0 AS DOUBLE) END AS f1
+              |FROM pr""".stripMargin)),
+
+    // REPEATED-SPAN coverage (the overlapping-window cousin of
+    // tdp_chunk_dedup, after Lee et al.'s "Deduplicating Training Data
+    // Makes Language Models Better"): hash every STRIDE-1 window of
+    // SpanW tokens, count the DISTINCT docs each window appears in, and
+    // report per document how many of its tokens sit inside any window
+    // shared by more than SpanDfCap docs (df > 1: any cross-document
+    // repetition) — the per-doc boilerplate
+    // fraction a filtering pass thresholds on. Scale shape: one
+    // posexplode (corpus tokens x 1 row each), a df aggregation keyed by
+    // the 64-bit window hash, and a per-doc interval merge as a lead()
+    // window over only the HOT positions — never a pairwise stage, and
+    // the merge state is two longs per row.
+    QueryDef(
+      "tdp_repeated_spans",
+      (s, dir) => {
+        val grams = docToks(s, dir).select(
+          col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_toks"),
+          expr(s"""CASE WHEN size(toks) >= $SpanW THEN
+                  |  transform(sequence(1, size(toks) - ${SpanW - 1}), i ->
+                  |    ${polyHashExpr(s"concat_ws(' ', slice(toks, i, $SpanW))")})
+                  |  ELSE array() END""".stripMargin).as("hs"))
+        val pos = grams.select(col("doc_id"),
+          posexplode(col("hs")).as(Seq("p0", "h")))
+        val df = pos.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("span_df"))
+        val hot = pos.join(df.filter(col("span_df") > SpanDfCap), "h")
+        val w = Window.partitionBy("doc_id").orderBy("p0")
+        val covered = hot
+          .withColumn("np", lead(col("p0"), 1).over(w))
+          .withColumn("cov",
+            when(col("np").isNull, lit(SpanW.toLong))
+              .otherwise(least(lit(SpanW.toLong), (col("np") - col("p0")).cast(LongType))))
+          .groupBy("doc_id").agg(sum("cov").as("covered_tokens"))
+        grams.select("doc_id", "n_toks")
+          .join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_toks"),
+            coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+            when(col("n_toks") > 0,
+              coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType)
+                / col("n_toks").cast(DoubleType))
+              .otherwise(0.0).as("repeated_frac"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |grams AS (
+              |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+              |    CASE WHEN len(toks) >= $SpanW THEN
+              |      list_transform(range(1, len(toks) - ${SpanW - 2}), i ->
+              |        ${polyHashSql(s"array_to_string(list_slice(toks, i, i + ${SpanW - 1}), ' ')")})
+              |    ELSE [] END AS hs
+              |  FROM toks),
+              |pos AS (
+              |  SELECT doc_id, unnest(hs) AS h,
+              |    generate_subscripts(hs, 1) AS p0
+              |  FROM grams),
+              |df AS (
+              |  SELECT h, count(DISTINCT doc_id) AS span_df FROM pos GROUP BY 1),
+              |hot AS (
+              |  SELECT doc_id, p0 FROM pos JOIN df USING (h)
+              |  WHERE span_df > $SpanDfCap),
+              |cov AS (
+              |  SELECT doc_id, p0,
+              |    lead(p0) OVER (PARTITION BY doc_id ORDER BY p0) AS np
+              |  FROM hot),
+              |agg AS (
+              |  SELECT doc_id,
+              |    CAST(sum(CASE WHEN np IS NULL THEN $SpanW
+              |      ELSE least($SpanW, np - p0) END) AS BIGINT) AS covered
+              |  FROM cov GROUP BY 1)
+              |SELECT g.doc_id, g.n_toks,
+              |  coalesce(a.covered, 0) AS covered_tokens,
+              |  CASE WHEN g.n_toks > 0
+              |    THEN CAST(coalesce(a.covered, 0) AS DOUBLE)
+              |      / CAST(g.n_toks AS DOUBLE)
+              |    ELSE CAST(0 AS DOUBLE) END AS repeated_frac
+              |FROM grams g LEFT JOIN agg a USING (doc_id)""".stripMargin)),
 
     // Pipeline-QA metric: language-ID confusion matrix — predicted vs
     // labeled language counts plus per-cell share of the labeled class

@@ -335,6 +335,22 @@ class TdpSpec extends SparkSpec {
     assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
   }
 
+  test("repeated spans: cross-doc span covered exactly, unique text zero") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_spans").toString
+    val span = "the quick brown fox jumps over lazy dogs" // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"$span alpha beta"), // span as window [1..8] of 10 tokens
+      (2L, s"gamma $span"), // span as window [2..9] of 9 tokens
+      (3L, "unique words only here nothing repeated at all ever"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_repeated_spans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) === ((10L, 8L)), "doc 1: the 8 span tokens covered")
+    assert(rows(2L) === ((9L, 8L)), "doc 2: the 8 span tokens covered")
+    assert(rows(3L) === ((9L, 0L)), "unique doc: nothing covered")
+  }
+
   test("source mix partitions the corpus; contamination bounded by dups") {
     val rows = Registry.queries("tdp_source_mix")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
