@@ -1341,6 +1341,54 @@ object TdpQueries {
            |WHERE ($dotSql) / (q.norm * c.norm) >= $NearDupCosine""".stripMargin
       }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup —
+    // bucket the corpus by its k-means (here: IVF seed) cluster, compute
+    // exact cosine only WITHIN clusters, and keep the min-id member of
+    // every epsilon-neighborhood (drop any vector with a smaller-id
+    // same-cluster neighbor at sim >= tau). The per-vector verdict table
+    // is what a curation pipeline joins against to filter. Differs from
+    // tdp_embedding_near_dup in bucket geometry: data-adaptive centroid
+    // cells (catches near-dups hyperplane signs split) vs oblivious
+    // hyperplanes. Scale shape: the bill is sum(n_c^2) over clusters —
+    // the paper's own O(N^2/k); nlist grows with N to hold cluster sizes
+    // constant, the cluster id is the only shuffle key, and the
+    // assignment frame is the memoized ivfAssign shared with the whole
+    // ANN family (no extra crossJoin pass).
+    QueryDef(
+      "tdp_semdedup",
+      (s, dir) => {
+        val wc = embWithNorm(s, dir).join(ivfAssign(s, dir), "vec_id")
+        val q = wc.select(col("cluster"), col("vec_id"),
+          col("embedding").as("q_emb"), col("norm").as("q_norm"))
+        val c = wc.select(col("cluster"), col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("norm").as("c_norm"))
+        val dups = q.join(c, Seq("cluster"))
+          .filter(col("c_id") < col("vec_id"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .filter(col("sim") >= lit(NearDupCosine))
+          .groupBy("vec_id").agg(count(lit(1)).as("n_dup_smaller"))
+        wc.select("vec_id", "cluster")
+          .join(dups, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster"),
+            coalesce(col("n_dup_smaller"), lit(0L)).as("n_dup_smaller"),
+            col("n_dup_smaller").isNull.as("is_kept"))
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |sdups AS (
+              |  SELECT q.vec_id, count(*) AS n_dup_smaller
+              |  FROM wc q JOIN wc c
+              |    ON q.cluster = c.cluster AND c.vec_id < q.vec_id
+              |  WHERE ($dotSql) / (q.norm * c.norm) >= $NearDupCosine
+              |  GROUP BY 1),
+              |verdict AS (
+              |  SELECT w.vec_id, w.cluster,
+              |    CAST(coalesce(d.n_dup_smaller, 0) AS BIGINT) AS n_dup_smaller,
+              |    d.vec_id IS NULL AS is_kept
+              |  FROM wc w LEFT JOIN sdups d ON w.vec_id = d.vec_id)
+              |SELECT vec_id, cluster, n_dup_smaller, is_kept FROM verdict"""
+        .stripMargin)),
+
     // Decontamination: remove training documents sharing ANY word-3-gram
     // shingle hash with the held-out eval slice (doc_id % 100 == 0 plays
     // the eval set). The overlap test is a semi-join on the shingle hash

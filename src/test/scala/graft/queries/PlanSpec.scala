@@ -112,6 +112,16 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("semdedup: within-cluster pairing is a cluster-keyed equi-join") {
+    val df = Registry.queries("tdp_semdedup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The pairwise stage must shuffle on `cluster` (the paper's O(N^2/k)
+    // bill, bounded by cell size) — a shuffled cartesian here would be
+    // corpus x corpus. The only non-equi join allowed is the documented
+    // vectors x broadcast-centroids assignment crossJoin.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("multi-probe recall: probe fan-out joins stay equi-keyed") {
     val df = Registry.queries("tdp_ann_recall_nprobe")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

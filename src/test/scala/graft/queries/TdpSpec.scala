@@ -351,6 +351,27 @@ class TdpSpec extends SparkSpec {
     assert(rows(3L) === ((9L, 0L)), "unique doc: nothing covered")
   }
 
+  test("semdedup: clone collapses to min id; orthogonal vectors all kept") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_semdedup").toString
+    def axis(i: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == i) 1f else 0f)
+    val vecs = Seq(
+      (1L, axis(0)), (2L, axis(0)), // exact clones -> one cluster, min id kept
+      (3L, axis(1)), (4L, axis(2)), (5L, axis(3))) // mutually orthogonal
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val rows = Registry.queries("tdp_semdedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(rows(1L) === ((1L, 0L, true)), "clone min id kept")
+    assert(rows(2L) === ((1L, 1L, false)), "clone larger id dropped")
+    Seq(3L, 4L, 5L).foreach(v =>
+      assert(rows(v)._3 && rows(v)._2 === 0L, s"orthogonal vec $v kept"))
+    // structural invariant: every cluster's min-id member survives
+    rows.groupBy(_._2._1).foreach { case (_, members) =>
+      assert(members.minBy(_._1)._2._3, "cluster min id is always kept")
+    }
+  }
+
   test("source mix partitions the corpus; contamination bounded by dups") {
     val rows = Registry.queries("tdp_source_mix")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
