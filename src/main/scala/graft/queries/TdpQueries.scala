@@ -1272,6 +1272,104 @@ object TdpQueries {
               |  CAST(h2.n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
               |FROM ne, h2""".stripMargin)),
 
+    // SQ8 scalar quantization: the 4x memory-bandwidth lever a 100 TB ANN
+    // index runs on (float32 -> int8 per dimension, one global scale =
+    // 127 / corpus max|x|). The metric reports recall@3 and top-1
+    // agreement of brute-force search over the QUANTIZED vectors vs the
+    // float-exact ground truth — the table that justifies shipping the
+    // compressed index. Exactness device: quantized codes are INTEGRAL
+    // doubles (|code| <= 127, 64-dim dot <= ~1e6 << 2^53), so the
+    // codegen'd graft_dot fold is exact and order-stable on both engines;
+    // quantization uses floor(x*scale + 0.5) because Spark CAST truncates
+    // while DuckDB CAST rounds — floor is the same IEEE op on both. The
+    // scale is a 1-row broadcast (no driver collect), and the search is
+    // the same broadcast-queries shape as the brute-force baseline.
+    QueryDef(
+      "tdp_ann_sq8",
+      (s, dir) => {
+        val e = embWithNorm(s, dir)
+        val scaleDf = e.agg(
+          (lit(127.0) / max(expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")))
+            .as("qscale"))
+        val qe = e.crossJoin(broadcast(scaleDf)).select(
+          col("vec_id"),
+          expr("""transform(embedding,
+                 |  x -> CAST(floor(CAST(x AS DOUBLE) * qscale + 0.5D)
+                 |    AS DOUBLE))""".stripMargin).as("qemb"),
+          col("embedding"), col("norm"))
+          .withColumn("qnorm", expr("sqrt(graft_dot(qemb, qemb))"))
+        val q = qe.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("qemb").as("q_qemb"), col("norm").as("q_norm"),
+            col("qnorm").as("q_qnorm"))
+        val c = qe.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("qemb").as("c_qemb"), col("norm").as("c_norm"),
+          col("qnorm").as("c_qnorm"))
+        val joined = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+        val wf = Window.partitionBy("q_id").orderBy(desc("fsim"), col("c_id"))
+        val wq = Window.partitionBy("q_id").orderBy(desc("qsim"), col("c_id"))
+        val both = joined
+          .withColumn("fsim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("qsim",
+            expr("graft_dot(q_qemb, c_qemb)") / (col("q_qnorm") * col("c_qnorm")))
+          .withColumn("frank", row_number().over(wf))
+          .withColumn("qrank", row_number().over(wq))
+        val truth = both.filter(col("frank") <= 3).select("q_id", "c_id", "frank")
+        val cand = both.filter(col("qrank") <= 3).select(
+          col("q_id"), col("c_id"), col("qrank"))
+        val nTruth = truth.agg(count(lit(1)).as("n_exact"))
+        val nHit = truth.join(cand, Seq("q_id", "c_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        val nTop1 = truth.filter(col("frank") === 1)
+          .join(cand.filter(col("qrank") === 1), Seq("q_id", "c_id"), "left_semi")
+          .agg(count(lit(1)).as("n_top1_match"))
+        broadcast(nTruth).crossJoin(nHit).crossJoin(nTop1)
+          .select(col("n_exact"), col("n_hit"), col("n_top1_match"),
+            (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+              .as("recall_sq8"))
+      },
+      Some(s"""WITH $embNormSql,
+              |qs AS (
+              |  SELECT 127.0 / max(list_max(list_transform(embedding,
+              |    x -> abs(CAST(x AS DOUBLE))))) AS qscale FROM emb),
+              |qe AS (
+              |  SELECT vec_id,
+              |    list_transform(embedding,
+              |      x -> floor(CAST(x AS DOUBLE) * qscale + 0.5)) AS qemb,
+              |    embedding, norm
+              |  FROM emb, qs),
+              |qn AS (
+              |  SELECT vec_id, qemb, embedding, norm,
+              |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |      list_transform(range(1, len(qemb) + 1),
+              |        i -> qemb[i] * qemb[i])), (acc, x) -> acc + x)) AS qnorm
+              |  FROM qe),
+              |both_ranks AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id)
+              |      AS frank,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |        list_transform(range(1, len(q.qemb) + 1),
+              |          i -> q.qemb[i] * c.qemb[i])), (acc, x) -> acc + x))
+              |        / (q.qnorm * c.qnorm) DESC, c.vec_id) AS qrank
+              |  FROM qn q JOIN qn c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id % 50 = 0),
+              |truth AS (SELECT q_id, c_id, frank FROM both_ranks WHERE frank <= 3),
+              |cand AS (SELECT q_id, c_id, qrank FROM both_ranks WHERE qrank <= 3),
+              |ne AS (SELECT count(*) AS n_exact FROM truth),
+              |nh AS (SELECT count(*) AS n_hit
+              |       FROM truth JOIN cand USING (q_id, c_id)),
+              |n1 AS (SELECT count(*) AS n_top1_match
+              |       FROM (SELECT q_id, c_id FROM truth WHERE frank = 1) t
+              |       JOIN (SELECT q_id, c_id FROM cand WHERE qrank = 1) c2
+              |         USING (q_id, c_id))
+              |SELECT n_exact, n_hit, n_top1_match,
+              |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_sq8
+              |FROM ne, nh, n1""".stripMargin)),
+
     // Random-hyperplane LSH for cosine similarity: 8 deterministic
     // pseudo-planes -> 8-bit sign signature -> bucket histogram. Vectors
     // sharing a bucket are cosine-similar candidates; the shuffle key is

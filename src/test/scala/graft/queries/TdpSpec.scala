@@ -351,6 +351,18 @@ class TdpSpec extends SparkSpec {
     assert(rows(3L) === ((9L, 0L)), "unique doc: nothing covered")
   }
 
+  test("sq8 quantized search: hits bounded by truth, recall stays high") {
+    val r = Registry.queries("tdp_ann_sq8")(spark, sf).collect().head
+    val (nExact, nHit, nTop1) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val recall = r.getDouble(3)
+    assert(nHit <= nExact, "hits cannot exceed truth pairs")
+    assert(nTop1 * 3 <= nExact, "one top-1 per query")
+    // 8-bit quantization barely perturbs 64-dim cosine ranks: direct
+    // computation on this fixture gives 29/30 hits (0.967) — assert a
+    // loose floor so a broken scale/quantizer fails loudly.
+    assert(recall >= 0.85, s"sq8 recall degraded: $recall")
+  }
+
   test("semdedup: clone collapses to min id; orthogonal vectors all kept") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tdp_semdedup").toString
