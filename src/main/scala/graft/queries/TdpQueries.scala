@@ -1370,6 +1370,95 @@ object TdpQueries {
               |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_sq8
               |FROM ne, nh, n1""".stripMargin)),
 
+    // Truncated-dimension (Matryoshka-style) search: rank candidates by
+    // cosine over only the FIRST d' dims, report recall@3 vs the full
+    // 64-dim exact truth for d' in {16, 32, 64} — the operating-point
+    // table behind adaptive retrieval (coarse-rank on a prefix, re-rank
+    // survivors at full width). d'=64 is the identity row (recall 1.0 by
+    // construction — the metric's self-check). Scale story: a d'-prefix
+    // scan reads d'/64 of the index bytes, the leverage this table
+    // prices; truncated dots stay inside the codegen'd graft_dot kernel
+    // via array slice, and the whole metric is one broadcast-queries pair
+    // frame with three window ranks — no extra passes over the corpus.
+    QueryDef(
+      "tdp_ann_truncdim",
+      (s, dir) => {
+        val dims = Seq(16, 32, 64)
+        val e = embWithNorm(s, dir)
+        def tcols(pfx: String) = dims.map(d =>
+          expr(s"slice(embedding, 1, $d)").as(s"${pfx}_t$d"))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
+            col("norm").as("q_norm") +: tcols("q"): _*)
+        val c = e.select(col("vec_id").as("c_id") +: col("embedding").as("c_emb") +:
+          col("norm").as("c_norm") +: tcols("c"): _*)
+        val joined = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("fsim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+        val wf = Window.partitionBy("q_id").orderBy(desc("fsim"), col("c_id"))
+        val simd = dims.foldLeft(joined) { (df, d) =>
+          df.withColumn(s"sim$d",
+            expr(s"graft_dot(q_t$d, c_t$d)") /
+              (expr(s"sqrt(graft_dot(q_t$d, q_t$d))") *
+                expr(s"sqrt(graft_dot(c_t$d, c_t$d))")))
+        }
+        val ranked = dims.foldLeft(simd.withColumn("frank", row_number().over(wf))) {
+          (df, d) =>
+            val w = Window.partitionBy("q_id").orderBy(desc(s"sim$d"), col("c_id"))
+            df.withColumn(s"rank$d", row_number().over(w))
+        }
+        val truth = ranked.filter(col("frank") <= 3).select("q_id", "c_id")
+        val nTruth = truth.agg(count(lit(1)).as("n_exact"))
+        val rows = dims.map { d =>
+          val cand = ranked.filter(col(s"rank$d") <= 3).select("q_id", "c_id")
+          val nHit = truth.join(cand, Seq("q_id", "c_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+          broadcast(nTruth).crossJoin(nHit)
+            .select(lit(d).as("dims"), col("n_exact"), col("n_hit"),
+              (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+                .as("recall"))
+        }
+        rows.reduce(_ unionAll _)
+      },
+      Some {
+        def tdot(d: Int) =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, ${d + 1}),
+             |        i -> CAST(q.embedding[i] AS DOUBLE)
+             |          * CAST(c.embedding[i] AS DOUBLE))),
+             |      (acc, x) -> acc + x)""".stripMargin
+        def tnorm(side: String, d: Int) =
+          s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, ${d + 1}),
+             |        i -> CAST($side.embedding[i] AS DOUBLE)
+             |          * CAST($side.embedding[i] AS DOUBLE))),
+             |      (acc, x) -> acc + x))""".stripMargin
+        val ranks = Seq(16, 32, 64).map(d =>
+          s"""row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY (${tdot(d)}) / ((${tnorm("q", d)}) * (${tnorm("c", d)}))
+             |        DESC, c.vec_id) AS rank$d""".stripMargin).mkString(",\n    ")
+        val hitCtes = Seq(16, 32, 64).map(d =>
+          s"""h$d AS (
+             |  SELECT count(*) AS n_hit
+             |  FROM truth JOIN ranked USING (q_id, c_id)
+             |  WHERE rank$d <= 3)""".stripMargin).mkString(",\n")
+        val unions = Seq(16, 32, 64).map(d =>
+          s"""SELECT $d AS dims, n_exact, h$d.n_hit,
+             |  CAST(h$d.n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+             |FROM ne, h$d""".stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH $embNormSql,
+           |ranked AS MATERIALIZED (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id) AS frank,
+           |    $ranks
+           |  FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id % 50 = 0),
+           |truth AS (SELECT q_id, c_id FROM ranked WHERE frank <= 3),
+           |ne AS (SELECT count(*) AS n_exact FROM truth),
+           |$hitCtes
+           |$unions""".stripMargin
+      }),
+
     // Random-hyperplane LSH for cosine similarity: 8 deterministic
     // pseudo-planes -> 8-bit sign signature -> bucket histogram. Vectors
     // sharing a bucket are cosine-similar candidates; the shuffle key is
@@ -1518,6 +1607,46 @@ object TdpQueries {
               |SELECT d.doc_id, d.lang FROM documents d
               |WHERE d.doc_id % 100 <> 0
               |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin)),
+
+    // FUZZY decontamination: real eval leakage is rarely verbatim —
+    // paraphrases and partial quotes slip through an exact-shingle sweep.
+    // This report flags every training document whose exact n-gram
+    // Jaccard against ANY eval doc reaches 0.5, with the match count and
+    // the worst overlap — the evidence table reviewers read before
+    // dropping docs. Candidates come from the memoized prefix-filtered
+    // exact pair sweep (lossless at J >= 0.2), so the fuzzy pass adds one
+    // filter + orient + groupBy over an already-computed frame: no new
+    // pairwise stage at 100 TB. Pairs are oriented train-side (the eval
+    // member becomes evidence), mixed pairs only. The eval slice is
+    // doc_id % 50 (denser than tdp_decontaminate's % 100 — the slice
+    // width is a parameter, and % 50 is the narrowest split whose
+    // boundary the corpus's planted near-dup groups cross at EVERY test
+    // scale, keeping this gate non-vacuous from sf0.001 up).
+    QueryDef(
+      "tdp_fuzzy_decontaminate",
+      (s, dir) => {
+        val aEval = col("doc_a") % 50 === 0
+        val bEval = col("doc_b") % 50 === 0
+        ngramJaccardPairs(s, dir)
+          .filter(col("jaccard") >= 0.5 && (aEval =!= bEval))
+          .select(
+            when(aEval, col("doc_b")).otherwise(col("doc_a")).as("doc_id"),
+            col("jaccard"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_eval_matches"),
+            max("jaccard").as("max_jaccard"))
+      },
+      Some(s"""WITH $docsShinglesSql,
+              |$ngramPairsSqlCtes,
+              |mixed AS (
+              |  SELECT CASE WHEN doc_a % 50 = 0 THEN doc_b ELSE doc_a END
+              |      AS doc_id,
+              |    jaccard
+              |  FROM jp
+              |  WHERE jaccard >= 0.5 AND ((doc_a % 50 = 0) <> (doc_b % 50 = 0)))
+              |SELECT doc_id, count(*) AS n_eval_matches,
+              |  max(jaccard) AS max_jaccard
+              |FROM mixed GROUP BY 1""".stripMargin)),
 
     // Stratified sampling with per-stratum rates (corpus rebalancing:
     // keep ~80% of en, ~40% of es, ~20% of the rest). Deterministic

@@ -351,6 +351,39 @@ class TdpSpec extends SparkSpec {
     assert(rows(3L) === ((9L, 0L)), "unique doc: nothing covered")
   }
 
+  test("truncated-dim recall: monotone in dims, identity at full width") {
+    val rows = Registry.queries("tdp_ann_truncdim")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows.keySet === Set(16, 32, 64))
+    val nExact = rows(64)._1
+    assert(rows.values.forall(v => v._1 === nExact && v._2 <= nExact))
+    assert(rows(64)._3 === 1.0, "full-width rank must reproduce the truth")
+    assert(rows(16)._3 <= rows(32)._3 + 1e-9 &&
+      rows(32)._3 <= rows(64)._3 + 1e-9,
+      s"recall not monotone in prefix width: $rows")
+  }
+
+  test("fuzzy decontamination: planted near-copy flagged, clean doc not") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_fuzzy").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (100L, base), // eval doc (id % 50 == 0)
+      (101L, base + " extra"), // near-copy of the eval doc -> flagged
+      (102L, "totally different words that never overlap anything here"),
+      (200L, "another held out eval document with its own private text"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_fuzzy_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(rows.contains(101L), "near-copy of the eval doc must be flagged")
+    assert(rows(101L)._1 === 1L)
+    assert(rows(101L)._2 >= 0.5 && rows(101L)._2 < 1.0)
+    assert(!rows.contains(102L), "unrelated training doc must not be flagged")
+    assert(!rows.keySet.exists(_ % 50 == 0), "eval docs are never flagged")
+  }
+
   test("sq8 quantized search: hits bounded by truth, recall stays high") {
     val r = Registry.queries("tdp_ann_sq8")(spark, sf).collect().head
     val (nExact, nHit, nTop1) = (r.getLong(0), r.getLong(1), r.getLong(2))
