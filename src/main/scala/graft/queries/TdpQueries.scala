@@ -1459,6 +1459,158 @@ object TdpQueries {
            |$unions""".stripMargin
       }),
 
+    // Product quantization (Jegou et al. TPAMI'11) with ADC scoring — the
+    // third leg of the compression family (SQ8 4x, truncdim 2-4x, PQ 64x:
+    // 8 subspaces x 16 codes = 8 nibbles = 4 B/vec vs 256 B float32).
+    // Codebooks are hash-sampled corpus sub-vectors (the ivfCentroids
+    // seeding device; a code is identified by its source vec_id, so no
+    // global rank window is ever needed). Assignment = nearest code per
+    // (vector, subspace) by L2, tie-break min code id. Search is
+    // ASYMMETRIC distance: the query stays float, each candidate
+    // contributes sum_m dot(q_m, code(c_m)) — expressed exactly as the
+    // classic ADC lookup table: qtab = queries x codebook partial dots
+    // (nq x 8 x 16 rows, broadcastable at any corpus size), then the
+    // candidate code table joins qtab on (subspace, code_id) and sums.
+    // Partial dots are floored to integer MICRO-units before the sum so
+    // partial-aggregation order can never change the ranking (the
+    // tdp_bigram_logprob exactness device); recall@3 vs the float-exact
+    // truth prices the 64x compression. Expected low on random synthetic
+    // vectors (~0.17 at sf0.001) — PQ's wins come from clustered real
+    // embeddings; the metric is the operating point, not a quality claim.
+    QueryDef(
+      "tdp_ann_pq",
+      (s, dir) => {
+        val M = 8
+        val Dsub = 8
+        val K = 16
+        val e = embWithNorm(s, dir)
+        val seeds = e
+          .withColumn("seed_rank", expr("(vec_id * 2654435761) % 1000000007"))
+          .orderBy("seed_rank", "vec_id").limit(K)
+          .select(col("vec_id").as("code_id"), col("embedding"))
+        val mStructs = (0 until M).map(m =>
+          struct(lit(m).as("m"),
+            expr(s"slice(embedding, ${m * Dsub + 1}, $Dsub)").as("sub")))
+        val codebook = seeds
+          .select(col("code_id"), explode(array(mStructs: _*)).as("ms"))
+          .select(col("code_id"), col("ms.m").as("m"),
+            col("ms.sub").as("code_vec"))
+          .withColumn("xx", expr("graft_dot(code_vec, code_vec)"))
+        val vsub = e
+          .select(col("vec_id"), explode(array(mStructs: _*)).as("ms"))
+          .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
+          .withColumn("ss", expr("graft_dot(sub, sub)"))
+        val wAsg = Window.partitionBy("vec_id", "m").orderBy("l2", "code_id")
+        val cassign = vsub.join(broadcast(codebook), "m")
+          .withColumn("l2",
+            expr("(ss - 2.0D * graft_dot(sub, code_vec)) + xx"))
+          .withColumn("rn", row_number().over(wAsg))
+          .filter(col("rn") === 1)
+          .select(col("vec_id").as("c_id"), col("m"), col("code_id"))
+        val qtab = vsub.filter(col("vec_id") % 50 === 0)
+          .join(broadcast(codebook), "m")
+          .select(col("vec_id").as("q_id"), col("m"), col("code_id"),
+            expr("CAST(floor(graft_dot(sub, code_vec) * 1000000.0D) AS BIGINT)")
+              .as("pdot_micro"))
+        val adc = cassign.join(broadcast(qtab), Seq("m", "code_id"))
+          .groupBy("q_id", "c_id")
+          .agg(sum("pdot_micro").as("adc_micro"))
+          .filter(col("q_id") =!= col("c_id"))
+        val wPq = Window.partitionBy("q_id").orderBy(desc("adc_micro"), col("c_id"))
+        val cand = adc.withColumn("rank", row_number().over(wPq))
+          .filter(col("rank") <= 3).select("q_id", "c_id")
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("norm").as("c_norm"))
+        val wf = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+        val truth = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(wf))
+          .filter(col("rank") <= 3)
+          .select("q_id", "c_id")
+        val nTruth = truth.agg(count(lit(1)).as("n_exact"))
+        val nHit = truth.join(cand, Seq("q_id", "c_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        broadcast(nTruth).crossJoin(nHit)
+          .select(col("n_exact"), col("n_hit"),
+            (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+              .as("recall_pq"),
+            lit(256L).as("fp32_bytes_per_vec"), lit(4L).as("pq_bytes_per_vec"))
+      },
+      Some {
+        def ldot(a: String, b: String) =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, 9),
+             |        i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
+        s"""WITH $embNormSql,
+           |seeds AS (
+           |  SELECT vec_id AS code_id, embedding FROM emb
+           |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+           |  LIMIT 16),
+           |codebook AS (
+           |  SELECT code_id, CAST(r.range AS INT) AS m,
+           |    list_transform(
+           |      list_slice(embedding, r.range * 8 + 1, r.range * 8 + 8),
+           |      x -> CAST(x AS DOUBLE)) AS code_vec
+           |  FROM seeds, range(0, 8) r),
+           |cb AS (
+           |  SELECT code_id, m, code_vec,
+           |    ${ldot("code_vec", "code_vec")} AS xx
+           |  FROM codebook),
+           |vsub AS (
+           |  SELECT vec_id, CAST(r.range AS INT) AS m,
+           |    list_transform(
+           |      list_slice(embedding, r.range * 8 + 1, r.range * 8 + 8),
+           |      x -> CAST(x AS DOUBLE)) AS sub
+           |  FROM emb, range(0, 8) r),
+           |vs AS (
+           |  SELECT vec_id, m, sub, ${ldot("sub", "sub")} AS ss FROM vsub),
+           |cassign AS (
+           |  SELECT vec_id AS c_id, m, code_id FROM (
+           |    SELECT v.vec_id, v.m, b.code_id,
+           |      row_number() OVER (PARTITION BY v.vec_id, v.m
+           |        ORDER BY (v.ss - 2.0 * (${ldot("v.sub", "b.code_vec")}))
+           |          + b.xx, b.code_id) AS rn
+           |    FROM vs v JOIN cb b ON v.m = b.m)
+           |  WHERE rn = 1),
+           |qtab AS (
+           |  SELECT v.vec_id AS q_id, v.m, b.code_id,
+           |    CAST(floor((${ldot("v.sub", "b.code_vec")}) * 1000000.0)
+           |      AS BIGINT) AS pdot_micro
+           |  FROM vs v JOIN cb b ON v.m = b.m
+           |  WHERE v.vec_id % 50 = 0),
+           |adc AS (
+           |  SELECT q.q_id, a.c_id,
+           |    CAST(sum(q.pdot_micro) AS BIGINT) AS adc_micro
+           |  FROM cassign a JOIN qtab q ON a.m = q.m AND a.code_id = q.code_id
+           |  WHERE q.q_id <> a.c_id
+           |  GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY adc_micro DESC, c_id) AS rank
+           |    FROM adc)
+           |  WHERE rank <= 3),
+           |truth AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id) AS rank
+           |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+           |    WHERE q.vec_id % 50 = 0)
+           |  WHERE rank <= 3),
+           |ne AS (SELECT count(*) AS n_exact FROM truth),
+           |nh AS (SELECT count(*) AS n_hit
+           |       FROM truth JOIN cand USING (q_id, c_id))
+           |SELECT n_exact, n_hit,
+           |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_pq,
+           |  CAST(256 AS BIGINT) AS fp32_bytes_per_vec,
+           |  CAST(4 AS BIGINT) AS pq_bytes_per_vec
+           |FROM ne, nh""".stripMargin
+      }),
+
     // Random-hyperplane LSH for cosine similarity: 8 deterministic
     // pseudo-planes -> 8-bit sign signature -> bucket histogram. Vectors
     // sharing a bucket are cosine-similar candidates; the shuffle key is

@@ -89,7 +89,8 @@ class CodegenHealthSpec extends SparkSpec {
     "tdp_minhash_signatures", "tdp_simhash", "tdp_bigram_logprob",
     "tdp_ann_ivf", "tdp_repetition", "tdp_pii_scan", "tdp_chunk_dedup",
     "tdp_lang_id", "tdp_lsh_cosine_buckets",
-    "tdp_repeated_spans", "tdp_semdedup", "tdp_ann_sq8")
+    "tdp_repeated_spans", "tdp_semdedup", "tdp_ann_sq8", "tdp_ann_pq",
+    "tdp_ann_truncdim")
 
   for (name <- tdpGuarded)
     test(s"TDP $name: every codegen subtree compiles under the 64 KB limit") {

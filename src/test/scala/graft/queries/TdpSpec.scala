@@ -396,6 +396,17 @@ class TdpSpec extends SparkSpec {
     assert(recall >= 0.85, s"sq8 recall degraded: $recall")
   }
 
+  test("pq adc search: counts consistent, compression constants honest") {
+    val r = Registry.queries("tdp_ann_pq")(spark, sf).collect().head
+    val (nExact, nHit) = (r.getLong(0), r.getLong(1))
+    val recall = r.getDouble(2)
+    val nq = Registry.queries("tdp_cosine_topk")(spark, sf)
+      .select("q_id").distinct().count()
+    assert(nExact === 3 * nq, "truth is top-3 per query")
+    assert(nHit <= nExact && recall >= 0.0 && recall <= 1.0)
+    assert(r.getLong(3) === 256L && r.getLong(4) === 4L)
+  }
+
   test("semdedup: clone collapses to min id; orthogonal vectors all kept") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tdp_semdedup").toString
