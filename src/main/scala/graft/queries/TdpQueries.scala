@@ -1760,6 +1760,71 @@ object TdpQueries {
               |WHERE d.doc_id % 100 <> 0
               |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin)),
 
+    // INCREMENTAL dedup: the arrival-time shape — when a new batch lands
+    // (doc_id % 10 == 7 plays the ~10% delta), verdict each new doc
+    // against the EXISTING corpus only: exact_dup (content hash already
+    // present), near_dup (exact n-gram Jaccard >= 0.5 against an existing
+    // doc, candidates from the memoized prefix-filtered sweep), else
+    // unique — with the minimum matching existing doc as evidence. At
+    // 100 TB this is the sweep that replaces re-clustering the corpus per
+    // delivery: the new batch is small and broadcastable, the existing
+    // side is touched only through its hash index and pair candidates,
+    // and exact beats near in the verdict precedence.
+    QueryDef(
+      "tdp_incremental_dedup",
+      (s, dir) => {
+        val isNew = col("doc_id") % 10 === 7
+        val docs = table(s, dir, "documents")
+        val hashes = docs.select(col("doc_id"),
+          md5(col("text").cast(BinaryType)).as("h"))
+        val exact = hashes.filter(isNew)
+          .join(hashes.filter(!isNew)
+            .groupBy("h").agg(min("doc_id").as("exact_match")), "h")
+          .select("doc_id", "exact_match")
+        val pairs = ngramJaccardPairs(s, dir).filter(col("jaccard") >= 0.5)
+        val aNew = col("doc_a") % 10 === 7
+        val bNew = col("doc_b") % 10 === 7
+        val near = pairs.filter(aNew =!= bNew)
+          .select(
+            when(aNew, col("doc_a")).otherwise(col("doc_b")).as("doc_id"),
+            when(aNew, col("doc_b")).otherwise(col("doc_a")).as("partner"))
+          .groupBy("doc_id").agg(min("partner").as("near_match"))
+        docs.filter(isNew).select("doc_id")
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("exact_match").isNotNull, "exact_dup")
+              .when(col("near_match").isNotNull, "near_dup")
+              .otherwise("unique").as("verdict"),
+            coalesce(col("exact_match"), col("near_match"))
+              .as("evidence_doc_id"))
+      },
+      Some(s"""WITH $docsShinglesSql,
+              |$ngramPairsSqlCtes,
+              |h AS (SELECT doc_id, md5(text) AS h FROM documents),
+              |oldh AS (
+              |  SELECT h, min(doc_id) AS exact_match FROM h
+              |  WHERE doc_id % 10 <> 7 GROUP BY 1),
+              |ex AS (
+              |  SELECT n.doc_id, o.exact_match
+              |  FROM h n JOIN oldh o USING (h) WHERE n.doc_id % 10 = 7),
+              |np AS (
+              |  SELECT CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END
+              |      AS doc_id,
+              |    CASE WHEN doc_a % 10 = 7 THEN doc_b ELSE doc_a END AS partner
+              |  FROM jp
+              |  WHERE jaccard >= 0.5 AND ((doc_a % 10 = 7) <> (doc_b % 10 = 7))),
+              |nr AS (SELECT doc_id, min(partner) AS near_match FROM np GROUP BY 1)
+              |SELECT d.doc_id,
+              |  CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+              |    WHEN n.near_match IS NOT NULL THEN 'near_dup'
+              |    ELSE 'unique' END AS verdict,
+              |  coalesce(e.exact_match, n.near_match) AS evidence_doc_id
+              |FROM documents d
+              |  LEFT JOIN ex e ON d.doc_id = e.doc_id
+              |  LEFT JOIN nr n ON d.doc_id = n.doc_id
+              |WHERE d.doc_id % 10 = 7""".stripMargin)),
+
     // FUZZY decontamination: real eval leakage is rarely verbatim —
     // paraphrases and partial quotes slip through an exact-shingle sweep.
     // This report flags every training document whose exact n-gram

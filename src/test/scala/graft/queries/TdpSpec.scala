@@ -364,6 +364,26 @@ class TdpSpec extends SparkSpec {
       s"recall not monotone in prefix width: $rows")
   }
 
+  test("incremental dedup: exact beats near, unique stays unique") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_incr").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), // existing
+      (2L, "some other existing corpus text that stands entirely alone ok"),
+      (7L, base), // new batch: exact clone of 1 (and near-dup too -> exact wins)
+      (17L, "some other existing corpus text that stands entirely apart ok"),
+      (27L, "a brand new document with words shared by absolutely nobody"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_incremental_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(rows.keySet === Set(7L, 17L, 27L), "only new-batch docs verdict'd")
+    assert(rows(7L) === (("exact_dup", 1L)))
+    assert(rows(17L) === (("near_dup", 2L)))
+    assert(rows(27L) === (("unique", -1L)))
+  }
+
   test("fuzzy decontamination: planted near-copy flagged, clean doc not") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tdp_fuzzy").toString
