@@ -2747,5 +2747,258 @@ object TdpQueries {
               |FROM n0
               |FULL OUTER JOIN n1 USING (cluster)
               |FULL OUTER JOIN stay USING (cluster)""".stripMargin)),
+
+    // TEMPERATURE-SCALED corpus mixing (the multilingual-sampling recipe:
+    // raise each source's natural share p to p^alpha, alpha=0.5, and
+    // renormalize — low-resource sources get upsampled, dominant ones
+    // damped; cf. XLM-R style exponential smoothing). Output is the
+    // mixing PLAN a curator ships: per source its natural token share,
+    // temperature share, and the sampling rate (p_temp/p_nat; >1 means
+    // upsample epochs). Exactness: the only cross-row float reduction is
+    // the normalizer Z, summed over per-source sqrt weights FLOORED to
+    // integer micro-units first, so partial-aggregation order can never
+    // change the result. Scale shape: one groupBy(source) over the
+    // memoized token frame; everything after operates on a
+    // sources-cardinality frame (broadcast territory).
+    QueryDef(
+      "tdp_temperature_mix",
+      (s, dir) => {
+        val toks = docToks(s, dir)
+          .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+        val per = table(s, dir, "documents").select("doc_id", "source")
+          .join(toks, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("n_toks"), lit(0L))).as("n_tokens"))
+        val tot = per.agg(sum("n_tokens").as("tot_tokens"))
+        val withP = per.crossJoin(tot)
+          .withColumn("p_nat",
+            col("n_tokens").cast(DoubleType) / col("tot_tokens").cast(DoubleType))
+          .withColumn("w_micro",
+            floor(sqrt(col("p_nat")) * lit(1000000.0)).cast(LongType))
+        val z = withP.agg(sum("w_micro").as("z_micro"))
+        withP.crossJoin(z)
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("p_nat"),
+            (col("w_micro").cast(DoubleType) / col("z_micro").cast(DoubleType))
+              .as("p_temp"),
+            (col("w_micro").cast(DoubleType) * col("tot_tokens").cast(DoubleType)
+              / (col("z_micro").cast(DoubleType) * col("n_tokens").cast(DoubleType)))
+              .as("sample_rate"))
+      },
+      Some(s"""WITH per AS (
+              |  SELECT source, count(*) AS n_docs,
+              |    CAST(coalesce(sum(len($toksSql)), 0) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY 1),
+              |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+              |wp AS (
+              |  SELECT source, n_docs, n_tokens, tot_tokens,
+              |    CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS p_nat
+              |  FROM per, tot),
+              |wm AS (
+              |  SELECT *, CAST(floor(sqrt(p_nat) * 1000000.0) AS BIGINT) AS w_micro
+              |  FROM wp),
+              |z AS (SELECT CAST(sum(w_micro) AS BIGINT) AS z_micro FROM wm)
+              |SELECT source, n_docs, n_tokens, p_nat,
+              |  CAST(w_micro AS DOUBLE) / CAST(z_micro AS DOUBLE) AS p_temp,
+              |  CAST(w_micro AS DOUBLE) * CAST(tot_tokens AS DOUBLE)
+              |    / (CAST(z_micro AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+              |    AS sample_rate
+              |FROM wm, z""".stripMargin)),
+
+    // DSIR-style importance resampling (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS'23): score every
+    // document by how much more likely its hashed-unigram features are
+    // under a TARGET distribution (here the quality >= 0.75 slice) than
+    // under the raw corpus. Features are token hashes bucketed mod 64;
+    // both feature distributions are Laplace-smoothed bucket counts; a
+    // document's weight is sum over tokens of ln(p_target/p_raw). The
+    // bucket table is fixed-size (64 rows) -> broadcast; the per-doc
+    // weight is a map-side-combinable integer sum (each bucket's log
+    // ratio is floored to micro-nats ONCE, so the per-doc sum is exact
+    // integer arithmetic in any aggregation order). At 100 TB: one
+    // tokenize scan (shared memoized frame), one vocabulary-bounded
+    // aggregate, one broadcast join — no pairwise stage.
+    QueryDef(
+      "tdp_importance_resample",
+      (s, dir) => {
+        val B = 64
+        val tb = docToks(s, dir)
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .select(col("doc_id"), expr(s"${polyHashExpr("tok")} % $B").as("b"))
+        val tgt = qualityScored(s, dir)
+          .filter(col("quality") >= 0.75).select("doc_id")
+        val raw = tb.groupBy("b").agg(count(lit(1)).as("c_raw"))
+        val tc = tb.join(tgt, "doc_id").groupBy("b").agg(count(lit(1)).as("c_t"))
+        val nr = tb.agg(count(lit(1)).as("n_raw"))
+        val nt = tb.join(tgt, "doc_id").agg(count(lit(1)).as("n_t"))
+        val lr = raw.join(tc, Seq("b"), "left").crossJoin(nr).crossJoin(nt)
+          .select(col("b"),
+            floor(log(((coalesce(col("c_t"), lit(0L)) + lit(1.0))
+                / (col("n_t") + lit(B)))
+              / ((col("c_raw") + lit(1.0)) / (col("n_raw") + lit(B))))
+              * lit(1000000.0)).cast(LongType).as("lr_micro"))
+        val w = tb.join(broadcast(lr), "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum("lr_micro").as("dsir_micro"))
+        table(s, dir, "documents").select("doc_id")
+          .join(w, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+            coalesce(col("dsir_micro"), lit(0L)).as("dsir_micro"),
+            (coalesce(col("dsir_micro"), lit(0L)) > 0L).as("selected"))
+      },
+      Some(s"""WITH tb AS (
+              |  SELECT doc_id, ${polyHashSql("tok")} % 64 AS b
+              |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)),
+              |scored AS (
+              |  SELECT doc_id, $qualitySql AS quality FROM ($qualityPartsSql)),
+              |tgt AS (SELECT doc_id FROM scored WHERE quality >= 0.75),
+              |raw AS (SELECT b, count(*) AS c_raw FROM tb GROUP BY 1),
+              |tc AS (SELECT b, count(*) AS c_t
+              |       FROM tb JOIN tgt USING (doc_id) GROUP BY 1),
+              |nr AS (SELECT count(*) AS n_raw FROM tb),
+              |nt AS (SELECT count(*) AS n_t FROM tb JOIN tgt USING (doc_id)),
+              |lr AS (
+              |  SELECT raw.b,
+              |    CAST(floor(ln(((coalesce(c_t, 0) + 1.0) / (n_t + 64))
+              |        / ((c_raw + 1.0) / (n_raw + 64))) * 1000000.0)
+              |      AS BIGINT) AS lr_micro
+              |  FROM raw LEFT JOIN tc USING (b), nr, nt),
+              |w AS (
+              |  SELECT doc_id, count(*) AS n_toks,
+              |    CAST(sum(lr_micro) AS BIGINT) AS dsir_micro
+              |  FROM tb JOIN lr USING (b) GROUP BY 1)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(n_toks, 0) AS BIGINT) AS n_toks,
+              |  CAST(coalesce(dsir_micro, 0) AS BIGINT) AS dsir_micro,
+              |  coalesce(dsir_micro, 0) > 0 AS selected
+              |FROM documents d LEFT JOIN w USING (doc_id)""".stripMargin)),
+
+    // SEQUENCE PACKING audit (concat-and-chunk): training examples are
+    // fixed context windows cut from the doc_id-ordered token stream, and
+    // this reports what that costs — how many documents straddle a window
+    // boundary (their attention gets truncated context) and the tail
+    // padding. The global exclusive prefix sum over token counts is the
+    // quality-rank device again: range-partition on doc_id, collect P
+    // per-partition token subtotals (P = partition count, never
+    // data-sized), add each partition's cumulative offset to its local
+    // running sum — every task scans ~n/P rows and there is no
+    // single-partition window anywhere.
+    QueryDef(
+      "tdp_seq_packing",
+      (s, dir) => {
+        val W = 64L
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val ranged = Registry.memo(s, dir, "tdp_pack_ranged")(
+          docToks(s, dir)
+            .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+            .repartitionByRange(nPart, col("doc_id"))
+            .withColumn("pid", spark_partition_id()))
+        // LOAD-BEARING materialization (same contract as the quality-rank
+        // frame): the per-pid subtotals collected below and the window
+        // pass must observe one materialization of the range exchange.
+        ranged.count()
+        val sub = ranged.groupBy("pid")
+          .agg(sum("n_toks").as("t")).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        var acc = 0L
+        val offsets = sub.map { case (p, t) => val o = acc; acc += t; (p, o) }
+        val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
+        val wPid = Window.partitionBy("pid").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ranged.join(broadcast(offDf), "pid")
+          .withColumn("start",
+            coalesce(sum("n_toks").over(wPid), lit(0L)) + col("off"))
+          .withColumn("split",
+            col("n_toks") > 0L &&
+              expr(s"start div $W") =!= expr(s"(start + n_toks - 1) div $W"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_toks").as("n_tokens"),
+            expr(s"(sum(n_toks) + ${W - 1}) div $W").as("n_chunks"),
+            sum(when(col("split"), 1L).otherwise(0L)).as("n_split_docs"))
+          .select(col("n_docs"), col("n_tokens"), col("n_chunks"),
+            (col("n_chunks") * lit(W) - col("n_tokens")).as("tail_pad_tokens"),
+            col("n_split_docs"),
+            (col("n_split_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
+              .as("split_frac"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+              |  FROM documents),
+              |cs AS (
+              |  SELECT doc_id, n_toks,
+              |    coalesce(sum(n_toks) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS start
+              |  FROM tk)
+              |SELECT count(*) AS n_docs,
+              |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              |  CAST((sum(n_toks) + 63) // 64 AS BIGINT) AS n_chunks,
+              |  CAST((sum(n_toks) + 63) // 64 * 64 - sum(n_toks) AS BIGINT)
+              |    AS tail_pad_tokens,
+              |  CAST(sum(CASE WHEN n_toks > 0
+              |      AND start // 64 <> (start + n_toks - 1) // 64
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+              |  CAST(sum(CASE WHEN n_toks > 0
+              |      AND start // 64 <> (start + n_toks - 1) // 64
+              |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |    AS split_frac
+              |FROM cs""".stripMargin)),
+
+    // Dedup KEEP-POLICY comparison: connected-component dedup keeps ONE
+    // representative per duplicate cluster, and WHICH one matters for
+    // training data — min-id (arrival order, what the CC label gives for
+    // free) vs highest-quality member. Per multi-member cluster: both
+    // keepers, whether they agree, and the quality gained by keeping the
+    // best copy (micro-units, so the delta is integer-exact). Rides
+    // entirely on the memoized cluster + quality frames; the argmax is a
+    // per-cluster window over cluster-sized groups.
+    QueryDef(
+      "tdp_cluster_keep_best",
+      (s, dir) => {
+        val members = dupClusters(s, dir)
+          .filter(col("cluster_n") > 1)
+          .select("doc_id", "cluster_id", "cluster_n")
+          .join(qualityScored(s, dir).select("doc_id", "quality"),
+            Seq("doc_id"), "left")
+          .withColumn("q", coalesce(col("quality"), lit(-1.0)))
+        val wc = Window.partitionBy("cluster_id")
+          .orderBy(desc("q"), col("doc_id"))
+        val best = members.withColumn("rn", row_number().over(wc))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("cluster_n").as("n_members"),
+            col("doc_id").as("keep_best"),
+            floor(col("q") * lit(1000000.0)).cast(LongType).as("bq_micro"))
+        val rootQ = members.filter(col("doc_id") === col("cluster_id"))
+          .select(col("cluster_id"),
+            floor(col("q") * lit(1000000.0)).cast(LongType).as("rq_micro"))
+        best.join(rootQ, "cluster_id")
+          .select(col("cluster_id"), col("n_members"), col("keep_best"),
+            (col("keep_best") === col("cluster_id")).as("same_keep"),
+            (col("bq_micro") - col("rq_micro")).as("gain_micro"))
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |kb_scored AS (
+              |  SELECT doc_id, $qualitySql AS quality FROM ($qualityPartsSql)),
+              |kb_sized AS (
+              |  SELECT doc_id, cluster_id,
+              |    count(*) OVER (PARTITION BY cluster_id) AS n
+              |  FROM cc),
+              |kb_m AS (
+              |  SELECT s.doc_id, s.cluster_id, s.n,
+              |    coalesce(quality, -1.0) AS q
+              |  FROM kb_sized s LEFT JOIN kb_scored USING (doc_id) WHERE n > 1),
+              |kb_b AS (
+              |  SELECT cluster_id, n, doc_id,
+              |    CAST(floor(q * 1000000.0) AS BIGINT) AS bq_micro,
+              |    row_number() OVER (PARTITION BY cluster_id
+              |      ORDER BY q DESC, doc_id) AS rn
+              |  FROM kb_m)
+              |SELECT b.cluster_id, CAST(b.n AS BIGINT) AS n_members,
+              |  b.doc_id AS keep_best, b.doc_id = b.cluster_id AS same_keep,
+              |  bq_micro - CAST(floor(r.q * 1000000.0) AS BIGINT) AS gain_micro
+              |FROM kb_b b JOIN kb_m r
+              |  ON r.cluster_id = b.cluster_id AND r.doc_id = b.cluster_id
+              |WHERE rn = 1""".stripMargin)),
   )
 }

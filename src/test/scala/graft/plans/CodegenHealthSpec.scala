@@ -90,7 +90,8 @@ class CodegenHealthSpec extends SparkSpec {
     "tdp_ann_ivf", "tdp_repetition", "tdp_pii_scan", "tdp_chunk_dedup",
     "tdp_lang_id", "tdp_lsh_cosine_buckets",
     "tdp_repeated_spans", "tdp_semdedup", "tdp_ann_sq8", "tdp_ann_pq",
-    "tdp_ann_truncdim")
+    "tdp_ann_truncdim", "tdp_importance_resample", "tdp_seq_packing",
+    "tdp_temperature_mix", "tdp_cluster_keep_best")
 
   for (name <- tdpGuarded)
     test(s"TDP $name: every codegen subtree compiles under the 64 KB limit") {

@@ -461,4 +461,107 @@ class TdpSpec extends SparkSpec {
     assert(rows.map(_._4).sum === corpusDups,
       "per-source dup docs must sum to the corpus dup count")
   }
+
+  test("temperature mix flattens shares toward uniform; rates invert size") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_temp").toString
+    // big source: 16 tokens; small source: 4 -> p_nat 0.8 / 0.2.
+    val docs = Seq(
+      (1L, "a b c d e f g h", "en", "big", 15L),
+      (2L, "i j k l m n o p", "en", "big", 15L),
+      (3L, "q r s t", "en", "small", 7L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_temperature_mix")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val (bigT, bigNat, bigTemp, bigRate) = rows("big")
+    val (smallT, _, smallTemp, smallRate) = rows("small")
+    assert(bigT === 16L && smallT === 4L)
+    assert(bigNat === 0.8)
+    // alpha=0.5 pulls toward uniform: dominant share shrinks, small grows
+    assert(bigTemp < 0.8 && smallTemp > 0.2,
+      s"temperature must flatten shares, got $bigTemp / $smallTemp")
+    assert(math.abs(bigTemp + smallTemp - 1.0) < 1e-5, "shares renormalize")
+    assert(bigRate < 1.0 && smallRate > 1.0,
+      "dominant source downsampled, small source upsampled")
+  }
+
+  test("importance resampling ranks target-like docs above off-target docs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_dsir").toString
+    // All-letter docs score ~0.83 quality (>= 0.75 target slice); digit
+    // docs score ~0.26 (raw only). A fresh doc made of the TARGET's
+    // vocabulary must outweigh one made of raw-only vocabulary.
+    val tgtText = "goodword goodword goodword goodword"
+    val rawText = "12345 67890 11111 22222"
+    val docs = Seq(
+      (1L, tgtText, "en", "s", 35L), (2L, tgtText, "en", "s", 35L),
+      (3L, rawText, "en", "s", 23L), (4L, rawText, "en", "s", 23L),
+      (5L, "goodword goodword", "en", "s", 17L), // target-vocab probe
+      (6L, "12345 67890", "en", "s", 11L), // raw-vocab probe
+      (7L, "", "en", "s", 0L)) // empty: zero tokens, zero weight
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_importance_resample")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(rows.size === 7, "one verdict row per document")
+    assert(rows(7L) === ((0L, 0L, false)), "empty doc: no tokens, no weight")
+    assert(rows(5L)._2 > rows(6L)._2,
+      s"target-vocab doc must outweigh raw-vocab doc: ${rows(5L)} vs ${rows(6L)}")
+    assert(rows(5L)._3 && !rows(6L)._3,
+      "sign of the weight separates the probe docs")
+    assert(rows(5L)._1 === 2L && rows(6L)._1 === 2L, "token counts")
+  }
+
+  test("sequence packing: exact chunk count, tail padding and split docs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_pack").toString
+    def words(n: Int, pfx: String): String =
+      (1 to n).map(i => s"$pfx$i").mkString(" ")
+    // token stream in doc_id order: 60 | 10 | 62 -> W=64 chunks:
+    // doc 1 [0,60) fits chunk 0; doc 2 [60,70) straddles 0->1; doc 3
+    // [70,132) straddles 1->2. 132 tokens -> 3 chunks, 60 pad tokens.
+    val docs = Seq(
+      (1L, words(60, "a"), "en", "s", 0L),
+      (2L, words(10, "b"), "en", "s", 0L),
+      (3L, words(62, "c"), "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Registry.queries("tdp_seq_packing")(spark, dir).collect().head
+    assert(r.getLong(0) === 3L, "n_docs")
+    assert(r.getLong(1) === 132L, "n_tokens")
+    assert(r.getLong(2) === 3L, "n_chunks = ceil(132/64)")
+    assert(r.getLong(3) === 60L, "tail padding = 3*64 - 132")
+    assert(r.getLong(4) === 2L, "docs 2 and 3 straddle chunk boundaries")
+    assert(math.abs(r.getDouble(5) - 2.0 / 3.0) < 1e-12, "split fraction")
+  }
+
+  test("keep-best dedup policy disagrees with min-id when a better copy exists") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_keepbest").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // doc 1 is the min-id cluster root but carries digit junk (lower
+    // quality); docs 2 and 3 are clean clones -> keep_best must pick 2
+    // (higher quality, tie broken by id), disagreeing with min-id.
+    val docs = Seq(
+      (1L, base + " 99999 88888", "en", "s", 0L),
+      (2L, base, "en", "s", 0L),
+      (3L, base, "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_cluster_keep_best")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet === Set(1L), "one multi-member cluster rooted at 1")
+    val (n, keepBest, sameKeep, gain) = rows(1L)
+    assert(n === 3L, "all three docs in the cluster")
+    assert(keepBest === 2L, "highest-quality member, tie broken by doc_id")
+    assert(!sameKeep, "policy disagrees with the min-id root")
+    assert(gain > 0L, "keeping the best copy gains quality")
+  }
 }
