@@ -3000,5 +3000,132 @@ object TdpQueries {
               |FROM kb_b b JOIN kb_m r
               |  ON r.cluster_id = b.cluster_id AND r.doc_id = b.cluster_id
               |WHERE rn = 1""".stripMargin)),
+
+    // TRAIN/VAL SPLIT LEAKAGE: a held-out split is only held out until a
+    // near-duplicate of a val doc hides in train. Deterministic split
+    // (doc_id % 10 == 3 -> val), then every val doc is flagged with the
+    // number of TRAIN members of its duplicate cluster — the leak a naive
+    // random split ships silently (Lee et al. ACL'22 measured eval
+    // inflation from exactly this). Rides the memoized cluster frame: one
+    // cluster_id-keyed count of train members + one join; no new corpus
+    // scan at any scale.
+    QueryDef(
+      "tdp_split_leakage",
+      (s, dir) => {
+        val isVal = col("doc_id") % 10 === 3
+        val clusters = dupClusters(s, dir).select("doc_id", "cluster_id")
+        val trainN = clusters.filter(!isVal)
+          .groupBy("cluster_id").agg(count(lit(1)).as("n_train_dups"))
+        clusters.filter(isVal)
+          .join(trainN, Seq("cluster_id"), "left")
+          .select(col("doc_id"), col("cluster_id"),
+            coalesce(col("n_train_dups"), lit(0L)).as("n_train_dups"),
+            (coalesce(col("n_train_dups"), lit(0L)) > 0L).as("leaked"))
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |tn AS (
+              |  SELECT cluster_id, count(*) AS n_train_dups
+              |  FROM cc WHERE doc_id % 10 <> 3 GROUP BY 1)
+              |SELECT doc_id, cluster_id,
+              |  CAST(coalesce(n_train_dups, 0) AS BIGINT) AS n_train_dups,
+              |  coalesce(n_train_dups, 0) > 0 AS leaked
+              |FROM cc LEFT JOIN tn USING (cluster_id)
+              |WHERE doc_id % 10 = 3""".stripMargin)),
+
+    // Per-document NOVELTY: the fraction of a doc's shingles that appear
+    // NOWHERE else in the corpus (corpus document-frequency exactly 1 —
+    // shingle sets are per-doc distinct, so df counts documents). The
+    // high-novelty tail is what a curation pass wants to protect from
+    // aggressive dedup; the low tail is boilerplate. Shape: one explode of
+    // the memoized shingle frame, a df aggregate keyed by shingle hash
+    // (vocabulary-bounded), and a doc_id-keyed sum — linear, no pairwise
+    // stage.
+    QueryDef(
+      "tdp_doc_novelty",
+      (s, dir) => {
+        val ex = docHashes(s, dir).filter(col("n_sh") > 0)
+          .select(col("doc_id"), explode(col("hashes")).as("sh"))
+        val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+        ex.join(dfreq, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+          .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+            (col("n_unique").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+              .as("novelty"))
+      },
+      Some(s"""WITH $docsShinglesSql,
+              |nx AS (
+              |  SELECT doc_id, unnest(hashes) AS sh FROM doc_sh
+              |  WHERE len(hashes) > 0),
+              |ndf AS (SELECT sh, count(*) AS df FROM nx GROUP BY 1)
+              |SELECT doc_id, count(*) AS n_shingles,
+              |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_unique,
+              |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS novelty
+              |FROM nx JOIN ndf USING (sh)
+              |GROUP BY 1""".stripMargin)),
+
+    // VOCABULARY head: top-20 tokens by corpus occurrence count with
+    // document frequency and corpus share — the Zipf-head table a
+    // tokenizer/mixing audit starts from. The aggregate is
+    // vocabulary-bounded and map-side combinable; the top-k is a
+    // 20-row ordered limit (deterministic: count desc, token asc).
+    QueryDef(
+      "tdp_vocab_topk",
+      (s, dir) => {
+        val tok = docToks(s, dir)
+          .select(col("doc_id"), explode(col("toks")).as("token"))
+        val tot = tok.agg(count(lit(1)).as("n_total"))
+        tok.groupBy("token")
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct("doc_id").as("n_docs"))
+          .crossJoin(tot)
+          .select(col("token"), col("n_occurrences"), col("n_docs"),
+            (col("n_occurrences").cast(DoubleType) / col("n_total").cast(DoubleType))
+              .as("share"))
+          .orderBy(desc("n_occurrences"), col("token"))
+          .limit(20)
+      },
+      Some(s"""WITH vt AS (
+              |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+              |vtot AS (SELECT count(*) AS n_total FROM vt)
+              |SELECT token, count(*) AS n_occurrences,
+              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+              |FROM vt, vtot
+              |GROUP BY token, n_total
+              |ORDER BY n_occurrences DESC, token
+              |LIMIT 20""".stripMargin)),
+
+    // SOURCE-PAIR contamination matrix: for every unordered source pair,
+    // how many exact-Jaccard near-dup pairs (J >= 0.2) cross it — the
+    // heatmap that tells a curator WHICH feeds re-scrape each other
+    // (tdp_source_mix's cross-source count says how much; this says
+    // where). Reuses the memoized prefix-filtered pair frame; two
+    // doc_id-keyed source attaches and one pair-cardinality groupBy.
+    QueryDef(
+      "tdp_source_pair_contamination",
+      (s, dir) => {
+        val src = table(s, dir, "documents").select("doc_id", "source")
+        val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        pairs
+          .select(least(col("sa"), col("sb")).as("source_lo"),
+            greatest(col("sa"), col("sb")).as("source_hi"))
+          .groupBy("source_lo", "source_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH $docsShinglesSql,
+              |$ngramPairsSqlCtes
+              |SELECT least(sa.source, sb.source) AS source_lo,
+              |  greatest(sa.source, sb.source) AS source_hi,
+              |  count(*) AS n_pairs
+              |FROM jp
+              |JOIN documents sa ON jp.doc_a = sa.doc_id
+              |JOIN documents sb ON jp.doc_b = sb.doc_id
+              |GROUP BY 1, 2""".stripMargin)),
   )
 }

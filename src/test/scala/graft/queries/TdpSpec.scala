@@ -564,4 +564,68 @@ class TdpSpec extends SparkSpec {
     assert(!sameKeep, "policy disagrees with the min-id root")
     assert(gain > 0L, "keeping the best copy gains quality")
   }
+
+  test("split leakage: val doc with a train clone is flagged, unique val is not") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_leak").toString
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "one two three four five six seven"
+    val c = "red green blue cyan magenta yellow"
+    // val split = doc_id % 10 == 3. Doc 3 clones train doc 1; doc 13 is
+    // unique; doc 23 clones train doc 24 (val doc is the cluster root).
+    val docs = Seq((1L, a), (3L, a), (13L, b), (23L, c), (24L, c))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_split_leakage")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.keySet === Set(3L, 13L, 23L), "only val docs are audited")
+    assert(rows(3L) === ((1L, true)), "train clone leaks into val doc 3")
+    assert(rows(13L) === ((0L, false)), "unique val doc is clean")
+    assert(rows(23L) === ((1L, true)),
+      "leak detected even when the val doc is the cluster root")
+  }
+
+  test("doc novelty: all-unique shingles score 1.0, cloned docs score 0.0") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_novel").toString
+    val docs = Seq(
+      (1L, "a b c d e f"), // 4 shingles, none shared
+      (2L, "x y z w"), (3L, "x y z w")) // 2 shingles each, df = 2
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_doc_novelty")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows(1L) === ((4L, 4L, 1.0)), "every shingle of doc 1 is unique")
+    assert(rows(2L) === ((2L, 0L, 0.0)), "cloned doc has zero novelty")
+    assert(rows(3L) === ((2L, 0L, 0.0)))
+  }
+
+  test("vocab top-k orders by count then token; share sums over the head") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_vocab").toString
+    val docs = Seq((1L, "the the the cat"), (2L, "the dog"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_vocab_topk")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq("the", "cat", "dog"),
+      "count desc, then token asc on ties")
+    assert(rows(0) === (("the", 4L, 2L, 4.0 / 6.0)))
+    assert(rows(1) === (("cat", 1L, 1L, 1.0 / 6.0)))
+  }
+
+  test("source-pair contamination localizes cross-source near-dups") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_srcpair").toString
+    val t = "alpha beta gamma delta"
+    val u = "one two three four"
+    val docs = Seq(
+      (1L, t, "srcA"), (2L, t, "srcB"), // cross-source near-dup
+      (3L, u, "srcA"), (4L, u, "srcA")) // within-source near-dup
+    docs.toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_source_pair_contamination")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(rows === Map(("srcA", "srcB") -> 1L, ("srcA", "srcA") -> 1L),
+      s"one cross pair and one within pair, got $rows")
+  }
 }
