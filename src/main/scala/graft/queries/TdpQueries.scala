@@ -23,12 +23,12 @@ object TdpQueries {
   /** Polynomial rolling hash of a string column (mod 1e9+7); the SQL twin
     * is a left-fold over character codes in both engines.
     */
-  private val P = "1000000007"
+  private[graft] val P = "1000000007"
   /** Native codegen'd kernel (graft.expressions.PolyHashExpr) — same value
     * as the `aggregate(transform(sequence(...)))` fold the oracle uses,
     * without the per-character lambda overhead.
     */
-  private def polyHashExpr(c: String): String = s"graft_polyhash($c)"
+  private[graft] def polyHashExpr(c: String): String = s"graft_polyhash($c)"
   /** The lambda variable is deliberately NOT `i`: callers embed this
     * inside outer `list_transform(range(...), i -> ...)` lambdas, and
     * DuckDB resolves the inner lambda's variable over the outer one —
@@ -42,11 +42,11 @@ object TdpQueries {
       s" (acc, x) -> (acc * 31 + x) % $P)"
 
   /** Whitespace tokens (non-empty). */
-  private val toksExpr = raw"filter(split(text, '\\s+'), x -> x != '')"
+  private[graft] val toksExpr = raw"filter(split(text, '\\s+'), x -> x != '')"
   private val toksSql = raw"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
 
   /** Distinct word 3-gram shingles. */
-  private val shinglesExpr =
+  private[graft] val shinglesExpr =
     s"""array_distinct(CASE WHEN size(toks) >= 3 THEN
        |  transform(sequence(1, size(toks) - 2), i ->
        |    concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',
@@ -59,8 +59,8 @@ object TdpQueries {
       |  ELSE [] END)""".stripMargin
 
   /** MinHash permutation constants (a_j * h + b_j mod P). */
-  private val MhA = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
-  private val MhB = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+  private[graft] val MhA = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
+  private[graft] val MhB = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
 
   /** Max members of one LSH (band, sig) bucket that still self-join. */
   private val LshBucketCap = 50

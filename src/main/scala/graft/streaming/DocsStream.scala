@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.queries.TdpQueries.{polyHashExpr, shinglesExpr, toksExpr, MhA, MhB, P}
+
+/** Streaming near-duplicate detection over a document stream — the
+  * arrival-time twin of the batch `tdp_incremental_dedup` /
+  * `tdp_minhash_lsh_pairs` operators (reference:
+  * `/root/reference/` has no streaming surface; this extends the dedup
+  * family to the delivery-time shape a training-data pipeline runs).
+  *
+  * Same MinHash-LSH construction as the batch family (identical
+  * permutation constants and 4 x 2 banding, so batch and stream agree on
+  * what a candidate is), but incremental: state is ONE long per live
+  * (band, signature) bucket — the minimum doc_id ever seen in it — and
+  * buckets expire once the event-time watermark passes their horizon, so
+  * state is bounded by the live-window bucket count no matter how much
+  * history has streamed through. A clone arriving after its bucket
+  * expired reports as novel — the same watermark-bounded guarantee every
+  * streaming dedup here offers (cf. [[EventsStream.dedupByContent]]).
+  */
+object DocsStream {
+
+  final case class BandRow(doc_id: Long, ts: Timestamp, band: Int, sig: String)
+
+  /** One verdict per (doc, band): `earlier_doc` is the smallest doc_id
+    * that shared this band bucket before this doc (its near-dup
+    * evidence), or -1 when the doc opened the bucket. A document's
+    * overall verdict is the min non-negative `earlier_doc` over its four
+    * bands — a per-batch groupBy any consumer (e.g. `foreachBatch`) can
+    * run without more streaming state.
+    */
+  final case class BandVerdict(doc_id: Long, band: Int, earlier_doc: Long)
+
+  // Public: Dataset encoders codegen constructor calls for state classes,
+  // which janino cannot emit against a private nested case class.
+  final case class BucketMin(minDoc: Long)
+
+  /** Band-level near-dup verdicts for a stream of documents
+    * (`doc_id`, `ts`, `text`). In-batch ties resolve in doc_id order
+    * (min wins — the batch family's keep-first policy); cross-batch,
+    * whoever arrived first owns the bucket.
+    */
+  def nearDupBands(
+      docs: DataFrame, horizonSec: Long = 7200L): Dataset[BandVerdict] = {
+    val s = docs.sparkSession
+    graft.expressions.GraftExtensions.registerAll(s)
+    import s.implicits._
+
+    val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+      expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
+    }
+    val sigDf = docs
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("hashes",
+        expr(s"transform(shingles, sh -> ${polyHashExpr("sh")})"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id") +: col("ts") +: sigs: _*)
+    val bandStructs = (0 until 4).map { band =>
+      struct(lit(band).as("band"),
+        concat_ws(":", col(s"mh${2 * band}"), col(s"mh${2 * band + 1}"))
+          .as("sig"))
+    }
+    val bands = sigDf
+      .select(col("doc_id"), col("ts"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("ts"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .as[BandRow]
+
+    def update(
+        key: (Int, String),
+        rows: Iterator[BandRow],
+        state: GroupState[BucketMin]): Iterator[BandVerdict] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = rows.toList.sortBy(_.doc_id)
+        var minSoFar =
+          state.getOption.map(_.minDoc).getOrElse(Long.MaxValue)
+        var maxTsMs = 0L
+        val out = sorted.map { r =>
+          val earlier = if (minSoFar == Long.MaxValue) -1L else minSoFar
+          if (r.doc_id < minSoFar) minSoFar = r.doc_id
+          if (r.ts.getTime > maxTsMs) maxTsMs = r.ts.getTime
+          BandVerdict(r.doc_id, key._1, earlier)
+        }
+        state.update(BucketMin(minSoFar))
+        // Expire the bucket once event time moves a full horizon past the
+        // newest member — bounded state, watermark-bounded memory.
+        state.setTimeoutTimestamp(maxTsMs + horizonSec * 1000L)
+        out.iterator
+      }
+    }
+
+    bands
+      .withWatermark("ts", s"$horizonSec seconds")
+      .groupByKey(r => (r.band, r.sig))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

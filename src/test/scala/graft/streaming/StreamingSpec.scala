@@ -316,4 +316,46 @@ class StreamingSpec extends SparkSpec {
       assert(ids.toSeq == Seq(1L, 4L, 5L, 6L))
     } finally q.stop()
   }
+
+  test("streaming near-dup: clone flagged cross-batch and in-batch, novel doc clean") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = DocsStream.nearDupBands(df)
+      .writeStream.format("memory").queryName("near_dup_bands")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc 1 opens its buckets; doc 10 is an in-batch clone of
+      // 1 (doc_id order decides the keeper); doc 2 is novel.
+      mem.addData(
+        (1L, ts("2026-01-01 10:00:00"), a),
+        (10L, ts("2026-01-01 10:00:30"), a),
+        (2L, ts("2026-01-01 10:01:00"), b))
+      q.processAllAvailable()
+      // batch 2: doc 20 is a cross-batch clone of 1.
+      mem.addData((20L, ts("2026-01-01 10:05:00"), a))
+      q.processAllAvailable()
+      val verdicts = s.sql(
+        """SELECT doc_id,
+          |  min(CASE WHEN earlier_doc >= 0 THEN earlier_doc END) AS evidence
+          |FROM near_dup_bands GROUP BY 1 ORDER BY 1""".stripMargin)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(verdicts(1L) === -1L, "first doc opens every bucket")
+      assert(verdicts(2L) === -1L, "novel doc matches nothing")
+      assert(verdicts(10L) === 1L, "in-batch clone resolves to the min id")
+      assert(verdicts(20L) === 1L, "cross-batch clone finds the bucket owner")
+      // every doc produced all 4 band verdicts (exact clones share all bands)
+      val nBands = s.sql(
+        "SELECT doc_id, count(*) FROM near_dup_bands GROUP BY 1")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(nBands.values.forall(_ === 4L), s"4 band rows per doc: $nBands")
+    } finally q.stop()
+  }
 }
