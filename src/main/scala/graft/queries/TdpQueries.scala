@@ -3127,5 +3127,113 @@ object TdpQueries {
               |JOIN documents sa ON jp.doc_a = sa.doc_id
               |JOIN documents sb ON jp.doc_b = sb.doc_id
               |GROUP BY 1, 2""".stripMargin)),
+
+    // TOKEN-BUDGET data selection: the curation endgame — given a token
+    // budget (here half the corpus), greedily take documents in quality
+    // order and report what made the cut. Needs an exact GLOBAL running
+    // token sum in (quality DESC, doc_id) order: the same range-partition
+    // prefix-sum device as the rank/packing operators — range-partition on
+    // the sort key, collect P per-partition token subtotals, broadcast
+    // cumulative offsets back. The greedy rule is cum-before < budget, so
+    // membership is a per-row predicate once the prefix sum exists; the
+    // report is one aggregate row.
+    QueryDef(
+      "tdp_budget_select",
+      (s, dir) => {
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val toks = docToks(s, dir)
+          .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+        val ranged = Registry.memo(s, dir, "tdp_budget_ranged")(
+          qualityScored(s, dir).select("doc_id", "quality")
+            .join(toks, "doc_id")
+            .repartitionByRange(nPart, desc("quality"), col("doc_id"))
+            .withColumn("pid", spark_partition_id()))
+        // LOAD-BEARING materialization: subtotal collect + window pass
+        // must read ONE materialization of the range exchange.
+        ranged.count()
+        val sub = ranged.groupBy("pid").agg(sum("n_toks").as("t")).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val total = sub.map(_._2).sum
+        val budget = total / 2
+        var acc = 0L
+        val offsets = sub.map { case (p, t) => val o = acc; acc += t; (p, o) }
+        val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
+        val wPid = Window.partitionBy("pid")
+          .orderBy(desc("quality"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ranged.join(broadcast(offDf), "pid")
+          .withColumn("cum",
+            coalesce(sum("n_toks").over(wPid), lit(0L)) + col("off"))
+          .filter(col("cum") < budget)
+          .agg(count(lit(1)).as("n_selected"),
+            sum("n_toks").as("tokens_selected"),
+            min(floor(col("quality") * lit(1000000.0)).cast(LongType))
+              .as("cutoff_quality_micro"))
+          .select(col("n_selected"), col("tokens_selected"),
+            lit(budget).as("token_budget"), col("cutoff_quality_micro"),
+            (col("tokens_selected").cast(DoubleType) / lit(total.toDouble))
+              .as("frac_tokens"))
+      },
+      Some(s"""WITH bs AS (
+              |  SELECT q.doc_id, q.quality, tk.n_toks
+              |  FROM (SELECT doc_id, $qualitySql AS quality
+              |        FROM ($qualityPartsSql)) q
+              |  JOIN (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+              |        FROM documents) tk USING (doc_id)),
+              |bt AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tot FROM bs),
+              |bc AS (
+              |  SELECT doc_id, quality, n_toks,
+              |    coalesce(sum(n_toks) OVER (ORDER BY quality DESC, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS cum
+              |  FROM bs)
+              |SELECT count(*) AS n_selected,
+              |  CAST(sum(n_toks) AS BIGINT) AS tokens_selected,
+              |  CAST(tot // 2 AS BIGINT) AS token_budget,
+              |  min(CAST(floor(quality * 1000000.0) AS BIGINT))
+              |    AS cutoff_quality_micro,
+              |  CAST(sum(n_toks) AS DOUBLE) / CAST(tot AS DOUBLE)
+              |    AS frac_tokens
+              |FROM bc, bt WHERE cum < tot // 2 GROUP BY tot""".stripMargin)),
+
+    // CLUSTER-BALANCED sampling: keep the top-2 quality members of every
+    // IVF cell — the diversity-preserving subsample (per-cluster quotas
+    // stop one dominant mode from eating the whole budget; cf. the
+    // cluster-based selection family around SemDeDup/DiverseEvol). Rides
+    // the memoized IVF assignment + quality frames; the quota is a
+    // per-cluster row_number window over cell-sized groups, and the only
+    // new shuffle is the doc_id-keyed quality attach.
+    QueryDef(
+      "tdp_cluster_balanced_sample",
+      (s, dir) => {
+        val q = qualityScored(s, dir).select(col("doc_id"), col("quality"))
+        val asg = ivfAssign(s, dir)
+        val w = Window.partitionBy("cluster")
+          .orderBy(desc("quality"), col("doc_id"))
+        asg.join(q, asg("vec_id") === q("doc_id"))
+          .select(col("cluster"), col("doc_id"), col("quality"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 2)
+          .select(col("cluster"), col("doc_id"),
+            col("rnk").cast(LongType).as("rnk"),
+            floor(col("quality") * lit(1000000.0)).cast(LongType)
+              .as("quality_micro"))
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |cbq AS (
+              |  SELECT doc_id, $qualitySql AS quality FROM ($qualityPartsSql)),
+              |cbj AS (
+              |  SELECT a.cluster, q.doc_id, q.quality
+              |  FROM assigned a JOIN cbq q ON a.vec_id = q.doc_id),
+              |cbr AS (
+              |  SELECT cluster, doc_id,
+              |    row_number() OVER (PARTITION BY cluster
+              |      ORDER BY quality DESC, doc_id) AS rnk,
+              |    CAST(floor(quality * 1000000.0) AS BIGINT) AS quality_micro
+              |  FROM cbj)
+              |SELECT cluster, doc_id, CAST(rnk AS BIGINT) AS rnk,
+              |  quality_micro
+              |FROM cbr WHERE rnk <= 2""".stripMargin)),
   )
 }

@@ -628,4 +628,53 @@ class TdpSpec extends SparkSpec {
     assert(rows === Map(("srcA", "srcB") -> 1L, ("srcA", "srcA") -> 1L),
       s"one cross pair and one within pair, got $rows")
   }
+
+  test("budget select: greedy quality-ordered fill stops exactly at the budget") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_budget").toString
+    def doc(nLetters: Int, nDigits: Int, pfx: String): String =
+      ((1 to nLetters).map(i => s"$pfx$i") ++
+        (1 to nDigits).map(i => s"${i}000")).mkString(" ")
+    // 4 docs x 10 tokens; quality strictly decreasing with digit share.
+    // Budget = 40/2 = 20 -> greedy takes the top-2 quality docs exactly.
+    val docs = Seq(
+      (1L, doc(10, 0, "a"), "en", "s", 0L),
+      (2L, doc(9, 1, "b"), "en", "s", 0L),
+      (3L, doc(8, 2, "c"), "en", "s", 0L),
+      (4L, doc(7, 3, "d"), "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Registry.queries("tdp_budget_select")(spark, dir).collect().head
+    assert(r.getLong(0) === 2L, "two docs fit the half-corpus budget")
+    assert(r.getLong(1) === 20L, "exactly the budget in tokens")
+    assert(r.getLong(2) === 20L, "budget = total / 2")
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-12, "frac_tokens")
+  }
+
+  test("cluster-balanced sample keeps the top-2 quality members per IVF cell") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_cbal").toString
+    def axis(i: Int): Array[Float] = {
+      val a = Array.fill(4)(0.0f); a(i) = 1.0f; a
+    }
+    // vecs 1,2,3 identical -> one IVF cell (seed = min id 1); vec 4
+    // orthogonal -> its own cell. Quality: doc 2 > doc 3 > doc 1.
+    val vecs = Seq(
+      (1L, axis(0)), (2L, axis(0)), (3L, axis(0)), (4L, axis(1)))
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val docs = Seq(
+      (1L, "111 222 333 444", "en", "s", 0L), // digits: lowest quality
+      (2L, "purewords purewords purewords", "en", "s", 0L), // highest
+      (3L, "words with 9 one digit", "en", "s", 0L), // middle
+      (4L, "other cell doc", "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_cluster_balanced_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.map(_._2) === Set(2L, 3L, 4L),
+      s"doc 1 (worst of its cell) is cut, got $rows")
+    assert(rows.contains((1L, 2L, 1L)), "cell 1 rank 1 = highest quality doc 2")
+    assert(rows.contains((1L, 3L, 2L)), "cell 1 rank 2 = doc 3")
+    assert(rows.contains((4L, 4L, 1L)), "singleton cell keeps its only doc")
+  }
 }
