@@ -3235,5 +3235,71 @@ object TdpQueries {
               |SELECT cluster, doc_id, CAST(rnk AS BIGINT) AS rnk,
               |  quality_micro
               |FROM cbr WHERE rnk <= 2""".stripMargin)),
+
+    // GOPHER-style quality filter battery (Rae et al., "Scaling Language
+    // Models: ... Gopher", §A1.1 rule suite, thresholds adapted to the
+    // synthetic corpus scale): per document, the named rule verdicts —
+    // token-count window, mean-word-length window, fraction of tokens
+    // containing an alphabetic character, and minimum distinct-stopword
+    // hits — plus the conjunctive keep. Every signal is a per-row
+    // expression over the memoized token frame (one scan, no shuffle at
+    // all beyond it), which is exactly why this filter family is the
+    // cheapest sweep in a production pipeline.
+    QueryDef(
+      "tdp_gopher_filters",
+      (s, dir) => {
+        val stops = Seq("the", "be", "to", "of", "and", "a", "in", "that")
+        val stopSum = stops.map(t =>
+          s"(CASE WHEN array_contains(tl, '$t') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        docToks(s, dir)
+          .withColumn("n_toks", size(col("toks")).cast(LongType))
+          .filter(col("n_toks") > 0)
+          .withColumn("tl", expr("transform(toks, x -> lower(x))"))
+          .withColumn("mean_word_len",
+            length(concat_ws("", col("toks"))).cast(DoubleType)
+              / col("n_toks").cast(DoubleType))
+          .withColumn("alpha_frac",
+            expr("size(filter(toks, x -> x rlike '[A-Za-z]'))").cast(DoubleType)
+              / col("n_toks").cast(DoubleType))
+          .withColumn("stop_hits", expr(stopSum).cast(LongType))
+          .select(col("doc_id"), col("n_toks"), col("mean_word_len"),
+            col("alpha_frac"), col("stop_hits"),
+            (col("n_toks") >= 10L && col("n_toks") <= 100000L).as("r_len"),
+            (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+              .as("r_word_len"),
+            (col("alpha_frac") >= 0.8).as("r_alpha"),
+            (col("stop_hits") >= 2L).as("r_stop"))
+          .withColumn("keep",
+            col("r_len") && col("r_word_len") && col("r_alpha") && col("r_stop"))
+      },
+      Some {
+        val stopSum = Seq("the", "be", "to", "of", "and", "a", "in", "that")
+          .map(t => s"(CASE WHEN list_contains(tl, '$t') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH gt AS (
+           |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+           |  WHERE len(toks) > 0),
+           |gs AS (
+           |  SELECT doc_id, n_toks,
+           |    CAST(length(coalesce(array_to_string(toks, ''), '')) AS DOUBLE)
+           |      / CAST(n_toks AS DOUBLE) AS mean_word_len,
+           |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+           |        AS DOUBLE)
+           |      / CAST(n_toks AS DOUBLE) AS alpha_frac,
+           |    CAST($stopSum AS BIGINT) AS stop_hits
+           |  FROM (SELECT doc_id, toks, n_toks,
+           |          list_transform(toks, x -> lower(x)) AS tl FROM gt))
+           |SELECT doc_id, n_toks, mean_word_len, alpha_frac, stop_hits,
+           |  n_toks >= 10 AND n_toks <= 100000 AS r_len,
+           |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_word_len,
+           |  alpha_frac >= 0.8 AS r_alpha,
+           |  stop_hits >= 2 AS r_stop,
+           |  (n_toks >= 10 AND n_toks <= 100000)
+           |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+           |    AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+           |FROM gs""".stripMargin
+      }),
   )
 }

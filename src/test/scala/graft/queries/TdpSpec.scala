@@ -677,4 +677,27 @@ class TdpSpec extends SparkSpec {
     assert(rows.contains((1L, 3L, 2L)), "cell 1 rank 2 = doc 3")
     assert(rows.contains((4L, 4L, 1L)), "singleton cell keeps its only doc")
   }
+
+  test("gopher filters: each rule fails for its planted violator, clean doc keeps") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_gopher").toString
+    val clean = "the cat and the dog ran over all nine green hills today"
+    val tooShort = "the and cat runs here" // 5 toks < 10
+    val longWords = "the and abcdefghijklmnopq rstuvwxyzabcdefgh " +
+      "ijklmnopqrstuvwxy zabcdefghijklmnop qrstuvwxyzabcdefg " +
+      "hijklmnopqrstuvwx yzabcdefghijklmno pqrstuvwxyzabcdef" // mwl > 10
+    val numeric = "the and 11 22 33 44 55 66 77 88" // alpha_frac = 0.2
+    val noStops = "cats dogs birds fish mice foxes wolves bears deer elk"
+    val docs = Seq((1L, clean), (2L, tooShort), (3L, longWords),
+      (4L, numeric), (5L, noStops))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_gopher_filters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))).toMap
+    assert(rows(1L) === ((true, true, true, true, true)), "clean doc keeps")
+    assert(!rows(2L)._1 && !rows(2L)._5, "short doc fails r_len")
+    assert(!rows(3L)._2 && !rows(3L)._5, "long-word doc fails r_word_len")
+    assert(!rows(4L)._3 && !rows(4L)._5, "numeric doc fails r_alpha")
+    assert(!rows(5L)._4 && !rows(5L)._5, "stopword-free doc fails r_stop")
+  }
 }
