@@ -3301,5 +3301,84 @@ object TdpQueries {
            |    AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
            |FROM gs""".stripMargin
       }),
+
+    // ROBUST length-outlier audit: exact global nearest-rank median and
+    // MAD (median absolute deviation) of per-doc token counts, and the
+    // count of docs beyond 3 MADs — the robust cousin of a z-score sweep
+    // (a handful of giant docs can't drag the threshold the way they drag
+    // a mean/stddev). Everything is integer arithmetic, so both engines
+    // agree bitwise. The two exact GLOBAL quantiles use the
+    // range-partition rank device (q23's nearest-rank formula, globalized
+    // without a single-partition window): range-partition on the value,
+    // collect P per-partition row counts, broadcast cumulative offsets,
+    // filter to the target rank.
+    QueryDef(
+      "tdp_length_outliers",
+      (s, dir) => {
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val tk = docToks(s, dir)
+          .select(col("doc_id"), size(col("toks")).cast(LongType).as("v"))
+        def nearestRankMedian(df: DataFrame, key: String): DataFrame = {
+          val ranged = Registry.memo(s, dir, key)(
+            df.repartitionByRange(nPart, col("v"), col("doc_id"))
+              .withColumn("pid", spark_partition_id()))
+          ranged.count() // load-bearing: counts + rank join share one exchange
+          val cnts = ranged.groupBy("pid").agg(count(lit(1)).as("c")).collect()
+            .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+          val n = cnts.map(_._2).sum
+          val k = (n * 50 + 99) / 100 // q23's nearest-rank p50
+          var acc = 0L
+          val offs = cnts.map { case (p, c) => val o = acc; acc += c; (p, o) }
+          val offDf = s.createDataFrame(offs.toSeq).toDF("pid", "off")
+          val w = Window.partitionBy("pid").orderBy(col("v"), col("doc_id"))
+          ranged.join(broadcast(offDf), "pid")
+            .withColumn("rn", row_number().over(w).cast(LongType) + col("off"))
+            .filter(col("rn") === k)
+            .select(col("v").as("m"))
+        }
+        val medDf = nearestRankMedian(tk, "tdp_len_ranged")
+          .select(col("m").as("median_toks"))
+        val devs = tk.crossJoin(broadcast(medDf))
+          .select(col("doc_id"), abs(col("v") - col("median_toks")).as("v"))
+        val madDf = nearestRankMedian(devs, "tdp_lendev_ranged")
+          .select(col("m").as("mad_toks"))
+        tk.crossJoin(broadcast(medDf)).crossJoin(broadcast(madDf))
+          .agg(count(lit(1)).as("n_docs"),
+            max("median_toks").as("median_toks"),
+            max("mad_toks").as("mad_toks"),
+            sum(when(abs(col("v") - col("median_toks")) > col("mad_toks") * 3L,
+              1L).otherwise(0L)).as("n_outliers"))
+          .select(col("n_docs"), col("median_toks"), col("mad_toks"),
+            col("n_outliers"),
+            (col("n_outliers").cast(DoubleType) / col("n_docs").cast(DoubleType))
+              .as("outlier_frac"))
+      },
+      Some(s"""WITH lt AS (
+              |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS v
+              |  FROM documents),
+              |lr AS (
+              |  SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn,
+              |    count(*) OVER () AS n
+              |  FROM lt),
+              |med AS (
+              |  SELECT max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END)
+              |    AS median_toks FROM lr),
+              |dv AS (
+              |  SELECT doc_id, abs(v - median_toks) AS v FROM lt, med),
+              |dr AS (
+              |  SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn,
+              |    count(*) OVER () AS n
+              |  FROM dv),
+              |mad AS (
+              |  SELECT max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END)
+              |    AS mad_toks FROM dr)
+              |SELECT count(*) AS n_docs, median_toks, mad_toks,
+              |  CAST(sum(CASE WHEN abs(lt.v - median_toks) > mad_toks * 3
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              |  CAST(sum(CASE WHEN abs(lt.v - median_toks) > mad_toks * 3
+              |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |    AS outlier_frac
+              |FROM lt, med, mad
+              |GROUP BY median_toks, mad_toks""".stripMargin)),
   )
 }

@@ -93,7 +93,8 @@ class CodegenHealthSpec extends SparkSpec {
     "tdp_ann_truncdim", "tdp_importance_resample", "tdp_seq_packing",
     "tdp_temperature_mix", "tdp_cluster_keep_best", "tdp_split_leakage",
     "tdp_doc_novelty", "tdp_vocab_topk", "tdp_source_pair_contamination",
-    "tdp_budget_select", "tdp_cluster_balanced_sample", "tdp_gopher_filters")
+    "tdp_budget_select", "tdp_cluster_balanced_sample", "tdp_gopher_filters",
+    "tdp_length_outliers")
 
   for (name <- tdpGuarded)
     test(s"TDP $name: every codegen subtree compiles under the 64 KB limit") {

@@ -700,4 +700,23 @@ class TdpSpec extends SparkSpec {
     assert(!rows(4L)._3 && !rows(4L)._5, "numeric doc fails r_alpha")
     assert(!rows(5L)._4 && !rows(5L)._5, "stopword-free doc fails r_stop")
   }
+
+  test("length outliers: exact global median/MAD flag only the giant doc") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_lenout").toString
+    def words(n: Int, pfx: String): String =
+      (1 to n).map(i => s"$pfx$i").mkString(" ")
+    // token counts 1..9 plus one 100-token doc: nearest-rank median = 5,
+    // deviations {0,1,1,2,2,3,3,4,4,95} -> MAD = 2, threshold 6 -> only
+    // the giant doc is an outlier.
+    val docs = (1 to 9).map(i => (i.toLong, words(i, s"w$i"))) :+
+      (10L, words(100, "g"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = Registry.queries("tdp_length_outliers")(spark, dir).collect().head
+    assert(r.getLong(0) === 10L, "n_docs")
+    assert(r.getLong(1) === 5L, "nearest-rank median of 1..9,100")
+    assert(r.getLong(2) === 2L, "MAD")
+    assert(r.getLong(3) === 1L, "only the 100-token doc exceeds 3 MADs")
+    assert(math.abs(r.getDouble(4) - 0.1) < 1e-12, "outlier fraction")
+  }
 }
