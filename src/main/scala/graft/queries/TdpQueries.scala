@@ -3380,5 +3380,129 @@ object TdpQueries {
               |    AS outlier_frac
               |FROM lt, med, mad
               |GROUP BY median_toks, mad_toks""".stripMargin)),
+
+    // DEDUP BIAS profile: does near-dup removal preferentially drop
+    // low-quality documents? Two rows (kept representatives vs dropped
+    // members) with exact mean quality — the sanity check a curation run
+    // publishes before trusting "dedup improved the corpus". Mean is an
+    // integer micro-unit sum over the memoized quality frame divided once,
+    // so the report is bit-stable under any aggregation schedule.
+    QueryDef(
+      "tdp_quality_dup_profile",
+      (s, dir) =>
+        dupClusters(s, dir).select("doc_id", "is_kept")
+          .join(qualityScored(s, dir).select(col("doc_id"),
+            floor(col("quality") * lit(1000000.0)).cast(LongType)
+              .as("q_micro")), Seq("doc_id"), "left")
+          .groupBy("is_kept")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("q_micro").isNotNull, 1L).otherwise(0L))
+              .as("n_scored"),
+            sum(coalesce(col("q_micro"), lit(0L))).as("q_micro_sum"))
+          .withColumn("mean_quality",
+            col("q_micro_sum").cast(DoubleType)
+              / (col("n_scored").cast(DoubleType) * lit(1e6))),
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |qp AS (
+              |  SELECT doc_id,
+              |    CAST(floor(($qualitySql) * 1000000.0) AS BIGINT) AS q_micro
+              |  FROM ($qualityPartsSql)),
+              |pr AS (
+              |  SELECT cc.doc_id = cc.cluster_id AS is_kept, q_micro
+              |  FROM cc LEFT JOIN qp USING (doc_id))
+              |SELECT is_kept, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN q_micro IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_scored,
+              |  CAST(sum(coalesce(q_micro, 0)) AS BIGINT) AS q_micro_sum,
+              |  CAST(sum(coalesce(q_micro, 0)) AS DOUBLE)
+              |    / (CAST(sum(CASE WHEN q_micro IS NOT NULL THEN 1 ELSE 0 END)
+              |        AS DOUBLE) * 1e6) AS mean_quality
+              |FROM pr GROUP BY 1""".stripMargin)),
+
+    // HELD-OUT perplexity: train the add-one-smoothed bigram LM on the
+    // TRAIN split only (doc_id % 10 <> 3 — the same split convention as
+    // tdp_split_leakage) and score every VAL document against it. This is
+    // the honest version of tdp_bigram_logprob's self-scored signal: a
+    // val doc full of bigrams the train split never saw scores low, and
+    // the unseen-context count is reported per doc. Same micro-nat
+    // integer-sum exactness device; count frames stay vocab-sized and the
+    // val-side scoring is a token-keyed left join — no pairwise stage.
+    QueryDef(
+      "tdp_heldout_perplexity",
+      (s, dir) => {
+        val isVal = col("doc_id") % 10 === 3
+        val bg = Registry.memo(s, dir, "tdp_bigrams")(
+          docToks(s, dir).select(col("doc_id"),
+            explode(expr(
+              """CASE WHEN size(toks) >= 2 THEN
+                |  transform(sequence(1, size(toks) - 1), i ->
+                |    struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))
+                |ELSE array() END""".stripMargin)).as("bg"))
+            .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+        val cb = bg.filter(!isVal).groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
+        val cu = bg.filter(!isVal).groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+        val v = docToks(s, dir).filter(!isVal)
+          .select(explode(col("toks")).as("tok"))
+          .agg(countDistinct(col("tok")).as("vocab"))
+        val scored = bg.filter(isVal)
+          .join(cb, Seq("w1", "w2"), "left")
+          .join(cu, Seq("w1"), "left")
+          .crossJoin(broadcast(v))
+          .withColumn("s_micro",
+            floor(log((coalesce(col("c_big"), lit(0L)) + lit(1.0))
+              / (coalesce(col("c_ctx"), lit(0L)) + col("vocab")))
+              * lit(1000000L)).cast(LongType))
+          .withColumn("oov_ctx",
+            when(col("c_ctx").isNull, 1L).otherwise(0L))
+        val agg = scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(col("s_micro")).as("logprob_micro"),
+          sum(col("oov_ctx")).as("n_oov_ctx"))
+        table(s, dir, "documents").select("doc_id").filter(isVal)
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"),
+            coalesce(col("n_oov_ctx"), lit(0L)).as("n_oov_ctx"),
+            (col("logprob_micro").cast(DoubleType)
+              / (col("n_bigrams").cast(DoubleType) * lit(1e6)))
+              .as("avg_logprob"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |hbg AS (
+              |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              |        FROM t)),
+              |hcb AS (SELECT w1, w2, count(*) AS c_big FROM hbg
+              |        WHERE doc_id % 10 <> 3 GROUP BY 1, 2),
+              |hcu AS (SELECT w1, count(*) AS c_ctx FROM hbg
+              |        WHERE doc_id % 10 <> 3 GROUP BY 1),
+              |hv AS (SELECT count(DISTINCT tok) AS vocab
+              |       FROM (SELECT unnest(toks) AS tok FROM t
+              |             WHERE doc_id % 10 <> 3)),
+              |hsc AS (
+              |  SELECT doc_id,
+              |    CAST(floor(ln((coalesce(c_big, 0) + 1.0)
+              |        / (coalesce(c_ctx, 0) + vocab)) * 1000000)
+              |      AS BIGINT) AS s_micro,
+              |    CASE WHEN c_ctx IS NULL THEN 1 ELSE 0 END AS oov_ctx
+              |  FROM hbg
+              |  LEFT JOIN hcb USING (w1, w2)
+              |  LEFT JOIN hcu USING (w1)
+              |  CROSS JOIN hv
+              |  WHERE doc_id % 10 = 3),
+              |hagg AS (
+              |  SELECT doc_id, count(*) AS n_bigrams,
+              |    CAST(sum(s_micro) AS BIGINT) AS logprob_micro,
+              |    CAST(sum(oov_ctx) AS BIGINT) AS n_oov_ctx
+              |  FROM hsc GROUP BY 1)
+              |SELECT doc_id,
+              |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              |  CAST(coalesce(logprob_micro, 0) AS BIGINT) AS logprob_micro,
+              |  CAST(coalesce(n_oov_ctx, 0) AS BIGINT) AS n_oov_ctx,
+              |  CAST(logprob_micro AS DOUBLE)
+              |    / (CAST(n_bigrams AS DOUBLE) * 1e6) AS avg_logprob
+              |FROM documents LEFT JOIN hagg USING (doc_id)
+              |WHERE doc_id % 10 = 3""".stripMargin)),
   )
 }

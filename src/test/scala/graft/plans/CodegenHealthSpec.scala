@@ -94,7 +94,7 @@ class CodegenHealthSpec extends SparkSpec {
     "tdp_temperature_mix", "tdp_cluster_keep_best", "tdp_split_leakage",
     "tdp_doc_novelty", "tdp_vocab_topk", "tdp_source_pair_contamination",
     "tdp_budget_select", "tdp_cluster_balanced_sample", "tdp_gopher_filters",
-    "tdp_length_outliers")
+    "tdp_length_outliers", "tdp_quality_dup_profile", "tdp_heldout_perplexity")
 
   for (name <- tdpGuarded)
     test(s"TDP $name: every codegen subtree compiles under the 64 KB limit") {

@@ -719,4 +719,47 @@ class TdpSpec extends SparkSpec {
     assert(r.getLong(3) === 1L, "only the 100-token doc exceeds 3 MADs")
     assert(math.abs(r.getDouble(4) - 0.1) < 1e-12, "outlier fraction")
   }
+
+  test("dedup bias profile: kept root with junk scores below dropped clean clones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_dupprof").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // min-id root 1 carries digit junk (lower quality) and survives
+    // dedup; the clean clones 2 and 3 are dropped -> the profile must
+    // expose that this dedup pass KEPT the worse copy.
+    val docs = Seq(
+      (1L, base + " 99999 88888", "en", "s", 0L),
+      (2L, base, "en", "s", 0L),
+      (3L, base, "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_quality_dup_profile")(spark, dir)
+      .collect()
+      .map(r => r.getBoolean(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    assert(rows(true)._1 === 1L && rows(false)._1 === 2L,
+      "one kept root, two dropped members")
+    assert(rows(true)._2 < rows(false)._2,
+      s"kept mean quality below dropped: $rows")
+  }
+
+  test("held-out perplexity: in-distribution val doc beats all-OOV val doc") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_heldout").toString
+    // train = ids 1,2 (% 10 != 3); val = ids 3, 13.
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"),
+      (3L, "a b c d"), // val: every bigram seen in train
+      (13L, "x y z w")) // val: every context unseen
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_heldout_perplexity")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows.keySet === Set(3L, 13L), "only val docs are scored")
+    assert(rows(3L)._1 === 3L && rows(3L)._2 === 0L,
+      "in-distribution doc has no unseen contexts")
+    assert(rows(13L)._2 === 3L, "every context of the OOV doc is unseen")
+    assert(rows(3L)._3 > rows(13L)._3,
+      s"seen bigrams must outscore unseen: ${rows(3L)} vs ${rows(13L)}")
+  }
 }
