@@ -132,4 +132,42 @@ class PlanSpec extends SparkSpec {
     // bounded, never a shuffled cartesian.
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("budget select: offsets broadcast; no global single-partition sort") {
+    val df = Registry.queries("tdp_budget_select")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The P-row cumulative-offset frame must attach via broadcast (a
+    // shuffle join keyed on pid would defeat the device), and the prefix
+    // sum must run as per-partition windows — never a `WindowExec` with
+    // no partitioning (the single-partition global-sort trap).
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("Window Partition: []") &&
+      !plan.contains("SinglePartition, Window"), plan.take(3000))
+  }
+
+  test("importance resampling: the 64-row bucket table attaches via broadcast") {
+    val df = Registry.queries("tdp_importance_resample")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The log-ratio table is feature-bucket-sized (64 rows) — shuffling
+    // the corpus token stream against it on `b` would be a full exchange
+    // of every token row; the correct plan broadcasts the table.
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("vocab top-k plans as TakeOrdered, never a global sort of the vocab") {
+    val df = Registry.queries("tdp_vocab_topk")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // orderBy + limit must fuse into TakeOrderedAndProject (per-partition
+    // top-k then a k-sized driver merge) — a full Sort + GlobalLimit would
+    // funnel the whole vocabulary through one partition at 100 TB.
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("split leakage: cluster-keyed equi-joins only") {
+    val df = Registry.queries("tdp_split_leakage")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
