@@ -164,6 +164,104 @@ object Multimodal {
     }
   }
 
+  /** Deterministic TWO-TONE PNG: left half (x < w/2) gray `gl`, right half
+    * gray `gr` — all four values pure arithmetic on the id. Unlike the
+    * solid [[synthPng]], a resample of this image has a mean that depends
+    * on exactly WHICH source pixels the kernel picks, so the resize round
+    * trip below is a real pixel-level oracle check, not just a dims check.
+    */
+  def synthPng2(id: Long): Array[Byte] = {
+    val w = 16 + (id % 48).toInt
+    val h = 16 + ((id * 7) % 48).toInt
+    val gl = (id % 256).toInt
+    val gr = ((id * 13 + 31) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = if (x < w / 2) gl else gr
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL nearest-neighbor resample in pure integer arithmetic
+    * (`sx = x * w / nw`, floor division) — every JVM picks the identical
+    * source pixel, which is what lets an engine that never touches pixels
+    * (the DuckDB oracle) replicate the resampled image's statistics
+    * exactly. Images already within `maxSide` pass through untouched.
+    */
+  def resizeNearest(
+      img: java.awt.image.BufferedImage,
+      maxSide: Int): java.awt.image.BufferedImage = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val mx = math.max(w, h)
+    if (mx <= maxSide) img
+    else {
+      val nw = math.max(1, w * maxSide / mx)
+      val nh = math.max(1, h * maxSide / mx)
+      val out = new java.awt.image.BufferedImage(
+        nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < nh) {
+        val sy = (y.toLong * h / nh).toInt
+        var x = 0
+        while (x < nw) {
+          out.setRGB(x, y, img.getRGB((x.toLong * w / nw).toInt, sy))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  final case class ResizedMeta(
+      media_id: Long, width: Int, height: Int,
+      target_width: Int, target_height: Int, mean_gray: Double)
+
+  /** Encode -> decode -> nearest-neighbor resize -> pixel-stat round trip,
+    * partition-wise: the full image kernel chain (synthesize PNG bytes,
+    * ImageIO decode, integer NN resample, exact mean gray of the RESIZED
+    * raster). The mean is an integer pixel sum divided once, so the
+    * `tdp_image_resize` oracle predicts it bitwise from the synthesis +
+    * resample arithmetic alone.
+    */
+  def resizeRoundTrip(
+      ids: Dataset[Long], maxSide: Int = 16): Dataset[ResizedMeta] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(synthPng2(id)))
+        val dst = resizeNearest(src, maxSide)
+        val nw = dst.getWidth
+        val nh = dst.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < nh) {
+          var x = 0
+          while (x < nw) {
+            val p = dst.getRGB(x, y)
+            sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        ResizedMeta(id, src.getWidth, src.getHeight, nw, nh,
+          sum.toDouble / (nw.toLong * nh))
+      }
+    }
+  }
+
   /** Metadata-only operators are pure Column expressions — no decode needed,
     * so Catalyst prunes `content` out of the scan entirely.
     */

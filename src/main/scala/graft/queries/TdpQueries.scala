@@ -2092,6 +2092,51 @@ object TdpQueries {
              |  CAST(doc_id % 256 AS DOUBLE) AS mean_gray
              |FROM documents""".stripMargin)),
 
+    // REAL image resize round trip: synthesize a two-tone PNG per doc,
+    // ImageIO-decode it, nearest-neighbor-resample to maxSide=16 in pure
+    // integer arithmetic, and report the RESIZED raster's true dims and
+    // exact mean gray. Because the NN source-pixel choice is
+    // `sx = x*w/nw` floor division, the oracle can replicate which of the
+    // two tones every resized pixel samples — a pixel-level differential
+    // check of the resize kernel, with both the downscale and the
+    // pass-through (mx <= 16) branches exercised by the id arithmetic.
+    QueryDef(
+      "tdp_image_resize",
+      (s, dir) => {
+        import s.implicits._
+        graft.multimodal.Multimodal
+          .resizeRoundTrip(table(s, dir, "documents")
+            .select(col("doc_id")).as[Long])
+          .toDF()
+      },
+      Some("""WITH rz AS (
+             |  SELECT doc_id,
+             |    CAST(16 + doc_id % 48 AS BIGINT) AS w,
+             |    CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h,
+             |    doc_id % 256 AS gl,
+             |    (doc_id * 13 + 31) % 256 AS gr
+             |  FROM documents),
+             |rz2 AS (SELECT *, greatest(w, h) AS mx FROM rz),
+             |rz3 AS (
+             |  SELECT doc_id, w, h, gl, gr,
+             |    CASE WHEN mx <= 16 THEN w
+             |      ELSE greatest(1, (w * 16) // mx) END AS nw,
+             |    CASE WHEN mx <= 16 THEN h
+             |      ELSE greatest(1, (h * 16) // mx) END AS nh
+             |  FROM rz2),
+             |rz4 AS (
+             |  SELECT doc_id, w, h, nw, nh, gl, gr,
+             |    CAST(len(list_filter(range(0, CAST(nw AS INTEGER)),
+             |      x -> (x * w) // nw < w // 2)) AS BIGINT) AS nleft
+             |  FROM rz3)
+             |SELECT doc_id AS media_id,
+             |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             |  CAST(nw AS INTEGER) AS target_width,
+             |  CAST(nh AS INTEGER) AS target_height,
+             |  CAST((nleft * gl + (nw - nleft) * gr) * nh AS DOUBLE)
+             |    / CAST(nw * nh AS DOUBLE) AS mean_gray
+             |FROM rz4""".stripMargin)),
+
     // Language ID: marker-substring scoring (n-gram heuristic); argmax
     // with a fixed tie-break order.
     QueryDef(

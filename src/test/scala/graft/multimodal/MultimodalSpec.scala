@@ -92,4 +92,24 @@ class MultimodalSpec extends SparkSpec {
     assert(sims.length == 3) // 3 choose 2
     assert(sims.forall { case (_, _, c) => c >= -1.0 && c <= 1.0 + 1e-12 })
   }
+
+  test("nearest-neighbor resize: hand-computed pixels; pass-through branch") {
+    val s = spark
+    import s.implicits._
+    val rows = resizeRoundTrip(s.createDataset(Seq(1L, 48L))).collect()
+      .map(m => m.media_id -> m).toMap
+    // id=1: 17x23 two-tone (gl=1, gr=44); mx=23>16 -> 11x16. NN x-map
+    // sx = x*17/11 gives sx<8 (left tone) for x=0..5 -> nleft=6;
+    // mean = (6*1 + 5*44)/11, identical in every row.
+    val r1 = rows(1L)
+    assert((r1.width, r1.height) === ((17, 23)))
+    assert((r1.target_width, r1.target_height) === ((11, 16)))
+    assert(math.abs(r1.mean_gray - (6 * 1 + 5 * 44) * 16.0 / (11 * 16)) < 1e-12)
+    // id=48: 16x16 already within maxSide -> untouched dims, solid-ish
+    // two-tone mean straight from the synthesis arithmetic.
+    val r48 = rows(48L)
+    assert((r48.target_width, r48.target_height) === ((16, 16)))
+    val (gl, gr) = ((48L % 256).toInt, ((48L * 13 + 31) % 256).toInt)
+    assert(math.abs(r48.mean_gray - (8 * gl + 8 * gr) * 16.0 / 256) < 1e-12)
+  }
 }
