@@ -235,7 +235,11 @@ object GraftExtensions {
     entry("graft_dot", classOf[DotProductExpr], 2)(
       exprs => DotProductExpr(exprs(0), exprs(1))),
     entry("graft_bottomk", classOf[BottomKAgg], 2)(
-      exprs => BottomKAgg(exprs(0), exprs(1))))
+      exprs => BottomKAgg(exprs(0), exprs(1))),
+    entry("graft_bloom_agg", classOf[BloomBuildAgg], 3)(
+      exprs => BloomBuildAgg(exprs(0), exprs(1), exprs(2))),
+    entry("graft_bloom_contains", classOf[BloomMightContainExpr], 2)(
+      exprs => BloomMightContainExpr(exprs(0), exprs(1))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config, e.g. the driver-owned Verify/Bench sessions):

@@ -348,6 +348,24 @@ object TdpQueries {
         .repartition(col("doc_id"))
         .select(col("doc_id"), expr(toksExpr).as("toks")))
 
+  /** Per-document consecutive ChunkToks-token chunks (doc_id, pos, chunk),
+    * memoized: tdp_chunk_dedup's three consumers (df count, kept join,
+    * per-doc totals) and tdp_bloom_dedup's membership sweep would
+    * otherwise each re-run the interpreted segment lambda over the
+    * corpus.
+    */
+  private def docChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunksArr = expr(
+      s"""CASE WHEN size(toks) > 0 THEN
+         |  transform(sequence(1, CAST(ceil(size(toks) / $ChunkToks.0) AS INT)),
+         |    i -> array_join(slice(toks, (i - 1) * $ChunkToks + 1, $ChunkToks), ' '))
+         |ELSE array(CAST(NULL AS STRING)) END""".stripMargin)
+    Registry.memo(s, dir, "tdp_chunks")(
+      docToks(s, dir)
+        .select(col("doc_id"), posexplode(chunksArr).as(Seq("pos", "chunk")))
+        .filter(col("chunk").isNotNull))
+  }
+
   /** MinHash-LSH candidate pairs (doc_a < doc_b), memoized: consumed by
     * the pair query itself AND as the edge set of the duplicate-cluster
     * connected-components query.
@@ -1825,6 +1843,85 @@ object TdpQueries {
               |  LEFT JOIN nr n ON d.doc_id = n.doc_id
               |WHERE d.doc_id % 10 = 7""".stripMargin)),
 
+    // BLOOM-prefiltered incremental chunk membership: the 100 TB
+    // arrival-time variant of the chunk-dedup sweep. When a new batch
+    // lands (doc_id % 10 == 7, the same delta convention as
+    // tdp_incremental_dedup), flag which of its chunks already exist in
+    // the corpus — without joining the whole batch against the corpus
+    // chunk index. The corpus chunk set is folded into a fixed-size
+    // Bloom filter (graft_bloom_agg: one distributed pass, map-side
+    // partial filters OR-merged through the shuffle); the sketch — a
+    // few hundred KB, sized by the key count, never by the data — comes
+    // back to the driver like any broadcast exchange, and the batch
+    // probes it inside whole-stage codegen (graft_bloom_contains, a
+    // native expression — no UDF boundary). Bloom misses are
+    // DEFINITIVELY novel (no false negatives) and skip the join; only
+    // the ~fpp-inflated hit set reaches exact verification, so at scale
+    // the shuffle shrinks from |batch chunks| to |known|·(1+fpp) rows.
+    // False positives die in the verify join, so the output is EXACTLY
+    // the exact-membership answer — which is what the oracle checks
+    // (it computes plain membership; a lossless prefilter must be
+    // invisible to it). Same pattern as Spark's own
+    // InjectRuntimeFilter, applied to incremental dedup.
+    QueryDef(
+      "tdp_bloom_dedup",
+      (s, dir) => {
+        val isNew = col("doc_id") % 10 === 7
+        val ch = docChunks(s, dir).select("doc_id", "chunk").distinct()
+        val corpusCh = ch.filter(!isNew).select("chunk").distinct()
+        // Size the filter from a cheap corpus count (the production
+        // pattern: key-count stats are always one cheap agg away). 1%
+        // fpp keeps the sketch ~1.2 MB per 10^6 keys.
+        val nCorpus = math.max(corpusCh.count(), 1L)
+        val bloomBytes = corpusCh
+          .agg(call_function("graft_bloom_agg", xxhash64(col("chunk")),
+            lit(nCorpus), lit(0.01)).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val batchCh = ch.filter(isNew)
+        val candidates = batchCh.filter(
+          call_function("graft_bloom_contains", xxhash64(col("chunk")),
+            lit(bloomBytes)))
+        val known = candidates
+          .join(corpusCh, Seq("chunk"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_known_chunks"))
+        val perDoc = batchCh.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"))
+        table(s, dir, "documents").filter(isNew).select("doc_id")
+          .join(perDoc, Seq("doc_id"), "left")
+          .join(known, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            coalesce(col("n_known_chunks"), lit(0L)).as("n_known_chunks"),
+            (coalesce(col("n_known_chunks"), lit(0L)) === 0)
+              .as("is_fully_novel"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |ch0 AS (
+              |  SELECT doc_id,
+              |    array_to_string(toks[(i - 1) * $ChunkToks + 1:i * $ChunkToks], ' ')
+              |      AS chunk
+              |  FROM (SELECT doc_id, toks,
+              |          unnest(range(1, CAST(ceil(len(toks) / $ChunkToks.0) AS BIGINT)
+              |            + 1)) AS i
+              |        FROM t)),
+              |ch AS (SELECT DISTINCT doc_id, chunk FROM ch0),
+              |corpus AS (SELECT DISTINCT chunk FROM ch WHERE doc_id % 10 <> 7),
+              |kn AS (
+              |  SELECT doc_id, count(*) AS n_known FROM ch
+              |  WHERE doc_id % 10 = 7 AND chunk IN (SELECT chunk FROM corpus)
+              |  GROUP BY 1),
+              |nb AS (
+              |  SELECT doc_id, count(*) AS n_chunks FROM ch
+              |  WHERE doc_id % 10 = 7 GROUP BY 1)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(nb.n_chunks, 0) AS BIGINT) AS n_chunks,
+              |  CAST(coalesce(kn.n_known, 0) AS BIGINT) AS n_known_chunks,
+              |  coalesce(kn.n_known, 0) = 0 AS is_fully_novel
+              |FROM documents d
+              |LEFT JOIN nb ON d.doc_id = nb.doc_id
+              |LEFT JOIN kn ON d.doc_id = kn.doc_id
+              |WHERE d.doc_id % 10 = 7""".stripMargin)),
+
     // FUZZY decontamination: real eval leakage is rarely verbatim —
     // paraphrases and partial quotes slip through an exact-shingle sweep.
     // This report flags every training document whose exact n-gram
@@ -2539,18 +2636,7 @@ object TdpQueries {
     QueryDef(
       "tdp_chunk_dedup",
       (s, dir) => {
-        val chunksArr = expr(
-          s"""CASE WHEN size(toks) > 0 THEN
-             |  transform(sequence(1, CAST(ceil(size(toks) / $ChunkToks.0) AS INT)),
-             |    i -> array_join(slice(toks, (i - 1) * $ChunkToks + 1, $ChunkToks), ' '))
-             |ELSE array(CAST(NULL AS STRING)) END""".stripMargin)
-        // Memoized: three consumers below (df count, kept join, per-doc
-        // totals) would otherwise each re-run the interpreted segment
-        // lambda over the corpus.
-        val chunks = Registry.memo(s, dir, "tdp_chunks")(
-          docToks(s, dir)
-            .select(col("doc_id"), posexplode(chunksArr).as(Seq("pos", "chunk")))
-            .filter(col("chunk").isNotNull))
+        val chunks = docChunks(s, dir)
         val dfreq = chunks.groupBy("chunk")
           .agg(countDistinct(col("doc_id")).as("df"))
         val kept = chunks.join(dfreq, "chunk").filter(col("df") < ChunkDfCap)
