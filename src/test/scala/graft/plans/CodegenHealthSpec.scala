@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{CollapseCodegenStages, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.debug.codegenStringSeq
 
@@ -31,10 +32,32 @@ class CodegenHealthSpec extends SparkSpec {
     // Memoized (persisted) frames plan as a bare InMemoryTableScan with no
     // codegen subtree of their own — the real pipeline lives in the cached
     // relation's physical plan, so recurse through every cache boundary.
-    def throughCaches(p: SparkPlan): Seq[SparkPlan] =
-      p +: p.collect { case scan: InMemoryTableScanExec =>
-        throughCaches(scan.relation.cachedPlan)
+    // A frame that was MATERIALIZED while AQE was on caches an
+    // AdaptiveSparkPlanExec, which is a leaf to collect() and hides its
+    // codegen subtrees — unwrap it too, or this spec's result depends on
+    // which suite touched the memo first (observed: minhash/ivf guards
+    // failing only when PlanSpec ran before this one).
+    def throughCaches(p: SparkPlan): Seq[SparkPlan] = {
+      val base = p match {
+        // An UNEXECUTED adaptive plan (a memo frame another suite built
+        // but never ran) has no WholeStageCodegen nodes at all — AQE
+        // inserts them per stage at execution — so apply Spark's own
+        // collapse rule to get the codegen view this spec must compile.
+        case a: AdaptiveSparkPlanExec =>
+          val inner = a.executedPlan
+          if (inner.find(_.isInstanceOf[WholeStageCodegenExec]).isDefined) inner
+          else CollapseCodegenStages().apply(inner)
+        case other => other
+      }
+      base +: base.collect {
+        case scan: InMemoryTableScanExec =>
+          throughCaches(scan.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => throughCaches(a)
+        // An executed adaptive plan replaces its stages with
+        // QueryStageExec leaves; the codegen subtrees live in .plan.
+        case qs: QueryStageExec => throughCaches(qs.plan)
       }.flatten
+    }
     val subtrees =
       try throughCaches(build.queryExecution.executedPlan)
         .flatMap(codegenStringSeq)
@@ -94,7 +117,8 @@ class CodegenHealthSpec extends SparkSpec {
     "tdp_temperature_mix", "tdp_cluster_keep_best", "tdp_split_leakage",
     "tdp_doc_novelty", "tdp_vocab_topk", "tdp_source_pair_contamination",
     "tdp_budget_select", "tdp_cluster_balanced_sample", "tdp_gopher_filters",
-    "tdp_length_outliers", "tdp_quality_dup_profile", "tdp_heldout_perplexity")
+    "tdp_length_outliers", "tdp_quality_dup_profile", "tdp_heldout_perplexity",
+    "tdp_bloom_dedup")
 
   for (name <- tdpGuarded)
     test(s"TDP $name: every codegen subtree compiles under the 64 KB limit") {

@@ -170,4 +170,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("bloom dedup: probe filters BELOW the verify semi-join, equi-joins only") {
+    val df = Registry.queries("tdp_bloom_dedup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The sketch probe must appear as a plain Filter in the plan (inside
+    // codegen, not a UDF) — that is the prefilter that lets misses skip
+    // the verification join entirely.
+    assert(plan.contains("graft_bloom_contains"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // And it must sit on the join's streamed input, not above the join:
+    // every semi-join subtree that contains the probe filter proves the
+    // filter ran first. Collect over the pre-AQE plan — executedPlan is
+    // an AdaptiveSparkPlanExec leaf that hides the join nodes.
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.toString.contains("LeftSemi") => j
+    }
+    assert(joins.nonEmpty, "verification semi-join missing")
+    assert(joins.exists(_.left.toString.contains("graft_bloom_contains")),
+      joins.map(_.toString.take(800)).mkString("\n---\n"))
+  }
 }
