@@ -653,6 +653,51 @@ object TdpQueries {
         .select(col("doc_id"), assembled.as("simhash"))
     }
 
+  /** SimHash near-dup pairs (hamming <= 3) by banded search, memoized:
+    * consumed by tdp_simhash_pairs and as one voter of the
+    * tdp_dedup_agreement detector-ensemble audit. See the
+    * tdp_simhash_pairs QueryDef comment for the pigeonhole construction.
+    */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_simhash_pairs") {
+      val sig = simhashSigs(s, dir)
+      val bandStructs = (0 until 4).map { k =>
+        struct(lit(k).as("band"),
+          expr(s"shiftright(simhash, ${16 * k}) & 65535").as("chunk"))
+      }
+      val bands = sig
+        .select(col("doc_id"), col("simhash"),
+          explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("simhash"),
+          col("b.band").as("band"), col("b.chunk").as("chunk"))
+      // Oversize buckets star-collapse onto the minimum doc (see
+      // lshPairs): exact clones have hamming 0 against the group
+      // representative, so they survive the <= 3 filter instead of
+      // silently vanishing when a clone group overflows the cap.
+      val wB = Window.partitionBy("band", "chunk")
+      val sized = bands
+        .withColumn("bucket_n", count(lit(1)).over(wB))
+        .withColumn("bmin", min(struct(col("doc_id"), col("simhash"))).over(wB))
+      val small = sized.filter(col("bucket_n") <= LshBucketCap)
+        .select("doc_id", "simhash", "band", "chunk")
+      val a = small.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sig_a"), col("band"), col("chunk"))
+      val b = small.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sig_b"), col("band"), col("chunk"))
+      val smallPairs = a.join(b, Seq("band", "chunk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+      val starPairs = sized
+        .filter(col("bucket_n") > LshBucketCap
+          && col("doc_id") =!= col("bmin.doc_id"))
+        .select(col("bmin.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+          col("bmin.simhash").as("sig_a"), col("simhash").as("sig_b"))
+      smallPairs.union(starPairs).distinct()
+        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    }
+
   /** DuckDB CTE chain ending in `sims(doc_id, simhash)` — the SQL twin of
     * [[simhashSigs]], shared by the signature and hamming-pair oracles.
     */
@@ -679,6 +724,46 @@ object TdpQueries {
        |  FROM sh_hashed GROUP BY 1),
        |sims AS (
        |  SELECT doc_id, $assembled AS simhash FROM sh_bits)""".stripMargin
+  }
+
+  /** DuckDB CTE chain ending in `shp(doc_a, doc_b, hamming)` — the SQL
+    * twin of [[simhashPairs]], shared by the hamming-pair oracle and the
+    * tdp_dedup_agreement oracle so the detector under audit can never
+    * drift from the detector being reported on.
+    */
+  private val simhashPairsSqlCtes: String = {
+    val bandSelects = (0 until 4).map { k =>
+      s"SELECT doc_id, simhash, $k AS band, " +
+        s"(simhash >> ${16 * k}) & 65535 AS chunk FROM sims"
+    }.mkString("\n  UNION ALL ")
+    s"""$simhashSqlCtes,
+       |sbands AS (
+       |  $bandSelects),
+       |ssized AS (
+       |  SELECT doc_id, simhash, band, chunk,
+       |    count(*) OVER (PARTITION BY band, chunk) AS bucket_n,
+       |    min(doc_id) OVER (PARTITION BY band, chunk) AS bucket_min,
+       |    first_value(simhash) OVER (PARTITION BY band, chunk
+       |      ORDER BY doc_id) AS min_sig
+       |  FROM sbands),
+       |spairs AS (
+       |  SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      a.simhash AS sig_a, b.simhash AS sig_b
+       |    FROM ssized a JOIN ssized b
+       |      ON a.band = b.band AND a.chunk = b.chunk
+       |      AND a.doc_id < b.doc_id
+       |    WHERE a.bucket_n <= $LshBucketCap AND b.bucket_n <= $LshBucketCap
+       |    UNION ALL
+       |    SELECT bucket_min AS doc_a, doc_id AS doc_b,
+       |      min_sig AS sig_a, simhash AS sig_b
+       |    FROM ssized
+       |    WHERE bucket_n > $LshBucketCap AND doc_id <> bucket_min)),
+       |shp AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+       |  FROM spairs
+       |  WHERE bit_count(xor(sig_a, sig_b)) <= 3)""".stripMargin
   }
 
   /** DuckDB twin of [[langScored]] — ONE definition of the marker
@@ -1043,77 +1128,9 @@ object TdpQueries {
     // family: tdp_simhash builds the signature, this query uses it.
     QueryDef(
       "tdp_simhash_pairs",
-      (s, dir) => {
-        val sig = simhashSigs(s, dir)
-        val bandStructs = (0 until 4).map { k =>
-          struct(lit(k).as("band"),
-            expr(s"shiftright(simhash, ${16 * k}) & 65535").as("chunk"))
-        }
-        val bands = sig
-          .select(col("doc_id"), col("simhash"),
-            explode(array(bandStructs: _*)).as("b"))
-          .select(col("doc_id"), col("simhash"),
-            col("b.band").as("band"), col("b.chunk").as("chunk"))
-        // Oversize buckets star-collapse onto the minimum doc (see
-        // lshPairs): exact clones have hamming 0 against the group
-        // representative, so they survive the <= 3 filter instead of
-        // silently vanishing when a clone group overflows the cap.
-        val wB = Window.partitionBy("band", "chunk")
-        val sized = bands
-          .withColumn("bucket_n", count(lit(1)).over(wB))
-          .withColumn("bmin", min(struct(col("doc_id"), col("simhash"))).over(wB))
-        val small = sized.filter(col("bucket_n") <= LshBucketCap)
-          .select("doc_id", "simhash", "band", "chunk")
-        val a = small.select(col("doc_id").as("doc_a"),
-          col("simhash").as("sig_a"), col("band"), col("chunk"))
-        val b = small.select(col("doc_id").as("doc_b"),
-          col("simhash").as("sig_b"), col("band"), col("chunk"))
-        val smallPairs = a.join(b, Seq("band", "chunk"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b", "sig_a", "sig_b")
-        val starPairs = sized
-          .filter(col("bucket_n") > LshBucketCap
-            && col("doc_id") =!= col("bmin.doc_id"))
-          .select(col("bmin.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
-            col("bmin.simhash").as("sig_a"), col("simhash").as("sig_b"))
-        smallPairs.union(starPairs).distinct()
-          .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
-          .filter(col("hamming") <= 3)
-          .select("doc_a", "doc_b", "hamming")
-      },
-      Some {
-        val bandSelects = (0 until 4).map { k =>
-          s"SELECT doc_id, simhash, $k AS band, " +
-            s"(simhash >> ${16 * k}) & 65535 AS chunk FROM sims"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH $simhashSqlCtes,
-           |sbands AS (
-           |  $bandSelects),
-           |ssized AS (
-           |  SELECT doc_id, simhash, band, chunk,
-           |    count(*) OVER (PARTITION BY band, chunk) AS bucket_n,
-           |    min(doc_id) OVER (PARTITION BY band, chunk) AS bucket_min,
-           |    first_value(simhash) OVER (PARTITION BY band, chunk
-           |      ORDER BY doc_id) AS min_sig
-           |  FROM sbands),
-           |spairs AS (
-           |  SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM (
-           |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |      a.simhash AS sig_a, b.simhash AS sig_b
-           |    FROM ssized a JOIN ssized b
-           |      ON a.band = b.band AND a.chunk = b.chunk
-           |      AND a.doc_id < b.doc_id
-           |    WHERE a.bucket_n <= $LshBucketCap AND b.bucket_n <= $LshBucketCap
-           |    UNION ALL
-           |    SELECT bucket_min AS doc_a, doc_id AS doc_b,
-           |      min_sig AS sig_a, simhash AS sig_b
-           |    FROM ssized
-           |    WHERE bucket_n > $LshBucketCap AND doc_id <> bucket_min))
-           |SELECT doc_a, doc_b,
-           |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
-           |FROM spairs
-           |WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin
-      }),
+      (s, dir) => simhashPairs(s, dir),
+      Some(s"""WITH $simhashPairsSqlCtes
+              |SELECT doc_a, doc_b, hamming FROM shp""".stripMargin)),
 
     // n-gram Jaccard near-dup via PREFIX FILTERING (Bayardo et al.
     // "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
@@ -2520,6 +2537,78 @@ object TdpQueries {
               |    ELSE CAST(0 AS DOUBLE) END AS f1
               |FROM pr""".stripMargin)),
 
+    // DETECTOR-ENSEMBLE agreement audit: MinHash-LSH and SimHash look for
+    // the same thing (near-duplicate pairs) through different lenses
+    // (set-overlap vs weighted-bit fingerprint), so a curator running
+    // both wants the confusion between them against the exact-Jaccard
+    // ground truth: pairs both catch, pairs only one catches, pairs both
+    // miss, and how much candidate volume the detectors share. An
+    // ensemble OR-recall materially above either voter's solo recall is
+    // the signal that says run both at 100 TB; near-total overlap says
+    // drop one. All counts are pair-keyed equi-joins over the three
+    // memoized, already-bounded pair frames — no new pairwise stage.
+    QueryDef(
+      "tdp_dedup_agreement",
+      (s, dir) => {
+        val exact = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+        val mh = lshPairs(s, dir).select("doc_a", "doc_b")
+        val sh = simhashPairs(s, dir).select("doc_a", "doc_b")
+        val voted = exact
+          .join(mh.withColumn("mh", lit(1L)), Seq("doc_a", "doc_b"), "left")
+          .join(sh.withColumn("sh", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        val hits = voted.agg(
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("mh"), lit(0L))).as("n_mh_hit"),
+          sum(coalesce(col("sh"), lit(0L))).as("n_sh_hit"),
+          sum(when(col("mh").isNotNull && col("sh").isNotNull, 1L)
+            .otherwise(0L)).as("n_both_hit"),
+          sum(when(col("mh").isNotNull || col("sh").isNotNull, 1L)
+            .otherwise(0L)).as("n_any_hit"))
+        val nMh = mh.agg(count(lit(1)).as("n_mh_cand"))
+        val nSh = sh.agg(count(lit(1)).as("n_sh_cand"))
+        val nShared = mh.join(sh, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_cand_shared"))
+        hits.crossJoin(nMh).crossJoin(nSh).crossJoin(nShared)
+          .select(col("n_exact"), col("n_mh_hit"), col("n_sh_hit"),
+            col("n_both_hit"), col("n_any_hit"),
+            (col("n_exact") - col("n_any_hit")).as("n_missed_by_both"),
+            col("n_mh_cand"), col("n_sh_cand"), col("n_cand_shared"),
+            when(col("n_exact") > 0,
+              col("n_any_hit").cast(DoubleType)
+                / col("n_exact").cast(DoubleType))
+              .otherwise(0.0).as("ensemble_recall"))
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+              |$ngramPairsSqlCtes,
+              |$simhashPairsSqlCtes,
+              |votes AS (
+              |  SELECT
+              |    CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS mh,
+              |    CASE WHEN h.doc_a IS NOT NULL THEN 1 ELSE 0 END AS sh
+              |  FROM jp e
+              |  LEFT JOIN pairs m ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+              |  LEFT JOIN shp h ON e.doc_a = h.doc_a AND e.doc_b = h.doc_b),
+              |hits AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_exact,
+              |    CAST(sum(mh) AS BIGINT) AS n_mh_hit,
+              |    CAST(sum(sh) AS BIGINT) AS n_sh_hit,
+              |    CAST(sum(mh * sh) AS BIGINT) AS n_both_hit,
+              |    CAST(sum(CASE WHEN mh + sh > 0 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_any_hit
+              |  FROM votes),
+              |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_mh_cand FROM pairs),
+              |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sh_cand FROM shp),
+              |nsh AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_cand_shared
+              |  FROM pairs JOIN shp USING (doc_a, doc_b))
+              |SELECT n_exact, n_mh_hit, n_sh_hit, n_both_hit, n_any_hit,
+              |  n_exact - n_any_hit AS n_missed_by_both,
+              |  n_mh_cand, n_sh_cand, n_cand_shared,
+              |  CASE WHEN n_exact > 0
+              |    THEN CAST(n_any_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)
+              |    ELSE CAST(0 AS DOUBLE) END AS ensemble_recall
+              |FROM hits, nm, ns, nsh""".stripMargin)),
+
     // REPEATED-SPAN coverage (the overlapping-window cousin of
     // tdp_chunk_dedup, after Lee et al.'s "Deduplicating Training Data
     // Makes Language Models Better"): hash every STRIDE-1 window of
@@ -3229,6 +3318,161 @@ object TdpQueries {
               |GROUP BY token, n_total
               |ORDER BY n_occurrences DESC, token
               |LIMIT 20""".stripMargin)),
+
+    // ZIPF-LAW fit: least-squares regression of ln(frequency) on ln(rank)
+    // over the whole vocabulary — slope near -1 is the corpus-health
+    // signature of natural text; a flat slope means templated/duplicated
+    // text and a cliff means a truncated or synthetic vocabulary. The
+    // rank is the EXACT global rank via the range-partition device (see
+    // tdp_quality_buckets — no single-partition window), and both ln()
+    // terms are floored to integer micro-units BEFORE the regression
+    // sums, so every moment is an order-insensitive integer sum
+    // (accumulated as 38-digit decimals: sum(x*y) alone can pass 2^63 on
+    // a 100 TB vocabulary) and both engines derive the identical doubles.
+    // Scale shape: one vocabulary-sized aggregate, one range exchange
+    // over the vocab frame, one 5-moment reduce.
+    QueryDef(
+      "tdp_zipf_fit",
+      (s, dir) => {
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val freq = docToks(s, dir)
+          .select(explode(col("toks")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+        val ranged = Registry.memo(s, dir, "tdp_zipf_ranged")(
+          freq.repartitionByRange(nPart, desc("freq"), col("token"))
+            .withColumn("pid", spark_partition_id()))
+        // Load-bearing materialization, exactly as in tdp_quality_buckets:
+        // the per-pid counts and the rank join must read ONE instance of
+        // the range exchange or partition ids could disagree.
+        ranged.count()
+        val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        var acc = 0L
+        val offsets = counts.map { case (p, c) =>
+          val o = acc; acc += c; (p, o)
+        }.toSeq
+        val offDf = s.createDataFrame(offsets).toDF("pid", "off")
+        val wPid =
+          Window.partitionBy("pid").orderBy(desc("freq"), col("token"))
+        val dec = DecimalType(38, 0)
+        val xy = ranged.join(broadcast(offDf), "pid")
+          .withColumn("rn",
+            row_number().over(wPid).cast(LongType) + col("off"))
+          .select(
+            floor(log(col("rn").cast(DoubleType)) * lit(1000000.0))
+              .cast(LongType).as("x"),
+            floor(log(col("freq").cast(DoubleType)) * lit(1000000.0))
+              .cast(LongType).as("y"))
+        val sums = xy.agg(
+          count(lit(1)).cast(dec).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+        sums.select(
+          col("n").cast(LongType).as("vocab_size"),
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType).as("denx"),
+          (col("n") * col("syy") - col("sy") * col("sy"))
+            .cast(DoubleType).as("deny"),
+          col("sx").cast(DoubleType).as("sxd"),
+          col("sy").cast(DoubleType).as("syd"),
+          col("n").cast(DoubleType).as("nd"))
+          .select(col("vocab_size"),
+            when(col("denx") > 0, col("num") / col("denx"))
+              .otherwise(0.0).as("zipf_slope"),
+            when(col("denx") > 0,
+              (col("syd") - (col("num") / col("denx")) * col("sxd"))
+                / (col("nd") * lit(1000000.0)))
+              .otherwise(0.0).as("zipf_intercept"),
+            when(col("denx") > 0 && col("deny") > 0,
+              (col("num") * col("num")) / (col("denx") * col("deny")))
+              .otherwise(0.0).as("r2"))
+      },
+      Some(s"""WITH zt AS (
+              |  SELECT unnest($toksSql) AS token FROM documents),
+              |zf AS (SELECT token, count(*) AS freq FROM zt GROUP BY 1),
+              |zr AS (
+              |  SELECT freq,
+              |    row_number() OVER (ORDER BY freq DESC, token) AS rn
+              |  FROM zf),
+              |zxy AS (
+              |  SELECT
+              |    CAST(floor(ln(CAST(rn AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+              |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+              |  FROM zr),
+              |zs AS (
+              |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+              |  FROM zxy),
+              |zd AS (
+              |  SELECT CAST(n AS BIGINT) AS vocab_size,
+              |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+              |    CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+              |    CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+              |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+              |    CAST(n AS DOUBLE) AS nd
+              |  FROM zs)
+              |SELECT vocab_size,
+              |  CASE WHEN denx > 0 THEN num / denx
+              |    ELSE CAST(0 AS DOUBLE) END AS zipf_slope,
+              |  CASE WHEN denx > 0
+              |    THEN (syd - (num / denx) * sxd) / (nd * 1000000.0)
+              |    ELSE CAST(0 AS DOUBLE) END AS zipf_intercept,
+              |  CASE WHEN denx > 0 AND deny > 0
+              |    THEN (num * num) / (denx * deny)
+              |    ELSE CAST(0 AS DOUBLE) END AS r2
+              |FROM zd""".stripMargin)),
+
+    // CORPUS UNIGRAM ENTROPY: Shannon entropy of the token distribution
+    // and its perplexity exp(H) — the one-number summary of lexical
+    // diversity that complements tdp_zipf_fit's shape parameter (a
+    // boilerplate-flooded corpus shows low entropy long before a human
+    // reads it; a tokenizer-budget estimate starts from exp(H)). Each
+    // token's p*ln(1/p) term is computed from the two exact integers
+    // (freq, total) and floored to micro-nats, so the corpus sum is an
+    // order-insensitive integer reduce over the vocabulary-sized frame.
+    QueryDef(
+      "tdp_token_entropy",
+      (s, dir) => {
+        val tok = docToks(s, dir).select(explode(col("toks")).as("token"))
+        val tot = tok.agg(count(lit(1)).as("n_tokens"))
+        val terms = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+          .crossJoin(broadcast(tot))
+          .select(
+            floor((col("freq").cast(DoubleType)
+              / col("n_tokens").cast(DoubleType))
+              * log(col("n_tokens").cast(DoubleType)
+                / col("freq").cast(DoubleType))
+              * lit(1000000.0)).cast(LongType).as("h_micro"),
+            col("n_tokens"))
+        terms.groupBy("n_tokens")
+          .agg(count(lit(1)).as("vocab_size"),
+            sum(col("h_micro")).as("entropy_micro"))
+          .select(col("n_tokens"), col("vocab_size"),
+            (col("entropy_micro").cast(DoubleType) / lit(1000000.0))
+              .as("entropy_nats"),
+            exp(col("entropy_micro").cast(DoubleType) / lit(1000000.0))
+              .as("perplexity"))
+      },
+      Some(s"""WITH et AS (
+              |  SELECT unnest($toksSql) AS token FROM documents),
+              |etot AS (SELECT count(*) AS n_tokens FROM et),
+              |ef AS (SELECT token, count(*) AS freq FROM et GROUP BY 1),
+              |eterms AS (
+              |  SELECT n_tokens,
+              |    CAST(floor((CAST(freq AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+              |      * ln(CAST(n_tokens AS DOUBLE) / CAST(freq AS DOUBLE))
+              |      * 1000000.0) AS BIGINT) AS h_micro
+              |  FROM ef, etot)
+              |SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CAST(count(*) AS BIGINT) AS vocab_size,
+              |  CAST(sum(h_micro) AS DOUBLE) / 1000000.0 AS entropy_nats,
+              |  exp(CAST(sum(h_micro) AS DOUBLE) / 1000000.0) AS perplexity
+              |FROM eterms GROUP BY n_tokens""".stripMargin)),
 
     // SOURCE-PAIR contamination matrix: for every unordered source pair,
     // how many exact-Jaccard near-dup pairs (J >= 0.2) cross it — the
