@@ -829,7 +829,155 @@ object TdpQueries {
   private val qualitySql =
     "(alpha / n) * 0.6 + (1.0 - ws / n) * 0.3 + (sw * 5.0 / n) * 0.1"
 
+  /** One greedy left-to-right BPE merge pass over a symbol-array column:
+    * scan i; (syms[i], syms[i+1]) == (a, b) emits a||b and skips i+1,
+    * anything else emits syms[i] — so "aaab" under (a,a) becomes
+    * ["aa","a","b"], never ["a","aa","b"]. A pure per-row codegen'd fold
+    * (functions.aggregate): the merge step moves NO data; only the
+    * pair-count aggregate shuffles, and that is vocab-sized. Requires a
+    * non-empty syms array (sequence(0, -1) would descend) — callers feed
+    * non-empty whitespace tokens. Factored out so BpeSpec can pin the
+    * overlap semantics independently of the corpus query.
+    */
+  private[graft] def bpeMergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(
+      sequence(lit(0), size(syms) - 1),
+      struct(
+        expr("CAST(array() AS ARRAY<STRING>)").as("out"),
+        lit(false).as("skip")),
+      (st, i) => {
+        val cur = element_at(syms, i + 1)
+        val nxt = element_at(syms, i + 2)
+        when(st.getField("skip"),
+          struct(st.getField("out").as("out"), lit(false).as("skip")))
+          .otherwise(when(
+            i < size(syms) - 1 && cur === lit(a) && nxt === lit(b),
+            struct(concat(st.getField("out"), array(lit(a + b))).as("out"),
+              lit(true).as("skip")))
+            .otherwise(
+              struct(concat(st.getField("out"), array(cur)).as("out"),
+                lit(false).as("skip"))))
+      },
+      st => st.getField("out"))
+
+  /** Number of BPE merge rounds learned by tdp_bpe_merges (and unrolled
+    * in its oracle — keep the two in lockstep).
+    */
+  private val BpeRounds = 6
+
+  /** DuckDB twin of the tdp_bpe_merges loop: [[BpeRounds]] unrolled CTE
+    * blocks, each computing the pair-count argmax (count desc, then
+    * (a, b) ascending — both engines compare strings bytewise) and the
+    * greedy non-overlapping merge. The oracle's merge uses the
+    * relational form of left-to-right greedy: among each run of
+    * CONSECUTIVE matching positions (overlaps only arise inside such
+    * runs — adjacent matches share the middle symbol), keep the
+    * even-offset positions. Deliberately a different construction from
+    * the Spark fold so the two implementations can only agree by being
+    * the same algorithm.
+    */
+  private val bpeSql: String = {
+    val blocks = (1 to BpeRounds).map { k =>
+      s"""e$k AS MATERIALIZED (
+         |  SELECT word, freq, unnest(syms) AS sym,
+         |    CAST(generate_subscripts(syms, 1) AS BIGINT) AS pos
+         |  FROM w$k),
+         |p$k AS MATERIALIZED (
+         |  SELECT word, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM e$k),
+         |best$k AS MATERIALIZED (
+         |  SELECT $k AS rank, sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM p$k WHERE nxt IS NOT NULL
+         |  GROUP BY sym, nxt
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |sel$k AS MATERIALIZED (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS g0
+         |    FROM (
+         |      SELECT p.word, p.pos,
+         |        p.pos - row_number() OVER (PARTITION BY p.word ORDER BY p.pos)
+         |          AS grp
+         |      FROM p$k p, best$k x WHERE p.sym = x.a AND p.nxt = x.b))
+         |  WHERE (pos - g0) % 2 = 0),
+         |w${k + 1} AS MATERIALIZED (
+         |  SELECT e.word, e.freq,
+         |    list(CASE WHEN s.pos IS NOT NULL THEN x.a || x.b ELSE e.sym END
+         |      ORDER BY e.pos) AS syms
+         |  FROM e$k e
+         |  CROSS JOIN best$k x
+         |  LEFT JOIN sel$k s ON e.word = s.word AND e.pos = s.pos
+         |  LEFT JOIN sel$k s2 ON e.word = s2.word AND e.pos = s2.pos + 1
+         |  WHERE s2.pos IS NULL
+         |  GROUP BY e.word, e.freq)""".stripMargin
+    }
+    val union = (1 to BpeRounds)
+      .map(k => s"SELECT * FROM best$k").mkString(" UNION ALL ")
+    s"""WITH wt AS (SELECT unnest($toksSql) AS word FROM documents),
+       |w1 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+       |  FROM wt GROUP BY word),
+       |${blocks.mkString(",\n")}
+       |SELECT rank, a AS sym_a, b AS sym_b, a || b AS merged,
+       |  cnt AS pair_count
+       |FROM ($union)
+       |ORDER BY rank""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    // BPE TOKENIZER TRAINING (Sennrich et al. 2016, "Neural Machine
+    // Translation of Rare Words with Subword Units"): learn the top
+    // BpeRounds byte-pair merges over the corpus. The scale device is
+    // the classical one — train on the WORD-FREQUENCY table, not the
+    // corpus: after one corpus-sized token count, every round is
+    // vocab-sized (pair-count aggregate + 1-row argmax collect) and the
+    // merge itself is a per-row codegen'd fold that moves no data. At
+    // 100 TB the vocabulary is ~10^7 rows — round cost is independent
+    // of corpus size. Lineage is cut per round exactly as in the
+    // dup-cluster label propagation (reliable checkpoint when a
+    // checkpoint dir is configured, executor-local otherwise).
+    QueryDef(
+      "tdp_bpe_merges",
+      (s, dir) => {
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
+        var words = cut(docToks(s, dir)
+          .select(explode(col("toks")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .withColumn("syms", expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+        val learned = Seq.newBuilder[(Int, String, String, Long)]
+        var k = 1
+        var exhausted = false
+        while (k <= BpeRounds && !exhausted) {
+          // All overlapping adjacent pairs, freq-weighted (counting is
+          // overlap-INCLUSIVE per Sennrich; only the merge is greedy).
+          val best = words
+            .select(col("freq"), explode(expr(
+              "transform(slice(syms, 1, size(syms) - 1), " +
+                "(x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))"))
+              .as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum("freq").as("cnt"))
+            .orderBy(desc("cnt"), col("a"), col("b"))
+            .limit(1).collect()
+          if (best.isEmpty) exhausted = true
+          else {
+            val (a, b) = (best(0).getString(0), best(0).getString(1))
+            learned += ((k, a, b, best(0).getLong(2)))
+            words = cut(words.withColumn("syms", bpeMergeOnce(col("syms"), a, b)))
+            k += 1
+          }
+        }
+        import s.implicits._
+        learned.result().toDF("rank", "sym_a", "sym_b", "pair_count")
+          .select(col("rank"), col("sym_a"), col("sym_b"),
+            concat(col("sym_a"), col("sym_b")).as("merged"), col("pair_count"))
+      },
+      Some(bpeSql)),
+
     // Exact dedup: content-hash groupBy (the 100 TB path: one shuffle on a
     // 128-bit hash, never on the full text).
     QueryDef(

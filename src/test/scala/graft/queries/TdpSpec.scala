@@ -762,4 +762,57 @@ class TdpSpec extends SparkSpec {
     assert(rows(3L)._3 > rows(13L)._3,
       s"seen bigrams must outscore unseen: ${rows(3L)} vs ${rows(13L)}")
   }
+
+  test("BPE merge fold: greedy left-to-right, overlap-safe, feedback-safe") {
+    import spark.implicits._
+    // "aaab" under (a,a): greedy takes positions 0-1, NOT 1-2 -> the
+    // leftover 'a' sits in the middle. "abab" under (a,b) merges both
+    // non-overlapping sites. A word with no match passes unchanged, and
+    // a learned multi-char symbol ("ab") merges again with 'c' to prove
+    // round k can consume round k-1's output.
+    val rows = Seq("aaab", "abab", "xyz", "abc")
+      .toDF("word")
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .withColumn("m1", TdpQueries.bpeMergeOnce(col("syms"), "a", "a"))
+      .withColumn("m2", TdpQueries.bpeMergeOnce(col("syms"), "a", "b"))
+      .withColumn("m3", TdpQueries.bpeMergeOnce(
+        TdpQueries.bpeMergeOnce(col("syms"), "a", "b"), "ab", "c"))
+      .select("word", "m1", "m2", "m3")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getSeq[String](1), r.getSeq[String](2), r.getSeq[String](3))))
+      .toMap
+    assert(rows("aaab")._1 === Seq("aa", "a", "b"))
+    assert(rows("abab")._2 === Seq("ab", "ab"))
+    assert(rows("xyz") === ((Seq("x", "y", "z"), Seq("x", "y", "z"),
+      Seq("x", "y", "z"))))
+    assert(rows("abc")._3 === Seq("abc"),
+      s"round-2 merge must consume round-1 symbol: ${rows("abc")}")
+  }
+
+  test("BPE merges on a synthetic corpus match hand-computed ranks") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_bpe").toString
+    // freq-weighted counts: "low low low" x2 + "lower" -> (l,o)=7,
+    // (o,w)=7; tie broken by (a,b) ascending => (l,o) first. After
+    // merging (l,o): pairs (lo,w)=7 beat (w,e)=1,(e,r)=1.
+    val docs = Seq(
+      (1L, "low low low", "en", "s", 0L),
+      (2L, "low low low", "en", "s", 0L),
+      (3L, "lower", "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_bpe_merges")(spark, dir)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    // The 6-char vocabulary exhausts after 4 merges (then zero pairs
+    // remain) — the loop must STOP, not emit junk rows; the oracle's
+    // empty best5/best6 CTEs propagate to the same 4-row result.
+    assert(got.toSeq === Seq(
+      (1, "lo", 7L), // (l,o)=7 ties (o,w)=7; (l,o) wins ascending
+      (2, "low", 7L), // learned 'lo' + w
+      (3, "er", 1L), // (e,r) ties (low,e); "e" < "low" bytewise
+      (4, "lower", 1L)), s"merge sequence: ${got.toSeq}")
+  }
 }
