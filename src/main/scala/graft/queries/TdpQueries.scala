@@ -876,7 +876,7 @@ object TdpQueries {
     * the Spark fold so the two implementations can only agree by being
     * the same algorithm.
     */
-  private val bpeSql: String = {
+  private val bpeSqlCtes: String = {
     val blocks = (1 to BpeRounds).map { k =>
       s"""e$k AS MATERIALIZED (
          |  SELECT word, freq, unnest(syms) AS sym,
@@ -911,18 +911,88 @@ object TdpQueries {
          |  WHERE s2.pos IS NULL
          |  GROUP BY e.word, e.freq)""".stripMargin
     }
-    val union = (1 to BpeRounds)
-      .map(k => s"SELECT * FROM best$k").mkString(" UNION ALL ")
-    s"""WITH wt AS (SELECT unnest($toksSql) AS word FROM documents),
+    s"""wt AS (SELECT unnest($toksSql) AS word FROM documents),
        |w1 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
        |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
        |  FROM wt GROUP BY word),
-       |${blocks.mkString(",\n")}
+       |${blocks.mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeSql: String = {
+    val union = (1 to BpeRounds)
+      .map(k => s"SELECT * FROM best$k").mkString(" UNION ALL ")
+    s"""WITH $bpeSqlCtes
        |SELECT rank, a AS sym_a, b AS sym_b, a || b AS merged,
        |  cnt AS pair_count
        |FROM ($union)
        |ORDER BY rank""".stripMargin
+  }
+
+  /** Character-level word-frequency vocabulary (word, freq, syms) — the
+    * ONE corpus-sized reduction the BPE family pays; memoized for the
+    * learner and the encoder.
+    */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_bpe_vocab")(
+      docToks(s, dir)
+        .select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("syms", expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+
+  /** Learned merge table (rank, sym_a, sym_b, pair_count), memoized:
+    * built once by the learning loop (see the tdp_bpe_merges QueryDef
+    * comment), replayed by tdp_bpe_encode.
+    */
+  private def bpeMergesDf(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_bpe_merges") {
+      def cut(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint()
+      var words = cut(bpeVocab(s, dir))
+      val learned = Seq.newBuilder[(Int, String, String, Long)]
+      var k = 1
+      var exhausted = false
+      while (k <= BpeRounds && !exhausted) {
+        // All overlapping adjacent pairs, freq-weighted (counting is
+        // overlap-INCLUSIVE per Sennrich; only the merge is greedy).
+        val best = words
+          .select(col("freq"), explode(expr(
+            "transform(slice(syms, 1, size(syms) - 1), " +
+              "(x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(desc("cnt"), col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b) = (best(0).getString(0), best(0).getString(1))
+          learned += ((k, a, b, best(0).getLong(2)))
+          words = cut(words.withColumn("syms", bpeMergeOnce(col("syms"), a, b)))
+          k += 1
+        }
+      }
+      // The loop's end state IS the encoded vocabulary — publish it for
+      // tdp_bpe_encode instead of letting the encoder replay the folds:
+      // a naive replay chains BpeRounds aggregate() HOFs through
+      // CollapseProject into ONE expression where each level references
+      // its input ~5x, an exponential (~5^6) blowup that took minutes on
+      // 31 words (measured) and would be catastrophic on a real vocab.
+      Registry.memo(s, dir, "tdp_bpe_words_final")(words)
+      import s.implicits._
+      learned.result().toDF("rank", "sym_a", "sym_b", "pair_count")
+    }
+
+  /** Fully-merged vocabulary (word, freq, syms) after the learning loop —
+    * populated by [[bpeMergesDf]] as a side memo; calling it first makes
+    * the read order-independent.
+    */
+  private def bpeWordsFinal(s: SparkSession, dir: String): DataFrame = {
+    bpeMergesDf(s, dir)
+    Registry.memo(s, dir, "tdp_bpe_words_final")(
+      sys.error("tdp_bpe_words_final is populated by bpeMergesDf"))
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -939,44 +1009,70 @@ object TdpQueries {
     // checkpoint dir is configured, executor-local otherwise).
     QueryDef(
       "tdp_bpe_merges",
-      (s, dir) => {
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
-        var words = cut(docToks(s, dir)
-          .select(explode(col("toks")).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-          .withColumn("syms", expr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
-        val learned = Seq.newBuilder[(Int, String, String, Long)]
-        var k = 1
-        var exhausted = false
-        while (k <= BpeRounds && !exhausted) {
-          // All overlapping adjacent pairs, freq-weighted (counting is
-          // overlap-INCLUSIVE per Sennrich; only the merge is greedy).
-          val best = words
-            .select(col("freq"), explode(expr(
-              "transform(slice(syms, 1, size(syms) - 1), " +
-                "(x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))"))
-              .as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum("freq").as("cnt"))
-            .orderBy(desc("cnt"), col("a"), col("b"))
-            .limit(1).collect()
-          if (best.isEmpty) exhausted = true
-          else {
-            val (a, b) = (best(0).getString(0), best(0).getString(1))
-            learned += ((k, a, b, best(0).getLong(2)))
-            words = cut(words.withColumn("syms", bpeMergeOnce(col("syms"), a, b)))
-            k += 1
-          }
-        }
-        import s.implicits._
-        learned.result().toDF("rank", "sym_a", "sym_b", "pair_count")
+      (s, dir) =>
+        bpeMergesDf(s, dir)
           .select(col("rank"), col("sym_a"), col("sym_b"),
-            concat(col("sym_a"), col("sym_b")).as("merged"), col("pair_count"))
-      },
+            concat(col("sym_a"), col("sym_b")).as("merged"),
+            col("pair_count")),
       Some(bpeSql)),
+
+    // BPE ENCODE + compression report: replay the learned merges over
+    // the vocabulary (BpeRounds nested per-row folds — still zero data
+    // movement) and report corpus-level tokenizer statistics: how many
+    // symbols the corpus needs before/after merging, the emergent
+    // symbol-type count, and the compression ratio — the number a
+    // tokenizer-budget planner actually wants from a corpus sweep.
+    // Every aggregate is an exact integer sum; the single double is
+    // derived from two of those integers identically in both engines.
+    QueryDef(
+      "tdp_bpe_encode",
+      (s, dir) => {
+        // The encoded vocabulary comes from the learner's memoized end
+        // state — NOT from replaying the folds here (see the
+        // tdp_bpe_words_final note: a replay collapses into one
+        // exponentially-nested expression). Per-word before/after sizes
+        // join on the word key; both frames are vocab-sized and the
+        // vocab side is pre-aggregated, so this is the cheap join.
+        val stats = bpeVocab(s, dir)
+          .select(col("word"), col("freq"),
+            size(col("syms")).cast(LongType).as("nb"))
+          .join(bpeWordsFinal(s, dir)
+            .select(col("word"), col("syms").as("syms_after")), "word")
+          .select(col("freq"), col("nb"),
+            size(col("syms_after")).cast(LongType).as("na"),
+            col("syms_after"))
+        val totals = stats.agg(
+          count(lit(1)).as("n_words"),
+          sum("freq").as("n_tokens"),
+          sum(col("freq") * col("nb")).as("symbols_before"),
+          sum(col("freq") * col("na")).as("symbols_after"))
+        val types = stats.select(explode(col("syms_after")).as("sym"))
+          .agg(countDistinct("sym").as("n_symbol_types_after"))
+        totals.crossJoin(types)
+          .select(col("n_words"), col("n_tokens"),
+            col("symbols_before"), col("symbols_after"),
+            col("n_symbol_types_after"),
+            (col("symbols_before").cast(DoubleType)
+              / col("symbols_after").cast(DoubleType)).as("compression"))
+      },
+      Some(s"""WITH $bpeSqlCtes,
+              |bb AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_words,
+              |    CAST(sum(freq) AS BIGINT) AS n_tokens,
+              |    CAST(sum(freq * len(syms)) AS BIGINT) AS symbols_before
+              |  FROM w1),
+              |ba AS (
+              |  SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS symbols_after
+              |  FROM w${BpeRounds + 1}),
+              |bt AS (
+              |  SELECT CAST(count(DISTINCT sym) AS BIGINT)
+              |      AS n_symbol_types_after
+              |  FROM (SELECT unnest(syms) AS sym FROM w${BpeRounds + 1}))
+              |SELECT n_words, n_tokens, symbols_before, symbols_after,
+              |  n_symbol_types_after,
+              |  CAST(symbols_before AS DOUBLE) / CAST(symbols_after AS DOUBLE)
+              |    AS compression
+              |FROM bb, ba, bt""".stripMargin)),
 
     // Exact dedup: content-hash groupBy (the 100 TB path: one shuffle on a
     // 128-bit hash, never on the full text).

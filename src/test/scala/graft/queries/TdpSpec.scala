@@ -815,4 +815,18 @@ class TdpSpec extends SparkSpec {
       (3, "er", 1L), // (e,r) ties (low,e); "e" < "low" bytewise
       (4, "lower", 1L)), s"merge sequence: ${got.toSeq}")
   }
+
+  test("BPE encode: merges compress the corpus, token count is invariant") {
+    val r = Registry.queries("tdp_bpe_encode")(spark, sf).collect()(0)
+    val (nWords, nTokens) = (r.getLong(0), r.getLong(1))
+    val (before, after, types) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    val compression = r.getDouble(5)
+    assert(nWords > 0 && nTokens > nWords)
+    assert(after < before, s"merges must shrink the corpus: $before -> $after")
+    assert(compression === before.toDouble / after.toDouble)
+    // 6 merges can add at most 6 symbol types beyond the single chars,
+    // and merging must leave at least one multi-char type in use.
+    assert(types > 0 && after >= nTokens,
+      s"every word is at least one symbol: after=$after tokens=$nTokens")
+  }
 }
