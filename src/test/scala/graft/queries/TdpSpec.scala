@@ -829,4 +829,55 @@ class TdpSpec extends SparkSpec {
     assert(types > 0 && after >= nTokens,
       s"every word is at least one symbol: after=$after tokens=$nTokens")
   }
+
+  test("Zipf fit: planted power-law vocabulary recovers slope ~ -1") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_zipf").toString
+    // Tokens t01..t10 with freq = round(1024 / rank): a discrete power
+    // law (rounding perturbs ln(freq) by < 0.3%). Token names chosen so
+    // the freq-desc/token-asc rank tiebreak is exercised nowhere and the
+    // exact global rank equals the planted rank.
+    val freqs = (1 to 10).map(r => (f"t$r%02d", math.round(1024.0 / r).toInt))
+    val text = freqs.flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Registry.queries("tdp_zipf_fit")(spark, dir).collect()(0)
+    assert(r.getLong(0) === 10L, "vocab_size")
+    val (slope, r2) = (r.getDouble(1), r.getDouble(3))
+    assert(slope < -0.9 && slope > -1.1, s"slope=$slope")
+    assert(r2 > 0.99, s"r2=$r2")
+  }
+
+  test("Token entropy: uniform corpus hits the ln(V) maximum, ppl ~ V") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_entropy").toString
+    val v = 64
+    val text = (1 to v).map(i => f"w$i%03d").mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Registry.queries("tdp_token_entropy")(spark, dir).collect()(0)
+    assert(r.getLong(0) === v.toLong && r.getLong(1) === v.toLong)
+    val (h, ppl) = (r.getDouble(2), r.getDouble(3))
+    val hMax = math.log(v.toDouble)
+    // uniform is the entropy maximum; per-type micro-nat flooring can
+    // lose at most 1e-6 nats per vocabulary entry below it
+    assert(h <= hMax + 1e-9 && h >= hMax - v * 1e-6, s"h=$h vs ln(V)=$hMax")
+    assert(math.abs(ppl - v) < 0.01, s"perplexity=$ppl")
+  }
+
+  test("Detector ensemble: counts obey inclusion-exclusion and bounds") {
+    val r = Registry.queries("tdp_dedup_agreement")(spark, sf).collect()(0)
+    val c = (0 to 8).map(r.getLong)
+    val (nExact, mhHit, shHit, bothHit, anyHit) = (c(0), c(1), c(2), c(3), c(4))
+    val (missed, mhCand, shCand, candShared) = (c(5), c(6), c(7), c(8))
+    val recall = r.getDouble(9)
+    assert(nExact > 0, "sf0.001 ground truth must be non-empty")
+    assert(anyHit === mhHit + shHit - bothHit, "inclusion-exclusion")
+    assert(missed === nExact - anyHit && missed >= 0)
+    assert(bothHit <= math.min(mhHit, shHit))
+    assert(mhHit <= mhCand && shHit <= shCand,
+      "a detector cannot hit more truth pairs than it emitted candidates")
+    assert(candShared <= math.min(mhCand, shCand))
+    assert(recall === anyHit.toDouble / nExact)
+  }
 }
