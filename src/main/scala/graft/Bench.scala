@@ -78,10 +78,17 @@ object Bench {
     // Optional comma-separated query-name filter for focused local timing;
     // the driver's invocation leaves it unset and benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A query that throws must be LOUD, not a 0.06 s "success": its name is
+    // recorded and emitted as "err_queries" in the JSON line (round 6: six
+    // analysis-failing queries hid inside this catch for a full round).
+    val errQueries = scala.collection.mutable.LinkedHashSet.empty[String]
     def timed(name: String)(body: => Unit): (String, (Double, Double)) = {
       val t0 = System.nanoTime()
       val c0 = cpuNs.get()
-      try body catch { case _: Throwable => () }
+      try body catch { case e: Throwable =>
+        errQueries += name
+        System.err.println(s"[bench] FAIL $name: ${e.getMessage}")
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       name -> (wall, (cpuNs.get() - c0) / 1e9)
     }
@@ -129,15 +136,25 @@ object Bench {
     // ~2x the idle-host median -> clearly contended (env override for tests)
     val passBand =
       sys.env.get("SPARK_GRAFT_PASS_BAND").map(_.toDouble).getOrElse(165.0)
+    // Fixed-work probe band: idle-host floor is 0.39-0.51 s, so >0.7 s
+    // means the pass ran >=~1.5x contended even when its wall total sneaks
+    // under the wall band (BENCH_r06's accepted pass: probe 1.28 s -> the
+    // official 109.3 s was itself ~2x inflated). Probe is measured right
+    // after each pass, while the executor pool is idle.
+    val probeBand =
+      sys.env.get("SPARK_GRAFT_PROBE_BAND").map(_.toDouble).getOrElse(0.7)
     val benchT0 = System.currentTimeMillis()
-    var passes = List(runPass())
-    while (passTotal(passes.head) > passBand && passes.size < 3 &&
+    def contended(p: (Seq[(String, (Double, Double))], Double)): Boolean =
+      passTotal(p._1) > passBand || p._2 > probeBand
+    var passes = List((runPass(), probeSec()))
+    while (contended(passes.head) && passes.size < 3 &&
         System.currentTimeMillis() - benchT0 < passBudgetMs) {
       graft.queries.Registry.evict(spark)
-      passes = runPass() :: passes
+      passes = (runPass(), probeSec()) :: passes
     }
-    val passTotals = passes.reverse.map(passTotal)
-    val results = passes.minBy(passTotal)
+    val passTotals = passes.reverse.map(p => passTotal(p._1))
+    val passProbes = passes.reverse.map(_._2)
+    val results = passes.map(_._1).minBy(passTotal)
     // Let the listener bus drain the final task-end posts before the
     // total-CPU snapshot (local mode: normally sub-ms behind the action).
     Thread.sleep(300)
@@ -167,12 +184,16 @@ object Bench {
       (k, math.rint(w * 1000) / 1000, math.rint(c * 1000) / 1000)
     }
     val total = rounded.map(_._2).sum
+    val errJson =
+      errQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson = rounded.sortBy(_._1)
       .map { case (k, w, c) => "\"" + k + "\":[" + sec3(w) + "," + sec3(c) + "]" }
       .mkString(
         "{\"n\":" + rounded.size + ",\"total\":" + sec3(total) +
           ",\"cpu_total\":" + sec3(cpuTotal) +
+          ",\"err_queries\":" + errJson +
           ",\"pass_totals\":[" + passTotals.map(sec3).mkString(",") + "]" +
+          ",\"pass_probes\":[" + passProbes.map(sec3).mkString(",") + "]" +
           ",\"loadavg\":[" + sec3(loadStart) + "," + sec3(loadavg()) + "]" +
           ",\"probe\":[" + sec3(probeStart) + "]" +
           ",\"queries_wall_cpu\":{", ",", "}}")
@@ -181,7 +202,10 @@ object Bench {
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // bookkeeping only — never fail the bench
     val lineBudget = 1750
-    val overhead = 310 // metric/value/sf/loadavg/cpu/probe/pass_totals framing + "other"s
+    // metric/value/sf/loadavg/cpu/probe/pass_totals/pass_probes framing +
+    // "other"s + an empty err_queries (errored names would grow the line,
+    // but a red bench line that overflows beats a green-looking silent one)
+    val overhead = 380
     val desc = rounded.sortBy { case (k, w, _) => (-w, k) }
     val cut = {
       var used = 0
@@ -211,7 +235,9 @@ object Bench {
     println(
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,""" +
         s""""cpu":$cs,"cpu_total":${sec3(cpuTotal)},""" +
+        s""""err_queries":$errJson,""" +
         s""""pass_totals":[${passTotals.map(sec3).mkString(",")}],""" +
+        s""""pass_probes":[${passProbes.map(sec3).mkString(",")}],""" +
         s""""loadavg":[${sec3(loadStart)},${sec3(loadEnd)}],""" +
         s""""probe":[${sec3(probeStart)},${sec3(probeEnd)}],"sf":"$sfDir"}""")
     System.out.flush()

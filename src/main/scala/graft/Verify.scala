@@ -23,13 +23,20 @@ object Verify {
     // Optional comma-separated filter for focused local iteration; the
     // driver's invocation leaves it unset and dumps everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A failing query must be LOUD: collected here, written to a
+    // failures.json manifest next to the parquet dumps, and reflected in a
+    // non-zero exit. Round 6 proved that a stderr line alone lets a broken
+    // query silently vanish from the correctness surface (six event-time
+    // queries were absent — not red — in CORRECTNESS_r06).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] FAIL $name: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,7 +54,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure manifest (empty object when green) — machine-readable so the
+    // driver/judge can distinguish "query absent because broken" from
+    // "query absent because filtered".
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     graft.queries.Registry.evict(spark)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,6 +13,25 @@ import org.apache.spark.sql.types._
   */
 object CoreQueries {
   import Registry.table
+
+  /** The events table with an epoch-seconds `sec` column, adaptive to the
+    * testdata's physical `ts` encoding. Regenerated testdata has flipped
+    * between parquet TIMESTAMP(NANOS) — which Spark reads as a nano LONG
+    * under spark.sql.legacy.parquet.nanosAsLong — and timestamp[us], which
+    * resolves as TIMESTAMP/TIMESTAMP_NTZ; hard-coding either assumption
+    * breaks all event-time queries the next time the encoding changes.
+    * Both branches floor to whole seconds (integer `div`; to_unix_timestamp
+    * floor-divides micros), matching the oracle's FLOOR(epoch(ts)) under
+    * the UTC session timezone both entrypoints set.
+    */
+  private def eventsWithSec(s: SparkSession, dir: String): DataFrame = {
+    val df = table(s, dir, "events")
+    val sec = df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000000")
+      case _        => expr("to_unix_timestamp(ts)")
+    }
+    df.withColumn("sec", sec)
+  }
 
   def defs: Seq[QueryDef] = Seq(
     // A-family hash aggregation with map-side partial aggregation.
@@ -212,8 +231,8 @@ object CoreQueries {
     QueryDef(
       "q13_tumbling_window",
       (s, dir) =>
-        table(s, dir, "events")
-          .select(expr("ts div 3600000000000").as("hour_bucket"),
+        eventsWithSec(s, dir)
+          .select(expr("sec div 3600").as("hour_bucket"),
             col("event_type"),
             floor(col("value")).cast(LongType).as("v"))
           .groupBy("hour_bucket", "event_type")
@@ -278,9 +297,8 @@ object CoreQueries {
     QueryDef(
       "q14_asof_join",
       (s, dir) => {
-        val e = table(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000000000").as("sec"),
-            col("event_id"), col("value"))
+        val e = eventsWithSec(s, dir)
+          .select(col("user_id"), col("sec"), col("event_id"), col("value"))
         val l = e.filter(col("event_id") % 5 === 0)
           .select("user_id", "sec", "event_id")
         val rw = Window.partitionBy("user_id", "sec").orderBy(desc("event_id"))
@@ -397,9 +415,8 @@ object CoreQueries {
     QueryDef(
       "q24_range_join",
       (s, dir) => {
-        val e = table(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000000000").as("sec"),
-            col("event_id"))
+        val e = eventsWithSec(s, dir)
+          .select(col("user_id"), col("sec"), col("event_id"))
         val a = e.select(col("user_id"), col("sec").as("sec_a"),
           col("event_id").as("id_a"))
         val b = e.select(col("user_id"), col("sec").as("sec_b"),
@@ -443,8 +460,8 @@ object CoreQueries {
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy("sec")
           .rangeBetween(-3600L, Window.currentRow)
-        table(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+        eventsWithSec(s, dir)
+          .select(col("user_id"), col("sec"),
             col("event_id"), floor(col("value")).cast(LongType).as("v"))
           .select(col("user_id"), col("event_id"), col("sec"),
             sum("v").over(w).as("rolling_v"))
@@ -543,11 +560,8 @@ object CoreQueries {
       "q12_sessionize",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-        // events.ts is parquet TIMESTAMP(NANOS) -> read as nano longs
-        // (spark.sql.legacy.parquet.nanosAsLong); integer div to seconds.
-        table(s, dir, "events")
-          .select(col("user_id"), col("event_id"),
-            expr("ts div 1000000000").as("sec"))
+        eventsWithSec(s, dir)
+          .select(col("user_id"), col("event_id"), col("sec"))
           .withColumn("prev_sec", lag("sec", 1).over(w))
           .withColumn("new_sess",
             when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1L)
@@ -618,15 +632,15 @@ object CoreQueries {
     QueryDef(
       "q31_sliding_window",
       (s, dir) =>
-        table(s, dir, "events")
-          .select(expr("timestamp_micros((ts div 1000000000) * 1000000)").as("t"),
+        eventsWithSec(s, dir)
+          .select(timestamp_seconds(col("sec")).as("t"),
             col("event_type"), col("user_id"))
           .groupBy(window(col("t"), "1 hour", "30 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),
             countDistinct(col("user_id")).as("n_users"))
           .select(col("window.start").cast(LongType).as("window_start_sec"),
             col("event_type"), col("n_events"), col("n_users")),
-      // TRUNC(epoch) mirrors Spark's `ts div 1e9` truncation and
+      // TRUNC(epoch) mirrors eventsWithSec's whole-second truncation and
       // FLOOR(sec/1800.0) mirrors window()'s floored bucket assignment —
       // both also correct for pre-1970 timestamps, where `//` would
       // truncate toward zero; the IS NOT NULL guard mirrors window()

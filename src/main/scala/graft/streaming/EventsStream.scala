@@ -29,23 +29,33 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** On-disk schema of the driver's events.parquet: `ts` is parquet
-    * TIMESTAMP(NANOS), which these sessions read as nano longs
-    * (spark.sql.legacy.parquet.nanosAsLong).
+  /** EventsSchema with `ts` swapped for the given on-disk type (streams
+    * require an explicit schema; the driver's events.parquet has shipped
+    * both TIMESTAMP(NANOS)-as-long and timestamp[us] encodings).
     */
-  val EventsNanoSchema: StructType = StructType(
+  def eventsSchemaWithTs(tsType: DataType): StructType = StructType(
     EventsSchema.fields.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f
     })
 
   /** File-source reader (parquet dir, append-only) over the driver's
-    * events feed: nano longs are converted to a proper event-time
-    * timestamp column so watermarks work downstream.
+    * events feed. The physical `ts` encoding is probed once from the
+    * parquet footer (a driver-side metadata read, not a data scan) and the
+    * stream schema derived from it, so regenerated testdata can flip
+    * between nano-long and timestamp[us] without breaking ingest; either
+    * way the output `ts` is a proper TimestampType event-time column so
+    * watermarks work downstream.
     */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(EventsNanoSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val onDisk = spark.read.parquet(path).schema("ts").dataType
+    val stream = spark.readStream.schema(eventsSchemaWithTs(onDisk)).parquet(path)
+    onDisk match {
+      case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => stream
+      case _ => stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Tumbling-window counts + sums per event type with a watermark bounding
     * state. At scale the shuffle key is (window, event_type) and late data
