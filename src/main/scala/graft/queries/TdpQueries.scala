@@ -995,6 +995,160 @@ object TdpQueries {
       sys.error("tdp_bpe_words_final is populated by bpeMergesDf"))
   }
 
+  /** Batched-BPE geometry: [[BpeBatchRounds]] rounds x [[BpeBatchK]]
+    * merges learned per round (kept in lockstep with the unrolled oracle).
+    */
+  private val BpeBatchRounds = 2
+  private val BpeBatchK = 3
+
+  /** Batched BPE learner: per round, ONE vocab-scale pair-count aggregate
+    * learns up to [[BpeBatchK]] merges instead of one. The batch is the
+    * greedy prefix of the (count desc, a, b) pair ranking restricted to
+    * pairwise-DISJOINT symbol sets: a candidate sharing a symbol with an
+    * already-picked pair is skipped. Disjointness makes the batch
+    * order-independent — adjacent matched positions always belong to the
+    * SAME pair (a position matching (a,b) is followed by one matching
+    * (c,d) only if b = c, which disjointness forbids) — so applying the
+    * batch sequentially equals applying it simultaneously, and the greedy
+    * per-word overlap rule stays exactly [[bpeMergeOnce]]'s.
+    *
+    * This is the standard scale-out deviation from Sennrich's
+    * strictly-sequential argmax (documented: counts for merges 2..K in a
+    * round come from the round-START snapshot, so a learned batch can
+    * differ from the sequential learner's result): a real 30k-merge vocab
+    * at one driver round-trip + one global aggregate PER MERGE is bound by
+    * round latency (30k sequential barriers); batching divides the number
+    * of vocab-scale aggregates and lineage cuts by K, and the K limit-1
+    * selections per round run against the one CACHED pair frame — no
+    * recount, no re-merge between slots.
+    */
+  private def bpeMergesBatchedDf(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_bpe_merges_batched") {
+      def cut(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint()
+      var words = cut(bpeVocab(s, dir))
+      val learned = Seq.newBuilder[(Int, Int, String, String, Long)]
+      for (r <- 1 to BpeBatchRounds) {
+        val pairs = words
+          .select(col("freq"), explode(expr(
+            "transform(slice(syms, 1, size(syms) - 1), " +
+              "(x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val batch = Seq.newBuilder[(Int, String, String, Long)]
+        var excluded = Set.empty[String]
+        var slot = 1
+        var exhausted = false
+        while (slot <= BpeBatchK && !exhausted) {
+          val eligible = excluded.foldLeft(lit(true)) { (acc, sym) =>
+            acc && col("a") =!= sym && col("b") =!= sym
+          }
+          val best = pairs.filter(eligible)
+            .orderBy(desc("cnt"), col("a"), col("b"))
+            .limit(1).collect()
+          if (best.isEmpty) exhausted = true
+          else {
+            val (a, b) = (best(0).getString(0), best(0).getString(1))
+            batch += ((slot, a, b, best(0).getLong(2)))
+            excluded ++= Set(a, b)
+            slot += 1
+          }
+        }
+        val picked = batch.result()
+        picked.foreach { case (sl, a, b, cnt) =>
+          learned += ((r, sl, a, b, cnt))
+          // Disjoint batch => sequential application == simultaneous; the
+          // per-merge lineage cut keeps the nested fold depth at 1 (the
+          // replay-blowup note on tdp_bpe_words_final).
+          words = cut(words.withColumn("syms", bpeMergeOnce(col("syms"), a, b)))
+        }
+        pairs.unpersist(blocking = false)
+      }
+      import s.implicits._
+      learned.result().toDF("round", "slot", "sym_a", "sym_b", "pair_count")
+    }
+
+  /** DuckDB twin of the batched learner: per round, pair counts once,
+    * then [[BpeBatchK]] chained LIMIT-1 selections each excluding the
+    * symbols of earlier slots, then one simultaneous application of the
+    * whole batch (runs of consecutive matched positions are single-pair
+    * runs by disjointness, so the even-offset rule carries over intact).
+    */
+  private val bpeBatchedSqlCtes: String = {
+    val blocks = (1 to BpeBatchRounds).map { r =>
+      val slots = (1 to BpeBatchK).map { sl =>
+        val excl =
+          if (sl == 1) ""
+          else {
+            val prev = (1 until sl).map(j => s"bs${r}_$j")
+            val syms = prev
+              .map(p => s"SELECT a AS s FROM $p UNION SELECT b AS s FROM $p")
+              .mkString(" UNION ")
+            s"WHERE a NOT IN ($syms) AND b NOT IN ($syms)"
+          }
+        s"""bs${r}_$sl AS MATERIALIZED (
+           |  SELECT $sl AS slot, a, b, cnt FROM bpc$r
+           |  $excl
+           |  ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      }
+      val batchUnion = (1 to BpeBatchK)
+        .map(sl => s"SELECT * FROM bs${r}_$sl").mkString(" UNION ALL ")
+      s"""be$r AS MATERIALIZED (
+         |  SELECT word, freq, unnest(syms) AS sym,
+         |    CAST(generate_subscripts(syms, 1) AS BIGINT) AS pos
+         |  FROM bw$r),
+         |bp$r AS MATERIALIZED (
+         |  SELECT word, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM be$r),
+         |bpc$r AS MATERIALIZED (
+         |  SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM bp$r WHERE nxt IS NOT NULL
+         |  GROUP BY sym, nxt),
+         |${slots.mkString(",\n")},
+         |bb$r AS MATERIALIZED ($batchUnion),
+         |bsel$r AS MATERIALIZED (
+         |  SELECT word, pos, merged FROM (
+         |    SELECT word, pos, merged,
+         |      min(pos) OVER (PARTITION BY word, grp) AS g0
+         |    FROM (
+         |      SELECT p.word, p.pos, x.a || x.b AS merged,
+         |        p.pos - row_number() OVER (PARTITION BY p.word ORDER BY p.pos)
+         |          AS grp
+         |      FROM bp$r p, bb$r x WHERE p.sym = x.a AND p.nxt = x.b))
+         |  WHERE (pos - g0) % 2 = 0),
+         |bw${r + 1} AS MATERIALIZED (
+         |  SELECT e.word, e.freq,
+         |    list(CASE WHEN s.pos IS NOT NULL THEN s.merged ELSE e.sym END
+         |      ORDER BY e.pos) AS syms
+         |  FROM be$r e
+         |  LEFT JOIN bsel$r s ON e.word = s.word AND e.pos = s.pos
+         |  LEFT JOIN bsel$r s2 ON e.word = s2.word AND e.pos = s2.pos + 1
+         |  WHERE s2.pos IS NULL
+         |  GROUP BY e.word, e.freq)""".stripMargin
+    }
+    s"""bwt AS (SELECT unnest($toksSql) AS word FROM documents),
+       |bw1 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+       |  FROM bwt GROUP BY word),
+       |${blocks.mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeBatchedSql: String = {
+    val union = (1 to BpeBatchRounds)
+      .map(r => s"SELECT $r AS round, slot, a, b, cnt FROM bb$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $bpeBatchedSqlCtes
+       |SELECT round, CAST(slot AS BIGINT) AS slot, a AS sym_a, b AS sym_b,
+       |  a || b AS merged, cnt AS pair_count
+       |FROM ($union)
+       |ORDER BY round, slot""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // BPE TOKENIZER TRAINING (Sennrich et al. 2016, "Neural Machine
     // Translation of Rare Words with Subword Units"): learn the top
@@ -1073,6 +1227,23 @@ object TdpQueries {
               |  CAST(symbols_before AS DOUBLE) / CAST(symbols_after AS DOUBLE)
               |    AS compression
               |FROM bb, ba, bt""".stripMargin)),
+
+    // BATCHED BPE TRAINING — the 100 TB-vocab shape of tdp_bpe_merges:
+    // K merges learned per pair-count round instead of one (see
+    // bpeMergesBatchedDf for the disjointness argument and the documented
+    // deviation from the strictly-sequential argmax). Round latency, the
+    // binding constraint of the sequential learner at a real 30k-merge
+    // vocabulary, drops by K; the per-slot selections are limit-1 scans
+    // of the one cached pair frame.
+    QueryDef(
+      "tdp_bpe_merges_batched",
+      (s, dir) =>
+        bpeMergesBatchedDf(s, dir)
+          .select(col("round"), col("slot").cast(LongType).as("slot"),
+            col("sym_a"), col("sym_b"),
+            concat(col("sym_a"), col("sym_b")).as("merged"),
+            col("pair_count")),
+      Some(bpeBatchedSql)),
 
     // Exact dedup: content-hash groupBy (the 100 TB path: one shuffle on a
     // 128-bit hash, never on the full text).

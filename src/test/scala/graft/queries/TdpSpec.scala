@@ -816,6 +816,30 @@ class TdpSpec extends SparkSpec {
       (4, "lower", 1L)), s"merge sequence: ${got.toSeq}")
   }
 
+  test("Batched BPE: per-round disjoint greedy picks + slot exhaustion") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_bpe_batch").toString
+    // Round 1 pair counts: (l,o)=7, (o,w)=7, (w,e)=1, (e,r)=1.
+    // slot 1 takes (l,o) (tie vs (o,w) broken ascending); slot 2 must
+    // SKIP (o,w) — shares 'o' with slot 1 — and the (e,r)/(w,e) tie
+    // breaks to (e,r); slot 3 finds no pair disjoint from {l,o,e,r} and
+    // the round exhausts early. Round 2 (low=[lo,w] x7, lower=[lo,w,er]):
+    // slot 1 takes (lo,w)=7, slot 2 exhausts ((w,er) shares 'w').
+    val docs = Seq(
+      (1L, "low low low", "en", "s", 0L),
+      (2L, "low low low", "en", "s", 0L),
+      (3L, "lower", "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_bpe_merges_batched")(spark, dir)
+      .orderBy("round", "slot").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1, 1L, "lo", 7L),
+      (1, 2L, "er", 1L),
+      (2, 1L, "low", 7L)), s"batched merge sequence: ${got.toSeq}")
+  }
+
   test("BPE encode: merges compress the corpus, token count is invariant") {
     val r = Registry.queries("tdp_bpe_encode")(spark, sf).collect()(0)
     val (nWords, nTokens) = (r.getLong(0), r.getLong(1))
