@@ -282,6 +282,159 @@ object TdpQueries {
        |    FROM wq2 q JOIN wc c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id)
        |  WHERE rank <= 3)""".stripMargin
 
+  /** PQ geometry (Jegou et al. TPAMI'11): M subspaces x Dsub dims each,
+    * K codes per subspace — 8 nibbles = 4 B/vec vs 256 B float32.
+    */
+  private val PqM = 8
+  private val PqDsub = 8
+  private val PqK = 16
+
+  /** Per-subspace slice template over an `embedding` column. */
+  private def pqMStructs: Seq[Column] = (0 until PqM).map(m =>
+    struct(lit(m).as("m"),
+      expr(s"slice(embedding, ${m * PqDsub + 1}, $PqDsub)").as("sub")))
+
+  /** PQ codebook (code_id, m, code_vec, xx): [[PqK]] hash-sampled corpus
+    * vectors split into [[PqM]] sub-vectors (the ivfCentroids seeding
+    * device — a code is identified by its source vec_id, so no global
+    * rank window). Memoized: shared by the flat-PQ metric and the
+    * composed IVF+PQ search so the two score against the SAME codebook.
+    */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_pq_codebook")(
+      embWithNorm(s, dir)
+        .withColumn("seed_rank", expr("(vec_id * 2654435761) % 1000000007"))
+        .orderBy("seed_rank", "vec_id").limit(PqK)
+        .select(col("vec_id").as("code_id"), col("embedding"))
+        .select(col("code_id"), explode(array(pqMStructs: _*)).as("ms"))
+        .select(col("code_id"), col("ms.m").as("m"),
+          col("ms.sub").as("code_vec"))
+        .withColumn("xx", expr("graft_dot(code_vec, code_vec)")))
+
+  /** Corpus sub-vectors (vec_id, m, sub, ss), memoized — the explode feeds
+    * assignment AND the ADC query table.
+    */
+  private def pqVsub(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_pq_vsub")(
+      embWithNorm(s, dir)
+        .select(col("vec_id"), explode(array(pqMStructs: _*)).as("ms"))
+        .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
+        .withColumn("ss", expr("graft_dot(sub, sub)")))
+
+  /** PQ code assignment (c_id, m, code_id): nearest code per
+    * (vector, subspace) by L2, tie-break min code id — the 4 B/vec
+    * compressed index itself, memoized for every ADC consumer.
+    */
+  private def pqAssign(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_pq_assign") {
+      val wAsg = Window.partitionBy("vec_id", "m").orderBy("l2", "code_id")
+      pqVsub(s, dir).join(broadcast(pqCodebook(s, dir)), "m")
+        .withColumn("l2",
+          expr("(ss - 2.0D * graft_dot(sub, code_vec)) + xx"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("c_id"), col("m"), col("code_id"))
+    }
+
+  /** ADC lookup table (q_id, m, code_id, pdot_micro): query float
+    * sub-vectors x codebook partial dots, floored to integer MICRO-units
+    * so partial-aggregation order can never change a ranking (the
+    * tdp_bigram_logprob exactness device). nq x M x K rows —
+    * broadcastable at any corpus size.
+    */
+  private def pqQtab(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_pq_qtab")(
+      pqVsub(s, dir).filter(col("vec_id") % 50 === 0)
+        .join(broadcast(pqCodebook(s, dir)), "m")
+        .select(col("vec_id").as("q_id"), col("m"), col("code_id"),
+          expr("CAST(floor(graft_dot(sub, code_vec) * 1000000.0D) AS BIGINT)")
+            .as("pdot_micro")))
+
+  /** Probed-cell candidate pairs (q_id, c_id) of the composed IVF+PQ
+    * search: each query fans out to its nprobe=2 nearest centroid buckets
+    * (reusing the memoized top-2 assignment), candidates come from their
+    * single home bucket — a cluster-keyed equi-join, never all-pairs.
+    */
+  private[graft] def ivfPqCells(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_ann_ivfpq_cells") {
+      val qcells = ivfAssign2(s, dir).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("cluster"))
+      val ccells = ivfAssign(s, dir)
+        .select(col("vec_id").as("c_id"), col("cluster"))
+      qcells.join(ccells, "cluster")
+        .filter(col("q_id") =!= col("c_id"))
+        .select("q_id", "c_id")
+    }
+
+  /** Composed IVF routing + PQ/ADC scoring top-3 (the production ANN
+    * shape: coarse quantizer prunes the corpus to probed cells, product
+    * codes score the survivors without touching a float vector).
+    * Memoized: the query result AND the PlanSpec subject.
+    */
+  private[graft] def ivfPqTop3(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_ann_ivfpq_top") {
+      val adc = ivfPqCells(s, dir)
+        .join(pqAssign(s, dir), "c_id")
+        .join(broadcast(pqQtab(s, dir)), Seq("q_id", "m", "code_id"))
+        .groupBy("q_id", "c_id")
+        .agg(sum("pdot_micro").as("adc_micro"))
+      val wPq = Window.partitionBy("q_id")
+        .orderBy(desc("adc_micro"), col("c_id"))
+      adc.withColumn("rank", row_number().over(wPq))
+        .filter(col("rank") <= 3)
+        .select("q_id", "c_id", "rank")
+    }
+
+  /** DuckDB twin of the PQ machinery, ending in cassign/qtab — shared by
+    * the tdp_ann_pq and tdp_ann_ivfpq oracles so the codebook, the
+    * assignment and the ADC table can never drift between the flat and
+    * composed searches.
+    */
+  private val pqSqlCtes: String = {
+    def ldot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 9),
+         |        i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""seeds AS (
+       |  SELECT vec_id AS code_id, embedding FROM emb
+       |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+       |  LIMIT $PqK),
+       |codebook AS (
+       |  SELECT code_id, CAST(r.range AS INT) AS m,
+       |    list_transform(
+       |      list_slice(embedding, r.range * $PqDsub + 1,
+       |        r.range * $PqDsub + $PqDsub),
+       |      x -> CAST(x AS DOUBLE)) AS code_vec
+       |  FROM seeds, range(0, $PqM) r),
+       |cb AS (
+       |  SELECT code_id, m, code_vec,
+       |    ${ldot("code_vec", "code_vec")} AS xx
+       |  FROM codebook),
+       |vsub AS (
+       |  SELECT vec_id, CAST(r.range AS INT) AS m,
+       |    list_transform(
+       |      list_slice(embedding, r.range * $PqDsub + 1,
+       |        r.range * $PqDsub + $PqDsub),
+       |      x -> CAST(x AS DOUBLE)) AS sub
+       |  FROM emb, range(0, $PqM) r),
+       |vs AS (
+       |  SELECT vec_id, m, sub, ${ldot("sub", "sub")} AS ss FROM vsub),
+       |cassign AS (
+       |  SELECT vec_id AS c_id, m, code_id FROM (
+       |    SELECT v.vec_id, v.m, b.code_id,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.m
+       |        ORDER BY (v.ss - 2.0 * (${ldot("v.sub", "b.code_vec")}))
+       |          + b.xx, b.code_id) AS rn
+       |    FROM vs v JOIN cb b ON v.m = b.m)
+       |  WHERE rn = 1),
+       |qtab AS (
+       |  SELECT v.vec_id AS q_id, v.m, b.code_id,
+       |    CAST(floor((${ldot("v.sub", "b.code_vec")}) * 1000000.0)
+       |      AS BIGINT) AS pdot_micro
+       |  FROM vs v JOIN cb b ON v.m = b.m
+       |  WHERE v.vec_id % 50 = 0)""".stripMargin
+  }
+
   /** Deterministic pseudo-random hyperplane j dotted with `embedding`
     * (integer plane weights in [-48, 48]); shared by the LSH bucket
     * histogram and the embedding near-dup pair queries. The plane is a
@@ -1930,39 +2083,9 @@ object TdpQueries {
     QueryDef(
       "tdp_ann_pq",
       (s, dir) => {
-        val M = 8
-        val Dsub = 8
-        val K = 16
         val e = embWithNorm(s, dir)
-        val seeds = e
-          .withColumn("seed_rank", expr("(vec_id * 2654435761) % 1000000007"))
-          .orderBy("seed_rank", "vec_id").limit(K)
-          .select(col("vec_id").as("code_id"), col("embedding"))
-        val mStructs = (0 until M).map(m =>
-          struct(lit(m).as("m"),
-            expr(s"slice(embedding, ${m * Dsub + 1}, $Dsub)").as("sub")))
-        val codebook = seeds
-          .select(col("code_id"), explode(array(mStructs: _*)).as("ms"))
-          .select(col("code_id"), col("ms.m").as("m"),
-            col("ms.sub").as("code_vec"))
-          .withColumn("xx", expr("graft_dot(code_vec, code_vec)"))
-        val vsub = e
-          .select(col("vec_id"), explode(array(mStructs: _*)).as("ms"))
-          .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
-          .withColumn("ss", expr("graft_dot(sub, sub)"))
-        val wAsg = Window.partitionBy("vec_id", "m").orderBy("l2", "code_id")
-        val cassign = vsub.join(broadcast(codebook), "m")
-          .withColumn("l2",
-            expr("(ss - 2.0D * graft_dot(sub, code_vec)) + xx"))
-          .withColumn("rn", row_number().over(wAsg))
-          .filter(col("rn") === 1)
-          .select(col("vec_id").as("c_id"), col("m"), col("code_id"))
-        val qtab = vsub.filter(col("vec_id") % 50 === 0)
-          .join(broadcast(codebook), "m")
-          .select(col("vec_id").as("q_id"), col("m"), col("code_id"),
-            expr("CAST(floor(graft_dot(sub, code_vec) * 1000000.0D) AS BIGINT)")
-              .as("pdot_micro"))
-        val adc = cassign.join(broadcast(qtab), Seq("m", "code_id"))
+        val adc = pqAssign(s, dir)
+          .join(broadcast(pqQtab(s, dir)), Seq("m", "code_id"))
           .groupBy("q_id", "c_id")
           .agg(sum("pdot_micro").as("adc_micro"))
           .filter(col("q_id") =!= col("c_id"))
@@ -1990,47 +2113,8 @@ object TdpQueries {
             lit(256L).as("fp32_bytes_per_vec"), lit(4L).as("pq_bytes_per_vec"))
       },
       Some {
-        def ldot(a: String, b: String) =
-          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             |      list_transform(range(1, 9),
-             |        i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
         s"""WITH $embNormSql,
-           |seeds AS (
-           |  SELECT vec_id AS code_id, embedding FROM emb
-           |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
-           |  LIMIT 16),
-           |codebook AS (
-           |  SELECT code_id, CAST(r.range AS INT) AS m,
-           |    list_transform(
-           |      list_slice(embedding, r.range * 8 + 1, r.range * 8 + 8),
-           |      x -> CAST(x AS DOUBLE)) AS code_vec
-           |  FROM seeds, range(0, 8) r),
-           |cb AS (
-           |  SELECT code_id, m, code_vec,
-           |    ${ldot("code_vec", "code_vec")} AS xx
-           |  FROM codebook),
-           |vsub AS (
-           |  SELECT vec_id, CAST(r.range AS INT) AS m,
-           |    list_transform(
-           |      list_slice(embedding, r.range * 8 + 1, r.range * 8 + 8),
-           |      x -> CAST(x AS DOUBLE)) AS sub
-           |  FROM emb, range(0, 8) r),
-           |vs AS (
-           |  SELECT vec_id, m, sub, ${ldot("sub", "sub")} AS ss FROM vsub),
-           |cassign AS (
-           |  SELECT vec_id AS c_id, m, code_id FROM (
-           |    SELECT v.vec_id, v.m, b.code_id,
-           |      row_number() OVER (PARTITION BY v.vec_id, v.m
-           |        ORDER BY (v.ss - 2.0 * (${ldot("v.sub", "b.code_vec")}))
-           |          + b.xx, b.code_id) AS rn
-           |    FROM vs v JOIN cb b ON v.m = b.m)
-           |  WHERE rn = 1),
-           |qtab AS (
-           |  SELECT v.vec_id AS q_id, v.m, b.code_id,
-           |    CAST(floor((${ldot("v.sub", "b.code_vec")}) * 1000000.0)
-           |      AS BIGINT) AS pdot_micro
-           |  FROM vs v JOIN cb b ON v.m = b.m
-           |  WHERE v.vec_id % 50 = 0),
+           |$pqSqlCtes,
            |adc AS (
            |  SELECT q.q_id, a.c_id,
            |    CAST(sum(q.pdot_micro) AS BIGINT) AS adc_micro
@@ -2060,6 +2144,84 @@ object TdpQueries {
            |  CAST(4 AS BIGINT) AS pq_bytes_per_vec
            |FROM ne, nh""".stripMargin
       }),
+
+    // COMPOSED IVF + PQ/ADC — the production ANN index shape (FAISS
+    // IVFPQ): the coarse quantizer routes each query to its nprobe=2
+    // nearest centroid buckets and prunes the corpus to those cells
+    // (cluster-keyed equi-join, PlanSpec-asserted), then PQ codes score
+    // ONLY the survivors via the broadcast ADC lookup table — no float
+    // vector is touched after routing. Until now IVF recall and PQ
+    // recall were measured separately (tdp_ann_recall_nprobe,
+    // tdp_ann_pq); this metric prices the composition: n_candidates
+    // shows the routing pruning (vs nq x corpus flat), recall@3 vs the
+    // float-exact truth compounds both quantization losses. All pieces
+    // reuse the memoized IVF assignment and PQ codebook/assignment/qtab
+    // frames, so the composed search adds one cells join + one ADC
+    // aggregate to the suite's cost.
+    QueryDef(
+      "tdp_ann_ivfpq",
+      (s, dir) => {
+        val e = embWithNorm(s, dir)
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("norm").as("c_norm"))
+        val wf = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+        val truth = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(wf))
+          .filter(col("rank") <= 3)
+          .select("q_id", "c_id")
+        val cand = ivfPqTop3(s, dir).select("q_id", "c_id")
+        val nTruth = truth.agg(count(lit(1)).as("n_exact"))
+        val nCand = ivfPqCells(s, dir).agg(count(lit(1)).as("n_candidates"))
+        val nHit = truth.join(cand, Seq("q_id", "c_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        broadcast(nTruth).crossJoin(nCand).crossJoin(nHit)
+          .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+            (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+              .as("recall_ivfpq"))
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |$pqSqlCtes,
+              |cells AS (
+              |  SELECT q.vec_id AS q_id, a.vec_id AS c_id
+              |  FROM (SELECT vec_id, cluster FROM assigned2
+              |        WHERE vec_id % 50 = 0) q
+              |  JOIN assigned a
+              |    ON q.cluster = a.cluster AND q.vec_id <> a.vec_id),
+              |adcp AS (
+              |  SELECT p.q_id, p.c_id,
+              |    CAST(sum(t.pdot_micro) AS BIGINT) AS adc_micro
+              |  FROM cells p
+              |  JOIN cassign a ON p.c_id = a.c_id
+              |  JOIN qtab t
+              |    ON t.q_id = p.q_id AND t.m = a.m AND t.code_id = a.code_id
+              |  GROUP BY 1, 2),
+              |candp AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY adc_micro DESC, c_id) AS rank
+              |    FROM adcp)
+              |  WHERE rank <= 3),
+              |truth AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id)
+              |        AS rank
+              |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+              |    WHERE q.vec_id % 50 = 0)
+              |  WHERE rank <= 3),
+              |ne AS (SELECT count(*) AS n_exact FROM truth),
+              |ncp AS (SELECT count(*) AS n_candidates FROM cells),
+              |nhp AS (SELECT count(*) AS n_hit
+              |        FROM truth JOIN candp USING (q_id, c_id))
+              |SELECT n_exact, n_candidates, n_hit,
+              |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_ivfpq
+              |FROM ne, ncp, nhp""".stripMargin)),
 
     // Random-hyperplane LSH for cosine similarity: 8 deterministic
     // pseudo-planes -> 8-bit sign signature -> bucket histogram. Vectors

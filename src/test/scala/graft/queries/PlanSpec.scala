@@ -133,6 +133,43 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("ivfpq: candidate generation is cell-keyed; ADC table broadcasts") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins._
+    // The composed IVF->PQ search subtree (routing + ADC scoring) must be
+    // pure equi-joins: cells on `cluster`, codes on `c_id`, the ADC
+    // lookup on (q_id, m, code_id) via broadcast. A nested loop or
+    // cartesian anywhere here is corpus-scale at 100 TB. The memoized
+    // frames plan as InMemoryTableScan leaves whose toString RENDERS
+    // their cached child plans (including the documented vectors x
+    // broadcast-centroids assignment crossJoin), so collect real join
+    // nodes instead of string-matching: unwrap the df's own cache entry,
+    // stop at deeper cache boundaries.
+    def searchJoins(df: org.apache.spark.sql.DataFrame): Seq[BaseJoinExec] = {
+      def deAdaptive(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case o => o
+      }
+      val p0 = deAdaptive(df.queryExecution.executedPlan)
+      val inner = p0.collectFirst {
+        case s: InMemoryTableScanExec => deAdaptive(s.relation.cachedPlan)
+      }.getOrElse(p0)
+      inner.collect { case j: BaseJoinExec => j }
+    }
+    val topJoins = searchJoins(TdpQueries.ivfPqTop3(spark, dir))
+    val cellJoins = searchJoins(TdpQueries.ivfPqCells(spark, dir))
+    assert(topJoins.nonEmpty && cellJoins.nonEmpty)
+    assert((topJoins ++ cellJoins).forall(j =>
+      !j.isInstanceOf[CartesianProductExec] &&
+        !j.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      (topJoins ++ cellJoins).mkString("\n"))
+    // The ADC lookup table must attach via broadcast hash join.
+    assert(topJoins.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      topJoins.mkString("\n"))
+  }
+
   test("budget select: offsets broadcast; no global single-partition sort") {
     val df = Registry.queries("tdp_budget_select")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
