@@ -11,14 +11,18 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[ImageIoDecoder]] parses PNG/BMP/GIF/JPEG
   * payloads with the JDK's built-in `javax.imageio` (no external codec
   * needed) and derives dimensions + an 8-bin grayscale histogram from the
-  * actual pixels. Audio/video decode remains a clearly marked STUB (this
-  * container ships no AV codecs): [[FakeDecoder]] derives deterministic
-  * pseudo dimensions/features from the payload bytes, and unparseable
-  * image bytes fall back to it so the decode stays a total function.
-  * Everything around the kernels — the schema, the typed Dataset surface,
-  * the mapPartitions batch shape, and the pure-Column metadata operators —
-  * is the Spark plumbing a production AV decoder (JNI codec or Python
-  * worker via Arrow batches) would plug into, partition-by-partition.
+  * actual pixels. AUDIO decode is REAL too: [[WavDecoder]] parses
+  * WAV/AIFF/AU payloads with the JDK's `javax.sound.sampled` and derives
+  * sample rate, frame count and an amplitude histogram from the actual
+  * PCM samples. Only VIDEO decode remains a clearly marked STUB (this
+  * container ships no video codecs): [[FakeDecoder]] derives
+  * deterministic pseudo dimensions/features from the payload bytes, and
+  * unparseable image/audio bytes fall back to it so the decode stays a
+  * total function. Everything around the kernels — the schema, the typed
+  * Dataset surface, the mapPartitions batch shape, and the pure-Column
+  * metadata operators — is the Spark plumbing a production video decoder
+  * (JNI codec or Python worker via Arrow batches) would plug into,
+  * partition-by-partition.
   */
 object Multimodal {
 
@@ -92,14 +96,69 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode kernel via the JDK's `javax.sound.sampled` — WAV,
+    * AIFF and AU parse without any external library. The Decoded mapping
+    * for audio: `width` = sample rate (Hz), `height` = bits per sample,
+    * `n_frames` = PCM frame count, `features` = 8-bin normalized
+    * histogram of |sample| (16-bit full scale split into 4096-wide bins).
+    * Non-audio media and payloads AudioSystem cannot parse fall back to
+    * [[FakeDecoder]] so the kernel stays a total function.
+    */
+  val WavDecoder: Decoder = { f =>
+    val ais =
+      if (f.media_type != "audio") null
+      else
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(f.content))
+        catch { case _: Throwable => null }
+    if (ais == null) FakeDecoder(f)
+    else {
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        FakeDecoder(f) // 16-bit signed PCM only; re-encode upstream otherwise
+      else {
+        val n = ais.getFrameLength.toInt
+        val bytes = ais.readAllBytes()
+        val fs = fmt.getFrameSize // bytes per frame (all channels)
+        val big = fmt.isBigEndian
+        val hist = new Array[Long](8)
+        var i = 0
+        while (i < n) {
+          val off = i * fs // channel 0 of the frame
+          val s =
+            if (big) (bytes(off).toInt << 8) | (bytes(off + 1) & 0xff)
+            else (bytes(off + 1).toInt << 8) | (bytes(off) & 0xff)
+          hist(math.min(7, math.abs(s) >> 12)) += 1
+          i += 1
+        }
+        Decoded(f.media_id, fmt.getSampleRate.toInt,
+          fmt.getSampleSizeInBits, n,
+          hist.map(c => if (n == 0) 0f else c.toFloat / n))
+      }
+    }
+  }
+
+  /** Media-type dispatch: real codecs where the JDK has one, stub for
+    * video only.
+    */
+  val RealDecoder: Decoder = { f =>
+    f.media_type match {
+      case "image" => ImageIoDecoder(f)
+      case "audio" => WavDecoder(f)
+      case _ => FakeDecoder(f)
+    }
+  }
+
   /** Partition-wise batch decode: the hot path stays an iterator pipeline
     * (one decoder instance per partition, no per-row setup), which is the
-    * shape a JNI/Arrow-batch decoder needs at 100 TB. Images decode for
-    * real ([[ImageIoDecoder]]); audio/video hit the stub.
+    * shape a JNI/Arrow-batch decoder needs at 100 TB. Images and audio
+    * decode for real ([[ImageIoDecoder]], [[WavDecoder]]); video hits the
+    * stub.
     */
   def decodePartitions(
       media: Dataset[MediaFile],
-      decoder: Decoder = ImageIoDecoder): Dataset[Decoded] = {
+      decoder: Decoder = RealDecoder): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // Real impl: initialize the codec once here, then stream the batch.
@@ -258,6 +317,71 @@ object Multimodal {
         }
         ResizedMeta(id, src.getWidth, src.getHeight, nw, nh,
           sum.toDouble / (nw.toLong * nh))
+      }
+    }
+  }
+
+  /** Deterministic 16-bit mono WAV: sample rate, length and every PCM
+    * sample are pure arithmetic on the id (`s_i = (i*a + id) mod 8193 -
+    * 4096` with `a = 37 + id mod 12`), so an engine that never touches
+    * audio bytes (the DuckDB oracle) can predict exactly what a REAL
+    * javax.sound decode of these bytes must return — the audio twin of
+    * [[synthPng]]. WAV PCM is lossless; the bytes go through a real
+    * AudioSystem encode.
+    */
+  def synthWav(id: Long): Array[Byte] = {
+    val sr = 8000 + (id % 5).toInt * 2000
+    val n = 400 + ((id * 7) % 1200).toInt
+    val a = 37 + (id % 12)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((i * a + id) % 8193L - 4096L).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sr.toFloat, 16, 1, true, false) // 16-bit signed mono little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  final case class AudioMeta(
+      media_id: Long, sample_rate: Long, n_samples: Long,
+      duration_ms: Long, rms_milli: Long)
+
+  /** Per-partition WAV encode -> AudioSystem decode round trip: emits the
+    * decoded stream's true sample rate, frame count, floor-division
+    * duration and RMS amplitude in milli-units. The sum of squares is an
+    * exact integer (&le; 1600 * 4096^2 &ll; 2^53) and the one divide/sqrt
+    * is IEEE-identical across engines, so `tdp_audio_meta`'s oracle
+    * predicts every value bitwise from the synthesis arithmetic — if the
+    * encode->decode path corrupted a single sample the hash check fails.
+    */
+  def wavRoundTripMeta(ids: Dataset[Long]): Dataset[AudioMeta] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(synthWav(id)))
+        val fmt = ais.getFormat
+        val sr = fmt.getSampleRate.toLong
+        val n = ais.getFrameLength.toInt
+        val bytes = ais.readAllBytes()
+        var sumSq = 0L
+        var i = 0
+        while (i < n) {
+          val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          sumSq += s.toLong * s
+          i += 1
+        }
+        AudioMeta(id, sr, n.toLong, n.toLong * 1000L / sr,
+          math.floor(math.sqrt(sumSq.toDouble / n) * 1000.0).toLong)
       }
     }
   }

@@ -2828,6 +2828,46 @@ object TdpQueries {
              |    / CAST(nw * nh AS DOUBLE) AS mean_gray
              |FROM rz4""".stripMargin)),
 
+    // REAL audio-codec round trip, oracle-checked: per doc_id, synthesize
+    // a 16-bit mono WAV whose sample rate, length and every PCM sample
+    // are pure arithmetic on the id, encode it with javax.sound.sampled,
+    // decode it back, and emit the stream's true sample rate / frame
+    // count / duration / RMS (mapPartitions kernel, one decoder context
+    // per partition — graft.multimodal.Multimodal.wavRoundTripMeta). WAV
+    // PCM is lossless, so the DuckDB oracle predicts the decode output
+    // without any codec: the sum of squares is an exact integer fold over
+    // the synthesis formula, and a single corrupted sample fails the hash
+    // check. Retires the audio half of the AV stub — only video remains
+    // faked (no JDK video codec exists).
+    QueryDef(
+      "tdp_audio_meta",
+      (s, dir) => {
+        import s.implicits._
+        graft.multimodal.Multimodal
+          .wavRoundTripMeta(table(s, dir, "documents")
+            .select(col("doc_id")).as[Long])
+          .toDF()
+      },
+      Some("""WITH aw AS (
+             |  SELECT doc_id,
+             |    CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sr,
+             |    CAST(400 + (doc_id * 7) % 1200 AS BIGINT) AS n,
+             |    37 + doc_id % 12 AS a
+             |  FROM documents),
+             |aw2 AS (
+             |  SELECT doc_id, sr, n,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(0, CAST(n AS INTEGER)),
+             |        i -> ((i * a + doc_id) % 8193 - 4096)
+             |          * ((i * a + doc_id) % 8193 - 4096))),
+             |      (acc, x) -> acc + x) AS sum_sq
+             |  FROM aw)
+             |SELECT doc_id AS media_id, sr AS sample_rate, n AS n_samples,
+             |  n * 1000 // sr AS duration_ms,
+             |  CAST(floor(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * 1000.0) AS BIGINT) AS rms_milli
+             |FROM aw2""".stripMargin)),
+
     // Language ID: marker-substring scoring (n-gram heuristic); argmax
     // with a fixed tie-break order.
     QueryDef(

@@ -56,6 +56,54 @@ class MultimodalSpec extends SparkSpec {
     assert(metas.forall(m => m.mean_gray == (m.media_id % 256).toDouble))
   }
 
+  test("WavDecoder decodes a real embedded WAV: true rate/frames/histogram") {
+    val s = spark
+    import s.implicits._
+    // id=100: sr = 8000 + 0*2000 = 8000, n = 400 + 700%1200 = 1100.
+    val wav = MediaFile(100L, "/aud/real.wav", "audio", synthWav(100L),
+      MediaMeta("wav", 0L, 0L))
+    val junk = MediaFile(4L, "/aud/junk.wav", "audio",
+      "WAVDATA-nope".getBytes("UTF-8"), MediaMeta("wav", 12L, 0L))
+    val out = decodePartitions(s.createDataset(Seq(wav, junk)))
+      .collect().sortBy(_.media_id)
+    val real = out.find(_.media_id == 100L).get
+    // Audio mapping: width = sample rate, height = bits, n_frames = PCM
+    // frames; histogram is a distribution over |sample| bins.
+    assert(real.width == 8000 && real.height == 16 && real.n_frames == 1100)
+    assert(math.abs(real.features.sum - 1.0f) < 1e-5)
+    // Samples are ~uniform in [-4096, 4096]: everything lands in the
+    // first |sample| bin (4096-wide), nothing above it.
+    assert(real.features(0) == 1.0f)
+    val fallback = out.find(_.media_id == 4L).get
+    assert(fallback.width >= 64) // FakeDecoder's deterministic range
+  }
+
+  test("wavRoundTripMeta: lossless codec round trip matches the arithmetic") {
+    val s = spark
+    import s.implicits._
+    val metas = wavRoundTripMeta(s.range(0, 200).as[Long])
+      .collect().sortBy(_.media_id)
+    assert(metas.length == 200)
+    assert(metas.forall(m =>
+      m.sample_rate == 8000 + (m.media_id % 5) * 2000))
+    assert(metas.forall(m => m.n_samples == 400 + (m.media_id * 7) % 1200))
+    assert(metas.forall(m =>
+      m.duration_ms == m.n_samples * 1000 / m.sample_rate))
+    // RMS recomputed from the synthesis formula, never from the codec.
+    assert(metas.forall { m =>
+      val a = 37 + m.media_id % 12
+      var sumSq = 0L
+      var i = 0L
+      while (i < m.n_samples) {
+        val v = (i * a + m.media_id) % 8193L - 4096L
+        sumSq += v * v
+        i += 1
+      }
+      m.rms_milli ==
+        math.floor(math.sqrt(sumSq.toDouble / m.n_samples) * 1000.0).toLong
+    })
+  }
+
   test("mediaStats prunes content: metadata aggregation over binary table") {
     val s = spark
     import s.implicits._
