@@ -105,4 +105,46 @@ object DocsStream {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** Bloom-prefiltered corpus-novelty verdicts for a document stream —
+    * the streaming twin of the batch `tdp_bloom_dedup` miss-skip. The
+    * static corpus's content-hash set is folded ONCE into a
+    * `graft_bloom_agg` sketch (a distributed aggregate whose OR-merged
+    * partials return a few-hundred-KB byte array to the driver — sized by
+    * key count, never by data) and embedded in the streaming plan as a
+    * literal, probed by `graft_bloom_contains` inside whole-stage codegen.
+    *
+    * The miss-skip is STRUCTURAL, not advisory: the plan is a union of
+    * two legs, and the bloom-miss leg — definitively novel, Bloom has no
+    * false negatives — contains no join at all; only probe-positive rows
+    * enter the stream-static verify join, where false positives die. So
+    * every micro-batch joins `|already-seen|·(1+fpp)` rows instead of
+    * `|batch|`, and the verdicts are EXACTLY the exact-membership answer.
+    * At 100 TB this is the stage that runs BEFORE [[nearDupBands]]:
+    * corpus-known documents need no LSH state at all.
+    */
+  def bloomNovelty(
+      docs: DataFrame, corpus: DataFrame, fpp: Double = 0.01): DataFrame = {
+    val s = docs.sparkSession
+    graft.expressions.GraftExtensions.registerAll(s)
+    val corpusH = corpus.select(xxhash64(col("text")).as("h")).distinct()
+    // Production pattern: the key count is one cheap agg away (or a
+    // catalog stat); it sizes the sketch BEFORE the fold.
+    val nCorpus = math.max(corpusH.count(), 1L)
+    val bloomBytes = corpusH
+      .agg(call_function("graft_bloom_agg", col("h"),
+        lit(nCorpus), lit(fpp)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val hashed = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val probe =
+      call_function("graft_bloom_contains", col("h"), lit(bloomBytes))
+    val misses = hashed.filter(!probe)
+      .select(col("doc_id"),
+        lit(false).as("bloom_hit"), lit(false).as("known"))
+    val hits = hashed.filter(probe)
+      .join(corpusH.withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"), lit(true).as("bloom_hit"),
+        coalesce(col("in_corpus"), lit(false)).as("known"))
+    misses.unionByName(hits)
+  }
 }

@@ -358,4 +358,63 @@ class StreamingSpec extends SparkSpec {
       assert(nBands.values.forall(_ === 4L), s"4 band rows per doc: $nBands")
     } finally q.stop()
   }
+
+  test("streaming bloom prefilter: novel docs bypass the verify join across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = DocsStream.bloomNovelty(df, corpus)
+
+    // The miss-skip must be STRUCTURAL: the plan is a union whose
+    // bloom-miss leg contains NO join (novel docs never reach the verify
+    // join), while the probe-hit leg carries the stream-static semi
+    // verification. Assert on the analyzed logical plan of the stream.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Union}
+    val union = out.queryExecution.analyzed.collectFirst {
+      case u: Union => u
+    }.getOrElse(fail("bloomNovelty must plan as a two-leg union"))
+    val Seq(missLeg, hitLeg) = union.children.toSeq
+    assert(missLeg.collect { case j: Join => j }.isEmpty,
+      s"bloom-miss leg must be join-free:\n$missLeg")
+    assert(missLeg.toString.contains("graft_bloom_contains"))
+    assert(hitLeg.collect { case j: Join => j }.nonEmpty,
+      s"probe-hit leg must carry the verify join:\n$hitLeg")
+
+    val q = out
+      .writeStream.format("memory").queryName("bloom_novelty")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc 1 is a corpus duplicate, doc 2 is novel.
+      mem.addData(
+        (1L, ts("2026-01-01 10:00:00"),
+          "the quick brown fox jumps over the lazy dog"),
+        (2L, ts("2026-01-01 10:01:00"), "a wholly novel document"))
+      q.processAllAvailable()
+      // batch 2: the sketch keeps serving later batches — doc 3 dups the
+      // OTHER corpus doc, doc 4 is novel.
+      mem.addData(
+        (3L, ts("2026-01-01 10:05:00"),
+          "pack my box with five dozen liquor jugs"),
+        (4L, ts("2026-01-01 10:06:00"), "another never seen text"))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT doc_id, bloom_hit, known FROM bloom_novelty ORDER BY 1")
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2))))
+        .toMap
+      assert(rows(1L) === ((true, true)), "corpus dup: probe hit + verified")
+      assert(rows(3L) === ((true, true)), "cross-batch corpus dup verified")
+      // Novel docs: definitively novel on the bloom miss (no false
+      // negatives); with 2 corpus keys at fpp=0.01 a false positive on
+      // these fixed hashes would be deterministic and caught here.
+      assert(rows(2L) === ((false, false)), "novel doc skips the join")
+      assert(rows(4L) === ((false, false)), "novel doc skips the join")
+    } finally q.stop()
+  }
 }
