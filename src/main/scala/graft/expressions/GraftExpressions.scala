@@ -239,7 +239,11 @@ object GraftExtensions {
     entry("graft_bloom_agg", classOf[BloomBuildAgg], 3)(
       exprs => BloomBuildAgg(exprs(0), exprs(1), exprs(2))),
     entry("graft_bloom_contains", classOf[BloomMightContainExpr], 2)(
-      exprs => BloomMightContainExpr(exprs(0), exprs(1))))
+      exprs => BloomMightContainExpr(exprs(0), exprs(1))),
+    entry("graft_cms_agg", classOf[CountMinBuildAgg], 2)(
+      exprs => CountMinBuildAgg(exprs(0), exprs(1))),
+    entry("graft_cms_estimate", classOf[CountMinEstimateExpr], 2)(
+      exprs => CountMinEstimateExpr(exprs(0), exprs(1))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config, e.g. the driver-owned Verify/Bench sessions):

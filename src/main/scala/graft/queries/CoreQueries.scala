@@ -657,5 +657,59 @@ object CoreQueries {
              |  count(*) AS n_events,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM assigned GROUP BY 1, 2""".stripMargin)),
+
+    // Two-phase SALTED aggregation (graft.operators.SkewJoin): the
+    // skew device for hot group keys — partial aggregate on (key, salt)
+    // spreads each hot key over 16 reducers, final aggregate on the key
+    // re-combines. l_returnflag has 3 values over the whole corpus: the
+    // canonical shape where a plain groupBy funnels everything through 3
+    // reducers at 100 TB. The oracle is the PLAIN group-by — a correct
+    // salting device must be invisible in the result. Salt is a pure
+    // function of (l_orderkey, l_linenumber), so the plan is fully
+    // deterministic and retry-safe.
+    QueryDef(
+      "q32_salted_agg",
+      (s, dir) =>
+        graft.operators.SkewJoin.saltedAggregate(
+          table(s, dir, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
+          Seq("l_returnflag"),
+          buckets = 16,
+          partialAggs = Seq(sum("l_quantity").as("pq"), count(lit(1)).as("pn")),
+          finalAggs = Seq(sum(col("pq")).as("sum_qty"),
+            sum(col("pn")).as("n_rows")),
+          saltBy = Some(col("l_orderkey") * 31 + col("l_linenumber"))),
+      Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // Distribution-rank window battery: ntile quartiles + percent_rank +
+    // cume_dist over a deterministic (value, key) order — completes the
+    // ranking-function family next to row_number (q4/q5), lag/lead (q27)
+    // and nearest-rank percentiles (q23). Both engines define ntile with
+    // larger-buckets-first and percent_rank as (rank-1)/(n-1); the order
+    // key is unique so no tie ambiguity exists.
+    QueryDef(
+      "q33_rank_distributions",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("fp"), col("o_orderkey"))
+        table(s, dir, "orders")
+          .filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            floor(col("o_totalprice")).cast(LongType).as("fp"))
+          .withColumn("quartile", ntile(4).over(w).cast(LongType))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  CAST(FLOOR(o_totalprice) AS BIGINT) AS fp,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cume
+             |FROM orders
+             |WHERE o_orderkey % 100 = 0
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |  ORDER BY CAST(FLOOR(o_totalprice) AS BIGINT), o_orderkey)""".stripMargin)),
   )
 }

@@ -2516,6 +2516,65 @@ object TdpQueries {
               |LEFT JOIN kn ON d.doc_id = kn.doc_id
               |WHERE d.doc_id % 10 = 7""".stripMargin)),
 
+    // COUNT-MIN heavy hitters (Cormode & Muthukrishnan 2005): the
+    // frequency-sketch leg of the sketch family (Bloom = membership,
+    // KMV bottom-k = distinct count, CMS = frequency). graft_cms_agg is
+    // a native TypedImperativeAggregate — 4 x 512 counters per task,
+    // merge = element-wise ADD through the shuffle — so a corpus-wide
+    // token-frequency summary is one pass with fixed state, and the
+    // driver hop is the sketch, never the vocabulary. The report probes
+    // the sketch (graft_cms_estimate, codegen'd) for the exact top-20
+    // tokens and publishes estimate vs truth: overestimate >= 0 always
+    // (CMS never under-counts), and the oracle REBUILDS every counter
+    // relationally from the same fixed affine hash rows, so a single
+    // miscounted cell anywhere in the distributed build/merge fails the
+    // hash check. At 100 TB the sketch answers "how hot is this token"
+    // without a vocabulary-sized shuffle — the header-table side of
+    // heavy-hitter capping.
+    QueryDef(
+      "tdp_heavy_hitters",
+      (s, dir) => {
+        val W = 512
+        val toks = docToks(s, dir).select(explode(col("toks")).as("tok"))
+          .withColumn("key", expr(polyHashExpr("tok")))
+        val sketchBytes = toks
+          .agg(call_function("graft_cms_agg", col("key"), lit(W)).as("sk"))
+          .head().getAs[Array[Byte]](0)
+        toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+          .orderBy(desc("n_exact"), col("tok")).limit(20)
+          .withColumn("n_est", call_function("graft_cms_estimate",
+            expr(polyHashExpr("tok")), lit(sketchBytes)))
+          .select(col("tok"), col("n_exact"), col("n_est"),
+            (col("n_est") - col("n_exact")).as("overestimate"))
+      },
+      Some {
+        def bucketSql(keyExpr: String, rExpr: String) =
+          s"(($keyExpr * ([31,131,8191,131071][CAST($rExpr + 1 AS INTEGER)])" +
+            s" + [7,101,1009,10007][CAST($rExpr + 1 AS INTEGER)])" +
+            s" % $P) % 512"
+        s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+           |k AS MATERIALIZED (
+           |  SELECT tok, ${polyHashSql("tok")} AS key FROM t),
+           |counters AS MATERIALIZED (
+           |  SELECT r.range AS r, ${bucketSql("key", "r.range")} AS b,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM k, range(0, 4) r
+           |  GROUP BY 1, 2),
+           |top20 AS (
+           |  SELECT tok, min(key) AS key, CAST(count(*) AS BIGINT) AS n_exact
+           |  FROM k GROUP BY tok
+           |  ORDER BY n_exact DESC, tok LIMIT 20),
+           |est AS (
+           |  SELECT t.tok, t.n_exact, CAST(min(c.c) AS BIGINT) AS n_est
+           |  FROM top20 t
+           |  CROSS JOIN range(0, 4) r
+           |  JOIN counters c ON c.r = r.range
+           |    AND c.b = ${bucketSql("t.key", "r.range")}
+           |  GROUP BY 1, 2)
+           |SELECT tok, n_exact, n_est, n_est - n_exact AS overestimate
+           |FROM est""".stripMargin
+      }),
+
     // FUZZY decontamination: real eval leakage is rarely verbatim —
     // paraphrases and partial quotes slip through an exact-shingle sweep.
     // This report flags every training document whose exact n-gram
