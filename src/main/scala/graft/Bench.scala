@@ -47,7 +47,8 @@ object Bench {
     "ec_correction_file", "ed_ira_rollover",
     "tdp_minhash_signatures", "tdp_minhash_lsh_pairs", "tdp_ngram_jaccard",
     "tdp_dup_clusters", "tdp_simhash_pairs", "tdp_quality_score",
-    "tdp_ann_ivf", "tdp_ann_kmeans", "tdp_chunk_dedup", "tdp_bigram_logprob")
+    "tdp_ann_ivf", "tdp_ann_kmeans", "tdp_ann_pq", "tdp_chunk_dedup",
+    "tdp_bigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -427,6 +427,24 @@ class TdpSpec extends SparkSpec {
     assert(r.getLong(3) === 256L && r.getLong(4) === 4L)
   }
 
+  test("ivfpq composition: routing prunes candidates, counts consistent") {
+    val r = Registry.queries("tdp_ann_ivfpq")(spark, sf).collect().head
+    val (nExact, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val recall = r.getDouble(3)
+    val nVecs = Registry.queries("tdp_lsh_cosine_buckets")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_vectors")).head.getLong(0)
+    val nq = Registry.queries("tdp_cosine_topk")(spark, sf)
+      .select("q_id").distinct().count()
+    assert(nExact === 3 * nq, "truth is top-3 per query")
+    assert(nHit <= nExact && recall >= 0.0 && recall <= 1.0)
+    assert(recall === nHit.toDouble / nExact)
+    // The point of IVF routing: the scored candidate set must be a small
+    // fraction of the flat nq x (N-1) scan (nlist=64, nprobe=2 -> ~2/64).
+    assert(nCand < nq * (nVecs - 1) / 4,
+      s"routing barely pruned: $nCand of ${nq * (nVecs - 1)}")
+    assert(nCand >= nHit, "every hit must have been a scored candidate")
+  }
+
   test("semdedup: clone collapses to min id; orthogonal vectors all kept") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tdp_semdedup").toString
