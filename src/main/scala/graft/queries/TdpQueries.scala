@@ -501,6 +501,20 @@ object TdpQueries {
         .repartition(col("doc_id"))
         .select(col("doc_id"), expr(toksExpr).as("toks")))
 
+  /** Corpus bigram stream (doc_id, w1, w2), memoized — shared by the
+    * held-out and Kneser-Ney LM scorers so the two models train on the
+    * same exploded frame.
+    */
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_bigrams")(
+      docToks(s, dir).select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(1, size(toks) - 1), i ->
+            |    struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))
+            |ELSE array() END""".stripMargin)).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+
   /** Per-document consecutive ChunkToks-token chunks (doc_id, pos, chunk),
     * memoized: tdp_chunk_dedup's three consumers (df count, kept join,
     * per-doc totals) and tdp_bloom_dedup's membership sweep would
@@ -4482,14 +4496,7 @@ object TdpQueries {
       "tdp_heldout_perplexity",
       (s, dir) => {
         val isVal = col("doc_id") % 10 === 3
-        val bg = Registry.memo(s, dir, "tdp_bigrams")(
-          docToks(s, dir).select(col("doc_id"),
-            explode(expr(
-              """CASE WHEN size(toks) >= 2 THEN
-                |  transform(sequence(1, size(toks) - 1), i ->
-                |    struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))
-                |ELSE array() END""".stripMargin)).as("bg"))
-            .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+        val bg = docBigrams(s, dir)
         val cb = bg.filter(!isVal).groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
         val cu = bg.filter(!isVal).groupBy("w1").agg(count(lit(1)).as("c_ctx"))
         val v = docToks(s, dir).filter(!isVal)
@@ -4554,6 +4561,122 @@ object TdpQueries {
               |  CAST(logprob_micro AS DOUBLE)
               |    / (CAST(n_bigrams AS DOUBLE) * 1e6) AS avg_logprob
               |FROM documents LEFT JOIN hagg USING (doc_id)
+              |WHERE doc_id % 10 = 3""".stripMargin)),
+
+    // INTERPOLATED KNESER-NEY bigram scoring (Kneser & Ney 1995; Chen &
+    // Goodman 1999's benchmark winner) — the production-grade smoother
+    // next to tdp_heldout_perplexity's add-one baseline. P(w2|w1) =
+    // max(c(w1,w2) - d, 0)/c(w1) + d·N1+(w1,·)/c(w1) · Pcont(w2) with
+    // d = 0.75 (exactly representable in binary, so the discount costs
+    // no cross-engine drift) and the continuation probability
+    // Pcont(w2) = N1+(·,w2)/N1+(·,·) — "how many contexts has w2
+    // followed", the insight that makes KN beat raw frequency on
+    // held-out text. All N1+ tables derive from the bigram-TYPE frame
+    // (one distinct pass); unseen contexts back off to Pcont alone and
+    // a 1e-12 floor guards ln() for never-continuing tokens. Same split
+    // (doc_id % 10 = 3), same micro-nat integer-sum exactness device,
+    // same vocab-sized frames + token-keyed joins as the add-one scorer
+    // — so the 100 TB story is unchanged and the two models' avg
+    // logprobs are directly comparable per document.
+    QueryDef(
+      "tdp_kneser_ney",
+      (s, dir) => {
+        val isVal = col("doc_id") % 10 === 3
+        val bg = docBigrams(s, dir)
+        val train = bg.filter(!isVal)
+        val cb = train.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
+        val cu = train.groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+        val n1f = cb.groupBy("w1").agg(count(lit(1)).as("n1f"))
+        val n1b = cb.groupBy("w2").agg(count(lit(1)).as("n1b"))
+        val na = cb.agg(count(lit(1)).as("n1all"))
+        val scored = bg.filter(isVal)
+          .join(cb, Seq("w1", "w2"), "left")
+          .join(cu, Seq("w1"), "left")
+          .join(n1f, Seq("w1"), "left")
+          .join(n1b, Seq("w2"), "left")
+          .crossJoin(broadcast(na))
+          .withColumn("pcont",
+            coalesce(col("n1b"), lit(0L)).cast(DoubleType)
+              / col("n1all").cast(DoubleType))
+          .withColumn("p",
+            when(col("c_ctx").isNotNull,
+              greatest(coalesce(col("c_big"), lit(0L)).cast(DoubleType)
+                - lit(0.75), lit(0.0)) / col("c_ctx").cast(DoubleType)
+                + ((lit(0.75) * col("n1f").cast(DoubleType))
+                  / col("c_ctx").cast(DoubleType)) * col("pcont"))
+              .otherwise(col("pcont")))
+          .withColumn("s_micro",
+            floor(log(greatest(col("p"), lit(1e-12))) * lit(1000000L))
+              .cast(LongType))
+          .withColumn("unseen_ctx",
+            when(col("c_ctx").isNull, 1L).otherwise(0L))
+        val agg = scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(col("s_micro")).as("logprob_micro"),
+          sum(col("unseen_ctx")).as("n_unseen_ctx"))
+        table(s, dir, "documents").select("doc_id").filter(isVal)
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"),
+            coalesce(col("n_unseen_ctx"), lit(0L)).as("n_unseen_ctx"),
+            // No exp()-derived perplexity column: Math.exp (JVM) and
+            // libm exp (DuckDB) differ in the last ulp, so ppl is not
+            // cross-engine hash-stable; avg_logprob carries the signal.
+            (col("logprob_micro").cast(DoubleType)
+              / (col("n_bigrams").cast(DoubleType) * lit(1e6)))
+              .as("avg_logprob"))
+      },
+      Some(s"""WITH kt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |kbg AS MATERIALIZED (
+              |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              |        FROM kt)),
+              |kcb AS MATERIALIZED (
+              |  SELECT w1, w2, count(*) AS c_big FROM kbg
+              |  WHERE doc_id % 10 <> 3 GROUP BY 1, 2),
+              |kcu AS (SELECT w1, count(*) AS c_ctx FROM kbg
+              |        WHERE doc_id % 10 <> 3 GROUP BY 1),
+              |kn1f AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1f
+              |         FROM kcb GROUP BY 1),
+              |kn1b AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+              |         FROM kcb GROUP BY 1),
+              |kna AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM kcb),
+              |kp AS (
+              |  SELECT doc_id, c_ctx,
+              |    CAST(coalesce(n1b, 0) AS DOUBLE) / CAST(n1all AS DOUBLE)
+              |      AS pcont,
+              |    c_big, n1f
+              |  FROM kbg
+              |  LEFT JOIN kcb USING (w1, w2)
+              |  LEFT JOIN kcu USING (w1)
+              |  LEFT JOIN kn1f USING (w1)
+              |  LEFT JOIN kn1b USING (w2)
+              |  CROSS JOIN kna
+              |  WHERE doc_id % 10 = 3),
+              |ksc AS (
+              |  SELECT doc_id,
+              |    CAST(floor(ln(greatest(
+              |      CASE WHEN c_ctx IS NOT NULL THEN
+              |        greatest(CAST(coalesce(c_big, 0) AS DOUBLE) - 0.75, 0.0)
+              |          / CAST(c_ctx AS DOUBLE)
+              |        + ((0.75 * CAST(n1f AS DOUBLE)) / CAST(c_ctx AS DOUBLE))
+              |          * pcont
+              |      ELSE pcont END, 1e-12)) * 1000000) AS BIGINT) AS s_micro,
+              |    CASE WHEN c_ctx IS NULL THEN 1 ELSE 0 END AS unseen_ctx
+              |  FROM kp),
+              |kagg AS (
+              |  SELECT doc_id, count(*) AS n_bigrams,
+              |    CAST(sum(s_micro) AS BIGINT) AS logprob_micro,
+              |    CAST(sum(unseen_ctx) AS BIGINT) AS n_unseen_ctx
+              |  FROM ksc GROUP BY 1)
+              |SELECT doc_id,
+              |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              |  CAST(coalesce(logprob_micro, 0) AS BIGINT) AS logprob_micro,
+              |  CAST(coalesce(n_unseen_ctx, 0) AS BIGINT) AS n_unseen_ctx,
+              |  CAST(logprob_micro AS DOUBLE)
+              |    / (CAST(n_bigrams AS DOUBLE) * 1e6) AS avg_logprob
+              |FROM documents LEFT JOIN kagg USING (doc_id)
               |WHERE doc_id % 10 = 3""".stripMargin)),
   )
 }
