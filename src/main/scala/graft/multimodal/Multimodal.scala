@@ -113,29 +113,36 @@ object Multimodal {
         catch { case _: Throwable => null }
     if (ais == null) FakeDecoder(f)
     else {
-      val fmt = ais.getFormat
-      if (fmt.getSampleSizeInBits != 16 ||
-          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-        FakeDecoder(f) // 16-bit signed PCM only; re-encode upstream otherwise
-      else {
-        val n = ais.getFrameLength.toInt
-        val bytes = ais.readAllBytes()
-        val fs = fmt.getFrameSize // bytes per frame (all channels)
-        val big = fmt.isBigEndian
-        val hist = new Array[Long](8)
-        var i = 0
-        while (i < n) {
-          val off = i * fs // channel 0 of the frame
-          val s =
-            if (big) (bytes(off).toInt << 8) | (bytes(off + 1) & 0xff)
-            else (bytes(off + 1).toInt << 8) | (bytes(off) & 0xff)
-          hist(math.min(7, math.abs(s) >> 12)) += 1
-          i += 1
+      // The whole body is guarded: a header can declare NOT_SPECIFIED (-1)
+      // or more frames than the payload holds, and the decode must stay a
+      // total function — clamp to what the bytes actually contain and
+      // quarantine anything that still throws.
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          FakeDecoder(f) // 16-bit signed PCM only; re-encode upstream otherwise
+        else {
+          val bytes = ais.readAllBytes()
+          val fs = fmt.getFrameSize // bytes per frame (all channels)
+          val n = math.max(0L, math.min(ais.getFrameLength,
+            if (fs > 0) bytes.length.toLong / fs else 0L)).toInt
+          val big = fmt.isBigEndian
+          val hist = new Array[Long](8)
+          var i = 0
+          while (i < n) {
+            val off = i * fs // channel 0 of the frame
+            val s =
+              if (big) (bytes(off).toInt << 8) | (bytes(off + 1) & 0xff)
+              else (bytes(off + 1).toInt << 8) | (bytes(off) & 0xff)
+            hist(math.min(7, math.abs(s) >> 12)) += 1
+            i += 1
+          }
+          Decoded(f.media_id, fmt.getSampleRate.toInt,
+            fmt.getSampleSizeInBits, n,
+            hist.map(c => if (n == 0) 0f else c.toFloat / n))
         }
-        Decoded(f.media_id, fmt.getSampleRate.toInt,
-          fmt.getSampleSizeInBits, n,
-          hist.map(c => if (n == 0) 0f else c.toFloat / n))
-      }
+      } catch { case _: Throwable => FakeDecoder(f) }
     }
   }
 

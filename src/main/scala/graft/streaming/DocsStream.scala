@@ -127,7 +127,11 @@ object DocsStream {
       docs: DataFrame, corpus: DataFrame, fpp: Double = 0.01): DataFrame = {
     val s = docs.sparkSession
     graft.expressions.GraftExtensions.registerAll(s)
-    val corpusH = corpus.select(xxhash64(col("text")).as("h")).distinct()
+    // Persisted: the hash frame is consumed three times (count to size the
+    // sketch, the bloom fold, and the stream-static verify join every
+    // micro-batch) — without the persist each consumer rescans and
+    // re-hashes the raw corpus.
+    val corpusH = corpus.select(xxhash64(col("text")).as("h")).distinct().persist()
     // Production pattern: the key count is one cheap agg away (or a
     // catalog stat); it sizes the sketch BEFORE the fold.
     val nCorpus = math.max(corpusH.count(), 1L)

@@ -48,7 +48,12 @@ object EventsStream {
     * watermarks work downstream.
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
-    val onDisk = spark.read.parquet(path).schema("ts").dataType
+    // The probe needs at least one committed file; a stream may legally
+    // start on an empty directory, where batch read throws "Unable to
+    // infer schema". Fall back to the timestamp[us] default (the driver's
+    // current encoding) so the stream still starts cleanly.
+    val onDisk = scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
+      .getOrElse(TimestampType)
     val stream = spark.readStream.schema(eventsSchemaWithTs(onDisk)).parquet(path)
     onDisk match {
       case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
