@@ -84,6 +84,31 @@ object TdpQueries {
   private val SpanW = 8
   private val SpanDfCap = 1
 
+  /** Every overlapping SpanW-token window of every document, hashed —
+    * (doc_id, n_toks, hs) — memoized: the shingle-position inverted index
+    * shared by tdp_repeated_spans (per-doc coverage) and
+    * tdp_substring_dedup (maximal repeated spans). One posexplode of this
+    * frame IS the index; everything downstream is keyed aggregation.
+    */
+  private def spanGrams(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_span_grams")(
+      docToks(s, dir).select(
+        col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        expr(s"""CASE WHEN size(toks) >= $SpanW THEN
+                |  transform(sequence(1, size(toks) - ${SpanW - 1}), i ->
+                |    ${polyHashExpr(s"concat_ws(' ', slice(toks, i, $SpanW))")})
+                |  ELSE array() END""".stripMargin).as("hs")))
+
+  /** Position-level inverted index: one row per (doc, window start) with
+    * the window's 64-bit hash. `p0` is the 0-based window position
+    * (token `p0 + 1` starts the window).
+    */
+  private def spanPos(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_span_pos")(
+      spanGrams(s, dir).select(
+        col("doc_id"), posexplode(col("hs")).as(Seq("p0", "h"))))
+
   /** Per-document shingle hashes, memoized + materialized ONCE per (session,
     * SF). Two reasons this is load-bearing for throughput: (a) higher-order
     * functions (transform/filter/aggregate lambdas) are evaluated
@@ -3314,15 +3339,8 @@ object TdpQueries {
     QueryDef(
       "tdp_repeated_spans",
       (s, dir) => {
-        val grams = docToks(s, dir).select(
-          col("doc_id"),
-          size(col("toks")).cast(LongType).as("n_toks"),
-          expr(s"""CASE WHEN size(toks) >= $SpanW THEN
-                  |  transform(sequence(1, size(toks) - ${SpanW - 1}), i ->
-                  |    ${polyHashExpr(s"concat_ws(' ', slice(toks, i, $SpanW))")})
-                  |  ELSE array() END""".stripMargin).as("hs"))
-        val pos = grams.select(col("doc_id"),
-          posexplode(col("hs")).as(Seq("p0", "h")))
+        val grams = spanGrams(s, dir)
+        val pos = spanPos(s, dir)
         val df = pos.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("span_df"))
         val hot = pos.join(df.filter(col("span_df") > SpanDfCap), "h")
@@ -4678,5 +4696,142 @@ object TdpQueries {
               |    / (CAST(n_bigrams AS DOUBLE) * 1e6) AS avg_logprob
               |FROM documents LEFT JOIN kagg USING (doc_id)
               |WHERE doc_id % 10 = 3""".stripMargin)),
+
+    // EXACT SUBSTRING dedup (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better" — the ExactSubstr modality): emit
+    // every MAXIMAL span of >= SpanW tokens that also occurs in at least
+    // one OTHER document, with offset + witness-document evidence — the
+    // report that catches licenses and boilerplate which doc-level and
+    // fixed-chunk dedup both miss. Construction: the memoized
+    // shingle-position inverted index (one row per SpanW-token window),
+    // a df aggregation keyed by the window hash (a window in >= 2
+    // distinct docs is "shared"), and a per-doc gaps-and-islands merge
+    // of consecutive shared positions — a maximal run p..p+k of shared
+    // windows is exactly a maximal repeated span of k + SpanW tokens.
+    // The result is EXACT, not hash-approximate: the position index
+    // prefilters on the 30-bit window hash (cheap, shuffles no text),
+    // and only HOT positions — windows whose hash appears in >= 2
+    // distinct docs, a boilerplate-sized subset — rejoin their actual
+    // window text for exact verification (the Bloom-then-verify shape:
+    // text-equal implies hash-equal, so the prefilter loses nothing,
+    // and hash collisions die at the text stage — observed live at
+    // sf0.001: a mod-1e9+7 collision between two unrelated windows).
+    // The witness doc comes from two keyed aggregations (min doc per
+    // window text, then min-other-than-min), NEVER a position
+    // self-join: at 100 TB the corpus-sized frames only ever shuffle on
+    // hash or doc_id keys, window text shuffles only for the hot
+    // subset, and the one window function is per-doc over hot positions
+    // only. No pairwise stage anywhere (PlanSpec asserts the plan is
+    // equi-join only).
+    QueryDef(
+      "tdp_substring_dedup",
+      (s, dir) => {
+        val pos = spanPos(s, dir)
+        val dfh = pos.groupBy("h").agg(
+          countDistinct(col("doc_id")).as("hash_df"))
+        val hot0 = pos.join(dfh.filter(col("hash_df") >= 2).select("h"), "h")
+        // Exact verify: re-slice the window text for hot positions only.
+        val hotT = hot0.join(docToks(s, dir), "doc_id")
+          .withColumn("wtext",
+            expr(s"concat_ws(' ', slice(toks, p0 + 1, $SpanW))"))
+          .select("doc_id", "p0", "wtext")
+        val df1 = hotT.groupBy("wtext").agg(
+          countDistinct(col("doc_id")).as("span_df"),
+          min(col("doc_id")).as("d1"))
+        // Second-distinct-min doc per window text: the witness for rows
+        // that ARE the min. Keyed aggregation, bounded output (one row
+        // per shared window), no pair expansion.
+        val d2f = hotT.join(df1.select("wtext", "d1"), "wtext")
+          .filter(col("doc_id") =!= col("d1"))
+          .groupBy("wtext").agg(min(col("doc_id")).as("d2"))
+        val hot = hotT
+          .join(df1.filter(col("span_df") >= 2)
+            .select("wtext", "span_df", "d1"), "wtext")
+          .join(d2f, "wtext") // span_df >= 2 guarantees a d2 row exists
+          .withColumn("witness",
+            when(col("doc_id") === col("d1"), col("d2")).otherwise(col("d1")))
+        val w = Window.partitionBy("doc_id").orderBy("p0")
+        val isl = hot
+          .withColumn("newisl",
+            when(col("p0") - lag(col("p0"), 1).over(w) === 1, lit(0))
+              .otherwise(lit(1)))
+          .withColumn("island",
+            sum(col("newisl")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val spans = isl.groupBy("doc_id", "island").agg(
+          (min(col("p0")) + 1).cast(LongType).as("start_tok"),
+          (max(col("p0")) - min(col("p0")) + SpanW).cast(LongType).as("span_toks"),
+          count(lit(1)).as("n_windows"),
+          max(col("span_df")).as("max_span_df"),
+          min(col("witness")).as("witness_doc"))
+        spans.join(docToks(s, dir), "doc_id")
+          .select(col("doc_id"), col("start_tok"), col("span_toks"),
+            col("n_windows"), col("max_span_df"), col("witness_doc"),
+            expr("concat_ws(' ', slice(toks, CAST(start_tok AS INT), " +
+              "CAST(span_toks AS INT)))").as("span_text"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |grams AS (
+              |  SELECT doc_id, toks,
+              |    CASE WHEN len(toks) >= $SpanW THEN
+              |      list_transform(range(1, len(toks) - ${SpanW - 2}), i ->
+              |        ${polyHashSql(s"array_to_string(list_slice(toks, i, i + ${SpanW - 1}), ' ')")})
+              |    ELSE [] END AS hs
+              |  FROM toks),
+              |pos AS MATERIALIZED (
+              |  SELECT doc_id, unnest(hs) AS h,
+              |    generate_subscripts(hs, 1) AS p0
+              |  FROM grams),
+              |dfh AS (
+              |  SELECT h, count(DISTINCT doc_id) AS hash_df
+              |  FROM pos GROUP BY 1),
+              |hot0 AS (
+              |  SELECT pos.doc_id, pos.p0 FROM pos JOIN dfh USING (h)
+              |  WHERE hash_df >= 2),
+              |hott AS MATERIALIZED (
+              |  SELECT hot0.doc_id, hot0.p0,
+              |    array_to_string(list_slice(t.toks, hot0.p0,
+              |      hot0.p0 + ${SpanW - 1}), ' ') AS wtext
+              |  FROM hot0 JOIN toks t ON hot0.doc_id = t.doc_id),
+              |df1 AS MATERIALIZED (
+              |  SELECT wtext, count(DISTINCT doc_id) AS span_df,
+              |    min(doc_id) AS d1
+              |  FROM hott GROUP BY 1),
+              |d2f AS (
+              |  SELECT wtext, min(doc_id) AS d2
+              |  FROM hott JOIN df1 USING (wtext)
+              |  WHERE doc_id <> d1 GROUP BY 1),
+              |hot AS (
+              |  SELECT hott.doc_id, hott.p0, df1.span_df,
+              |    CASE WHEN hott.doc_id = df1.d1 THEN d2f.d2 ELSE df1.d1 END
+              |      AS witness
+              |  FROM hott JOIN df1 USING (wtext) JOIN d2f USING (wtext)
+              |  WHERE df1.span_df >= 2),
+              |isl AS (
+              |  SELECT doc_id, p0, span_df, witness,
+              |    CASE WHEN p0 - lag(p0) OVER (PARTITION BY doc_id ORDER BY p0)
+              |      = 1 THEN 0 ELSE 1 END AS newisl
+              |  FROM hot),
+              |isl2 AS (
+              |  SELECT doc_id, p0, span_df, witness,
+              |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY p0
+              |      ROWS UNBOUNDED PRECEDING) AS island
+              |  FROM isl),
+              |spans AS (
+              |  SELECT doc_id, island,
+              |    CAST(min(p0) AS BIGINT) AS start_tok,
+              |    CAST(max(p0) - min(p0) + $SpanW AS BIGINT) AS span_toks,
+              |    CAST(count(*) AS BIGINT) AS n_windows,
+              |    CAST(max(span_df) AS BIGINT) AS max_span_df,
+              |    min(witness) AS witness_doc
+              |  FROM isl2 GROUP BY 1, 2)
+              |SELECT s.doc_id, s.start_tok, s.span_toks, s.n_windows,
+              |  s.max_span_df, s.witness_doc,
+              |  array_to_string(list_slice(t.toks,
+              |    CAST(s.start_tok AS INTEGER),
+              |    CAST(s.start_tok + s.span_toks - 1 AS INTEGER)), ' ')
+              |    AS span_text
+              |FROM spans s JOIN toks t USING (doc_id)""".stripMargin)),
   )
 }

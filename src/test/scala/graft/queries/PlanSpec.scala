@@ -229,4 +229,15 @@ class PlanSpec extends SparkSpec {
     assert(joins.exists(_.left.toString.contains("graft_bloom_contains")),
       joins.map(_.toString.take(800)).mkString("\n---\n"))
   }
+
+  test("substring dedup: inverted-index equi-joins only, no pairwise stage") {
+    val df = Registry.queries("tdp_substring_dedup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Every join is keyed by the window hash or doc_id — the witness
+    // derivation is two aggregations, never a position self-join; a
+    // nested loop or cartesian here would be positions x positions at
+    // 100 TB.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }

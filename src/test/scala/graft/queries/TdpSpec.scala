@@ -922,4 +922,47 @@ class TdpSpec extends SparkSpec {
     assert(candShared <= math.min(mhCand, shCand))
     assert(recall === anyHit.toDouble / nExact)
   }
+
+  test("substring dedup: spans are maximal, witnessed, and evidence-backed") {
+    val spans = Registry.queries("tdp_substring_dedup")(spark, sf).collect()
+    assert(spans.nonEmpty, "sf0.001 must contain cross-doc repeated spans")
+    val docToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val W = 8
+    val byDoc = spans.groupBy(_.getAs[Long]("doc_id"))
+    spans.foreach { r =>
+      val (doc, start, len, nw) = (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("span_toks"),
+        r.getAs[Long]("n_windows"))
+      val witness = r.getAs[Long]("witness_doc")
+      assert(len >= W && nw == len - W + 1, s"span arithmetic broken: $r")
+      assert(witness != doc, s"span must be witnessed by ANOTHER doc: $r")
+      // The span text must be exactly the claimed slice of the document.
+      val expected =
+        docToks(doc).slice(start.toInt - 1, (start + len - 1).toInt)
+          .mkString(" ")
+      assert(r.getAs[String]("span_text") == expected)
+      // Evidence: at least one W-token window of the span occurs verbatim
+      // in the witness document (the witness is the min over per-window
+      // witnesses, so it shares at least one window).
+      val spanToks = docToks(doc).slice(start.toInt - 1, (start + len - 1).toInt)
+      val wWindows = docToks(witness).sliding(W).map(_.mkString(" ")).toSet
+      assert(spanToks.sliding(W).exists(w => wWindows.contains(w.mkString(" "))),
+        s"witness $witness shares no window of doc $doc span at $start")
+    }
+    // Maximality: islands within a doc are separated in window space
+    // (adjacent shared windows always merge into one span).
+    byDoc.values.foreach { ss =>
+      val sorted = ss.sortBy(_.getAs[Long]("start_tok"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") >
+            a.getAs[Long]("start_tok") + a.getAs[Long]("n_windows"),
+            s"adjacent islands failed to merge: $a | $b")
+        case _ =>
+      }
+    }
+  }
 }
