@@ -109,6 +109,36 @@ object TdpQueries {
       spanGrams(s, dir).select(
         col("doc_id"), posexplode(col("hs")).as(Seq("p0", "h"))))
 
+  /** Corpus token stream with its polyhash key — input of the
+    * frequency-sketch family. Built on the memoized docToks; not itself
+    * memoized (the explode is cheap to re-derive and corpus-sized to
+    * store).
+    */
+  private def corpusToks(s: SparkSession, dir: String): DataFrame =
+    docToks(s, dir).select(explode(col("toks")).as("tok"))
+      .withColumn("key", expr(polyHashExpr("tok")))
+
+  private val CmsW = 512
+
+  /** Corpus CMS sketch bytes, memoized as a 1-row frame: both
+    * heavy-hitter queries fold the corpus once per (session, SF); the
+    * driver hop is the 16 KB sketch.
+    */
+  private def cmsSketchBytes(s: SparkSession, dir: String): Array[Byte] =
+    Registry.memo(s, dir, "tdp_cms_sketch")(
+      corpusToks(s, dir)
+        .agg(call_function("graft_cms_agg", col("key"), lit(CmsW)).as("sk")))
+      .head().getAs[Array[Byte]](0)
+
+  /** DuckDB twin of [[graft.expressions.CountMin.bucket]] for width
+    * [[CmsW]] — the fixed affine hash rows both oracle-paired sketch
+    * queries rebuild counters with.
+    */
+  private def cmsBucketSql(keyExpr: String, rExpr: String): String =
+    s"(($keyExpr * ([31,131,8191,131071][CAST($rExpr + 1 AS INTEGER)])" +
+      s" + [7,101,1009,10007][CAST($rExpr + 1 AS INTEGER)])" +
+      s" % $P) % $CmsW"
+
   /** Per-document shingle hashes, memoized + materialized ONCE per (session,
     * SF). Two reasons this is load-bearing for throughput: (a) higher-order
     * functions (transform/filter/aggregate lambdas) are evaluated
@@ -2573,12 +2603,8 @@ object TdpQueries {
     QueryDef(
       "tdp_heavy_hitters",
       (s, dir) => {
-        val W = 512
-        val toks = docToks(s, dir).select(explode(col("toks")).as("tok"))
-          .withColumn("key", expr(polyHashExpr("tok")))
-        val sketchBytes = toks
-          .agg(call_function("graft_cms_agg", col("key"), lit(W)).as("sk"))
-          .head().getAs[Array[Byte]](0)
+        val toks = corpusToks(s, dir)
+        val sketchBytes = cmsSketchBytes(s, dir)
         toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
           .orderBy(desc("n_exact"), col("tok")).limit(20)
           .withColumn("n_est", call_function("graft_cms_estimate",
@@ -2586,16 +2612,12 @@ object TdpQueries {
           .select(col("tok"), col("n_exact"), col("n_est"),
             (col("n_est") - col("n_exact")).as("overestimate"))
       },
-      Some {
-        def bucketSql(keyExpr: String, rExpr: String) =
-          s"(($keyExpr * ([31,131,8191,131071][CAST($rExpr + 1 AS INTEGER)])" +
-            s" + [7,101,1009,10007][CAST($rExpr + 1 AS INTEGER)])" +
-            s" % $P) % 512"
+      Some(
         s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
            |k AS MATERIALIZED (
            |  SELECT tok, ${polyHashSql("tok")} AS key FROM t),
            |counters AS MATERIALIZED (
-           |  SELECT r.range AS r, ${bucketSql("key", "r.range")} AS b,
+           |  SELECT r.range AS r, ${cmsBucketSql("key", "r.range")} AS b,
            |    CAST(count(*) AS BIGINT) AS c
            |  FROM k, range(0, 4) r
            |  GROUP BY 1, 2),
@@ -2608,11 +2630,10 @@ object TdpQueries {
            |  FROM top20 t
            |  CROSS JOIN range(0, 4) r
            |  JOIN counters c ON c.r = r.range
-           |    AND c.b = ${bucketSql("t.key", "r.range")}
+           |    AND c.b = ${cmsBucketSql("t.key", "r.range")}
            |  GROUP BY 1, 2)
            |SELECT tok, n_exact, n_est, n_est - n_exact AS overestimate
-           |FROM est""".stripMargin
-      }),
+           |FROM est""".stripMargin)),
 
     // FUZZY decontamination: real eval leakage is rarely verbatim —
     // paraphrases and partial quotes slip through an exact-shingle sweep.
@@ -4833,5 +4854,185 @@ object TdpQueries {
               |    CAST(s.start_tok + s.span_toks - 1 AS INTEGER)), ' ')
               |    AS span_text
               |FROM spans s JOIN toks t USING (doc_id)""".stripMargin)),
+
+    // HEAVY HITTERS WITHOUT THE EXACT VOCABULARY PASS: the production
+    // top-k question tdp_heavy_hitters certifies but does not answer
+    // (its exact top-20 is itself a vocabulary-wide groupBy). This is
+    // the Cormode-Muthukrishnan CMS heavy-hitter scheme, made fully
+    // DETERMINISTIC so the oracle hash-matches it: (1) fold the corpus
+    // into the shared CMS (commutative counter addition — one pass,
+    // fixed state, 16 KB driver hop); (2) read the total row count off
+    // the sketch itself (row-0 mass — no extra pass); (3) prefilter the
+    // token stream with the codegen'd sketch probe est >= T, so only
+    // hash-hot tokens enter the groupBy; (4) exact-count the survivors
+    // and keep n_exact >= T. Because the CMS never under-counts, every
+    // token with true count >= T passes the prefilter — the result is
+    // provably EXACTLY {tok : count(tok) >= T}, but the shuffle carries
+    // only the hot keys, not the vocabulary. (A Misra-Gries/SpaceSaving
+    // summary — graft_ss_agg, SpaceSavingSpec — answers the same
+    // question in one pass with deterministic BOUNDS, but its summary
+    // contents depend on the merge tree, so it is spec-certified rather
+    // than oracle-hashed; see SCALING.md.)
+    QueryDef(
+      "tdp_topk_sketch",
+      (s, dir) => {
+        val toks = corpusToks(s, dir)
+        val sk = cmsSketchBytes(s, dir)
+        val (w0, counters) = graft.expressions.CountMin.deserialize(sk)
+        val total = counters.view.slice(0, w0).sum
+        val T = math.max(4L, total / 32L)
+        toks
+          .filter(call_function("graft_cms_estimate", col("key"), lit(sk)) >= T)
+          .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+          .filter(col("n_exact") >= T)
+          .withColumn("n_est", call_function("graft_cms_estimate",
+            expr(polyHashExpr("tok")), lit(sk)))
+          .select(col("tok"), col("n_exact"), col("n_est"),
+            (col("n_est") - col("n_exact")).as("overestimate"),
+            lit(T).as("threshold"))
+      },
+      Some(
+        s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+           |k AS MATERIALIZED (
+           |  SELECT tok, ${polyHashSql("tok")} AS key FROM t),
+           |counters AS MATERIALIZED (
+           |  SELECT r.range AS r, ${cmsBucketSql("key", "r.range")} AS b,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM k, range(0, 4) r
+           |  GROUP BY 1, 2),
+           |thr AS (
+           |  SELECT greatest(4, CAST(count(*) AS BIGINT) // 32) AS t FROM k),
+           |vocab AS (
+           |  SELECT tok, min(key) AS key, CAST(count(*) AS BIGINT) AS n_exact
+           |  FROM k GROUP BY tok),
+           |est AS (
+           |  SELECT v.tok, v.n_exact, CAST(min(c.c) AS BIGINT) AS n_est
+           |  FROM vocab v
+           |  CROSS JOIN range(0, 4) r
+           |  JOIN counters c ON c.r = r.range
+           |    AND c.b = ${cmsBucketSql("v.key", "r.range")}
+           |  GROUP BY 1, 2)
+           |SELECT e.tok, e.n_exact, e.n_est,
+           |  e.n_est - e.n_exact AS overestimate, thr.t AS threshold
+           |FROM est e CROSS JOIN thr
+           |WHERE e.n_est >= thr.t AND e.n_exact >= thr.t""".stripMargin)),
+
+    // MERGEABLE QUANTILE SKETCH over document lengths — the one-pass
+    // replacement for the two-exchange exact-rank device
+    // (tdp_length_outliers) that a 100 TB percentile profile needs.
+    // Greenwald-Khanna was the obvious candidate, but its compress step
+    // is merge-ORDER-dependent (like SpaceSaving's), so its summary
+    // cannot be cross-engine hash-matched; this is the commutative
+    // alternative: HdrHistogram/DDSketch-family log bucketing in PURE
+    // INTEGER arithmetic (values < 16 exact; otherwise 16 sub-buckets
+    // per power of two, index from bit-length + shift — no log(), no
+    // libm, so every engine lands every value in the same bucket). The
+    // summary is a bucket->count map: merge = counter addition
+    // (commutative, deterministic — the partial aggregation through the
+    // shuffle IS the sketch merge), size <= 16·log2(max), guaranteed
+    // relative error < 1/16 per bucket. The report answers six
+    // percentiles with [bucket_lo, bucket_hi] bounds, computes the
+    // exact disc-quantile from the value-distribution cumsum (tiny:
+    // distinct lengths), and publishes bounds_hold — the sketch
+    // certifies itself against truth in the same row. Rank targets are
+    // integer ceil((total*num)/den), so no IEEE multiply decides a rank.
+    QueryDef(
+      "tdp_quantile_sketch",
+      (s, dir) => {
+        val lens = docToks(s, dir)
+          .select(size(col("toks")).cast(LongType).as("x"))
+        val total = lens.count()
+        val ps = Seq((1, 10), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100))
+        import s.implicits._
+        val ranks = ps.map { case (n, d) =>
+          (n.toDouble / d, (total * n + d - 1) / d)
+        }.toDF("p", "target_rank")
+        val bkt = lens.withColumn("i",
+          expr("""CASE WHEN x < 16 THEN x ELSE
+                 |  (length(bin(x)) - 1 - 4) * 16
+                 |    + shiftright(x, CAST(length(bin(x)) - 1 - 4 AS INT))
+                 |END""".stripMargin))
+        val cum = bkt.groupBy("i").agg(count(lit(1)).as("n"))
+          .withColumn("cum", sum("n").over(Window.orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val chosen = ranks.join(cum, col("cum") >= col("target_rank"))
+          .groupBy("p", "target_rank").agg(min(col("i")).as("i"))
+          .withColumn("em4",
+            when(col("i") < 16, lit(0L)).otherwise(expr("(i - 16) div 16")))
+          .withColumn("sub",
+            when(col("i") < 16, col("i"))
+              .otherwise(col("i") - col("em4") * 16))
+          .withColumn("bucket_lo", expr("shiftleft(sub, CAST(em4 AS INT))"))
+          .withColumn("bucket_hi",
+            expr("shiftleft(sub, CAST(em4 AS INT))" +
+              " + shiftleft(1, CAST(em4 AS INT)) - 1"))
+        val vcum = lens.groupBy("x").agg(count(lit(1)).as("nv"))
+          .withColumn("cumv", sum("nv").over(Window.orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val exact = ranks.join(vcum, col("cumv") >= col("target_rank"))
+          .groupBy("p", "target_rank").agg(min(col("x")).as("exact_q"))
+        chosen.join(exact, Seq("p", "target_rank"))
+          .select(col("p"), col("target_rank"), col("bucket_lo"),
+            col("bucket_hi"), col("exact_q"),
+            (col("exact_q") >= col("bucket_lo") &&
+              col("exact_q") <= col("bucket_hi")).as("bounds_hold"),
+            when(col("bucket_lo") > 0,
+              (col("bucket_hi") - col("bucket_lo")).cast(DoubleType)
+                / col("bucket_lo").cast(DoubleType))
+              .otherwise(lit(0.0)).as("rel_bound"))
+      },
+      Some(s"""WITH lens AS (
+              |  SELECT CAST(len($toksSql) AS BIGINT) AS x FROM documents),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lens),
+              |ps AS (SELECT * FROM (VALUES (1, 10), (1, 4), (1, 2),
+              |  (3, 4), (9, 10), (99, 100)) v(num, den)),
+              |ranks AS (
+              |  SELECT CAST(num AS DOUBLE) / den AS p,
+              |    (total * num + den - 1) // den AS target_rank
+              |  FROM ps CROSS JOIN tot),
+              |bkt AS (
+              |  SELECT x, CASE WHEN x < 16 THEN x ELSE
+              |    (length(bin(x)) - 1 - 4) * 16
+              |      + (x >> CAST(length(bin(x)) - 1 - 4 AS INTEGER))
+              |  END AS i FROM lens),
+              |cum AS (
+              |  SELECT i, sum(n) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+              |    AS cum
+              |  FROM (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bkt
+              |        GROUP BY 1)),
+              |chosen0 AS (
+              |  SELECT r.p, r.target_rank, min(c.i) AS i
+              |  FROM ranks r JOIN cum c ON c.cum >= r.target_rank
+              |  GROUP BY 1, 2),
+              |chosen AS (
+              |  SELECT p, target_rank, i,
+              |    CASE WHEN i < 16 THEN 0 ELSE (i - 16) // 16 END AS em4,
+              |    CASE WHEN i < 16 THEN i
+              |      ELSE i - ((i - 16) // 16) * 16 END AS sub
+              |  FROM chosen0),
+              |est AS (
+              |  SELECT p, target_rank,
+              |    CAST(sub << CAST(em4 AS INTEGER) AS BIGINT) AS bucket_lo,
+              |    CAST((sub << CAST(em4 AS INTEGER))
+              |      + (1 << CAST(em4 AS INTEGER)) - 1 AS BIGINT) AS bucket_hi
+              |  FROM chosen),
+              |vcum AS (
+              |  SELECT x, sum(nv) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              |    AS cumv
+              |  FROM (SELECT x, CAST(count(*) AS BIGINT) AS nv FROM lens
+              |        GROUP BY 1)),
+              |exact AS (
+              |  SELECT r.p, r.target_rank, min(v.x) AS exact_q
+              |  FROM ranks r JOIN vcum v ON v.cumv >= r.target_rank
+              |  GROUP BY 1, 2)
+              |SELECT e.p, e.target_rank, s.bucket_lo, s.bucket_hi,
+              |  e.exact_q,
+              |  e.exact_q >= s.bucket_lo AND e.exact_q <= s.bucket_hi
+              |    AS bounds_hold,
+              |  CASE WHEN s.bucket_lo > 0
+              |    THEN CAST(s.bucket_hi - s.bucket_lo AS DOUBLE)
+              |      / CAST(s.bucket_lo AS DOUBLE)
+              |    ELSE CAST(0 AS DOUBLE) END AS rel_bound
+              |FROM est s JOIN exact e USING (p, target_rank)""".stripMargin)),
   )
 }
