@@ -8,20 +8,22 @@ import org.apache.spark.sql.types._
   * with typed metadata, partition-wise batch decode / feature-extract /
   * frame-sample plumbing.
   *
-  * IMAGE decode is REAL: [[ImageIoDecoder]] parses PNG/BMP/GIF/JPEG
-  * payloads with the JDK's built-in `javax.imageio` (no external codec
-  * needed) and derives dimensions + an 8-bin grayscale histogram from the
-  * actual pixels. AUDIO decode is REAL too: [[WavDecoder]] parses
-  * WAV/AIFF/AU payloads with the JDK's `javax.sound.sampled` and derives
-  * sample rate, frame count and an amplitude histogram from the actual
-  * PCM samples. Only VIDEO decode remains a clearly marked STUB (this
-  * container ships no video codecs): [[FakeDecoder]] derives
-  * deterministic pseudo dimensions/features from the payload bytes, and
-  * unparseable image/audio bytes fall back to it so the decode stays a
-  * total function. Everything around the kernels — the schema, the typed
-  * Dataset surface, the mapPartitions batch shape, and the pure-Column
-  * metadata operators — is the Spark plumbing a production video decoder
-  * (JNI codec or Python worker via Arrow batches) would plug into,
+  * ALL THREE modalities decode for real with JDK-only codecs: IMAGE via
+  * `javax.imageio` (PNG/BMP/GIF/JPEG — [[ImageIoDecoder]], dimensions +
+  * grayscale histogram from actual pixels); AUDIO via
+  * `javax.sound.sampled` (WAV/AIFF/AU — [[WavDecoder]], sample rate /
+  * frame count / amplitude histogram from actual PCM); VIDEO via
+  * [[AviDecoder]] — an MJPEG-in-AVI RIFF container parser (AVI framing
+  * is plain RIFF chunk arithmetic; the per-frame payloads are JPEGs,
+  * which ImageIO decodes), yielding frame count, fps and frame-0
+  * dimensions/histogram from the actual bitstream. Payloads no codec
+  * can parse map to the [[Quarantine]] sentinel (width/height -1,
+  * zero frames) so the decode stays a total function — a 100 TB decode
+  * job must quarantine, not crash on or invent data for, the one
+  * corrupt file in a billion. Everything around the kernels — the
+  * schema, the typed Dataset surface, the mapPartitions batch shape,
+  * and the pure-Column metadata operators — is the Spark plumbing any
+  * production codec (JNI, Python worker via Arrow batches) plugs into,
   * partition-by-partition.
   */
 object Multimodal {
@@ -48,24 +50,20 @@ object Multimodal {
   /** Decode kernel signature a real codec implements. */
   type Decoder = MediaFile => Decoded
 
-  /** STUB decoder — deterministic fake standing in for a real codec.
-    * Dimensions/features are pure functions of the payload bytes so tests
-    * and both engines of a differential check agree.
+  /** Quarantine sentinel for payloads no codec can parse: negative
+    * dimensions, zero frames, all-zero features. A total decode function
+    * must emit SOMETHING for corrupt bytes, and an honest "unparseable"
+    * marker (filterable downstream with `width < 0`) beats inventing
+    * deterministic pseudo-content.
     */
-  val FakeDecoder: Decoder = { f =>
-    val h = f.content.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
-    val w = 64 + math.floorMod(h, 1024).toInt
-    val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-    val frames = if (f.media_type == "video") 1 + math.floorMod(h >> 20, 240).toInt else 1
-    val feat = Array.tabulate(8)(i => math.floorMod(h >> (i * 7), 997).toFloat / 997f)
-    Decoded(f.media_id, w, ht, frames, feat)
-  }
+  def Quarantine(f: MediaFile): Decoded =
+    Decoded(f.media_id, -1, -1, 0, new Array[Float](8))
 
   /** REAL image decode kernel via the JDK's `javax.imageio` — PNG, BMP,
     * GIF and JPEG parse without any external library. Width/height come
     * from the decoded raster and `features` is the 8-bin normalized
     * grayscale histogram of the pixels. Non-image media and payloads
-    * ImageIO cannot parse fall back to [[FakeDecoder]] so the kernel is
+    * ImageIO cannot parse map to the [[Quarantine]] sentinel so the kernel is
     * total (a 100 TB decode job must quarantine, not crash on, the one
     * corrupt file in a billion).
     */
@@ -75,7 +73,7 @@ object Multimodal {
       else
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.content))
         catch { case _: Throwable => null }
-    if (img == null) FakeDecoder(f)
+    if (img == null) Quarantine(f)
     else {
       val w = img.getWidth
       val h = img.getHeight
@@ -102,7 +100,7 @@ object Multimodal {
     * `n_frames` = PCM frame count, `features` = 8-bin normalized
     * histogram of |sample| (16-bit full scale split into 4096-wide bins).
     * Non-audio media and payloads AudioSystem cannot parse fall back to
-    * [[FakeDecoder]] so the kernel stays a total function.
+    * the [[Quarantine]] sentinel so the kernel stays a total function.
     */
   val WavDecoder: Decoder = { f =>
     val ais =
@@ -111,7 +109,7 @@ object Multimodal {
         try javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(f.content))
         catch { case _: Throwable => null }
-    if (ais == null) FakeDecoder(f)
+    if (ais == null) Quarantine(f)
     else {
       // The whole body is guarded: a header can declare NOT_SPECIFIED (-1)
       // or more frames than the payload holds, and the decode must stay a
@@ -121,7 +119,7 @@ object Multimodal {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 ||
             fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-          FakeDecoder(f) // 16-bit signed PCM only; re-encode upstream otherwise
+          Quarantine(f) // 16-bit signed PCM only; re-encode upstream otherwise
         else {
           val bytes = ais.readAllBytes()
           val fs = fmt.getFrameSize // bytes per frame (all channels)
@@ -142,26 +140,109 @@ object Multimodal {
             fmt.getSampleSizeInBits, n,
             hist.map(c => if (n == 0) 0f else c.toFloat / n))
         }
-      } catch { case _: Throwable => FakeDecoder(f) }
+      } catch { case _: Throwable => Quarantine(f) }
     }
   }
 
-  /** Media-type dispatch: real codecs where the JDK has one, stub for
-    * video only.
+  /** Parsed AVI: stream timing from `strh`, frame payloads from `movi`. */
+  final case class AviStream(
+      scale: Int, rate: Int, declaredFrames: Int, frames: Seq[Array[Byte]])
+
+  /** Minimal RIFF/AVI container walk: `RIFF('AVI ')` wrapping
+    * `LIST(hdrl)` (with the `strh` video-stream header carrying
+    * dwScale/dwRate/dwLength) and `LIST(movi)` (with one `##dc`
+    * compressed-frame chunk per frame). Chunk framing is fourcc +
+    * little-endian size + payload + odd-byte pad — pure arithmetic, no
+    * codec. Returns null for anything that is not a well-formed AVI.
     */
+  def parseAvi(bytes: Array[Byte]): AviStream = {
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return null
+      var scale = 0
+      var rate = 0
+      var declared = -1
+      val frames = Seq.newBuilder[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val cc = fourcc(off)
+          val sz = le32(off + 4)
+          val body = off + 8
+          if (body + sz > end) return
+          if (cc == "LIST") walk(body + 4, body + sz) // skip the list type
+          else if (cc == "strh" && sz >= 36 && fourcc(body) == "vids") {
+            scale = le32(body + 20)
+            rate = le32(body + 24)
+            declared = le32(body + 32)
+          } else if (cc.endsWith("dc"))
+            frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+          off = body + sz + (sz & 1) // chunks pad to even offsets
+        }
+      }
+      walk(12, 12 + math.min(le32(4) - 4, bytes.length - 12))
+      val fs = frames.result()
+      if (rate <= 0 || scale <= 0 || fs.isEmpty) null
+      else AviStream(scale, rate, declared, fs)
+    } catch { case _: Throwable => null }
+  }
+
+  /** REAL video decode kernel: [[parseAvi]] walks the container, ImageIO
+    * decodes frame 0's JPEG payload. The Decoded mapping for video:
+    * width/height from the DECODED first frame, `n_frames` = movi chunk
+    * count, `features` = frame 0's 8-bin grayscale histogram. Non-video
+    * media and malformed containers/frames map to [[Quarantine]].
+    */
+  val AviDecoder: Decoder = { f =>
+    val avi = if (f.media_type != "video") null else parseAvi(f.content)
+    if (avi == null) Quarantine(f)
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(avi.frames.head))
+        catch { case _: Throwable => null }
+      if (img == null) Quarantine(f)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val g = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            hist(g >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        Decoded(f.media_id, w, h, avi.frames.length, hist.map(c => c / n))
+      }
+    }
+  }
+
+  /** Media-type dispatch: a real JDK-only codec per modality. */
   val RealDecoder: Decoder = { f =>
     f.media_type match {
       case "image" => ImageIoDecoder(f)
       case "audio" => WavDecoder(f)
-      case _ => FakeDecoder(f)
+      case "video" => AviDecoder(f)
+      case _ => Quarantine(f)
     }
   }
 
   /** Partition-wise batch decode: the hot path stays an iterator pipeline
     * (one decoder instance per partition, no per-row setup), which is the
-    * shape a JNI/Arrow-batch decoder needs at 100 TB. Images and audio
-    * decode for real ([[ImageIoDecoder]], [[WavDecoder]]); video hits the
-    * stub.
+    * shape a JNI/Arrow-batch decoder needs at 100 TB. All three
+    * modalities decode for real ([[ImageIoDecoder]], [[WavDecoder]],
+    * [[AviDecoder]]).
     */
   def decodePartitions(
       media: Dataset[MediaFile],
@@ -389,6 +470,89 @@ object Multimodal {
         }
         AudioMeta(id, sr, n.toLong, n.toLong * 1000L / sr,
           math.floor(math.sqrt(sumSq.toDouble / n) * 1000.0).toLong)
+      }
+    }
+  }
+
+  /** Deterministic MJPEG-in-AVI container: frame dimensions, frame count
+    * and fps are pure arithmetic on the id (dims follow [[synthPng]]'s
+    * formulas), so an engine that never touches the bitstream (the
+    * DuckDB oracle) predicts exactly what a REAL container parse +
+    * frame-0 decode of these bytes must return — the video twin of
+    * [[synthPng]]/[[synthWav]]. The JPEG frame payloads are encoded with
+    * the JDK's own ImageIO JPEG writer; JPEG is lossy, so the oracle
+    * contract covers the container arithmetic (dims / frames / fps /
+    * duration), which survives any codec bit-exactly.
+    */
+  def synthAvi(id: Long): Array[Byte] = {
+    val w = 16 + (id % 48).toInt
+    val h = 16 + ((id * 7) % 48).toInt
+    val fps = 5 + (id % 6).toInt * 5
+    val n = 1 + ((id * 3) % 8).toInt
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] =
+      cc.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ payload)
+    val avih = Array.concat(
+      le32(1000000 / fps), le32(0), le32(0), le32(0), le32(n), le32(0),
+      le32(1), le32(0), le32(w), le32(h), le32(0), le32(0), le32(0), le32(0))
+    val strh = Array.concat(
+      "vids".getBytes("US-ASCII"), "MJPG".getBytes("US-ASCII"),
+      le32(0), le32(0), le32(0), le32(1) /* dwScale */ ,
+      le32(fps) /* dwRate */ , le32(0), le32(n) /* dwLength */ ,
+      le32(0), le32(0), le32(0),
+      le32(0), le32((h << 16) | w) /* rcFrame right/bottom */ )
+    val strf = Array.concat(
+      le32(40), le32(w), le32(h), le32((24 << 16) | 1),
+      "MJPG".getBytes("US-ASCII"), le32(w * h * 3),
+      le32(0), le32(0), le32(0), le32(0))
+    val frames = (0 until n).map { fi =>
+      val g = ((id + fi * 17) % 256).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      chunk("00dc", out.toByteArray)
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.reduce(_ ++ _))
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + hdrl.length + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+  }
+
+  final case class VideoMeta(
+      media_id: Long, width: Int, height: Int, n_frames: Int, fps: Int,
+      duration_ms: Long)
+
+  /** Per-partition AVI encode -> container parse -> ImageIO frame-0
+    * decode round trip: emits the DECODED first frame's true dimensions,
+    * the movi chunk count, the stream fps (dwRate/dwScale) and the
+    * floor-division duration — all container arithmetic the
+    * `tdp_video_meta` oracle predicts exactly. A wrong chunk size, a
+    * mis-framed list or a corrupted JPEG payload fails the hash check.
+    */
+  def aviRoundTripMeta(ids: Dataset[Long]): Dataset[VideoMeta] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val avi = parseAvi(synthAvi(id))
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(avi.frames.head))
+        val fps = avi.rate / avi.scale
+        VideoMeta(id, img.getWidth, img.getHeight, avi.frames.length, fps,
+          avi.frames.length.toLong * 1000L / fps)
       }
     }
   }

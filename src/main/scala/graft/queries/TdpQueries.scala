@@ -5034,5 +5034,36 @@ object TdpQueries {
               |      / CAST(s.bucket_lo AS DOUBLE)
               |    ELSE CAST(0 AS DOUBLE) END AS rel_bound
               |FROM est s JOIN exact e USING (p, target_rank)""".stripMargin)),
+
+    // REAL video-container round trip, oracle-checked — retires the last
+    // multimodal stub: per doc_id, synthesize an MJPEG-in-AVI whose frame
+    // dimensions, frame count and fps are pure arithmetic on the id
+    // (JDK-encoded JPEG payloads inside hand-built RIFF framing), parse
+    // the container back (graft.multimodal.Multimodal.parseAvi — chunk
+    // walking, no codec), decode frame 0 with ImageIO, and emit the
+    // decoded dims + movi chunk count + dwRate/dwScale fps + floor
+    // duration. JPEG is lossy so pixels are out of the oracle contract,
+    // but decoded DIMENSIONS survive any codec bit-exactly, and every
+    // other column is container arithmetic DuckDB predicts without
+    // touching a byte — a mis-sized chunk or broken frame fails the
+    // hash. mapPartitions only at the genuine codec boundary, like the
+    // PNG and WAV twins.
+    QueryDef(
+      "tdp_video_meta",
+      (s, dir) => {
+        import s.implicits._
+        graft.multimodal.Multimodal
+          .aviRoundTripMeta(table(s, dir, "documents")
+            .select(col("doc_id")).as[Long])
+          .toDF()
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(16 + doc_id % 48 AS INTEGER) AS width,
+             |  CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS height,
+             |  CAST(1 + (doc_id * 3) % 8 AS INTEGER) AS n_frames,
+             |  CAST(5 + (doc_id % 6) * 5 AS INTEGER) AS fps,
+             |  CAST((1 + (doc_id * 3) % 8) * 1000
+             |    // (5 + (doc_id % 6) * 5) AS BIGINT) AS duration_ms
+             |FROM documents""".stripMargin)),
   )
 }

@@ -13,19 +13,48 @@ class MultimodalSpec extends SparkSpec {
     MediaFile(3L, "/vid/c.mp4", "video", "MP4DATA-cccc-long".getBytes("UTF-8"),
       MediaMeta("mp4", 17L, 60000L)))
 
-  test("decodePartitions: deterministic stub decode, one pass per partition") {
+  test("decodePartitions: unparseable payloads quarantine, never throw") {
     val s = spark
     import s.implicits._
     val ds = s.createDataset(files).repartition(2)
     val decoded = decodePartitions(ds).collect().sortBy(_.media_id)
     assert(decoded.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
-    // Deterministic: same payload -> same dims on every run.
-    val again = decodePartitions(ds).collect().sortBy(_.media_id)
-    assert(decoded.map(d => (d.width, d.height, d.n_frames)).toSeq ==
-      again.map(d => (d.width, d.height, d.n_frames)).toSeq)
-    assert(decoded.forall(d => d.width >= 64 && d.height >= 64))
-    assert(decoded.find(_.media_id == 3L).get.n_frames > 1) // video
-    assert(decoded.forall(_.features.length == 8))
+    // All three payloads are junk bytes: every row must carry the honest
+    // quarantine sentinel (and the job must not crash).
+    assert(decoded.forall(d =>
+      d.width == -1 && d.height == -1 && d.n_frames == 0))
+    assert(decoded.forall(_.features.forall(_ == 0f)))
+  }
+
+  test("AviDecoder decodes a real MJPEG-in-AVI: dims, frames, histogram") {
+    val s = spark
+    import s.implicits._
+    // id=100: w 16+100%48=20, h 16+700%48=44, n 1+300%8=5, fps 5+(100%6)*5=25.
+    val avi = MediaFile(100L, "/vid/real.avi", "video", synthAvi(100L),
+      MediaMeta("avi", 0L, 0L))
+    val junk = files(2) // "MP4DATA" bytes -> quarantine
+    val out = decodePartitions(s.createDataset(Seq(avi, junk)))
+      .collect().sortBy(_.media_id)
+    val real = out.find(_.media_id == 100L).get
+    assert(real.width == 20 && real.height == 44 && real.n_frames == 5)
+    // Frame 0 is solid gray 100; JPEG is lossy but a solid frame decodes
+    // within a few levels of the fill, so bin 3 (96..127) dominates.
+    assert(real.features(3) > 0.9f)
+    val fallback = out.find(_.media_id == 3L).get
+    assert(fallback.width == -1 && fallback.n_frames == 0)
+  }
+
+  test("aviRoundTripMeta: container round trip matches the arithmetic") {
+    val s = spark
+    import s.implicits._
+    val metas = aviRoundTripMeta(s.range(0, 200).as[Long])
+      .collect().sortBy(_.media_id)
+    assert(metas.length == 200)
+    assert(metas.forall(m => m.width == 16 + (m.media_id % 48).toInt))
+    assert(metas.forall(m => m.height == 16 + ((m.media_id * 7) % 48).toInt))
+    assert(metas.forall(m => m.n_frames == 1 + ((m.media_id * 3) % 8).toInt))
+    assert(metas.forall(m => m.fps == 5 + (m.media_id % 6).toInt * 5))
+    assert(metas.forall(m => m.duration_ms == m.n_frames.toLong * 1000 / m.fps))
   }
 
   test("ImageIoDecoder decodes a real embedded PNG: true dims + histogram") {
@@ -42,7 +71,7 @@ class MultimodalSpec extends SparkSpec {
     // Solid gray 100 -> every pixel lands in histogram bin 100 >> 5 = 3.
     assert(real.features(3) == 1.0f && real.features.sum == 1.0f)
     val fallback = out.find(_.media_id == 1L).get
-    assert(fallback.width >= 64) // FakeDecoder's deterministic range
+    assert(fallback.width == -1 && fallback.n_frames == 0) // quarantined
   }
 
   test("pngRoundTripMeta: lossless codec round trip matches the arithmetic") {
@@ -75,7 +104,7 @@ class MultimodalSpec extends SparkSpec {
     // first |sample| bin (4096-wide), nothing above it.
     assert(real.features(0) == 1.0f)
     val fallback = out.find(_.media_id == 4L).get
-    assert(fallback.width >= 64) // FakeDecoder's deterministic range
+    assert(fallback.width == -1 && fallback.n_frames == 0) // quarantined
   }
 
   test("wavRoundTripMeta: lossless codec round trip matches the arithmetic") {
@@ -116,16 +145,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("content"))
   }
 
+  /** One REAL payload per modality (the junk `files` cover quarantine). */
+  private def realFiles = Seq(
+    MediaFile(1L, "/img/a.png", "image", synthPng(1L), MediaMeta("png", 0L, 0L)),
+    MediaFile(2L, "/aud/b.wav", "audio", synthWav(2L), MediaMeta("wav", 0L, 0L)),
+    // synthAvi(3): 1 + (3*3 % 8) = 2 frames — a real multi-frame video.
+    MediaFile(3L, "/vid/c.avi", "video", synthAvi(3L), MediaMeta("avi", 0L, 0L)))
+
   test("sampleFrameIndexes + resizePlan on decoded metadata") {
     val s = spark
     import s.implicits._
-    val decoded = decodePartitions(s.createDataset(files)).toDF()
+    val decoded = decodePartitions(s.createDataset(realFiles)).toDF()
     val frames = sampleFrameIndexes(decoded, stride = 30).collect()
       .map(r => (r.getLong(0), r.getInt(1)))
-    assert(frames.nonEmpty && frames.forall(_._1 == 3L))
+    // Multi-frame media only: the WAV (414 PCM frames) and the 2-frame
+    // AVI qualify; the single-frame PNG must not.
+    assert(frames.map(_._1).toSet == Set(2L, 3L))
     assert(frames.map(_._2).forall(_ % 30 == 0))
+    assert(frames.count(_._1 == 2L) == 14) // ceil(414 / 30)
+    assert(frames.filter(_._1 == 3L).map(_._2).toSeq == Seq(0))
 
-    val resized = resizePlan(decoded, maxSide = 256).collect()
+    // resizePlan is an image/video-family op (audio maps width to sample
+    // rate — resizing it is meaningless); plan over the raster rows.
+    val resized = resizePlan(
+      decoded.filter($"media_id".isin(1L, 3L)), maxSide = 256).collect()
     assert(resized.forall { r =>
       r.getInt(3) <= 256 && r.getInt(4) <= 256 && r.getInt(3) > 0 && r.getInt(4) > 0
     })
@@ -134,7 +177,7 @@ class MultimodalSpec extends SparkSpec {
   test("featureCosine yields pairwise similarities in [-1, 1]") {
     val s = spark
     import s.implicits._
-    val decoded = decodePartitions(s.createDataset(files)).toDF()
+    val decoded = decodePartitions(s.createDataset(realFiles)).toDF()
     val sims = featureCosine(decoded).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(sims.length == 3) // 3 choose 2
