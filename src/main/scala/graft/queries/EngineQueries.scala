@@ -17,6 +17,62 @@ object EngineQueries {
   private def dstr(name: String): Column =
     date_format(col(name), "yyyy-MM-dd").as(name)
 
+  private val bucketedDone =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** Bucketed-storage inputs for the reconcile: the cleaned Relius and
+    * Matrix frames written ONCE per (session, SF) to catalog tables
+    * bucketed AND sorted on the full match key (plan_id, ssn, gross_amt),
+    * then read back through the catalog so the planner sees the bucket
+    * layout. With both sides bucketed identically on the join keys, the
+    * full-outer sort-merge join needs NO exchange at all
+    * (PlanSpec-asserted) — the materialized co-location contract that
+    * turns the repo's biggest shuffle (`ea_reconcile_all`'s corpus-wide
+    * SMJ) into a local merge at 100 TB, amortized across every downstream
+    * run that reads the bucketed layout.
+    */
+  private def bucketedInputs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    // Spark 3.3+ only accepts subset co-partitioning (children partitioned
+    // on a common PREFIX of the join keys) when this is off; with it on,
+    // the planner demands all three keys — including the float one it
+    // normalizes, which no bucket layout can ever provide — and silently
+    // re-shuffles both bucketed sides.
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val db = bucketedDone.getOrElseUpdate(
+      (System.identityHashCode(s), dir), {
+        val name = "graft_bkt_" + math.abs(dir.hashCode).toString
+        // The in-memory catalog forgets tables across JVMs but their
+        // warehouse directories persist; clear any stale location or
+        // saveAsTable refuses with LOCATION_ALREADY_EXISTS.
+        s.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val dbPath = new org.apache.hadoop.fs.Path(wh, name + ".db")
+        val fs = dbPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(dbPath)) fs.delete(dbPath, true)
+        s.sql(s"CREATE DATABASE $name")
+        // Bucket on the STRING prefix of the match key: a double bucket
+        // column can never match the join's requirement (Spark wraps
+        // float join keys in NaN/-0.0 normalization, so the planner
+        // disables bucketing — observed live); partitioning on the same
+        // (plan_id, ssn) subset on BOTH sides still satisfies the
+        // 3-key join's clustered distribution, which is what kills the
+        // exchange. The in-bucket sort covers the same prefix, so the
+        // SMJ only adds a cheap per-bucket sort on the residual key.
+        Testdata.cleanRelius(s, dir).write.mode("overwrite")
+          .bucketBy(8, "plan_id", "ssn")
+          .sortBy("plan_id", "ssn")
+          .saveAsTable(s"$name.relius_b")
+        Testdata.cleanMatrix(s, dir).write.mode("overwrite")
+          .bucketBy(8, "plan_id", "ssn")
+          .sortBy("plan_id", "ssn")
+          .saveAsTable(s"$name.matrix_b")
+        name
+      })
+    (s.table(s"$db.relius_b"), s.table(s"$db.matrix_b"))
+  }
+
   private def issuesStr(name: String = "validation_issues"): Column =
     concat_ws("|", col(name)).as(name)
 
@@ -177,6 +233,43 @@ object EngineQueries {
           |    string_split(coalesce(action, ''), chr(10)),
           |    x -> upper(trim(x))), x -> x <> ''),
           |    ['UPDATE_1099','INVESTIGATE'])""".stripMargin, OracleSql.EngineA))),
+
+    // Bucketed-storage leg: byte-identical semantics to ea_reconcile
+    // (same oracle SQL) but over catalog tables bucketed + sorted on the
+    // match key, so the full-outer SMJ plans with ZERO exchanges —
+    // BucketingSpec's toy proof made observable on the real engine
+    // pipeline, and the layout a 100 TB deployment materializes once to
+    // de-shuffle every reconcile after it.
+    QueryDef(
+      "ea_reconcile_bucketed",
+      (s, dir) => {
+        val (r, m) = bucketedInputs(s, dir)
+        MatchPlanId.reconcile(r, m)
+          .select(
+            col("plan_id"), col("ssn"), col("gross_amt"), col("_merge"),
+            dstr("exported_date"), dstr("txn_date"), col("tax_year"),
+            col("dist_code_1"), col("dist_category_relius"), col("full_name"),
+            col("tax_code_1"), col("tax_code_2"), col("transaction_id"),
+            col("matrix_account"), col("participant_name"), col("fed_taxable_amt"),
+            col("date_lag_days"), col("date_within_tolerance"),
+            col("expected_tax_code_1"), col("expected_tax_code_2"),
+            col("code_matches_expected"), col("needs_correction"),
+            col("suggested_tax_code_1"), col("suggested_tax_code_2"),
+            col("correction_reason"), col("action"), col("match_status"),
+            col("new_tax_code"))
+      },
+      Some(OracleSql.query(
+        """SELECT plan_id, ssn, gross_amt, _merge,
+          |  strftime(exported_date, '%Y-%m-%d') AS exported_date,
+          |  strftime(txn_date, '%Y-%m-%d') AS txn_date,
+          |  tax_year, dist_code_1, dist_category_relius, full_name,
+          |  tax_code_1, tax_code_2, transaction_id, matrix_account,
+          |  participant_name, fed_taxable_amt, date_lag_days,
+          |  date_within_tolerance, expected_tax_code_1, expected_tax_code_2,
+          |  code_matches_expected, needs_correction, suggested_tax_code_1,
+          |  suggested_tax_code_2, correction_reason, action, match_status,
+          |  new_tax_code
+          |FROM ea""".stripMargin, OracleSql.EngineA))),
 
     // Scale-stress variant: the same reconciliation without the plan scope,
     // so the full-outer SMJ shuffles the complete cleaned inputs.

@@ -230,6 +230,20 @@ class PlanSpec extends SparkSpec {
       joins.map(_.toString.take(800)).mkString("\n---\n"))
   }
 
+  test("bucketed reconcile: full-outer SMJ with ZERO shuffle exchanges") {
+    val df = Registry.queries("ea_reconcile_bucketed")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // Both catalog tables are bucketed + sorted on the exact match key,
+    // so the join must read the buckets directly: any
+    // `Exchange hashpartitioning` here means the layout was ignored and
+    // the 100 TB co-location claim is void.
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed reconcile still shuffles:\n" + plan.take(3000))
+  }
+
   test("substring dedup: inverted-index equi-joins only, no pairwise stage") {
     val df = Registry.queries("tdp_substring_dedup")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
