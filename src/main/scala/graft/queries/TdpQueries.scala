@@ -1244,14 +1244,21 @@ object TdpQueries {
     * selections per round run against the one CACHED pair frame — no
     * recount, no re-merge between slots.
     */
-  private def bpeMergesBatchedDf(s: SparkSession, dir: String): DataFrame =
-    Registry.memo(s, dir, "tdp_bpe_merges_batched") {
+  /** Parameterized batched-learner core — the algorithm of
+    * [[bpeMergesBatchedDf]] with the geometry (rounds x K disjoint merges
+    * per round) as arguments, so the K=1 degenerate case (== Sennrich's
+    * sequential argmax, TdpSpec-pinned) and the BpeBench scaling
+    * measurement run the same code path as the oracle-checked query.
+    */
+  private[graft] def bpeLearnBatched(
+      s: SparkSession, dir: String, rounds: Int,
+      batchK: Int): Seq[(Int, Int, String, String, Long)] = {
       def cut(df: DataFrame): DataFrame =
         if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
         else df.localCheckpoint()
       var words = cut(bpeVocab(s, dir))
       val learned = Seq.newBuilder[(Int, Int, String, String, Long)]
-      for (r <- 1 to BpeBatchRounds) {
+      for (r <- 1 to rounds) {
         val pairs = words
           .select(col("freq"), explode(expr(
             "transform(slice(syms, 1, size(syms) - 1), " +
@@ -1264,7 +1271,7 @@ object TdpQueries {
         var excluded = Set.empty[String]
         var slot = 1
         var exhausted = false
-        while (slot <= BpeBatchK && !exhausted) {
+        while (slot <= batchK && !exhausted) {
           val eligible = excluded.foldLeft(lit(true)) { (acc, sym) =>
             acc && col("a") =!= sym && col("b") =!= sym
           }
@@ -1289,8 +1296,14 @@ object TdpQueries {
         }
         pairs.unpersist(blocking = false)
       }
+      learned.result()
+  }
+
+  private def bpeMergesBatchedDf(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_bpe_merges_batched") {
       import s.implicits._
-      learned.result().toDF("round", "slot", "sym_a", "sym_b", "pair_count")
+      bpeLearnBatched(s, dir, BpeBatchRounds, BpeBatchK)
+        .toDF("round", "slot", "sym_a", "sym_b", "pair_count")
     }
 
   /** DuckDB twin of the batched learner: per round, pair counts once,

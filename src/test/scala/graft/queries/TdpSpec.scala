@@ -923,6 +923,21 @@ class TdpSpec extends SparkSpec {
     assert(recall === anyHit.toDouble / nExact)
   }
 
+  test("batched BPE at K=1 reproduces the sequential learner exactly") {
+    // The batched learner's documented deviation from Sennrich's argmax
+    // (slots 2..K count against the round-start snapshot) must vanish at
+    // K=1: one merge per round IS the sequential algorithm, so the merge
+    // table — symbols, order, and counts — must be identical.
+    val sequential = Registry.queries("tdp_bpe_merges")(spark, sf)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"),
+        r.getAs[Long]("pair_count"))).toSeq
+    val batchedK1 = TdpQueries.bpeLearnBatched(spark, sf, sequential.size, 1)
+      .map { case (_, slot, a, b, cnt) => assert(slot == 1); (a, b, cnt) }
+    assert(batchedK1 == sequential,
+      s"K=1 batch diverged:\n  batched=$batchedK1\n  sequential=$sequential")
+  }
+
   test("substring dedup: spans are maximal, witnessed, and evidence-backed") {
     val spans = Registry.queries("tdp_substring_dedup")(spark, sf).collect()
     assert(spans.nonEmpty, "sf0.001 must contain cross-doc repeated spans")
