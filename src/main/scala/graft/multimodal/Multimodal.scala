@@ -50,6 +50,17 @@ object Multimodal {
   /** Decode kernel signature a real codec implements. */
   type Decoder = MediaFile => Decoded
 
+  /** ImageIO's default stream cache is FILE-backed: every encode/decode
+    * pays a temp-file create/delete plus a synchronized cache-dir hit,
+    * which measurably serializes 32 concurrent codec tasks (observed in
+    * BENCH: CPU inflation at high parallelism). Byte-array codecs never
+    * want that — switch the JVM to in-memory stream caching once.
+    * Referenced at the top of every partition kernel so the setting
+    * lands on each executor JVM before its first codec call.
+    */
+  private lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Quarantine sentinel for payloads no codec can parse: negative
     * dimensions, zero frames, all-zero features. A total decode function
     * must emit SOMETHING for corrupt bytes, and an honest "unparseable"
@@ -250,6 +261,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // Real impl: initialize the codec once here, then stream the batch.
+      imageIoInMemory
       it.map(decoder)
     }
   }
@@ -290,6 +302,7 @@ object Multimodal {
   def pngRoundTripMeta(ids: Dataset[Long]): Dataset[ImageMeta] = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
+      imageIoInMemory
       it.map { id =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(synthPng(id)))
@@ -386,6 +399,7 @@ object Multimodal {
       ids: Dataset[Long], maxSide: Int = 16): Dataset[ResizedMeta] = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
+      imageIoInMemory
       it.map { id =>
         val src = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(synthPng2(id)))
@@ -454,6 +468,7 @@ object Multimodal {
   def wavRoundTripMeta(ids: Dataset[Long]): Dataset[AudioMeta] = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
+      imageIoInMemory
       it.map { id =>
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(synthWav(id)))
@@ -546,6 +561,7 @@ object Multimodal {
   def aviRoundTripMeta(ids: Dataset[Long]): Dataset[VideoMeta] = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
+      imageIoInMemory
       it.map { id =>
         val avi = parseAvi(synthAvi(id))
         val img = javax.imageio.ImageIO.read(

@@ -2906,7 +2906,16 @@ object TdpQueries {
         import s.implicits._
         graft.multimodal.Multimodal
           .pngRoundTripMeta(table(s, dir, "documents")
-            .select(col("doc_id")).as[Long])
+            .select(col("doc_id"))
+            // The id column is ONE parquet split at test scale: without
+            // this spread the whole codec kernel runs on a single core
+            // (observed: wall == CPU in BENCH). The count is EXPLICIT
+            // because AQE coalesces a by-column repartition of a few KB
+            // of ids right back to one partition (also observed); an
+            // explicit-N repartition is exempt from coalescing. The
+            // shuffle moves 8 bytes/row; the decode parallelism is 32x.
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .as[Long])
           .toDF()
       },
       Some("""SELECT doc_id AS media_id,
@@ -2929,7 +2938,16 @@ object TdpQueries {
         import s.implicits._
         graft.multimodal.Multimodal
           .resizeRoundTrip(table(s, dir, "documents")
-            .select(col("doc_id")).as[Long])
+            .select(col("doc_id"))
+            // The id column is ONE parquet split at test scale: without
+            // this spread the whole codec kernel runs on a single core
+            // (observed: wall == CPU in BENCH). The count is EXPLICIT
+            // because AQE coalesces a by-column repartition of a few KB
+            // of ids right back to one partition (also observed); an
+            // explicit-N repartition is exempt from coalescing. The
+            // shuffle moves 8 bytes/row; the decode parallelism is 32x.
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .as[Long])
           .toDF()
       },
       Some("""WITH rz AS (
@@ -2977,7 +2995,16 @@ object TdpQueries {
         import s.implicits._
         graft.multimodal.Multimodal
           .wavRoundTripMeta(table(s, dir, "documents")
-            .select(col("doc_id")).as[Long])
+            .select(col("doc_id"))
+            // The id column is ONE parquet split at test scale: without
+            // this spread the whole codec kernel runs on a single core
+            // (observed: wall == CPU in BENCH). The count is EXPLICIT
+            // because AQE coalesces a by-column repartition of a few KB
+            // of ids right back to one partition (also observed); an
+            // explicit-N repartition is exempt from coalescing. The
+            // shuffle moves 8 bytes/row; the decode parallelism is 32x.
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .as[Long])
           .toDF()
       },
       Some("""WITH aw AS (
@@ -5067,7 +5094,16 @@ object TdpQueries {
         import s.implicits._
         graft.multimodal.Multimodal
           .aviRoundTripMeta(table(s, dir, "documents")
-            .select(col("doc_id")).as[Long])
+            .select(col("doc_id"))
+            // The id column is ONE parquet split at test scale: without
+            // this spread the whole codec kernel runs on a single core
+            // (observed: wall == CPU in BENCH). The count is EXPLICIT
+            // because AQE coalesces a by-column repartition of a few KB
+            // of ids right back to one partition (also observed); an
+            // explicit-N repartition is exempt from coalescing. The
+            // shuffle moves 8 bytes/row; the decode parallelism is 32x.
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .as[Long])
           .toDF()
       },
       Some("""SELECT doc_id AS media_id,
