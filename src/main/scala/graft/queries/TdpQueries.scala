@@ -5114,5 +5114,95 @@ object TdpQueries {
              |  CAST((1 + (doc_id * 3) % 8) * 1000
              |    // (5 + (doc_id % 6) * 5) AS BIGINT) AS duration_ms
              |FROM documents""".stripMargin)),
+
+    // HYPERLOGLOG distinct count (Flajolet et al. 2007) — the
+    // distinct-cardinality member of the sketch family, closing it out:
+    // Bloom = membership, CMS = frequency, SpaceSaving = top-k,
+    // log-bucket histogram = quantiles, KMV bottom-k = distinct with
+    // O(k) values, HLL = distinct with 256 BYTES flat. graft_hll_agg is
+    // a native TypedImperativeAggregate whose merge is element-wise MAX
+    // — commutative AND idempotent, so the sketch is safe under any
+    // partial-aggregation schedule and even re-aggregation. Bucket/rho
+    // derive from the graft_polyhash key (bucket = key mod 256, rho =
+    // trailing zeros of key div 256, capped at 23), so the registers
+    // are a pure function of the key SET and the oracle rebuilds every
+    // one relationally: r_max / n_nonzero / the linear register checksum
+    // / the 2^r_max-scaled harmonic sum all certify the distributed
+    // build+merge, and the estimate itself is INTEGER-EXACT fixed-point
+    // (alpha·m²·2^r_max // (S·1e7) — no IEEE in the compare path).
+    // err_pm publishes the observed per-mille error against the exact
+    // distinct count computed alongside. NOTE: at tiny SF the corpus
+    // vocabulary is far below m, the documented small-range regime where
+    // production HLL switches to linear counting — err_pm is large there
+    // BY DESIGN and the published column makes the regime visible; the
+    // hash-matched register state is what the row certifies. At 100 TB
+    // (vocab >> m, the regime the raw estimator is built for) the
+    // vocabulary-size question costs one scan with 256 bytes of state
+    // per task — vs the vocab-sized shuffle of count(DISTINCT) — and
+    // per-group HLLs (e.g. distinct users per shard) ride the same
+    // aggregate.
+    QueryDef(
+      "tdp_hll_distinct",
+      (s, dir) => {
+        val toks = corpusToks(s, dir)
+        val regs = toks
+          .agg(call_function("graft_hll_agg", col("key")).as("sk"))
+          .head().getAs[Array[Byte]](0)
+        // O(m)=256-byte driver hop, the CMS-literal pattern; all summary
+        // integers below are pure functions of the register array.
+        val rMax = regs.map(_.toInt).max
+        val sScaled = regs.map(r => 1L << (rMax - r.toInt)).sum
+        val nNonzero = regs.count(_ != 0)
+        val checksum =
+          regs.zipWithIndex.map { case (r, i) => (i + 1).toLong * r }.sum
+        val est = graft.expressions.Hll.estimate(regs)
+        toks.agg(count_distinct(col("key")).as("n_exact_keys"))
+          .select(
+            lit(graft.expressions.Hll.M).as("m"),
+            lit(nNonzero).as("n_nonzero"),
+            lit(rMax).as("r_max"),
+            lit(sScaled).as("s_scaled"),
+            lit(checksum).as("regs_checksum"),
+            lit(est).as("hll_est"),
+            col("n_exact_keys"))
+          .withColumn("err_pm",
+            expr(s"abs(${est}L - n_exact_keys) * 1000L div n_exact_keys"))
+      },
+      Some(
+        s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+           |k AS MATERIALIZED (SELECT ${polyHashSql("tok")} AS key FROM t),
+           |r0 AS (
+           |  SELECT key % 256 AS reg,
+           |    CASE WHEN key // 256 = 0 THEN 23
+           |      ELSE least(bit_count(((key // 256) & -(key // 256)) - 1) + 1,
+           |        23)
+           |    END AS rho
+           |  FROM k),
+           |regs0 AS (SELECT reg, max(rho) AS rho FROM r0 GROUP BY 1),
+           |regs AS (
+           |  SELECT r.range AS reg, coalesce(g.rho, 0) AS rho
+           |  FROM range(0, 256) r LEFT JOIN regs0 g ON g.reg = r.range),
+           |a AS (
+           |  SELECT CAST(max(rho) AS INTEGER) AS r_max,
+           |    CAST(count(*) FILTER (WHERE rho > 0) AS INTEGER) AS n_nonzero,
+           |    CAST(sum((reg + 1) * rho) AS BIGINT) AS regs_checksum
+           |  FROM regs),
+           |s AS (
+           |  SELECT CAST(sum(CAST(1 AS BIGINT)
+           |      << CAST(a.r_max - rho AS INTEGER)) AS BIGINT) AS s_scaled
+           |  FROM regs CROSS JOIN a),
+           |n AS (
+           |  SELECT CAST(count(DISTINCT key) AS BIGINT) AS n_exact_keys
+           |  FROM k),
+           |e AS (
+           |  SELECT CAST((CAST(7182726 AS BIGINT) * 256 * 256
+           |      * (CAST(1 AS BIGINT) << CAST(a.r_max AS INTEGER)))
+           |    // (s.s_scaled * 10000000) AS BIGINT) AS hll_est
+           |  FROM a CROSS JOIN s)
+           |SELECT CAST(256 AS INTEGER) AS m, a.n_nonzero, a.r_max,
+           |  s.s_scaled, a.regs_checksum, e.hll_est, n.n_exact_keys,
+           |  abs(e.hll_est - n.n_exact_keys) * 1000 // n.n_exact_keys
+           |    AS err_pm
+           |FROM a CROSS JOIN s CROSS JOIN n CROSS JOIN e""".stripMargin)),
   )
 }
