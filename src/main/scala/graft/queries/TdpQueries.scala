@@ -5204,5 +5204,65 @@ object TdpQueries {
            |  abs(e.hll_est - n.n_exact_keys) * 1000 // n.n_exact_keys
            |    AS err_pm
            |FROM a CROSS JOIN s CROSS JOIN n CROSS JOIN e""".stripMargin)),
+
+    // Z-ORDER LAYOUT (Morton curve) — the multi-dimensional clustering
+    // device behind Delta/Iceberg OPTIMIZE ZORDER: interleave the bits
+    // of two bucketed dimensions (here quantity and a 512-unit price
+    // bucket over lineitem) and lay rows out along the curve with ONE
+    // range exchange + local sort (graft.operators.ZOrderLayout). Each
+    // 256-code curve cell then covers a 16x16 box in (x, y) space, so
+    // parquet files written in curve order carry min/max footer stats
+    // tight on BOTH columns — a predicate on either dimension prunes
+    // most files, where a linear sort prunes on its leading column only.
+    // The report publishes per-cell bounding boxes: the x_span/y_span
+    // columns ARE the pruning guarantee (<= 15 for full cells vs the
+    // global 0..255 range), and probe_hits marks the cells a
+    // quantity-BETWEEN-25-AND-30 scan would actually touch. The oracle
+    // replicates the unrolled shift/and interleave bit-for-bit, so a
+    // single misplaced bit anywhere in the curve breaks the hash. At
+    // 100 TB the layout cost is exactly one shuffle of each row (any
+    // ORDER BY write pays the same) and the curve value is a per-row
+    // expression inside codegen — no sampling, no driver state.
+    QueryDef(
+      "tdp_zorder_layout",
+      (s, dir) => {
+        import graft.operators.ZOrderLayout
+        val b = table(s, dir, "lineitem").select(
+          expr("CAST(l_quantity AS INT)").as("xb"),
+          expr("CAST(least(floor(l_extendedprice / 512), 255) AS INT)")
+            .as("yb"))
+        ZOrderLayout.layout(b, col("xb"), col("yb"), 8,
+            s.sparkContext.defaultParallelism)
+          .groupBy(expr("CAST(zval div 256 AS INT)").as("cell"))
+          .agg(count(lit(1)).as("n_rows"),
+            min("xb").as("x_min"), max("xb").as("x_max"),
+            min("yb").as("y_min"), max("yb").as("y_max"))
+          .select(col("cell"), col("n_rows"),
+            col("x_min"), col("x_max"), col("y_min"), col("y_max"),
+            (col("x_max") - col("x_min")).as("x_span"),
+            (col("y_max") - col("y_min")).as("y_span"),
+            (col("x_min") <= 30 && col("x_max") >= 25).as("probe_hits"))
+      },
+      Some {
+        import graft.operators.ZOrderLayout
+        s"""WITH b AS (
+           |  SELECT CAST(trunc(l_quantity) AS INTEGER) AS xb,
+           |    CAST(least(floor(l_extendedprice / 512), 255) AS INTEGER)
+           |      AS yb
+           |  FROM lineitem),
+           |z AS (
+           |  SELECT xb, yb, ${ZOrderLayout.zvalueSql("xb", "yb", 8)} AS zval
+           |  FROM b),
+           |c AS (
+           |  SELECT CAST(zval // 256 AS INTEGER) AS cell,
+           |    CAST(count(*) AS BIGINT) AS n_rows,
+           |    min(xb) AS x_min, max(xb) AS x_max,
+           |    min(yb) AS y_min, max(yb) AS y_max
+           |  FROM z GROUP BY 1)
+           |SELECT cell, n_rows, x_min, x_max, y_min, y_max,
+           |  x_max - x_min AS x_span, y_max - y_min AS y_span,
+           |  x_min <= 30 AND x_max >= 25 AS probe_hits
+           |FROM c""".stripMargin
+      }),
   )
 }
