@@ -5264,5 +5264,52 @@ object TdpQueries {
            |  x_min <= 30 AND x_max >= 25 AS probe_hits
            |FROM c""".stripMargin
       }),
+
+    // DETERMINISTIC EPOCH SHUFFLE + SHARDING — the data-ordering step a
+    // training run needs between curation and the data loader: every
+    // epoch the corpus is re-shuffled and split into W worker shards,
+    // and the order must be REPRODUCIBLE (restarts, audits, ablations)
+    // without a global RNG. Device: a seeded hash permutation — ord =
+    // polyhash('epoch<k>:' || doc_id) — so shard assignment (ord mod W)
+    // is a PER-ROW expression costing zero exchanges, within-shard order
+    // is a partition-local sort by ord after the one hash exchange a
+    // sharded write pays anyway, and re-shuffling for the next epoch is
+    // just a different seed string: no state, no sampling, no driver
+    // coordination at any scale. The report publishes per-shard doc and
+    // token counts (balance: hash-uniform to ~1/sqrt(n/W)), an ord
+    // checksum (any mis-hashed row breaks it), and the epoch-2 carryover
+    // count n_same_next_epoch — docs landing in the same shard twice,
+    // ~n/W² per shard pair, certifying successive epochs decorrelate.
+    QueryDef(
+      "tdp_epoch_shard",
+      (s, dir) => {
+        val docs = docToks(s, dir)
+          .select(col("doc_id"), size(col("toks")).as("n_toks"))
+          .withColumn("ord1", expr(polyHashExpr(
+            "concat('epoch1:', CAST(doc_id AS STRING))")))
+          .withColumn("ord2", expr(polyHashExpr(
+            "concat('epoch2:', CAST(doc_id AS STRING))")))
+        docs.groupBy((col("ord1") % 8).as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_toks").as("n_tokens"),
+            sum("ord1").as("ord_checksum"),
+            sum(when(col("ord1") % 8 === col("ord2") % 8, 1L)
+              .otherwise(0L)).as("n_same_next_epoch"))
+      },
+      Some(
+        s"""WITH d AS (
+           |  SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_toks,
+           |    ${polyHashSql("concat('epoch1:', CAST(doc_id AS VARCHAR))")}
+           |      AS ord1,
+           |    ${polyHashSql("concat('epoch2:', CAST(doc_id AS VARCHAR))")}
+           |      AS ord2
+           |  FROM documents)
+           |SELECT ord1 % 8 AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           |  CAST(sum(ord1) AS BIGINT) AS ord_checksum,
+           |  CAST(count(*) FILTER (WHERE ord1 % 8 = ord2 % 8) AS BIGINT)
+           |    AS n_same_next_epoch
+           |FROM d GROUP BY 1""".stripMargin)),
   )
 }
