@@ -247,7 +247,9 @@ object GraftExtensions {
     entry("graft_ss_agg", classOf[SpaceSavingAgg], 2)(
       exprs => SpaceSavingAgg(exprs(0), exprs(1))),
     entry("graft_hll_agg", classOf[HllBuildAgg], 1)(
-      exprs => HllBuildAgg(exprs.head)))
+      exprs => HllBuildAgg(exprs.head)),
+    entry("graft_hll_estimate", classOf[HllEstimateExpr], 1)(
+      exprs => HllEstimateExpr(exprs.head)))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config, e.g. the driver-owned Verify/Bench sessions):

@@ -62,6 +62,47 @@ object Hll {
   }
 }
 
+/** `graft_hll_estimate(sketch BINARY) -> BIGINT` — the integer-exact
+  * raw-HLL estimate of a serialized register array. Unlike the CMS probe
+  * (foldable literal sketch), this runs per ROW so `groupBy(dim)
+  * .agg(graft_hll_estimate(graft_hll_agg(key)))` answers per-group
+  * cardinality with 256 bytes of state per group — the production shape
+  * (distinct tokens per language, distinct users per shard, ...).
+  */
+case class HllEstimateExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary HLL sketch, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hll_estimate"
+
+  def estimate(bytes: Array[Byte]): Long = {
+    require(bytes.length == Hll.M,
+      s"HLL sketch must be ${Hll.M} bytes, got ${bytes.length}")
+    Hll.estimate(bytes)
+  }
+
+  override def nullSafeEval(bytes: Any): Any =
+    estimate(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("graftHllExpr", this,
+      classOf[HllEstimateExpr].getName)
+    nullSafeCodeGen(ctx, ev, b => s"${ev.value} = $ref.estimate($b);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HllEstimateExpr = copy(child = newChild)
+}
+
 /** `graft_hll_agg(key BIGINT) -> BINARY` — build the 256-byte sketch. */
 case class HllBuildAgg(
     child: Expression,

@@ -5311,5 +5311,71 @@ object TdpQueries {
            |  CAST(count(*) FILTER (WHERE ord1 % 8 = ord2 % 8) AS BIGINT)
            |    AS n_same_next_epoch
            |FROM d GROUP BY 1""".stripMargin)),
+
+    // PER-GROUP HLL — the production shape of the distinct sketch:
+    // `groupBy(lang).agg(graft_hll_estimate(graft_hll_agg(key)))`
+    // answers per-language vocabulary size with 256 BYTES of aggregation
+    // state per group, one scan, no per-group distinct expansion. The
+    // estimate is the integer-exact fixed-point formula, a deterministic
+    // function of ALL 256 registers, so the oracle — which rebuilds
+    // every (lang, register) cell relationally and applies the same
+    // integer arithmetic — certifies each group's distributed register
+    // build end-to-end; the exact per-group distinct count rides along
+    // for the published err_pm. At 100 TB: count(DISTINCT x) GROUP BY g
+    // shuffles every distinct (g, x) pair; this shuffles 256 bytes per
+    // (g, partial), full stop.
+    QueryDef(
+      "tdp_hll_groups",
+      (s, dir) => {
+        val base = table(s, dir, "documents")
+          .select(col("lang"), explode(expr(toksExpr)).as("tok"))
+          .withColumn("key", expr(polyHashExpr("tok")))
+        base.groupBy("lang")
+          .agg(
+            call_function("graft_hll_estimate",
+              call_function("graft_hll_agg", col("key"))).as("hll_est"),
+            count_distinct(col("key")).as("n_exact_keys"))
+          .withColumn("err_pm",
+            expr("abs(hll_est - n_exact_keys) * 1000L div n_exact_keys"))
+      },
+      Some(
+        s"""WITH t AS (
+           |  SELECT lang, unnest($toksSql) AS tok FROM documents),
+           |k AS MATERIALIZED (
+           |  SELECT lang, ${polyHashSql("tok")} AS key FROM t),
+           |r0 AS (
+           |  SELECT lang, key % 256 AS reg,
+           |    CASE WHEN key // 256 = 0 THEN 23
+           |      ELSE least(bit_count(((key // 256) & -(key // 256)) - 1) + 1,
+           |        23)
+           |    END AS rho
+           |  FROM k),
+           |regs0 AS (
+           |  SELECT lang, reg, max(rho) AS rho FROM r0 GROUP BY 1, 2),
+           |regs AS (
+           |  SELECT g.lang, g.reg, coalesce(x.rho, 0) AS rho
+           |  FROM (SELECT l.lang, r.range AS reg
+           |        FROM (SELECT DISTINCT lang FROM k) l
+           |        CROSS JOIN range(0, 256) r) g
+           |  LEFT JOIN regs0 x ON x.lang = g.lang AND x.reg = g.reg),
+           |a AS (SELECT lang, max(rho) AS r_max FROM regs GROUP BY 1),
+           |sm AS (
+           |  SELECT regs.lang, a.r_max,
+           |    CAST(sum(CAST(1 AS BIGINT)
+           |      << CAST(a.r_max - rho AS INTEGER)) AS BIGINT) AS s_scaled
+           |  FROM regs JOIN a ON a.lang = regs.lang
+           |  GROUP BY 1, 2),
+           |e AS (
+           |  SELECT lang, CAST((CAST(7182726 AS BIGINT) * 256 * 256
+           |      * (CAST(1 AS BIGINT) << CAST(r_max AS INTEGER)))
+           |    // (s_scaled * 10000000) AS BIGINT) AS hll_est
+           |  FROM sm),
+           |n AS (
+           |  SELECT lang, CAST(count(DISTINCT key) AS BIGINT) AS n_exact_keys
+           |  FROM k GROUP BY 1)
+           |SELECT e.lang, e.hll_est, n.n_exact_keys,
+           |  abs(e.hll_est - n.n_exact_keys) * 1000 // n.n_exact_keys
+           |    AS err_pm
+           |FROM e JOIN n USING (lang)""".stripMargin)),
   )
 }

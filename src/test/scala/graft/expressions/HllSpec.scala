@@ -69,6 +69,31 @@ class HllSpec extends SparkSpec {
       Hll.AlphaE7 * Hll.M * Hll.M / (Hll.M.toLong * 10000000L))
   }
 
+  test("graft_hll_estimate composes with the aggregate per group") {
+    val s = registered
+    import s.implicits._
+    // Two groups with disjoint known key sets: the nested
+    // estimate(agg(key)) per group must equal the estimate computed on
+    // each group's driver-built sketch.
+    val rows = (1 to 4000).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (g, (i * 2654435761L).abs % 1000000007L)
+    }
+    val got = rows.toDF("g", "k").repartition(8)
+      .groupBy("g")
+      .agg(expr("graft_hll_estimate(graft_hll_agg(k))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val regs = new Array[Byte](Hll.M)
+      grp.map(_._2).foreach { k =>
+        val b = Hll.bucket(k)
+        val r = Hll.rho(k).toByte
+        if (r > regs(b)) regs(b) = r
+      }
+      assert(got(g) == Hll.estimate(regs), s"group $g")
+    }
+  }
+
   test("nulls are ignored in the build") {
     val s = registered
     import s.implicits._
