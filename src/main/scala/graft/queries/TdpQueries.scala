@@ -5500,5 +5500,85 @@ object TdpQueries {
            |  coalesce(h.n_terms, 0) AS n_terms,
            |  coalesce(h.n_hits, 0) = 0 AS keep
            |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin)),
+
+    // CDC MERGE (upsert-apply) — the lakehouse mutation family
+    // (Delta/Iceberg MERGE INTO, Hudi upsert): apply a change batch of
+    // inserts/updates/deletes to a snapshot in ONE pass. The change
+    // batch is derived deterministically from the snapshot itself
+    // (update keys ≡ 0 mod 7, delete keys ≡ 0 mod 11 — keys hit by both
+    // resolve by per-key LATEST-sequence-wins, the CDC compaction rule;
+    // inserts are offset copies of keys ≡ 0 mod 13), so both engines
+    // construct the identical batch and the oracle hash covers the FULL
+    // merged snapshot — every kept, rewritten, dropped and inserted row.
+    // Shape: latest-change-per-key is one window over the batch; the
+    // apply is one full-outer equi-join snapshot ⋈ batch on the key.
+    // At 100 TB that is the canonical MERGE plan: shuffle both sides on
+    // the key (or zero-exchange when the snapshot is stored bucketed by
+    // key — the ea_reconcile_bucketed device), with the change batch
+    // typically small enough that AQE picks a broadcast. No driver
+    // state, no row-at-a-time apply loop.
+    QueryDef(
+      "tdp_cdc_merge",
+      (s, dir) => {
+        val base = table(s, dir, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+        val upd = base.filter(col("k") % 7 === 0).select(
+          col("k"), lit("U").as("op"), lit("X").as("new_status"),
+          (col("price") + 1000.0).as("new_price"), lit(1).as("seq"))
+        val del = base.filter(col("k") % 11 === 0).select(
+          col("k"), lit("D").as("op"),
+          lit(null).cast(StringType).as("new_status"),
+          lit(null).cast(DoubleType).as("new_price"), lit(2).as("seq"))
+        val ins = base.filter(col("k") % 13 === 0).select(
+          (col("k") + 10000000L).as("k"), lit("I").as("op"),
+          lit("N").as("new_status"), col("price").as("new_price"),
+          lit(3).as("seq"))
+        val wK = Window.partitionBy("k").orderBy(desc("seq"))
+        val latest = upd.unionByName(del).unionByName(ins)
+          .withColumn("rn", row_number().over(wK))
+          .filter(col("rn") === 1).drop("rn", "seq")
+        base.join(latest, Seq("k"), "full")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("k"),
+            when(col("op") === "U" || col("op") === "I", col("new_status"))
+              .otherwise(col("status")).as("status"),
+            when(col("op") === "U" || col("op") === "I", col("new_price"))
+              .otherwise(col("price")).as("price"),
+            when(col("op") === "U", "updated")
+              .when(col("op") === "I", "inserted")
+              .otherwise("base").as("src"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderkey AS k, o_orderstatus AS status,
+          |    o_totalprice AS price
+          |  FROM orders),
+          |changes AS (
+          |  SELECT k, 'U' AS op, 'X' AS new_status,
+          |    price + 1000.0 AS new_price, 1 AS seq
+          |  FROM base WHERE k % 7 = 0
+          |  UNION ALL
+          |  SELECT k, 'D', NULL, NULL, 2 FROM base WHERE k % 11 = 0
+          |  UNION ALL
+          |  SELECT k + 10000000, 'I', 'N', price, 3
+          |  FROM base WHERE k % 13 = 0),
+          |latest AS (
+          |  SELECT k, op, new_status, new_price FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+          |      AS rn
+          |    FROM changes)
+          |  WHERE rn = 1)
+          |SELECT coalesce(b.k, l.k) AS k,
+          |  CASE WHEN l.op IN ('U', 'I') THEN l.new_status
+          |    ELSE b.status END AS status,
+          |  CASE WHEN l.op IN ('U', 'I') THEN l.new_price
+          |    ELSE b.price END AS price,
+          |  CASE WHEN l.op = 'U' THEN 'updated'
+          |    WHEN l.op = 'I' THEN 'inserted'
+          |    ELSE 'base' END AS src
+          |FROM base b FULL JOIN latest l ON b.k = l.k
+          |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin)),
   )
 }
