@@ -61,6 +61,33 @@ object Multimodal {
   private lazy val imageIoInMemory: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** Per-thread reusable JPEG writer: `ImageIO.write()` re-runs the
+    * provider-registry scan and allocates a fresh writer per call —
+    * measurable when the payloads are 16–64 px MJPEG frames encoded
+    * hundreds of thousands of times per bench pass (synthAvi emits one
+    * JPEG per frame per doc). One writer per codec thread amortizes the
+    * lookup; writers are not thread-safe, so ThreadLocal is the correct
+    * sharing granularity.
+    */
+  private val jpegWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+  }
+
+  /** Encode with the thread's reused writer (bit-identical output to
+    * `ImageIO.write(img, "jpg", out)` — same provider, default params).
+    */
+  private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    imageIoInMemory
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val w = jpegWriter.get()
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), null)
+    ios.flush()
+    out.toByteArray
+  }
+
   /** Quarantine sentinel for payloads no codec can parse: negative
     * dimensions, zero frames, all-zero features. A total decode function
     * must emit SOMETHING for corrupt bytes, and an honest "unparseable"
@@ -282,12 +309,8 @@ object Multimodal {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rgb = (g << 16) | (g << 8) | g
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
+    java.util.Arrays.fill(img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData, rgb)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
@@ -337,12 +360,16 @@ object Multimodal {
     val gr = ((id * 13 + 31) % 256).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    val pl = (gl << 16) | (gl << 8) | gl
+    val pr = (gr << 16) | (gr << 8) | gr
     var y = 0
     while (y < h) {
+      val row = y * w
       var x = 0
       while (x < w) {
-        val g = if (x < w / 2) gl else gr
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        data(row + x) = if (x < w / 2) pl else pr
         x += 1
       }
       y += 1
@@ -530,15 +557,12 @@ object Multimodal {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val rgb = (g << 16) | (g << 8) | g
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-        y += 1
-      }
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", out)
-      chunk("00dc", out.toByteArray)
+      // Fill through the backing int raster: per-pixel setRGB() runs a
+      // colour-model conversion per call — at ~270k frames x ~1600 px
+      // per bench pass that conversion dominated the kernel's CPU.
+      java.util.Arrays.fill(img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData, rgb)
+      chunk("00dc", encodeJpeg(img))
     }
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))

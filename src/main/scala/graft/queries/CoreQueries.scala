@@ -711,5 +711,97 @@ object CoreQueries {
              |WHERE o_orderkey % 100 = 0
              |WINDOW w AS (PARTITION BY o_orderpriority
              |  ORDER BY CAST(FLOOR(o_totalprice) AS BIGINT), o_orderkey)""".stripMargin)),
+
+    // Ordered conversion funnel view -> click -> purchase: each step's
+    // first-occurrence time must be at or after the previous step's. All
+    // three step times come from min(when(...)) windows over the SAME
+    // user_id partitioning, so the whole per-user stage rides ONE
+    // exchange (Spark reuses the hash partitioning across consecutive
+    // window operators and the final per-user aggregate); the summary is
+    // a 3-row stack off a 1-row conditional-count reduce. Conversions
+    // are integer permille (n * 1000 div prev) so both engines floor
+    // identically. At 100 TB this is the canonical one-shuffle funnel:
+    // no self-joins, no per-step passes over the raw events.
+    QueryDef(
+      "q34_funnel",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        val perUser = eventsWithSec(s, dir)
+          .select(col("user_id"), col("event_type"), col("sec"))
+          .withColumn("v_sec",
+            min(when(col("event_type") === "view", col("sec"))).over(w))
+          .withColumn("c_sec",
+            min(when(col("event_type") === "click" &&
+              col("sec") >= col("v_sec"), col("sec"))).over(w))
+          .withColumn("p_sec",
+            min(when(col("event_type") === "purchase" &&
+              col("sec") >= col("c_sec"), col("sec"))).over(w))
+          .groupBy("user_id")
+          .agg(min("v_sec").as("v"), min("c_sec").as("c"), min("p_sec").as("p"))
+        perUser
+          .agg(
+            sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n3"))
+          .select(expr(
+            """stack(3,
+              |  '1_view', n1, CAST(NULL AS BIGINT),
+              |  '2_click', n2, n1,
+              |  '3_purchase', n3, n2) AS (step, n_users, prev_users)"""
+              .stripMargin))
+          .withColumn("conv_permille",
+            when(col("prev_users") > 0,
+              expr("n_users * 1000 div prev_users")))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+             |v AS (SELECT user_id, min(sec) AS v_sec FROM e
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(sec) AS c_sec FROM e
+             |  JOIN v USING (user_id)
+             |  WHERE event_type = 'click' AND sec >= v.v_sec GROUP BY 1),
+             |p AS (SELECT e.user_id, min(sec) AS p_sec FROM e
+             |  JOIN c USING (user_id)
+             |  WHERE event_type = 'purchase' AND sec >= c.c_sec GROUP BY 1),
+             |n AS (SELECT (SELECT count(*) FROM v) AS n1,
+             |  (SELECT count(*) FROM c) AS n2,
+             |  (SELECT count(*) FROM p) AS n3)
+             |SELECT '1_view' AS step, n1 AS n_users,
+             |  CAST(NULL AS BIGINT) AS prev_users,
+             |  CAST(NULL AS BIGINT) AS conv_permille FROM n
+             |UNION ALL SELECT '2_click', n2, n1,
+             |  CASE WHEN n1 > 0 THEN n2 * 1000 // n1 END FROM n
+             |UNION ALL SELECT '3_purchase', n3, n2,
+             |  CASE WHEN n2 > 0 THEN n3 * 1000 // n2 END FROM n""".stripMargin)),
+
+    // Retention cohort matrix: cohort = each user's first-activity day,
+    // cells = distinct active users at day offsets 0..7. The cohort day
+    // is a min() window over user_id — again one exchange shared with
+    // the event-side filter — and the matrix aggregate shuffles on
+    // (cohort_day, day_offset), a key space bounded by days x 8, so the
+    // final reduce is tiny no matter the corpus size.
+    QueryDef(
+      "q35_retention",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        eventsWithSec(s, dir)
+          .select(col("user_id"), expr("sec div 86400").as("day"))
+          .withColumn("cohort_day", min("day").over(w))
+          .withColumn("day_offset", col("day") - col("cohort_day"))
+          .filter(col("day_offset") <= 7)
+          .groupBy("cohort_day", "day_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+             |  FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+             |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |FROM e JOIN c USING (user_id)
+             |WHERE e.day - c.cohort_day <= 7
+             |GROUP BY 1, 2""".stripMargin)),
   )
 }

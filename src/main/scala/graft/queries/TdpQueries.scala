@@ -5580,5 +5580,222 @@ object TdpQueries {
           |    ELSE 'base' END AS src
           |FROM base b FULL JOIN latest l ON b.k = l.k
           |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin)),
+
+    // DATASET PROFILER: the one-pass per-column audit every ingest runs
+    // before training — row count, null count, exact distinct count and
+    // stringified min/max for every documents column, unpivoted to one
+    // row per column. All 20 aggregates ride a single groupBy(): Spark
+    // plans the five exact count-distincts as one Expand (x5 row
+    // multiplier, each branch a plain hash aggregate — still one scan,
+    // one shuffle), and min/max/null-counts tag along each branch. At
+    // 100 TB the exact distincts are the expensive half; the HLL
+    // register aggregate (tdp_hll_distinct) is the drop-in when +-2%
+    // suffices, and the profiler's shape doesn't change.
+    QueryDef(
+      "tdp_profile",
+      (s, dir) => {
+        def prof(c: String) = Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast(StringType).as(s"mn_$c"),
+          max(col(c)).cast(StringType).as(s"mx_$c"))
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(prof)
+        val one = table(s, dir, "documents")
+          .agg(aggs.head, aggs.tail: _*)
+        val branches = cols
+          .map(c => "'" + c + "', n_rows, nn_" + c + ", nd_" + c +
+            ", mn_" + c + ", mx_" + c)
+          .mkString(", ")
+        one.select(expr("stack(" + cols.size + ", " + branches + ") AS " +
+          "(column_name, n_rows, n_null, n_distinct, min_val, max_val)"))
+      },
+      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin).mkString("\nUNION ALL\n"))),
+
+    // K-ANONYMITY audit at two generalization levels: quasi-identifier
+    // (c_nationkey, c_mktsegment) and its one-step generalization
+    // (c_mktsegment alone). Per level: group count, the k actually
+    // attained (min group size), and how many groups/rows sit below
+    // k=5 — the re-identification risk mass that generalizing away the
+    // nation column eliminates. Two group-sized aggregates feeding two
+    // 1-row reduces; the QID key space (nations x segments) is tiny, so
+    // at scale this is two map-side-combined shuffles over narrow keys.
+    QueryDef(
+      "tdp_k_anonymity",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        def level(name: String, keys: Seq[String]) =
+          cust.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("n"))
+            .agg(count(lit(1)).as("n_groups"),
+              min("n").as("k_attained"),
+              sum(when(col("n") < 5, 1L).otherwise(0L)).as("risky_groups"),
+              sum(when(col("n") < 5, col("n")).otherwise(0L)).as("risky_rows"))
+            .select(lit(name).as("level"), col("n_groups"),
+              col("k_attained"), col("risky_groups"), col("risky_rows"))
+        level("nation+segment", Seq("c_nationkey", "c_mktsegment"))
+          .unionAll(level("segment", Seq("c_mktsegment")))
+      },
+      Some("""WITH g1 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+             |  FROM customer GROUP BY 1, 2),
+             |g2 AS (SELECT c_mktsegment, count(*) AS n
+             |  FROM customer GROUP BY 1)
+             |SELECT 'nation+segment' AS level, count(*) AS n_groups,
+             |  min(n) AS k_attained,
+             |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS risky_groups,
+             |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             |    AS risky_rows
+             |FROM g1
+             |UNION ALL
+             |SELECT 'segment', count(*), min(n),
+             |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             |FROM g2""".stripMargin)),
+
+    // VOCABULARY COVERAGE CURVE: what fraction of token occurrences a
+    // top-N vocabulary covers, for N in {10, 100, 1000} — the sizing
+    // curve behind every tokenizer/vocab decision (OOV rate = 1000 -
+    // coverage_permille). The top-1000 head comes from orderBy+limit,
+    // which Spark executes as TakeOrderedAndProject — per-partition
+    // top-k then a driver merge of 1000-row heaps, NO single-partition
+    // window over the vocabulary — and the in-head rank is a window
+    // over the bounded 1000-row frame. Integer permille keeps the
+    // rounding engine-identical.
+    QueryDef(
+      "tdp_vocab_coverage",
+      (s, dir) => {
+        val counts = docToks(s, dir)
+          .select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum("cnt").as("total"))
+        val head = counts.orderBy(desc("cnt"), col("tok")).limit(1000)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("cnt"), col("tok"))))
+        head
+          .agg(
+            sum(when(col("rank") <= 10, col("cnt")).otherwise(0L)).as("c10"),
+            sum(when(col("rank") <= 100, col("cnt")).otherwise(0L)).as("c100"),
+            sum(col("cnt")).as("c1000"))
+          .crossJoin(total)
+          .select(expr(
+            """stack(3, 10, c10, 100, c100, 1000, c1000)
+              |AS (vocab_size, covered_occurrences)""".stripMargin),
+            col("total").as("total_occurrences"))
+          .withColumn("coverage_permille",
+            expr("covered_occurrences * 1000 div total_occurrences"))
+      },
+      Some(s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+              |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+              |r AS (SELECT tok, cnt,
+              |  row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM c),
+              |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_occurrences
+              |  FROM c),
+              |b AS (SELECT
+              |  CAST(sum(CASE WHEN rank <= 10 THEN cnt ELSE 0 END) AS BIGINT)
+              |    AS c10,
+              |  CAST(sum(CASE WHEN rank <= 100 THEN cnt ELSE 0 END) AS BIGINT)
+              |    AS c100,
+              |  CAST(sum(CASE WHEN rank <= 1000 THEN cnt ELSE 0 END) AS BIGINT)
+              |    AS c1000
+              |  FROM r)
+              |SELECT 10 AS vocab_size, c10 AS covered_occurrences,
+              |  total_occurrences, c10 * 1000 // total_occurrences
+              |    AS coverage_permille FROM b, tot
+              |UNION ALL SELECT 100, c100, total_occurrences,
+              |  c100 * 1000 // total_occurrences FROM b, tot
+              |UNION ALL SELECT 1000, c1000, total_occurrences,
+              |  c1000 * 1000 // total_occurrences FROM b, tot""".stripMargin)),
+
+    // DETERMINISTIC K-FOLD SPLIT AUDIT: every doc lands in a fold via a
+    // seeded affine hash of its id — (id * 40503 + 12345) mod 1000003
+    // mod 5, pure BIGINT arithmetic both engines evaluate identically —
+    // and the audit reports each fold's doc count, token mass, language
+    // spread and share. This is the cross-validation / train-split
+    // assigner: stateless, reproducible from the id alone (no stored
+    // assignment table), and at 100 TB it's a map-only column + one
+    // 5-key aggregate. Complements tdp_split_leakage, which checks
+    // CONTENT does not straddle splits; this checks the SIZES balance.
+    QueryDef(
+      "tdp_kfold",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .withColumn("fold",
+            expr("((doc_id * 40503 + 12345) % 1000003) % 5"))
+          .withColumn("n_toks", expr(s"size($toksExpr)").cast(LongType))
+        val total = docs.agg(count(lit(1)).as("n_total"))
+        docs.groupBy("fold")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_toks").as("n_tokens"),
+            countDistinct("lang").as("n_langs"))
+          .crossJoin(total)
+          .withColumn("share_permille",
+            expr("n_docs * 1000 div n_total"))
+          .drop("n_total")
+      },
+      Some(s"""WITH d AS (SELECT
+              |    ((doc_id * 40503 + 12345) % 1000003) % 5 AS fold,
+              |    CAST(len($toksSql) AS BIGINT) AS n_toks, lang
+              |  FROM documents),
+              |tot AS (SELECT count(*) AS n_total FROM d)
+              |SELECT fold, count(*) AS n_docs,
+              |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              |  count(*) * 1000 // n_total AS share_permille
+              |FROM d, tot GROUP BY fold, n_total""".stripMargin)),
+
+    // COLLOCATION MINING (Church & Hanks PMI over ADJACENT bigrams):
+    // pointwise mutual information ln(N * c_xy / (c_x * c_y)) for every
+    // bigram seen >= 5 times — the classic multiword-expression finder
+    // ("new york"-style units worth single tokens). Built on the
+    // memoized docBigrams/unigram frames, so the marginal cost is two
+    // vocab-sized aggregates plus two vocab-keyed equi-joins (never a
+    // token-pair blowup: adjacency bounds candidates linearly in corpus
+    // size, unlike within-document co-occurrence). The ln() is floored
+    // to integer micro-nats from the identical double expression in
+    // both engines — the tdp_heldout_perplexity exactness device.
+    QueryDef(
+      "tdp_collocations",
+      (s, dir) => {
+        val big = docBigrams(s, dir)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+        val uni = docToks(s, dir)
+          .select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val nBig = docBigrams(s, dir).agg(count(lit(1)).as("n_bigrams"))
+        big
+          .join(uni.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
+          .join(uni.select(col("tok").as("w2"), col("c").as("c_y")), "w2")
+          .crossJoin(nBig)
+          .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+            expr("""CAST(floor(ln((CAST(c_xy AS DOUBLE) * CAST(n_bigrams AS DOUBLE))
+              | / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))) * 1000000)
+              | AS BIGINT)""".stripMargin.replaceAll("\n", ""))
+              .as("pmi_micro"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |bg AS (
+              |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+              |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk)),
+              |bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg
+              |  GROUP BY 1, 2 HAVING count(*) >= 5),
+              |un AS (SELECT unnest(toks) AS tok FROM tk),
+              |uc AS (SELECT tok, count(*) AS c FROM un GROUP BY 1),
+              |nb AS (SELECT count(*) AS n_bigrams FROM bg)
+              |SELECT bc.w1, bc.w2, bc.c_xy, u1.c AS c_x, u2.c AS c_y,
+              |  CAST(floor(ln((CAST(bc.c_xy AS DOUBLE)
+              |      * CAST(nb.n_bigrams AS DOUBLE))
+              |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+              |    * 1000000) AS BIGINT) AS pmi_micro
+              |FROM bc JOIN uc u1 ON bc.w1 = u1.tok
+              |JOIN uc u2 ON bc.w2 = u2.tok, nb""".stripMargin)),
   )
 }

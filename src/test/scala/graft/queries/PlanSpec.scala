@@ -254,4 +254,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("funnel: the whole per-user stage rides ONE hash exchange") {
+    val df = Registry.queries("q34_funnel")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Three min(when) windows + the per-user aggregate all partition by
+    // user_id: Spark must reuse a single hashpartitioning exchange for
+    // the lot (the only other exchange is the 1-row final-summary
+    // SinglePartition reduce). A second hash exchange would mean the
+    // funnel re-shuffles the events per step — the thing this shape
+    // exists to avoid at 100 TB.
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashExchanges == 1, s"want 1 hash exchange, got $hashExchanges:\n" +
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("vocab coverage: head selection is TakeOrdered, not a global sort") {
+    val df = Registry.queries("tdp_vocab_coverage")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
 }

@@ -980,4 +980,111 @@ class TdpSpec extends SparkSpec {
       }
     }
   }
+
+  test("profile: planted nulls/distincts/extremes per column") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_profile").toString
+    Seq(
+      (1L, "aa bb", "en", "s1", 5L),
+      (2L, "aa bb", null.asInstanceOf[String], "s1", 5L),
+      (3L, "cc", "de", "s2", 2L),
+      (4L, "dd ee ff", "de", "s2", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_profile")(spark, dir).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(rows.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    rows.values.foreach(r => assert(r.getAs[Long]("n_rows") == 4L))
+    val lang = rows("lang")
+    assert(lang.getAs[Long]("n_null") == 1L)
+    assert(lang.getAs[Long]("n_distinct") == 2L) // null excluded
+    assert(lang.getAs[String]("min_val") == "de" &&
+      lang.getAs[String]("max_val") == "en")
+    val id = rows("doc_id")
+    assert(id.getAs[Long]("n_null") == 0L &&
+      id.getAs[Long]("n_distinct") == 4L)
+    assert(id.getAs[String]("min_val") == "1" &&
+      id.getAs[String]("max_val") == "4")
+    assert(rows("text").getAs[Long]("n_distinct") == 3L) // "aa bb" twice
+    assert(rows("n_chars").getAs[String]("max_val") == "8")
+  }
+
+  test("k-anonymity: generalizing merges risky groups away") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_kanon").toString
+    // nation 1 x AUTO has 7 members (safe); nations 2 and 3 x BIKE have
+    // 2 and 3 members (risky at k=5) but generalize to one BIKE group
+    // of 5 (exactly k, safe).
+    val rows = (1 to 7).map(i => (1, "AUTO")) ++
+      (1 to 2).map(_ => (2, "BIKE")) ++ (1 to 3).map(_ => (3, "BIKE"))
+    rows.toDF("c_nationkey", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = Registry.queries("tdp_k_anonymity")(spark, dir).collect()
+      .map(r => r.getAs[String]("level") -> r).toMap
+    val fine = out("nation+segment")
+    assert(fine.getAs[Long]("n_groups") == 3L)
+    assert(fine.getAs[Long]("k_attained") == 2L)
+    assert(fine.getAs[Long]("risky_groups") == 2L)
+    assert(fine.getAs[Long]("risky_rows") == 5L)
+    val coarse = out("segment")
+    assert(coarse.getAs[Long]("n_groups") == 2L)
+    assert(coarse.getAs[Long]("k_attained") == 5L)
+    assert(coarse.getAs[Long]("risky_groups") == 0L)
+    assert(coarse.getAs[Long]("risky_rows") == 0L)
+  }
+
+  test("vocab coverage: planted head mass yields exact permilles") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_vocab_cov").toString
+    // Tokens t01..t15 with counts 15..1 -> total 120; top-10 by count
+    // covers 15+14+...+6 = 105 -> 875 permille; top-100 covers all.
+    val text = (1 to 15)
+      .flatMap(i => Seq.fill(16 - i)(f"t$i%02d")).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_vocab_coverage")(spark, dir).collect()
+      .map(r => r.getAs[Int]("vocab_size") -> r).toMap
+    assert(rows(10).getAs[Long]("covered_occurrences") == 105L)
+    assert(rows(10).getAs[Long]("total_occurrences") == 120L)
+    assert(rows(10).getAs[Long]("coverage_permille") == 875L)
+    assert(rows(100).getAs[Long]("coverage_permille") == 1000L)
+    assert(rows(1000).getAs[Long]("covered_occurrences") == 120L)
+  }
+
+  test("kfold: folds partition the corpus and shares sum to ~1000") {
+    val rows = Registry.queries("tdp_kfold")(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("fold")).toSet.subsetOf(Set(0L, 1L, 2L, 3L, 4L)))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "every doc lands in exactly one fold")
+    val shareSum = rows.map(_.getAs[Long]("share_permille")).sum
+    assert(shareSum <= 1000L && shareSum >= 1000L - rows.length,
+      s"floor permilles must sum to (1000 - #folds, 1000], got $shareSum")
+  }
+
+  test("collocations: a welded pair scores high PMI, independents near zero") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_colloc").toString
+    // "new york" appears as a unit 8 times among 8 distinct one-off
+    // filler contexts; "the cat" co-occurs but each word also appears
+    // apart, diluting its PMI. Bigrams seen < 5 times must not appear.
+    val docs = (0 until 8).map { i =>
+      (i.toLong, s"new york f$i the cat the dog cat nap")
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Registry.queries("tdp_collocations")(spark, dir).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r).toMap
+    assert(out.contains(("new", "york")))
+    val ny = out(("new", "york"))
+    assert(ny.getAs[Long]("c_xy") == 8L)
+    // every "new" is followed by "york" and both only occur welded:
+    // pmi = ln(N * 8 / (8 * 8)) = ln(8) for N = 8 docs x 8 bigrams = 64.
+    assert(ny.getAs[Long]("pmi_micro") > 0L)
+    val tc = out(("the", "cat"))
+    // "the" occurs 16x, "cat" 16x, "the cat" 8x, N = 64:
+    // pmi = ln(64*8/256) = ln(2) -> positive but far below ln(8).
+    assert(tc.getAs[Long]("pmi_micro") < ny.getAs[Long]("pmi_micro"))
+    // no bigram below the min-count floor of 5:
+    assert(out.values.forall(_.getAs[Long]("c_xy") >= 5L))
+  }
 }
