@@ -5797,5 +5797,274 @@ object TdpQueries {
               |    * 1000000) AS BIGINT) AS pmi_micro
               |FROM bc JOIN uc u1 ON bc.w1 = u1.tok
               |JOIN uc u2 ON bc.w2 = u2.tok, nb""".stripMargin)),
+
+    // DETERMINISTIC UNIFORM SAMPLE: the k docs with the smallest seeded
+    // hash of their id — bottom-k-by-hash IS a uniform sample without
+    // replacement, and unlike an RNG reservoir it is reproducible on any
+    // cluster, restartable, and composable (the same seed always picks
+    // the same docs; a new seed string is a fresh independent sample —
+    // the tdp_epoch_shard permutation device applied to sampling).
+    // Plans as TakeOrderedAndProject: per-partition k-heaps + a k-sized
+    // driver merge, no global sort at any corpus size.
+    QueryDef(
+      "tdp_uniform_sample",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .withColumn("h", expr(polyHashExpr(
+            "concat('smp:', CAST(doc_id AS STRING))")))
+          .orderBy("h", "doc_id")
+          .limit(100),
+      Some(s"""SELECT doc_id, lang, source,
+              |  ${polyHashSql("concat('smp:', CAST(doc_id AS VARCHAR))")} AS h
+              |FROM documents
+              |ORDER BY h, doc_id LIMIT 100""".stripMargin)),
+
+    // CONTAINMENT DEDUP (Broder's asymmetric resemblance): |A ∩ B| / |A|
+    // over shingle sets — the modality that catches a document NESTED
+    // inside a larger one (quotes, aggregator pages, versioned appends),
+    // where symmetric Jaccard stays low because the union is dominated
+    // by the container. Candidates via the containment prefix filter: a
+    // pair with containment(A→B) >= 0.8 must share one of A's
+    // (na - ceil(0.8·na) + 1) RAREST shingles (global-df order), so A's
+    // prefix joins the full posting list — the asymmetric twin of
+    // tdp_ngram_jaccard's two-sided prefix, provably lossless at the
+    // threshold. Never all-pairs; the verify join is doc-keyed.
+    QueryDef(
+      "tdp_containment",
+      (s, dir) => {
+        val d = docHashes(s, dir).filter(col("n_sh") > 0)
+        val exploded = d.select(col("doc_id"), col("n_sh"),
+          explode(col("hashes")).as("sh"))
+        val dfreq = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+        val prefix = exploded.join(dfreq, "sh")
+          .withColumn("rk", row_number().over(wDoc))
+          .filter(col("rk") <= expr("n_sh - ((4 * n_sh + 4) div 5) + 1"))
+          .select(col("doc_id").as("doc_a"), col("sh"))
+        val cand = prefix
+          .join(exploded.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        cand
+          .join(d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
+            col("n_sh").as("na")), Seq("doc_a"))
+          .join(d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
+            col("n_sh").as("nb")), Seq("doc_b"))
+          .withColumn("inter",
+            size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+          .withColumn("containment",
+            col("inter").cast(DoubleType) / col("na").cast(DoubleType))
+          .filter(col("containment") >= 0.8)
+          .select("doc_a", "doc_b", "na", "nb", "inter", "containment")
+      },
+      Some(s"""WITH $docsShinglesSql,
+              |cd AS (SELECT doc_id, hashes, len(hashes) AS n_sh
+              |  FROM doc_sh WHERE len(hashes) > 0),
+              |cex AS (SELECT doc_id, n_sh, unnest(hashes) AS sh FROM cd),
+              |cpairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+              |  FROM cex a JOIN cex b
+              |    ON a.sh = b.sh AND a.doc_id <> b.doc_id
+              |  GROUP BY 1, 2, 3, 4)
+              |SELECT doc_a, doc_b, na, nb, CAST(inter AS BIGINT) AS inter,
+              |  CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+              |FROM cpairs
+              |WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.8"""
+        .stripMargin)),
+
+    // COMPACTION PLANNER (the lakehouse OPTIMIZE bin-packer): group the
+    // corpus into synthetic small files (50 docs each), then pack files
+    // in id order into target-size bins by cumulative start offset —
+    // bin = floor(bytes_before / target) is the standard greedy concat
+    // plan (files stay contiguous, every bin except the last is >= the
+    // target minus one file). The global running sum uses the
+    // range-partition offset device (tdp_budget_select): one range
+    // exchange, per-partition windows, an O(partitions) subtotal hop —
+    // never a single-partition window over the file list.
+    QueryDef(
+      "tdp_compaction_plan",
+      (s, dir) => {
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val ranged = Registry.memo(s, dir, "tdp_compact_ranged")(
+          table(s, dir, "documents")
+            .select(expr("doc_id div 50").as("file_id"), col("n_chars"))
+            .groupBy("file_id").agg(sum("n_chars").as("bytes"))
+            .repartitionByRange(nPart, col("file_id"))
+            .withColumn("pid", spark_partition_id()))
+        // LOAD-BEARING materialization: subtotal collect + window pass
+        // must read ONE materialization of the range exchange.
+        ranged.count()
+        val sub = ranged.groupBy("pid").agg(sum("bytes").as("b")).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val total = sub.map(_._2).sum
+        val target = math.max(total / 8, 1L)
+        var acc = 0L
+        val offsets = sub.map { case (p, b) => val o = acc; acc += b; (p, o) }
+        val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
+        val wPid = Window.partitionBy("pid").orderBy("file_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ranged.join(broadcast(offDf), "pid")
+          .withColumn("cumb",
+            coalesce(sum("bytes").over(wPid), lit(0L)) + col("off"))
+          .withColumn("bin", expr(s"cumb div ${target}L"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_files"), sum("bytes").as("bytes_total"))
+          .withColumn("fill_permille",
+            expr(s"bytes_total * 1000 div ${target}L"))
+          .withColumn("target_bytes", lit(target))
+      },
+      Some("""WITH cf AS (
+             |  SELECT doc_id // 50 AS file_id,
+             |    CAST(sum(n_chars) AS BIGINT) AS bytes
+             |  FROM documents GROUP BY 1),
+             |ct AS (SELECT greatest(CAST(sum(bytes) AS BIGINT) // 8, 1)
+             |  AS target FROM cf),
+             |cc AS (
+             |  SELECT file_id, bytes,
+             |    CAST(coalesce(sum(bytes) OVER (ORDER BY file_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cumb
+             |  FROM cf)
+             |SELECT cumb // target AS bin, count(*) AS n_files,
+             |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+             |  CAST(sum(bytes) AS BIGINT) * 1000 // target AS fill_permille,
+             |  target AS target_bytes
+             |FROM cc, ct GROUP BY 1, target""".stripMargin)),
+
+    // LABEL-CENTROID SIMILARITY: pairwise cosine between per-label mean
+    // embeddings — the class-separability / near-duplicate-class audit
+    // run before training a classifier or stratifying a corpus by
+    // cluster. Exactness device: centroids are per-dimension integer
+    // micro-unit SUMS (cosine is scale-invariant, so dividing by n is
+    // skipped — the fold stays an order-insensitive long sum, the
+    // tdp_ann_kmeans device); the cosine itself is the identical
+    // double expression both engines evaluate over identical integers.
+    // One scan + a (labels x dims)-sized aggregate; the pairs frame is
+    // labels², a broadcast-sized table at any corpus scale.
+    QueryDef(
+      "tdp_label_centroid_sim",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings").select(col("label"), col("embedding"))
+        val sums = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("label", "dim")
+          .agg(sum(floor(col("x").cast(DoubleType) * lit(1000000.0)))
+            .as("s_micro"))
+        val sizes = e.groupBy("label").agg(count(lit(1)).as("n"))
+        val cent = sums
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("s_micro"))))
+            .as("dims"))
+          .join(broadcast(sizes), "label")
+          .select(col("label"), col("n"),
+            expr("transform(dims, d -> CAST(d.s_micro AS DOUBLE))").as("cv"))
+        val a = cent.select(col("label").as("label_a"), col("n").as("n_a"),
+          col("cv").as("ca"))
+        val b = cent.select(col("label").as("label_b"), col("n").as("n_b"),
+          col("cv").as("cb"))
+        a.crossJoin(broadcast(b))
+          .filter(col("label_a") < col("label_b"))
+          .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+            expr("""graft_dot(ca, cb) / (sqrt(graft_dot(ca, ca))
+                   | * sqrt(graft_dot(cb, cb)))""".stripMargin
+              .replaceAll("\n", "")).as("cos_sim"))
+      },
+      Some("""WITH lx AS (
+             |  SELECT label, embedding,
+             |    unnest(range(1, len(embedding) + 1)) AS i
+             |  FROM embeddings),
+             |lsum AS (
+             |  SELECT label, i,
+             |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+             |      AS BIGINT)) AS BIGINT) AS s_micro
+             |  FROM lx GROUP BY 1, 2),
+             |lsz AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+             |lcent AS (
+             |  SELECT label, list(CAST(s_micro AS DOUBLE) ORDER BY i) AS cv
+             |  FROM lsum GROUP BY 1)
+             |SELECT a.label AS label_a, b.label AS label_b,
+             |  sa.n AS n_a, sb.n AS n_b,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list_transform(range(1, len(a.cv) + 1),
+             |      i -> a.cv[i] * b.cv[i])), (acc, x) -> acc + x)
+             |  / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, len(a.cv) + 1),
+             |        i -> a.cv[i] * a.cv[i])), (acc, x) -> acc + x))
+             |    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, len(b.cv) + 1),
+             |        i -> b.cv[i] * b.cv[i])), (acc, x) -> acc + x)))
+             |  AS cos_sim
+             |FROM lcent a JOIN lcent b ON a.label < b.label
+             |JOIN lsz sa ON sa.label = a.label
+             |JOIN lsz sb ON sb.label = b.label""".stripMargin)),
+
+    // PAGERANK over the near-dup graph — the canonical iterative graph
+    // algorithm expressed as unrolled dataflow (3 power-iteration rounds,
+    // damping 0.85), ranking the "hub" documents whose boilerplate links
+    // the most dup neighborhoods. All-integer exactness: PR lives in
+    // micro-units, each contribution is floor(pr/deg) and each update is
+    // 150000 + (85·Σ) div 100 — every aggregate an order-insensitive
+    // long sum, so the distributed result is hash-exact and DuckDB
+    // replays the identical 3 rounds as materialized CTE layers. Scale
+    // shape: one edge-keyed equi-join + one dst-keyed aggregate per
+    // round over the memoized symmetric LSH pair graph (edges linear in
+    // corpus size by the hot-bucket cap); nodes are edge-incident docs
+    // only, exactly like the connected-components device. More rounds at
+    // 100 TB = the same plan repeated with lineage checkpoints, no
+    // driver-side graph state.
+    QueryDef(
+      "tdp_pagerank",
+      (s, dir) => {
+        val pairs = lshPairs(s, dir)
+        val edges = Registry.memo(s, dir, "tdp_pr_edges")(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .union(pairs.select(col("doc_b").as("src"),
+              col("doc_a").as("dst"))))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        var pr = deg.select(col("src").as("doc_id"),
+          lit(1000000L).as("pr_micro"))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select(col("dst"), expr("pr_micro div deg").as("c"))
+          pr = contrib.groupBy(col("dst").as("doc_id"))
+            .agg(expr("150000 + (85 * sum(c)) div 100").as("pr_micro"))
+        }
+        pr.join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
+          .select("doc_id", "deg", "pr_micro")
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+              |ped AS MATERIALIZED (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |pdg AS MATERIALIZED (
+              |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+              |  FROM ped GROUP BY 1),
+              |pp0 AS MATERIALIZED (
+              |  SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS pr
+              |  FROM pdg),
+              |pp1 AS MATERIALIZED (
+              |  SELECT e.dst AS doc_id,
+              |    150000 + (85 * CAST(sum(p.pr // d.deg) AS BIGINT)) // 100
+              |      AS pr
+              |  FROM ped e JOIN pp0 p ON p.doc_id = e.src
+              |  JOIN pdg d ON d.src = e.src GROUP BY 1),
+              |pp2 AS MATERIALIZED (
+              |  SELECT e.dst AS doc_id,
+              |    150000 + (85 * CAST(sum(p.pr // d.deg) AS BIGINT)) // 100
+              |      AS pr
+              |  FROM ped e JOIN pp1 p ON p.doc_id = e.src
+              |  JOIN pdg d ON d.src = e.src GROUP BY 1),
+              |pp3 AS MATERIALIZED (
+              |  SELECT e.dst AS doc_id,
+              |    150000 + (85 * CAST(sum(p.pr // d.deg) AS BIGINT)) // 100
+              |      AS pr
+              |  FROM ped e JOIN pp2 p ON p.doc_id = e.src
+              |  JOIN pdg d ON d.src = e.src GROUP BY 1)
+              |SELECT p.doc_id, g.deg, p.pr AS pr_micro
+              |FROM pp3 p JOIN pdg g ON g.src = p.doc_id""".stripMargin)),
   )
 }

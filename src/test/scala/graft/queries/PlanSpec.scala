@@ -275,4 +275,19 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
+
+  test("uniform sample: bottom-k-by-hash plans as TakeOrdered") {
+    val df = Registry.queries("tdp_uniform_sample")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // per-partition k-heaps + a k-sized driver merge — a global Sort +
+    // GlobalLimit here would funnel the corpus through one partition.
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("containment: prefix-filtered equi-joins only, no pairwise stage") {
+    val df = Registry.queries("tdp_containment")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }

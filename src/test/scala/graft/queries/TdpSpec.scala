@@ -1087,4 +1087,107 @@ class TdpSpec extends SparkSpec {
     // no bigram below the min-count floor of 5:
     assert(out.values.forall(_.getAs[Long]("c_xy") >= 5L))
   }
+
+  test("uniform sample: deterministic bottom-k-by-hash subset of the corpus") {
+    val s1 = Registry.queries("tdp_uniform_sample")(spark, sf).collect()
+    val s2 = Registry.queries("tdp_uniform_sample")(spark, sf).collect()
+    assert(s1.length == 100)
+    assert(s1.map(_.getAs[Long]("doc_id")).toSeq ==
+      s2.map(_.getAs[Long]("doc_id")).toSeq, "same seed -> same sample")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.map(_.getAs[Long]("doc_id")).forall(corpus.contains))
+    assert(s1.map(_.getAs[Long]("doc_id")).distinct.length == 100,
+      "sampling is without replacement")
+  }
+
+  test("containment: a nested doc is caught where symmetric Jaccard misses") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_contain").toString
+    val inner = (1 to 20).map(i => s"w$i").mkString(" ")
+    val tail = (100 to 180).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, inner), // 18 shingles, all inside doc 2
+      (2L, s"$inner $tail"), // the container
+      (3L, (200 to 260).map(i => s"w$i").mkString(" "))) // unrelated
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Registry.queries("tdp_containment")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    assert(out.contains((1L, 2L)), s"nested doc must be flagged, got $out")
+    val c = out((1L, 2L))
+    assert(c.getAs[Double]("containment") == 1.0,
+      "every shingle of the inner doc occurs in the container")
+    // the symmetric direction stays below threshold (the container is
+    // NOT contained in the small doc) and unrelated docs don't pair:
+    assert(!out.contains((2L, 1L)))
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // and the Jaccard sweep would NOT have caught this pair at >= 0.5:
+    val jac = c.getAs[Long]("inter").toDouble /
+      (c.getAs[Int]("na") + c.getAs[Int]("nb") - c.getAs[Long]("inter"))
+    assert(jac < 0.5, s"planted pair must be jaccard-invisible, j=$jac")
+  }
+
+  test("compaction plan: bins partition the file list and fill the target") {
+    val bins = Registry.queries("tdp_compaction_plan")(spark, sf).collect()
+    val files = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id div 50 AS f", "n_chars")
+      .groupBy("f").count().count()
+    assert(bins.map(_.getAs[Long]("n_files")).sum == files,
+      "every file lands in exactly one bin")
+    val target = bins.head.getAs[Long]("target_bytes")
+    val ids = bins.map(_.getAs[Long]("bin")).sorted
+    assert(ids.head == 0L && ids.last == ids.length - 1,
+      s"bins must be contiguous from 0, got ${ids.toSeq}")
+    val total = bins.map(_.getAs[Long]("bytes_total")).sum
+    assert(total / target <= ids.length && ids.length <= 9,
+      s"8-way target split must yield <= 9 bins, got ${ids.length}")
+  }
+
+  test("label centroids: clone labels cohere, orthogonal labels separate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_labelcent").toString
+    // labels 0 and 2 point along e1 (2 vectors each, tiny jitter in a
+    // DIFFERENT dimension so nothing is degenerate), label 1 along e2.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.01f), 0),
+      (2L, Array(1.0f, 0.0f, 0.02f), 0),
+      (3L, Array(0.0f, 1.0f, 0.01f), 1),
+      (4L, Array(0.0f, 1.0f, 0.02f), 1),
+      (5L, Array(1.0f, 0.0f, 0.015f), 2),
+      (6L, Array(1.0f, 0.0f, 0.025f), 2))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Registry.queries("tdp_label_centroid_sim")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    assert(out.keySet == Set((0, 1), (0, 2), (1, 2)))
+    assert(out((0, 2)) > 0.999, s"clone labels must cohere: ${out((0, 2))}")
+    assert(out((0, 1)) < 0.1, s"orthogonal labels must separate: ${out((0, 1))}")
+  }
+
+  test("pagerank: hand-computed fixpoints on a planted clique + pair graph") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_pr").toString
+    // 4 exact clones -> LSH clique K4 (deg 3 each); 2 unrelated clones
+    // -> a single edge (deg 1 each). Both structures are symmetric, so
+    // PR is computable by hand in exact integer arithmetic:
+    //   K4:   p1 = 150000 + 85 * (3 * (1000000 div 3)) div 100 = 999999,
+    //         then 999999 div 3 = 333333 regenerates 999999 — fixpoint.
+    //   pair: p1 = 150000 + 85 * 1000000 div 100 = 1000000 — fixpoint.
+    val cliqueText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val pairText = "one two three four five six seven eight nine ten"
+    val docs = (0L until 4L).map((_, cliqueText)) ++
+      Seq((10L, pairText), (11L, pairText))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val pr = Registry.queries("tdp_pagerank")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("pr_micro"))).toMap
+    assert(pr.keySet == (0L until 4L).toSet ++ Set(10L, 11L))
+    (0L until 4L).foreach { d =>
+      assert(pr(d) == ((3L, 999999L)), s"clique node $d: ${pr(d)}")
+    }
+    Seq(10L, 11L).foreach { d =>
+      assert(pr(d) == ((1L, 1000000L)), s"pair node $d: ${pr(d)}")
+    }
+  }
 }
