@@ -151,4 +151,26 @@ object DocsStream {
         coalesce(col("in_corpus"), lit(false)).as("known"))
     misses.unionByName(hits)
   }
+
+  /** STREAMING Count-Min token sketch: the corpus frequency summary
+    * maintained INSIDE the streaming aggregation state. Each micro-batch
+    * folds its tokens into `graft_cms_agg`'s 16 KB buffer; Spark's state
+    * store carries the partial between batches and merges with the
+    * sketch's element-wise counter add — commutative and associative, so
+    * the sketch after the last batch is BIT-IDENTICAL to a batch fold of
+    * the same feed no matter how the stream was micro-batched
+    * (StreamingParitySpec proves equality against the batch twin). This
+    * is the always-on ingest monitor: heavy hitters / frequency
+    * estimates are one `graft_cms_estimate` probe against the latest
+    * emitted sketch, with CMS's no-undercount guarantee intact. State is
+    * O(D x W) counters regardless of stream length or vocabulary.
+    */
+  def tokenSketch(docs: DataFrame, width: Int = 512): DataFrame = {
+    val s = docs.sparkSession
+    graft.expressions.GraftExtensions.registerAll(s)
+    docs
+      .select(explode(expr(toksExpr)).as("tok"))
+      .select(expr(polyHashExpr("tok")).as("key"))
+      .agg(call_function("graft_cms_agg", col("key"), lit(width)).as("cms"))
+  }
 }

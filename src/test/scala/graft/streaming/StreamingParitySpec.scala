@@ -285,4 +285,49 @@ class StreamingParitySpec extends SparkSpec {
         "the %10 split must make both verdicts non-vacuous")
     } finally q.stop()
   }
+
+  test("tokenSketch parity: streamed CMS state == batch fold, bit for bit") {
+    val s = spark
+    graft.expressions.GraftExtensions.registerAll(s)
+    val dir = Files.createTempDirectory("graft-parity-cms").toString
+    s.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("text"))
+      .repartition(4) // multiple files -> multiple micro-batches
+      .write.mode("overwrite").parquet(dir)
+    val nFiles = new java.io.File(dir)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles > 1, "parity needs multiple micro-batches to merge state")
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("ts", TimestampType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
+      .parquet(dir)
+    val q = DocsStream.tokenSketch(stream)
+      .writeStream.format("memory").queryName("par_cms")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT cms FROM par_cms")
+        .collect().head.getAs[Array[Byte]](0)
+      val batch = DocsStream.tokenSketch(s.read.parquet(dir))
+        .collect().head.getAs[Array[Byte]](0)
+      // Element-wise counter add is commutative/associative: however the
+      // feed was micro-batched, the merged state IS the batch sketch.
+      assert(java.util.Arrays.equals(streamed, batch),
+        "streamed CMS state diverged from the batch fold")
+      // And the live sketch answers frequency probes with the
+      // no-undercount guarantee intact.
+      val skLit = lit(streamed)
+      val checked = s.read.parquet(dir)
+        .select(explode(expr(graft.queries.TdpQueries.toksExpr)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("truth"))
+        .withColumn("est", call_function("graft_cms_estimate",
+          expr(graft.queries.TdpQueries.polyHashExpr("tok")), skLit))
+        .filter(col("est") < col("truth"))
+        .count()
+      assert(checked == 0L, "CMS must never under-count")
+    } finally q.stop()
+  }
 }
