@@ -6066,5 +6066,70 @@ object TdpQueries {
               |  JOIN pdg d ON d.src = e.src GROUP BY 1)
               |SELECT p.doc_id, g.deg, p.pr AS pr_micro
               |FROM pp3 p JOIN pdg g ON g.src = p.doc_id""".stripMargin)),
+
+    // CURATION FUNNEL: the release pipeline AS a query — stage-by-stage
+    // attrition through quality filter (q >= 0.5), exact dedup (min id
+    // per md5 content hash) and near-dup collapse (min SURVIVING id per
+    // LSH dup cluster — survivor-aware, so a cluster whose root died at
+    // an earlier stage still keeps exactly one member). The number every
+    // curation run reports first: where did the corpus go? Composes the
+    // memoized quality and cluster frames, so the marginal cost is four
+    // counting aggregates; the oracle replays all three stages (incl.
+    // the recursive-CTE connected components) and certifies every
+    // boundary count. At 100 TB each stage is the already-audited
+    // operator it reuses — the funnel adds joins on doc_id only.
+    QueryDef(
+      "tdp_curation_funnel",
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val s1 = docs
+          .join(qualityScored(s, dir).select("doc_id", "quality"), "doc_id")
+          .filter(col("quality") >= 0.5)
+          .select("doc_id", "text")
+        val s2 = s1
+          .groupBy(md5(col("text").cast(BinaryType)).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val wC = Window.partitionBy("cluster_id")
+        val s3 = s2
+          .join(dupClusters(s, dir).select("doc_id", "cluster_id"), "doc_id")
+          .withColumn("keep_id", min("doc_id").over(wC))
+          .filter(col("doc_id") === col("keep_id"))
+        val c0 = docs.agg(count(lit(1)).as("n0"))
+        val c1 = s1.agg(count(lit(1)).as("n1"))
+        val c2 = s2.agg(count(lit(1)).as("n2"))
+        val c3 = s3.agg(count(lit(1)).as("n3"))
+        c0.crossJoin(c1).crossJoin(c2).crossJoin(c3)
+          .select(expr(
+            """stack(3,
+              |  '1_quality', n0, n1,
+              |  '2_exact_dedup', n1, n2,
+              |  '3_near_dup', n2, n3) AS (stage, docs_in, docs_out)"""
+              .stripMargin))
+          .withColumn("docs_dropped", col("docs_in") - col("docs_out"))
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |cfq AS (
+              |  SELECT q.doc_id, q.text FROM (
+              |    SELECT doc_id, text, $qualitySql AS quality
+              |    FROM ($qualityPartsSql)) q
+              |  WHERE q.quality >= 0.5),
+              |cf2 AS (SELECT min(doc_id) AS doc_id FROM cfq GROUP BY md5(text)),
+              |cf3 AS (
+              |  SELECT doc_id FROM (
+              |    SELECT s2.doc_id,
+              |      min(s2.doc_id) OVER (PARTITION BY cc.cluster_id) AS keep
+              |    FROM cf2 s2 JOIN cc ON cc.doc_id = s2.doc_id)
+              |  WHERE doc_id = keep),
+              |cn AS (SELECT
+              |  (SELECT count(*) FROM documents) AS n0,
+              |  (SELECT count(*) FROM cfq) AS n1,
+              |  (SELECT count(*) FROM cf2) AS n2,
+              |  (SELECT count(*) FROM cf3) AS n3)
+              |SELECT '1_quality' AS stage, n0 AS docs_in, n1 AS docs_out,
+              |  n0 - n1 AS docs_dropped FROM cn
+              |UNION ALL SELECT '2_exact_dedup', n1, n2, n1 - n2 FROM cn
+              |UNION ALL SELECT '3_near_dup', n2, n3, n2 - n3 FROM cn"""
+        .stripMargin)),
   )
 }

@@ -1190,4 +1190,29 @@ class TdpSpec extends SparkSpec {
       assert(pr(d) == ((1L, 1000000L)), s"pair node $d: ${pr(d)}")
     }
   }
+
+  test("curation funnel: planted attrition at every stage boundary") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_funnel").toString
+    val base = "the quick brown fox and the lazy dog ran over a hill to " +
+      "find that good water was in the old well by the barn"
+    val docs = Seq(
+      (1L, base), // survives everything (cluster root)
+      (2L, base), // exact clone -> dies at exact-dedup
+      (3L, s"$base again"), // near-dup -> dies at near-dup collapse
+      (4L, "9999 8888 %%% 7777 $$$ 6666 !!!"), // junk -> dies at quality
+      (5L, "independent clean text about a completely different topic " +
+        "that the filter keeps and the dedup never touches"))
+    docs.map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_curation_funnel")(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("docs_in"), r.getAs[Long]("docs_out"),
+          r.getAs[Long]("docs_dropped"))).toMap
+    assert(rows("1_quality") == ((5L, 4L, 1L)), s"quality: ${rows("1_quality")}")
+    assert(rows("2_exact_dedup") == ((4L, 3L, 1L)),
+      s"exact: ${rows("2_exact_dedup")}")
+    assert(rows("3_near_dup") == ((3L, 2L, 1L)), s"near: ${rows("3_near_dup")}")
+  }
 }
