@@ -6131,5 +6131,89 @@ object TdpQueries {
               |UNION ALL SELECT '2_exact_dedup', n1, n2, n1 - n2 FROM cn
               |UNION ALL SELECT '3_near_dup', n2, n3, n2 - n3 FROM cn"""
         .stripMargin)),
+
+    // FILTERED ANN (vector search under a metadata predicate — the
+    // production retrieval shape: "nearest neighbors WHERE label = X").
+    // Each query searches only its own label's vectors; ground truth is
+    // the label-filtered brute-force top-3, and the scale path is the
+    // multi-probe IVF search with the predicate applied AS PART OF the
+    // bucket equi-join — candidates are (probed cell ∩ label) via a
+    // (cluster, label) join key, so the filter prunes BEFORE ranking and
+    // shuffle volume shrinks with predicate selectivity instead of
+    // post-filtering a label-blind candidate list (the classic filtered-
+    // ANN recall trap, visible here as n_candidates < 3·queries when a
+    // label is scarce in the probed cells). Rides the memoized
+    // embedding-norm and IVF assignment frames.
+    QueryDef(
+      "tdp_ann_filtered",
+      (s, dir) => {
+        val e = embWithNorm(s, dir)
+        val lab = table(s, dir, "embeddings").select("vec_id", "label")
+        val el = e.join(lab, "vec_id")
+        val q = el.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"), col("label"))
+        val c = el.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("norm").as("c_norm"), col("label"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+        val truth = broadcast(q).join(c, Seq("label"))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("q_id", "c_id")
+        val qProbe = ivfAssign2(s, dir).filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("cluster"))
+        val qq = q.join(qProbe, "q_id")
+        val cHome = c.join(
+          ivfAssign(s, dir).select(col("vec_id").as("c_id"), col("cluster")),
+          "c_id")
+        val cand = qq.join(cHome, Seq("cluster", "label"))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("q_id", "c_id")
+        val nTruth = truth.agg(count(lit(1)).as("n_exact"))
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val nHit = truth.join(cand, Seq("q_id", "c_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nTruth.crossJoin(nCand).crossJoin(nHit)
+          .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+            (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+              .as("recall"))
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |flab AS (SELECT vec_id, label FROM embeddings),
+              |ftruth AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id)
+              |        AS rank
+              |    FROM emb q JOIN flab ql ON ql.vec_id = q.vec_id
+              |    JOIN emb c ON q.vec_id <> c.vec_id
+              |    JOIN flab cl ON cl.vec_id = c.vec_id
+              |    WHERE q.vec_id % 50 = 0 AND ql.label = cl.label)
+              |  WHERE rank <= 3),
+              |fcand AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id)
+              |        AS rank
+              |    FROM wq2 q JOIN flab ql ON ql.vec_id = q.vec_id
+              |    JOIN wc c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+              |    JOIN flab cl ON cl.vec_id = c.vec_id
+              |    WHERE ql.label = cl.label)
+              |  WHERE rank <= 3),
+              |fne AS (SELECT count(*) AS n_exact FROM ftruth),
+              |fnc AS (SELECT count(*) AS n_candidates FROM fcand),
+              |fnh AS (SELECT count(*) AS n_hit
+              |  FROM ftruth JOIN fcand USING (q_id, c_id))
+              |SELECT n_exact, n_candidates, n_hit,
+              |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+              |FROM fne, fnc, fnh""".stripMargin)),
   )
 }

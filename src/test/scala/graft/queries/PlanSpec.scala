@@ -290,4 +290,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("filtered ANN: predicate joins stay equi-keyed on (cluster, label)") {
+    val df = Registry.queries("tdp_ann_filtered")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The label predicate must ride the bucket equi-join (a cartesian or
+    // label-blind nested loop here would post-filter the whole corpus).
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }

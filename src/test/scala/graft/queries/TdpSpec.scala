@@ -1215,4 +1215,17 @@ class TdpSpec extends SparkSpec {
       s"exact: ${rows("2_exact_dedup")}")
     assert(rows("3_near_dup") == ((3L, 2L, 1L)), s"near: ${rows("3_near_dup")}")
   }
+
+  test("filtered ANN: counts cohere and recall is the exact ratio") {
+    val r = Registry.queries("tdp_ann_filtered")(spark, sf).collect().head
+    val (ne, nc, nh) = (r.getAs[Long]("n_exact"),
+      r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hit"))
+    val nQueries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(ne > 0 && ne <= 3 * nQueries, s"exact truth bound: $ne")
+    assert(nc <= 3 * nQueries, // rank <= 3 over the union of both probes
+      s"candidate bound: $nc")
+    assert(nh <= math.min(ne, nc), s"hits bound: $nh vs ($ne, $nc)")
+    assert(r.getAs[Double]("recall") == nh.toDouble / ne.toDouble)
+  }
 }
