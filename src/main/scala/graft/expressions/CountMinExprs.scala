@@ -176,3 +176,64 @@ case class CountMinEstimateExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CountMinEstimateExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_cms_dot(a BINARY, b BINARY) -> BIGINT` — sketch inner product:
+  * for each hash row r, sum over buckets of `a[r][j] * b[r][j]`, minimized
+  * over the D rows. With both sketches built by [[CountMinBuildAgg]] over
+  * the join keys of two relations, this is the Cormode–Muthukrishnan
+  * estimator for the equi-join SIZE `|A JOIN B|  =  sum_k f_A(k)·f_B(k)`:
+  * every true key pair lands in the same bucket in every row (same fixed
+  * affine hashes), so the estimate NEVER undercounts; colliding mass only
+  * adds, bounded in expectation by `L1(A)·L1(B) / W` per row and minimized
+  * over rows. The planner-side use at 100 TB: decide whether a candidate
+  * join (e.g. the dedup shingle self-join) is launchable BEFORE shuffling
+  * anything — two O(D·W) sketches replace the join itself.
+  *
+  * Both arguments are foldable literals (driver-hop sketches); widths must
+  * match — mismatched widths are a query-construction bug and throw.
+  */
+case class CountMinDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two binary serialized sketches")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_dot"
+
+  /** Shared by interpreted eval and generated code. */
+  def dot(aBytes: Array[Byte], bBytes: Array[Byte]): Long = {
+    val (wa, ca) = CountMin.deserialize(aBytes)
+    val (wb, cb) = CountMin.deserialize(bBytes)
+    require(wa == wb, s"$prettyName: sketch widths differ ($wa vs $wb)")
+    var est = Long.MaxValue
+    var r = 0
+    while (r < CountMin.Depth) {
+      var s = 0L
+      var j = 0
+      while (j < wa) {
+        s += ca(r * wa + j) * cb(r * wa + j)
+        j += 1
+      }
+      if (s < est) est = s
+      r += 1
+    }
+    est
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCmsDotExpr", this,
+      classOf[CountMinDotExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.dot($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountMinDotExpr =
+    copy(left = newLeft, right = newRight)
+}

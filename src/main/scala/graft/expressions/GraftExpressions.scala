@@ -249,7 +249,11 @@ object GraftExtensions {
     entry("graft_hll_agg", classOf[HllBuildAgg], 1)(
       exprs => HllBuildAgg(exprs.head)),
     entry("graft_hll_estimate", classOf[HllEstimateExpr], 1)(
-      exprs => HllEstimateExpr(exprs.head)))
+      exprs => HllEstimateExpr(exprs.head)),
+    entry("graft_cms_dot", classOf[CountMinDotExpr], 2)(
+      exprs => CountMinDotExpr(exprs(0), exprs(1))),
+    entry("graft_topn", classOf[TopNAgg], 3)(
+      exprs => TopNAgg(exprs(0), exprs(1), exprs(2))))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config, e.g. the driver-owned Verify/Bench sessions):

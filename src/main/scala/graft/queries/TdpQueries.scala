@@ -237,7 +237,7 @@ object TdpQueries {
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") <= 2)
         .select(col("c_id").as("vec_id"), col("cent_id").as("cluster"),
-          col("rn").as("probe"))
+          col("rn").as("probe"), col("sim"))
     }
 
   /** Nearest-centroid (probe=1) assignment — a cheap filter over the
@@ -304,8 +304,9 @@ object TdpQueries {
        |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
        |  LIMIT $IvfNlist),
        |assigned2 AS (
-       |  SELECT c_id AS vec_id, cent_id AS cluster, rn AS probe FROM (
+       |  SELECT c_id AS vec_id, cent_id AS cluster, rn AS probe, sim FROM (
        |    SELECT c.vec_id AS c_id, q.vec_id AS cent_id,
+       |      ($dotSql) / (q.norm * c.norm) AS sim,
        |      row_number() OVER (PARTITION BY c.vec_id
        |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, q.vec_id) AS rn
        |    FROM emb c CROSS JOIN cent q)
@@ -6215,5 +6216,228 @@ object TdpQueries {
               |SELECT n_exact, n_candidates, n_hit,
               |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
               |FROM fne, fnc, fnh""".stripMargin)),
+
+    // JOIN-SIZE ESTIMATION (Alon–Matias–Szegedy / Cormode–Muthukrishnan
+    // sketch inner product): the planner-side pre-flight for the scariest
+    // operation in a dedup pipeline — the shingle equi-join whose output
+    // is sum_h df_A(h)·df_B(h) candidate pairs. Two CMS sketches are
+    // built over the two sides' shingle-hash streams (graft_cms_agg:
+    // mergeable D x W counters, one pass each, the sketch — not the key
+    // set — is the driver hop) and graft_cms_dot computes, per hash row,
+    // the bucket-wise product sum, minimized over rows. Every true key
+    // collision lands in the same bucket in every row, so the estimate
+    // NEVER undercounts the join size; colliding mass adds at most
+    // ~L1(A)·L1(B)/W per row in expectation (W=32768 here — the accuracy
+    // knob; the sketch is 4·W·8B = 1 MB). The report publishes estimate
+    // vs the exact join size the oracle also computes, so both the sketch
+    // build/merge and the dot are certified. At 100 TB: decide whether
+    // the candidate join is launchable (or needs a hot-key cap) BEFORE
+    // shuffling anything.
+    QueryDef(
+      "tdp_join_size_est",
+      (s, dir) => {
+        val JW = 32768
+        val ex = docHashes(s, dir)
+          .select(col("doc_id"), explode(col("hashes")).as("h"))
+        val a = ex.filter(col("doc_id") % 2 === 0).select("h")
+        val b = ex.filter(col("doc_id") % 2 =!= 0).select("h")
+        val skA = a.agg(call_function("graft_cms_agg", col("h"), lit(JW)))
+          .head().getAs[Array[Byte]](0)
+        val skB = b.agg(call_function("graft_cms_agg", col("h"), lit(JW)))
+          .head().getAs[Array[Byte]](0)
+        a.groupBy("h").agg(count(lit(1)).as("dfa"))
+          .join(b.groupBy("h").agg(count(lit(1)).as("dfb")), "h")
+          .agg(coalesce(sum(col("dfa") * col("dfb")), lit(0L)).as("n_exact"))
+          .select(col("n_exact"),
+            call_function("graft_cms_dot", lit(skA), lit(skB)).as("n_est"))
+          .select(col("n_exact"), col("n_est"),
+            (col("n_est") - col("n_exact")).as("overestimate"),
+            (col("n_est").cast(DoubleType) / col("n_exact").cast(DoubleType))
+              .as("over_ratio"))
+      },
+      Some {
+        def side(name: String, pred: String) =
+          s"""k$name AS (SELECT unnest(hashes) AS h FROM doc_sh
+             |  WHERE $pred),
+             |c$name AS MATERIALIZED (
+             |  SELECT r.range AS r,
+             |    ((h % $P) * ([31,131,8191,131071][CAST(r.range + 1 AS INTEGER)])
+             |      + [7,101,1009,10007][CAST(r.range + 1 AS INTEGER)])
+             |      % $P % 32768 AS b,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM k$name, range(0, 4) r GROUP BY 1, 2)""".stripMargin
+        s"""WITH $docsShinglesSql,
+           |${side("a", "doc_id % 2 = 0")},
+           |${side("b", "doc_id % 2 <> 0")},
+           |jrows AS (
+           |  SELECT ca.r, sum(ca.c * cb.c) AS srow
+           |  FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b
+           |  GROUP BY 1),
+           |jest AS (
+           |  SELECT CAST(min(coalesce(jr.srow, 0)) AS BIGINT) AS n_est
+           |  FROM range(0, 4) r LEFT JOIN jrows jr ON jr.r = r.range),
+           |jexact AS (
+           |  SELECT CAST(coalesce(sum(dfa * dfb), 0) AS BIGINT) AS n_exact
+           |  FROM (SELECT h, count(*) AS dfa FROM ka GROUP BY 1) a
+           |  JOIN (SELECT h, count(*) AS dfb FROM kb GROUP BY 1) b
+           |    USING (h))
+           |SELECT n_exact, n_est, n_est - n_exact AS overestimate,
+           |  CAST(n_est AS DOUBLE) / CAST(n_exact AS DOUBLE) AS over_ratio
+           |FROM jexact, jest""".stripMargin
+      }),
+
+    // GROUPED TOP-N WITHOUT THE WINDOW SORT: "top 5 largest documents per
+    // source" via graft_topn — a bounded-heap TypedImperativeAggregate
+    // ranked by (score DESC, id ASC). The ubiquitous row_number() window
+    // alternative shuffles AND sorts EVERY row of every group before
+    // discarding all but n; the heap aggregate reduces each task's slice
+    // of a group to at most n pairs map-side, ships only those buffers,
+    // and merges heap-wise — O(n · partitions) shuffle rows, never a full
+    // sort. The id tie-break makes the result a pure set function, so the
+    // oracle's window formulation must agree element for element.
+    QueryDef(
+      "tdp_topk_per_group",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy("source")
+          .agg(call_function(
+            "graft_topn", col("n_chars"), col("doc_id"), lit(5)).as("top"))
+          .select(col("source"),
+            expr("CAST(size(top) AS INT)").as("n_top"),
+            expr("array_join(transform(top, x -> concat(x.id, ':', x.score))," +
+              " '|')").as("top_docs")),
+      Some("""WITH r AS (
+             |  SELECT source, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS INTEGER) AS n_top,
+             |  string_agg(doc_id || ':' || n_chars, '|' ORDER BY rk)
+             |    AS top_docs
+             |FROM r WHERE rk <= 5 GROUP BY source""".stripMargin)),
+
+    // WEIGHTED SAMPLE (priority sampling, Duffield–Lund–Thorup 2007):
+    // draw a size-k weight-sensitive sample WITHOUT replacement and
+    // estimate the corpus total from it. Priorities q_i = w_i / u_i with
+    // u_i a deterministic per-id hash uniform (so the sample is
+    // reproducible and oracle-checkable); the top-k by priority are the
+    // sample, the (k+1)-th priority is the threshold tau, and each
+    // sampled item's estimator is max(w_i, tau) — unbiased for sum(w).
+    // Scale shape: the only global step is top-(k+1) by priority —
+    // TakeOrdered, O(k) per partition, no full sort, no shuffle of the
+    // corpus; everything else is a per-row projection. Weights here are
+    // n_chars (the bytes-budget weighting a curation pass uses);
+    // micro-unit integers keep the estimator sum order-insensitive.
+    QueryDef(
+      "tdp_weighted_sample",
+      (s, dir) => {
+        val k = 50
+        // The polyhash of a short 'wsmp:<id>' string barely wraps the
+        // modulus (the prefix dominates), clustering u — remix with the
+        // multiplicative constant so u/P is uniform, which the
+        // estimator's unbiasedness requires.
+        val pri = table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").as("w"))
+          .withColumn("u",
+            expr(polyHashExpr("concat('wsmp:', CAST(doc_id AS STRING))"))
+              * lit(2654435761L) % lit(P.toLong) + lit(1L))
+          .withColumn("q",
+            (col("w") * lit(P.toLong)).cast(DoubleType) / col("u").cast(DoubleType))
+        val top1 = pri.orderBy(desc("q"), col("doc_id")).limit(k + 1)
+        val tau = top1.agg(
+          when(count(lit(1)) <= k, lit(0.0)).otherwise(min("q")).as("tau"))
+        val sel = pri.orderBy(desc("q"), col("doc_id")).limit(k)
+          .crossJoin(broadcast(tau))
+          .withColumn("w_hat_mu",
+            floor(greatest(col("w").cast(DoubleType), col("tau")) * lit(1e6))
+              .cast(LongType))
+        val est = sel.agg(sum("w_hat_mu").as("est_total_mu"))
+        val exact = table(s, dir, "documents")
+          .agg(sum("n_chars").as("exact_total"))
+        sel.select("doc_id", "w", "w_hat_mu")
+          .crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+          .select(col("doc_id"), col("w"), col("w_hat_mu"),
+            col("est_total_mu"), col("exact_total"),
+            ((col("est_total_mu").cast(DoubleType) / lit(1e6)
+              - col("exact_total").cast(DoubleType))
+              / col("exact_total").cast(DoubleType)).as("rel_err"))
+      },
+      Some(s"""WITH pri AS (
+              |  SELECT doc_id, n_chars AS w,
+              |    ${polyHashSql("concat('wsmp:', CAST(doc_id AS VARCHAR))")}
+              |      * 2654435761 % $P + 1 AS u,
+              |    CAST(n_chars * $P AS DOUBLE) /
+              |      CAST(${polyHashSql("concat('wsmp:', CAST(doc_id AS VARCHAR))")}
+              |        * 2654435761 % $P + 1 AS DOUBLE) AS q
+              |  FROM documents),
+              |top1 AS (SELECT * FROM pri ORDER BY q DESC, doc_id LIMIT 51),
+              |tau AS (
+              |  SELECT CASE WHEN count(*) <= 50 THEN 0.0 ELSE min(q) END
+              |    AS tau FROM top1),
+              |sel AS (
+              |  SELECT doc_id, w,
+              |    CAST(TRUNC(greatest(CAST(w AS DOUBLE), tau) * 1000000)
+              |      AS BIGINT) AS w_hat_mu
+              |  FROM (SELECT * FROM pri ORDER BY q DESC, doc_id LIMIT 50), tau),
+              |est AS (SELECT CAST(sum(w_hat_mu) AS BIGINT) AS est_total_mu
+              |  FROM sel),
+              |ex AS (SELECT CAST(sum(n_chars) AS BIGINT) AS exact_total
+              |  FROM documents)
+              |SELECT doc_id, w, w_hat_mu, est_total_mu, exact_total,
+              |  (CAST(est_total_mu AS DOUBLE) / 1000000
+              |    - CAST(exact_total AS DOUBLE)) / CAST(exact_total AS DOUBLE)
+              |    AS rel_err
+              |FROM sel, est, ex""".stripMargin)),
+
+    // CLUSTER QUALITY (simplified silhouette, the centroid form of
+    // Rousseeuw 1987): for each vector, a = cosine distance to its own
+    // (nearest) centroid, b = distance to the second-nearest centroid;
+    // s = (b - a) / max(a, b) = (sim1 - sim2) / (1 - sim2), in [0, 1]
+    // here since the own centroid is by construction the nearest. This
+    // grades the IVF partitioning every ANN query in the family searches
+    // — low per-cluster silhouette marks cells whose members a multi-probe
+    // search will miss. Rides the memoized top-2 assignment (which now
+    // carries the similarity), so the marginal cost is one pivot join +
+    // one aggregate; the full-silhouette's O(n²) pairwise distances are
+    // replaced by the O(n·k) broadcast-centroid pass already paid.
+    // Micro-unit integer sums keep the per-cluster mean order-insensitive.
+    QueryDef(
+      "tdp_silhouette",
+      (s, dir) => {
+        val a2 = ivfAssign2(s, dir)
+        val s1 = a2.filter(col("probe") === 1)
+          .select(col("vec_id"), col("cluster"), col("sim").as("sim1"))
+        val s2 = a2.filter(col("probe") === 2)
+          .select(col("vec_id"), col("sim").as("sim2"))
+        s1.join(s2, "vec_id")
+          // sim2 = 1 means the two nearest centroids are both colinear
+          // with the vector (possible when near-dup vectors are sampled
+          // as centroids): a = b = 0, silhouette conventionally 0.
+          .withColumn("sil_mu",
+            when(col("sim2") >= 1.0, lit(0L)).otherwise(
+              floor((col("sim1") - col("sim2")) / (lit(1.0) - col("sim2"))
+                * lit(1e6)).cast(LongType)))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_points"),
+            sum("sil_mu").as("sum_sil_mu"))
+          .select(col("cluster"), col("n_points"), col("sum_sil_mu"),
+            (col("sum_sil_mu").cast(DoubleType) / lit(1e6)
+              / col("n_points").cast(DoubleType)).as("mean_sil"))
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |sil AS (
+              |  SELECT s1.cluster,
+              |    CASE WHEN s2.sim >= 1.0 THEN CAST(0 AS BIGINT)
+              |      ELSE CAST(TRUNC((s1.sim - s2.sim) / (1.0 - s2.sim)
+              |        * 1000000) AS BIGINT) END AS sil_mu
+              |  FROM (SELECT vec_id, cluster, sim FROM assigned2
+              |        WHERE probe = 1) s1
+              |  JOIN (SELECT vec_id, sim FROM assigned2 WHERE probe = 2) s2
+              |    USING (vec_id))
+              |SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+              |  CAST(sum(sil_mu) AS BIGINT) AS sum_sil_mu,
+              |  CAST(sum(sil_mu) AS DOUBLE) / 1000000 / count(*) AS mean_sil
+              |FROM sil GROUP BY 1""".stripMargin)),
   )
 }

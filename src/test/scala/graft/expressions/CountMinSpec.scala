@@ -62,6 +62,44 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("sketch dot product never under-estimates the equi-join size") {
+    val s = registered
+    import s.implicits._
+    // A: key k appears k times (k=1..40); B: key k appears 41-k times.
+    // |A JOIN B| = sum k*(41-k), exactly computable.
+    val a = (1 to 40).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val b = (1 to 40).flatMap(k => Seq.fill(41 - k)(k.toLong)).toDF("k")
+    val truth = (1 to 40).map(k => k.toLong * (41 - k)).sum
+    def sk(df: org.apache.spark.sql.DataFrame, w: Int) =
+      df.agg(expr(s"graft_cms_agg(k, $w)")).head().getAs[Array[Byte]](0)
+    // Wide sketch (no collisions among 40 keys): estimate is EXACT.
+    val exact = s.range(1)
+      .select(call_function("graft_cms_dot", lit(sk(a, 4096)), lit(sk(b, 4096))))
+      .head().getLong(0)
+    assert(exact == truth, s"collision-free dot $exact != $truth")
+    // Narrow sketch (forced collisions): one-sided guarantee holds.
+    val coarse = s.range(1)
+      .select(call_function("graft_cms_dot", lit(sk(a, 8)), lit(sk(b, 8))))
+      .head().getLong(0)
+    assert(coarse >= truth, s"dot $coarse under-counts join size $truth")
+  }
+
+  test("dot of partial-merged sketches equals dot of single-partition sketches") {
+    val s = registered
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val a = (1 to 5000).map(_ => rnd.nextInt(300).toLong).toDF("k")
+    val b = (1 to 5000).map(_ => rnd.nextInt(300).toLong).toDF("k")
+    def dot(parts: Int): Long = {
+      def sk(df: org.apache.spark.sql.DataFrame) =
+        df.repartition(parts).agg(expr("graft_cms_agg(k, 256)"))
+          .head().getAs[Array[Byte]](0)
+      s.range(1).select(call_function("graft_cms_dot", lit(sk(a)), lit(sk(b))))
+        .head().getLong(0)
+    }
+    assert(dot(16) == dot(1))
+  }
+
   test("nulls are ignored in the build") {
     val s = registered
     import s.implicits._

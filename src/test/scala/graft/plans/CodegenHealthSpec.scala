@@ -119,7 +119,9 @@ class CodegenHealthSpec extends SparkSpec {
     "tdp_budget_select", "tdp_cluster_balanced_sample", "tdp_gopher_filters",
     "tdp_length_outliers", "tdp_quality_dup_profile", "tdp_heldout_perplexity",
     "tdp_bloom_dedup", "tdp_ann_ivfpq", "tdp_heavy_hitters",
-    "tdp_substring_dedup", "tdp_topk_sketch", "tdp_quantile_sketch")
+    "tdp_substring_dedup", "tdp_topk_sketch", "tdp_quantile_sketch",
+    "tdp_ann_filtered", "tdp_join_size_est", "tdp_topk_per_group",
+    "tdp_weighted_sample", "tdp_silhouette")
 
   for (name <- tdpGuarded)
     test(s"TDP $name: every codegen subtree compiles under the 64 KB limit") {

@@ -298,4 +298,20 @@ class PlanSpec extends SparkSpec {
     // label-blind nested loop here would post-filter the whole corpus).
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("grouped top-n: heap aggregate with map-side partials, no window sort") {
+    val df = Registry.queries("tdp_topk_per_group")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The whole point of graft_topn: ObjectHashAggregate partial/final
+    // (n-row buffers cross the shuffle), never a row_number window that
+    // shuffles and sorts every row of every group.
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("weighted sample: global top-k is TakeOrdered, not a corpus sort") {
+    val df = Registry.queries("tdp_weighted_sample")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
 }

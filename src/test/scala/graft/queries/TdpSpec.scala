@@ -1228,4 +1228,60 @@ class TdpSpec extends SparkSpec {
     assert(nh <= math.min(ne, nc), s"hits bound: $nh vs ($ne, $nc)")
     assert(r.getAs[Double]("recall") == nh.toDouble / ne.toDouble)
   }
+
+  test("join size estimate: one-sided guarantee over the real shingle join") {
+    val r = Registry.queries("tdp_join_size_est")(spark, sf).collect()
+    assert(r.length == 1)
+    val (ne, nEst, over) = (r.head.getAs[Long]("n_exact"),
+      r.head.getAs[Long]("n_est"), r.head.getAs[Long]("overestimate"))
+    assert(ne > 0, "fixture join must be non-empty")
+    assert(nEst >= ne, s"CMS dot $nEst under-counts exact join size $ne")
+    assert(over == nEst - ne)
+    assert(r.head.getAs[Double]("over_ratio") == nEst.toDouble / ne.toDouble)
+  }
+
+  test("grouped top-n matches the window formulation on the corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val viaAgg = Registry.queries("tdp_topk_per_group")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    val w = Window.partitionBy("source").orderBy(desc("n_chars"), col("doc_id"))
+    val viaWindow = Registry.table(spark, sf, "documents")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .groupBy("source")
+      .agg(expr("array_join(transform(" +
+        "array_sort(collect_list(struct(rk, doc_id, n_chars)))," +
+        " x -> concat(x.doc_id, ':', x.n_chars)), '|')").as("top_docs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(viaAgg == viaWindow)
+  }
+
+  test("weighted sample: k rows, floor at own weight, estimator coherent") {
+    val rows = Registry.queries("tdp_weighted_sample")(spark, sf).collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 50)
+    rows.foreach { r =>
+      // w_hat = max(w, tau) can never fall below the item's own weight.
+      assert(r.getAs[Long]("w_hat_mu") >= r.getAs[Long]("w") * 1000000L)
+    }
+    val est = rows.map(_.getAs[Long]("est_total_mu")).distinct
+    val exact = rows.map(_.getAs[Long]("exact_total")).distinct
+    assert(est.length == 1 && exact.length == 1,
+      "summary columns must be constant across the sample")
+    // Priority sampling with k=50 over this corpus: the estimator should
+    // land well within an order of magnitude (tight bounds are
+    // distributional; the oracle certifies exact replication).
+    val relErr = math.abs(est.head / 1e6 - exact.head) / exact.head
+    assert(relErr < 0.5, s"rel_err $relErr implausibly large for k=50")
+  }
+
+  test("silhouette: covers every vector once, means bounded in [0, 1]") {
+    val rows = Registry.queries("tdp_silhouette")(spark, sf).collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_points")).sum == nVecs,
+      "every vector contributes to exactly one cluster's silhouette")
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_sil")
+      assert(m >= 0.0 && m <= 1.0, s"cluster ${r.get(0)}: mean_sil $m")
+    }
+  }
 }
