@@ -24,7 +24,7 @@ object CoreQueries {
     * floor-divides micros), matching the oracle's FLOOR(epoch(ts)) under
     * the UTC session timezone both entrypoints set.
     */
-  private def eventsWithSec(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def eventsWithSec(s: SparkSession, dir: String): DataFrame = {
     val df = table(s, dir, "events")
     val sec = df.schema("ts").dataType match {
       case LongType => expr("ts div 1000000000")

@@ -6439,5 +6439,288 @@ object TdpQueries {
               |  CAST(sum(sil_mu) AS BIGINT) AS sum_sil_mu,
               |  CAST(sum(sil_mu) AS DOUBLE) / 1000000 / count(*) AS mean_sil
               |FROM sil GROUP BY 1""".stripMargin)),
+
+    // HARD-NEGATIVE MINING (contrastive-training data prep): for each
+    // query vector, the top-3 most-similar vectors with a DIFFERENT
+    // label — the near-boundary examples a contrastive loss learns most
+    // from. The dual of tdp_ann_filtered: candidates come from the same
+    // probed-cell equi-join, but the label predicate flips to a
+    // mismatch POST-filter on the bucket join (inequality can't ride an
+    // equi-key; it stays a high-selectivity filter inside the bucket,
+    // never a corpus-wide pass). Rides the memoized norm + top-2
+    // assignment frames — the marginal cost over the ANN family is one
+    // bucket join.
+    QueryDef(
+      "tdp_hard_negatives",
+      (s, dir) => {
+        val e = embWithNorm(s, dir)
+        val lab = table(s, dir, "embeddings").select("vec_id", "label")
+        val el = e.join(lab, "vec_id")
+        val q = el.filter(col("vec_id") % 50 === 0)
+          .join(ivfAssign2(s, dir).select("vec_id", "cluster"), "vec_id")
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"), col("label").as("q_label"),
+            col("cluster"))
+        val c = el
+          .join(ivfAssign(s, dir), "vec_id")
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            col("norm").as("c_norm"), col("label").as("c_label"),
+            col("cluster"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+        q.join(c, Seq("cluster"))
+          .filter(col("q_label") =!= col("c_label"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("c_id").as("neg_id"),
+            col("sim"))
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |hlab AS (SELECT vec_id, label FROM embeddings),
+              |hneg AS (
+              |  SELECT q_id, rank, c_id AS neg_id, sim FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      ($dotSql) / (q.norm * c.norm) AS sim,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id)
+              |        AS rank
+              |    FROM wq2 q JOIN hlab ql ON ql.vec_id = q.vec_id
+              |    JOIN wc c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+              |    JOIN hlab cl ON cl.vec_id = c.vec_id
+              |    WHERE ql.label <> cl.label)
+              |  WHERE rank <= 3)
+              |SELECT q_id, rank, neg_id, sim FROM hneg""".stripMargin)),
+
+    // JOIN-KEY SKEW PROFILE: the audit a planner reads next to
+    // tdp_join_size_est before launching a shuffle. All-aggregate shape
+    // — one groupBy(key) for the frequency table, then O(1)-row
+    // reductions: max/avg frequency, the HHI concentration index
+    // sum(df^2)/n^2 (exact integer sums, one final division — no
+    // transcendental entropy, so both engines agree bitwise), the
+    // top-10 key mass via TakeOrdered, and a salting recommendation
+    // ceil(max_df / (n/32)) — the factor that levels the hottest key
+    // across 32 tasks. At 100 TB nothing here exceeds the key-count
+    // scale and the driver sees one row.
+    QueryDef(
+      "tdp_skew_profile",
+      (s, dir) => {
+        val df = table(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("df"))
+        val top10 = df.orderBy(desc("df"), col("user_id")).limit(10)
+          .agg(sum("df").as("top10_rows"))
+        df.agg(count(lit(1)).as("n_keys"), sum("df").as("n_rows"),
+            max("df").as("max_df"), sum(col("df") * col("df")).as("sum_df2"))
+          .crossJoin(broadcast(top10))
+          .select(col("n_rows"), col("n_keys"), col("max_df"),
+            (col("n_rows").cast(DoubleType) / col("n_keys").cast(DoubleType))
+              .as("avg_df"),
+            (col("max_df").cast(DoubleType) * col("n_keys").cast(DoubleType)
+              / col("n_rows").cast(DoubleType)).as("skew_ratio"),
+            (col("sum_df2").cast(DoubleType)
+              / (col("n_rows").cast(DoubleType) * col("n_rows").cast(DoubleType)))
+              .as("hhi"),
+            (col("top10_rows").cast(DoubleType) / col("n_rows").cast(DoubleType))
+              .as("top10_share"),
+            ceil(col("max_df").cast(DoubleType)
+              / (col("n_rows").cast(DoubleType) / lit(32.0)))
+              .cast(LongType).as("recommended_salts"))
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS df
+             |  FROM events GROUP BY 1),
+             |t10 AS (
+             |  SELECT CAST(sum(df) AS BIGINT) AS top10_rows FROM (
+             |    SELECT df FROM f ORDER BY df DESC, user_id LIMIT 10)),
+             |agg AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |    CAST(sum(df) AS BIGINT) AS n_rows,
+             |    CAST(max(df) AS BIGINT) AS max_df,
+             |    CAST(sum(df * df) AS BIGINT) AS sum_df2
+             |  FROM f)
+             |SELECT n_rows, n_keys, max_df,
+             |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_df,
+             |  CAST(max_df AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             |    / CAST(n_rows AS DOUBLE) AS skew_ratio,
+             |  CAST(sum_df2 AS DOUBLE)
+             |    / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS hhi,
+             |  CAST(top10_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             |    AS top10_share,
+             |  CAST(ceil(CAST(max_df AS DOUBLE)
+             |    / (CAST(n_rows AS DOUBLE) / 32.0)) AS BIGINT)
+             |    AS recommended_salts
+             |FROM agg, t10""".stripMargin)),
+
+    // SHUFFLE-QUALITY METRIC: does the deterministic epoch permutation
+    // actually decorrelate sources? Training order matters — if adjacent
+    // examples share a source more often than an ideal shuffle predicts,
+    // gradient batches are correlated. Blocks of the permuted order are
+    // audited independently (block = remixed hash mod 32; adjacency =
+    // consecutive positions within a block ordered by the remixed hash)
+    // so the sort is per-block — 32 bounded local windows, never a
+    // global sort. Published: observed adjacent same-source rate vs the
+    // ideal-shuffle expectation sum(p_s^2) (both as exact integer
+    // ratios) and their quotient, ~1.0 for a well-mixed order.
+    QueryDef(
+      "tdp_shuffle_quality",
+      (s, dir) => {
+        // The permutation hashes 'shuf:<id>:<id²>' — the id² term matters:
+        // a polyhash of the bare short id is near-AFFINE in the id's
+        // digits (the polynomial barely wraps the modulus), so the sorted
+        // order forms an arithmetic progression mod P whose adjacency is
+        // quasi-REGULAR (three-distance theorem), not random — measured:
+        // ZERO same-source adjacencies where ~5% are expected. The
+        // squared term's digit decomposition is nonlinear in the id and
+        // restores hash-like adjacency.
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("ord",
+            expr(polyHashExpr("concat('shuf:', CAST(doc_id AS STRING), " +
+              "':', CAST(doc_id * doc_id AS STRING))")))
+          .withColumn("block", col("ord") % 32)
+        val w = Window.partitionBy("block").orderBy("ord", "doc_id")
+        val adj = d.withColumn("prev_source", lag("source", 1).over(w))
+          .filter(col("prev_source").isNotNull)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("source") === col("prev_source"), 1L).otherwise(0L))
+              .as("n_same"))
+        val hist = d.groupBy("source").agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt") * col("cnt")).as("sum_cnt2"),
+            sum("cnt").as("n_docs"))
+        adj.crossJoin(broadcast(hist))
+          .select(col("n_pairs"), col("n_same"),
+            (col("n_same").cast(DoubleType) / col("n_pairs").cast(DoubleType))
+              .as("observed_rate"),
+            (col("sum_cnt2").cast(DoubleType)
+              / (col("n_docs").cast(DoubleType) * col("n_docs").cast(DoubleType)))
+              .as("expected_rate"),
+            (col("n_same").cast(DoubleType) * col("n_docs").cast(DoubleType)
+              * col("n_docs").cast(DoubleType)
+              / (col("n_pairs").cast(DoubleType)
+                * col("sum_cnt2").cast(DoubleType))).as("mix_ratio"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, source,
+              |    ${polyHashSql("concat('shuf:', CAST(doc_id AS VARCHAR), " +
+                "':', CAST(doc_id * doc_id AS VARCHAR))")} AS ord
+              |  FROM documents),
+              |db AS (SELECT doc_id, source, ord, ord % 32 AS block FROM d),
+              |adj AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              |    CAST(count(*) FILTER (WHERE source = prev_source)
+              |      AS BIGINT) AS n_same
+              |  FROM (
+              |    SELECT source, lag(source) OVER (PARTITION BY block
+              |      ORDER BY ord, doc_id) AS prev_source
+              |    FROM db)
+              |  WHERE prev_source IS NOT NULL),
+              |hist AS (
+              |  SELECT CAST(sum(cnt * cnt) AS BIGINT) AS sum_cnt2,
+              |    CAST(sum(cnt) AS BIGINT) AS n_docs
+              |  FROM (SELECT count(*) AS cnt FROM db GROUP BY source))
+              |SELECT n_pairs, n_same,
+              |  CAST(n_same AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+              |    AS observed_rate,
+              |  CAST(sum_cnt2 AS DOUBLE)
+              |    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+              |    AS expected_rate,
+              |  CAST(n_same AS DOUBLE) * CAST(n_docs AS DOUBLE)
+              |    * CAST(n_docs AS DOUBLE)
+              |    / (CAST(n_pairs AS DOUBLE) * CAST(sum_cnt2 AS DOUBLE))
+              |    AS mix_ratio
+              |FROM adj, hist""".stripMargin)),
+
+    // SCD2 HISTORY BUILD (type-2 slowly-changing dimension): compress an
+    // event feed into versioned validity intervals per key — the
+    // lakehouse operator that turns CDC streams into queryable history.
+    // Two stacked windows on the SAME (user_id, sec, event_id) ordering,
+    // so the plan pays ONE shuffle: lag() finds change points (change
+    // compression: a row only opens a version when event_type actually
+    // changed), then lead()/row_number() over the surviving change rows
+    // close each interval and number the versions. valid_to = -1 marks
+    // the open (current) version. At 100 TB: key-partitioned windows,
+    // state bounded per key, and the change-compression filter drops the
+    // bulk of the feed before the second window.
+    QueryDef(
+      "tdp_scd2_history",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        val changes = CoreQueries.eventsWithSec(s, dir)
+          .select(col("user_id"), col("event_id"), col("sec"),
+            col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+        changes
+          .withColumn("valid_to", coalesce(lead("sec", 1).over(w), lit(-1L)))
+          .withColumn("version", row_number().over(w))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("sec").as("valid_from"), col("valid_to"),
+            (col("valid_to") === -1L).as("is_current"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_type
+             |  FROM events),
+             |ch AS (
+             |  SELECT * FROM (
+             |    SELECT user_id, event_id, sec, event_type,
+             |      lag(event_type) OVER (PARTITION BY user_id
+             |        ORDER BY sec, event_id) AS prev_type
+             |    FROM e)
+             |  WHERE prev_type IS NULL OR prev_type <> event_type)
+             |SELECT user_id,
+             |  CAST(row_number() OVER w AS BIGINT) AS version, event_type,
+             |  sec AS valid_from,
+             |  coalesce(lead(sec) OVER w, -1) AS valid_to,
+             |  coalesce(lead(sec) OVER w, -1) = -1 AS is_current
+             |FROM ch
+             |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)"""
+        .stripMargin)),
+
+    // TOKENIZER FERTILITY: the tokenizer-evaluation report — tokens per
+    // word and characters per token under the learned BPE vocabulary,
+    // per language. High fertility on a language means the vocabulary
+    // under-serves it (each word shatters into many pieces) — the metric
+    // that decides whether a tokenizer is retrained before a run. The
+    // per-word token count joins from the memoized fully-merged BPE
+    // vocabulary (word-keyed, vocabulary-sized, broadcastable at any
+    // corpus scale); the corpus side is the one exploded word stream.
+    // Ratios come from exact integer sums.
+    QueryDef(
+      "tdp_tokenizer_fertility",
+      (s, dir) => {
+        val words = docToks(s, dir)
+          .select(col("doc_id"), explode(col("toks")).as("word"))
+          .join(table(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        val wf = bpeWordsFinal(s, dir)
+          .select(col("word"), size(col("syms")).cast(LongType).as("n_syms"),
+            length(col("word")).cast(LongType).as("n_chars"))
+        words.join(broadcast(wf), "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum("n_syms").as("n_tokens"),
+            sum("n_chars").as("n_chars"))
+          .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+            (col("n_tokens").cast(DoubleType) / col("n_words").cast(DoubleType))
+              .as("fertility"),
+            (col("n_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+              .as("chars_per_token"))
+      },
+      Some(s"""WITH $bpeSqlCtes,
+              |wfin AS (
+              |  SELECT word, CAST(len(syms) AS BIGINT) AS n_syms,
+              |    CAST(length(word) AS BIGINT) AS n_chars
+              |  FROM w${BpeRounds + 1}),
+              |inst AS (
+              |  SELECT lang, unnest($toksSql) AS word FROM documents)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+              |  CAST(sum(f.n_chars) AS BIGINT) AS n_chars,
+              |  CAST(sum(n_syms) AS DOUBLE) / count(*) AS fertility,
+              |  CAST(sum(f.n_chars) AS DOUBLE) / CAST(sum(n_syms) AS DOUBLE)
+              |    AS chars_per_token
+              |FROM inst JOIN wfin f USING (word)
+              |GROUP BY 1""".stripMargin)),
   )
 }

@@ -314,4 +314,25 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
+
+  test("hard negatives: bucket equi-join, label mismatch stays a filter") {
+    val df = Registry.queries("tdp_hard_negatives")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The broadcast-centroid crossJoin inside the memoized assignment is
+    // the accepted scalar-attach shape; what must NOT appear is a
+    // cartesian between query and candidate sides.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("skew profile: top-10 mass is TakeOrdered over the key histogram") {
+    val df = Registry.queries("tdp_skew_profile")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("tokenizer fertility: vocabulary joins via broadcast, corpus unshuffled") {
+    val df = Registry.queries("tdp_tokenizer_fertility")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }

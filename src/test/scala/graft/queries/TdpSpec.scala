@@ -1274,6 +1274,79 @@ class TdpSpec extends SparkSpec {
     assert(relErr < 0.5, s"rel_err $relErr implausibly large for k=50")
   }
 
+  test("hard negatives: every mined pair crosses labels, ranked by sim") {
+    val negs = Registry.queries("tdp_hard_negatives")(spark, sf).collect()
+    assert(negs.nonEmpty)
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    negs.foreach { r =>
+      val (q, n) = (r.getAs[Long]("q_id"), r.getAs[Long]("neg_id"))
+      assert(labels(q) != labels(n), s"($q, $n) share label ${labels(q)}")
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 3)
+    }
+    // Within a query, rank order must follow descending similarity.
+    negs.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      val bySim = rs.sortBy(r => (-r.getAs[Double]("sim"), r.getAs[Long]("neg_id")))
+      assert(bySim.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+    }
+  }
+
+  test("skew profile: aggregate invariants over the events key") {
+    val r = Registry.queries("tdp_skew_profile")(spark, sf).collect().head
+    val nRows = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(r.getAs[Long]("n_rows") == nRows)
+    assert(r.getAs[Long]("max_df") >= math.ceil(r.getAs[Double]("avg_df")).toLong - 1)
+    val hhi = r.getAs[Double]("hhi")
+    assert(hhi >= 1.0 / r.getAs[Long]("n_keys") - 1e-12 && hhi <= 1.0)
+    assert(r.getAs[Long]("recommended_salts") >= 1L)
+    assert(r.getAs[Double]("top10_share") <= 1.0)
+  }
+
+  test("shuffle quality: hash permutation mixes sources near the ideal rate") {
+    val r = Registry.queries("tdp_shuffle_quality")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_pairs") > 0)
+    val ratio = r.getAs[Double]("mix_ratio")
+    // A broken permutation (e.g. sorted by source) drives this toward
+    // 1/expected_rate >> 1; a correct hash order sits near 1.
+    assert(ratio > 0.5 && ratio < 2.0, s"mix_ratio $ratio")
+  }
+
+  test("SCD2: change compression keeps only transitions, intervals chain") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_scd2").toString
+    // user 1: A A B B A -> versions A[10,30) B[30,50) A[50,-1);
+    // user 2: single event -> one open version.
+    val ev = Seq(
+      (1L, 10L * 1000000000L, 1L, "A"), (2L, 20L * 1000000000L, 1L, "A"),
+      (3L, 30L * 1000000000L, 1L, "B"), (4L, 40L * 1000000000L, 1L, "B"),
+      (5L, 50L * 1000000000L, 1L, "A"), (6L, 70L * 1000000000L, 2L, "Z"))
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("tdp_scd2_history")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
+        r.getAs[String]("event_type"), r.getAs[Long]("valid_from"),
+        r.getAs[Long]("valid_to"), r.getAs[Boolean]("is_current"))).toSet
+    assert(got == Set(
+      (1L, 1, "A", 10L, 30L, false),
+      (1L, 2, "B", 30L, 50L, false),
+      (1L, 3, "A", 50L, -1L, true),
+      (2L, 1, "Z", 70L, -1L, true)), got)
+  }
+
+  test("tokenizer fertility: every word >= 1 token, every token >= 1 char") {
+    val rows = Registry.queries("tdp_tokenizer_fertility")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0,
+        s"${r.get(0)}: fertility < 1")
+      assert(r.getAs[Double]("chars_per_token") >= 1.0,
+        s"${r.get(0)}: chars_per_token < 1")
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_chars") >= r.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("silhouette: covers every vector once, means bounded in [0, 1]") {
     val rows = Registry.queries("tdp_silhouette")(spark, sf).collect()
     val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
