@@ -208,4 +208,75 @@ object EventsStream {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  final case class ScdEvent(
+      user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
+  final case class ScdState(
+      curType: String, validFrom: Long, version: Int, lastSec: Long)
+  final case class ScdOut(
+      user_id: Long, version: Int, event_type: String,
+      valid_from: Long, valid_to: Long, is_current: Boolean)
+
+  /** Streaming SCD2 history build — the incremental twin of the batch
+    * `tdp_scd2_history` query: per key, the currently OPEN version is the
+    * only state; a batch's events fold in (sec, event_id) order, each
+    * attribute change emits the closed version immediately, and the open
+    * version emits as `is_current` (valid_to = -1) when the event-time
+    * watermark passes `horizonSec` beyond its start — the same
+    * close-the-books device as [[sessionize]]'s timeout. State is ONE
+    * record per active key regardless of feed length (vs the batch
+    * window's full-partition sort), which is what makes the history build
+    * runnable on an infinite CDC feed. Same cross-batch ordering
+    * limitation as [[sessionize]]: a late event can only reorder against
+    * events in its own batch.
+    */
+  def scd2(
+      events: Dataset[ScdEvent],
+      horizonSec: Long = 86400L): Dataset[ScdOut] = {
+    import events.sparkSession.implicits._
+
+    def update(
+        userId: Long,
+        rows: Iterator[ScdEvent],
+        state: GroupState[ScdState]): Iterator[ScdOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(ScdOut(userId, s.version, s.curType, s.validFrom, -1L,
+          is_current = true))
+      } else {
+        val sorted = rows.toList
+          .sortBy(e => (e.ts.getTime / 1000L, e.event_id))
+        val out = List.newBuilder[ScdOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val sec = e.ts.getTime / 1000L
+          cur match {
+            case None =>
+              cur = Some(ScdState(e.event_type, sec, 1, sec))
+            case Some(c) if c.curType != e.event_type =>
+              out += ScdOut(userId, c.version, c.curType, c.validFrom, sec,
+                is_current = false)
+              cur = Some(ScdState(e.event_type, sec, c.version + 1, sec))
+            case Some(c) => // no attribute change: version stays open
+              cur = Some(c.copy(lastSec = math.max(c.lastSec, sec)))
+          }
+        }
+        cur.foreach { c =>
+          state.update(c)
+          // Keyed on the LAST event seen, not the version start: a key
+          // whose open version is old but still receiving no-change
+          // events must not close while the feed is live.
+          state.setTimeoutTimestamp((c.lastSec + horizonSec) * 1000L)
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
 }

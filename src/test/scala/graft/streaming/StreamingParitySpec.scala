@@ -194,6 +194,54 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2 parity: versions and intervals == tdp_scd2_history on the feed") {
+    val s = spark
+    import s.implicits._
+    val dir = stageEvents()
+    val events = readEvents(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[ScdEvent]
+    val q = scd2(events)
+      .writeStream.format("memory").queryName("par_scd")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // Far-future sentinel (user -1) closes the books: the watermark
+      // passes every open version's horizon so is_current rows emit.
+      val base = s.read.parquet(dir)
+      val maxTs = base.agg(max("ts")).head.get(0)
+      val sentinel = base.limit(1)
+        .withColumn("event_id", lit(99999999L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", base.schema("ts").dataType match {
+          case LongType =>
+            lit(maxTs.asInstanceOf[Long] + 864000L * 1000000000L)
+          case _ =>
+            val ms = maxTs match {
+              case t: Timestamp => t.getTime
+              case l: java.time.LocalDateTime =>
+                Timestamp.valueOf(l).getTime
+              case i: java.time.Instant => i.toEpochMilli
+            }
+            lit(new Timestamp(ms + 864000L * 1000L))
+        })
+      sentinel.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable() // no-data batch fires the event-time timeouts
+      val got = s.sql("SELECT user_id, version, event_type, valid_from, " +
+          "valid_to, is_current FROM par_scd WHERE user_id >= 0")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      val want = Registry.queries("tdp_scd2_history")(s, sf)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Int]("version"), r.getAs[String]("event_type"),
+          r.getAs[Long]("valid_from"), r.getAs[Long]("valid_to"),
+          r.getAs[Boolean]("is_current"))).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   /** The documents feed with a deterministic event-time column. */
   private def stageDocs(s: SparkSession): String = {
     val dir = Files.createTempDirectory("graft-parity-docs").toString
