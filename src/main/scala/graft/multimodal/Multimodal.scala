@@ -450,6 +450,86 @@ object Multimodal {
     }
   }
 
+  /** Deterministic FOUR-QUADRANT PNG: quadrant grays and dimensions are
+    * pure arithmetic on the id, giving the perceptual hash genuinely
+    * two-dimensional content (the two-tone [[synthPng2]] collapses an
+    * 8x8 hash to one row repeated). The parameter periods are chosen so
+    * the joint period is lcm(12, 64) = 192: ids 192 apart render the
+    * IDENTICAL image, planting exact perceptual clones at every test
+    * scale — what the hash's pairing stage exists to find.
+    */
+  def synthPng4(id: Long): Array[Byte] = {
+    val w = 16 + (id % 12).toInt
+    val h = 16 + ((id * 7) % 12).toInt
+    def g(mul: Long, add: Long): Int = (((id * mul + add) % 64) * 4).toInt
+    val gs = Array(g(1, 0), g(13, 31), g(29, 57), g(43, 89))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var y = 0
+    while (y < h) {
+      val row = y * w
+      var x = 0
+      while (x < w) {
+        val q = (if (y < h / 2) 0 else 2) + (if (x < w / 2) 0 else 1)
+        val gq = gs(q)
+        data(row + x) = (gq << 16) | (gq << 8) | gq
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  final case class ImagePHash(media_id: Long, phash: Long, n_dark: Int)
+
+  /** Average-hash (aHash) perceptual signature over a REAL ImageIO decode
+    * of the quadrant PNGs: NN-resample to 8x8 with the same pure-integer
+    * source-pixel rule as [[resizeNearest]] (`sx = x*w/8` floor), then
+    * bit (y*8 + x) is set iff the cell is brighter than the 64-cell
+    * average — compared as `gray*64 > sum` so no division (or double)
+    * enters the signature and a pixel-free engine can replicate every
+    * bit. `n_dark` counts unset bits (a brightness-balance diagnostic).
+    */
+  def pngAHash(ids: Dataset[Long]): Dataset[ImagePHash] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      imageIoInMemory
+      it.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(synthPng4(id)))
+        val w = img.getWidth
+        val h = img.getHeight
+        val cell = new Array[Int](64)
+        var sum = 0L
+        var y = 0
+        while (y < 8) {
+          val sy = (y.toLong * h / 8).toInt
+          var x = 0
+          while (x < 8) {
+            val sx = (x.toLong * w / 8).toInt
+            val gray = img.getRGB(sx, sy) & 0xff
+            cell(y * 8 + x) = gray
+            sum += gray
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var dark = 0
+        var b = 0
+        while (b < 64) {
+          if (cell(b).toLong * 64 > sum) hash |= (1L << b) else dark += 1
+          b += 1
+        }
+        ImagePHash(id, hash, dark)
+      }
+    }
+  }
+
   /** Deterministic 16-bit mono WAV: sample rate, length and every PCM
     * sample are pure arithmetic on the id (`s_i = (i*a + id) mod 8193 -
     * 4096` with `a = 37 + id mod 12`), so an engine that never touches

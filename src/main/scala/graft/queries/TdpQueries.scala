@@ -6722,5 +6722,126 @@ object TdpQueries {
               |    AS chars_per_token
               |FROM inst JOIN wfin f USING (word)
               |GROUP BY 1""".stripMargin)),
+
+    // IMAGE PERCEPTUAL-HASH DEDUP: the image-modality leg of the near-dup
+    // family (text has MinHash/SimHash, embeddings have LSH — images get
+    // aHash). The signature is a REAL ImageIO decode at the codec
+    // boundary (mapPartitions, like every Multimodal kernel): NN-resample
+    // to 8x8 with the pure-integer source-pixel rule, bit = cell brighter
+    // than the 64-cell mean compared as gray*64 > sum so no double enters
+    // the hash; the DuckDB oracle replicates every bit arithmetically
+    // from the deterministic quadrant-PNG construction (the same
+    // pixels-predictable-by-arithmetic device as the image/audio/video
+    // round trips). Pairing is the SimHash machinery verbatim: 4 x 16-bit
+    // bands (pigeonhole: hamming <= 3 guarantees a band collision),
+    // hot-bucket star-collapse, hamming verify on the candidates only.
+    // The synthetic corpus plants exact clones every 192 ids, so the
+    // pair report is non-vacuous at every scale. At 100 TB the decode is
+    // embarrassingly parallel, signatures are 8 bytes/image, and the
+    // pairing cost is the banded-join economics already audited for
+    // SimHash.
+    QueryDef(
+      "tdp_image_phash",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = graft.multimodal.Multimodal
+          .pngAHash(table(s, dir, "documents").select(col("doc_id"))
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .as[Long])
+          .toDF().select(col("media_id").as("doc_id"), col("phash"))
+        val bandStructs = (0 until 4).map { k =>
+          struct(lit(k).as("band"),
+            expr(s"shiftright(phash, ${16 * k}) & 65535").as("chunk"))
+        }
+        val bands = sigs
+          .select(col("doc_id"), col("phash"),
+            explode(array(bandStructs: _*)).as("b"))
+          .select(col("doc_id"), col("phash"),
+            col("b.band").as("band"), col("b.chunk").as("chunk"))
+        val wB = Window.partitionBy("band", "chunk")
+        val sized = bands
+          .withColumn("bucket_n", count(lit(1)).over(wB))
+          .withColumn("bmin", min(struct(col("doc_id"), col("phash"))).over(wB))
+        val small = sized.filter(col("bucket_n") <= LshBucketCap)
+          .select("doc_id", "phash", "band", "chunk")
+        val a = small.as("a")
+        val b = small.as("b")
+        val smallPairs = a
+          .join(b, col("a.band") === col("b.band") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.phash").as("sig_a"), col("b.phash").as("sig_b"))
+        val starPairs = sized
+          .filter(col("bucket_n") > LshBucketCap &&
+            col("doc_id") =!= col("bmin.doc_id"))
+          .select(col("bmin.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+            col("bmin.phash").as("sig_a"), col("phash").as("sig_b"))
+        smallPairs.union(starPairs).distinct()
+          .withColumn("hamming",
+            expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming")
+      },
+      Some {
+        val bitLit = "CASE WHEN b = 63 THEN (-9223372036854775807 - 1) " +
+          "ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END"
+        val bandSelects = (0 until 4).map { k =>
+          s"SELECT doc_id, phash, $k AS band, " +
+            s"(phash >> ${16 * k}) & 65535 AS chunk FROM phsig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH phcells AS (
+           |  SELECT doc_id, y.range * 8 + x.range AS b,
+           |    CASE WHEN (y.range * h) // 8 < h // 2
+           |      THEN CASE WHEN (x.range * w) // 8 < w // 2
+           |        THEN g00 ELSE g01 END
+           |      ELSE CASE WHEN (x.range * w) // 8 < w // 2
+           |        THEN g10 ELSE g11 END END AS gray
+           |  FROM (
+           |    SELECT doc_id,
+           |      16 + doc_id % 12 AS w, 16 + (doc_id * 7) % 12 AS h,
+           |      (doc_id % 64) * 4 AS g00,
+           |      ((doc_id * 13 + 31) % 64) * 4 AS g01,
+           |      ((doc_id * 29 + 57) % 64) * 4 AS g10,
+           |      ((doc_id * 43 + 89) % 64) * 4 AS g11
+           |    FROM documents),
+           |  range(0, 8) x, range(0, 8) y),
+           |phsums AS (
+           |  SELECT doc_id, CAST(sum(gray) AS BIGINT) AS s
+           |  FROM phcells GROUP BY 1),
+           |phsig AS (
+           |  SELECT c.doc_id,
+           |    CAST(sum(CASE WHEN c.gray * 64 > m.s THEN $bitLit
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM phcells c JOIN phsums m ON c.doc_id = m.doc_id
+           |  GROUP BY 1),
+           |phbands AS (
+           |  $bandSelects),
+           |phsized AS (
+           |  SELECT doc_id, phash, band, chunk,
+           |    count(*) OVER (PARTITION BY band, chunk) AS bucket_n,
+           |    min(doc_id) OVER (PARTITION BY band, chunk) AS bucket_min,
+           |    first_value(phash) OVER (PARTITION BY band, chunk
+           |      ORDER BY doc_id) AS min_sig
+           |  FROM phbands),
+           |phpairs AS (
+           |  SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM (
+           |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |      a.phash AS sig_a, b.phash AS sig_b
+           |    FROM phsized a JOIN phsized b
+           |      ON a.band = b.band AND a.chunk = b.chunk
+           |      AND a.doc_id < b.doc_id
+           |    WHERE a.bucket_n <= $LshBucketCap
+           |      AND b.bucket_n <= $LshBucketCap
+           |    UNION ALL
+           |    SELECT bucket_min AS doc_a, doc_id AS doc_b,
+           |      min_sig AS sig_a, phash AS sig_b
+           |    FROM phsized
+           |    WHERE bucket_n > $LshBucketCap AND doc_id <> bucket_min))
+           |SELECT doc_a, doc_b,
+           |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+           |FROM phpairs
+           |WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin
+      }),
   )
 }

@@ -1347,6 +1347,21 @@ class TdpSpec extends SparkSpec {
     }
   }
 
+  test("image phash: planted 192-period clones pair at hamming 0") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_phash").toString
+    // ids 7, 199, 391 are exact perceptual clones (period 192); 8 is not.
+    Seq(7L, 199L, 391L, 8L).toDF("doc_id")
+      .withColumn("text", lit("x"))
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = Registry.queries("tdp_image_phash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val zeros = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(Set((7L, 199L), (7L, 391L), (199L, 391L)).subsetOf(zeros),
+      s"clone pairs missing from $zeros")
+    assert(pairs.forall(_._3 <= 3))
+  }
+
   test("silhouette: covers every vector once, means bounded in [0, 1]") {
     val rows = Registry.queries("tdp_silhouette")(spark, sf).collect()
     val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
