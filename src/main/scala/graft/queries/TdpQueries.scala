@@ -6843,5 +6843,175 @@ object TdpQueries {
            |FROM phpairs
            |WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin
       }),
+
+    // EMBEDDING DRIFT: the re-embedding QA gate — when a new encoder
+    // version (here: the odd-id split standing in for "re-embedded
+    // half") produces vectors, per-dimension mean drift against the
+    // incumbent decides whether downstream ANN indexes must rebuild.
+    // Per-dim means come from integer micro-unit sums (floor(v * 1e6) —
+    // floor, not trunc, so negative components agree across engines):
+    // the per-dim aggregate is an order-insensitive long sum, and the
+    // one division per dim happens on exact integers. Output is one row
+    // per dimension — dimension-sized, never corpus-sized.
+    QueryDef(
+      "tdp_embedding_drift",
+      (s, dir) => {
+        val ex = embWithNorm(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .withColumn("mu", floor(col("v") * lit(1e6)).cast(LongType))
+        ex.groupBy("dim")
+          .agg(
+            sum(when(col("vec_id") % 2 === 0, col("mu"))).as("sum_a"),
+            count(when(col("vec_id") % 2 === 0, lit(1))).as("n_a"),
+            sum(when(col("vec_id") % 2 =!= 0, col("mu"))).as("sum_b"),
+            count(when(col("vec_id") % 2 =!= 0, lit(1))).as("n_b"))
+          .select(col("dim"),
+            (col("sum_a").cast(DoubleType) / col("n_a").cast(DoubleType)
+              / lit(1e6)).as("mean_a"),
+            (col("sum_b").cast(DoubleType) / col("n_b").cast(DoubleType)
+              / lit(1e6)).as("mean_b"),
+            abs(col("sum_a").cast(DoubleType) / col("n_a").cast(DoubleType)
+              - col("sum_b").cast(DoubleType) / col("n_b").cast(DoubleType))
+              .divide(lit(1e6)).as("abs_drift"))
+      },
+      Some(s"""WITH edx AS (
+              |  SELECT vec_id,
+              |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+              |      AS dim,
+              |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              |      AS BIGINT) AS mu
+              |  FROM embeddings),
+              |eg AS (
+              |  SELECT dim,
+              |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN mu END) AS BIGINT)
+              |      AS sum_a,
+              |    CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT)
+              |      AS n_a,
+              |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN mu END) AS BIGINT)
+              |      AS sum_b,
+              |    CAST(count(CASE WHEN vec_id % 2 <> 0 THEN 1 END) AS BIGINT)
+              |      AS n_b
+              |  FROM edx GROUP BY 1)
+              |SELECT dim,
+              |  CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000000
+              |    AS mean_a,
+              |  CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000000
+              |    AS mean_b,
+              |  abs(CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              |    - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 1000000
+              |    AS abs_drift
+              |FROM eg""".stripMargin)),
+
+    // LENGTH-BUCKETED BATCHING PLAN: padding economics for a trainer.
+    // Docs bucket to the next power of two of their token count (floor
+    // 16); per bucket the plan reports the padded token bill, the waste
+    // ratio, and how many batches a 4096-token budget needs — the
+    // numbers that decide between bucketed batching and sequence packing
+    // (tdp_seq_packing is the other side of that trade). Pure integer
+    // arithmetic end to end; one groupBy on a derived key, bucket-count
+    // sized output.
+    QueryDef(
+      "tdp_length_batching",
+      (s, dir) => {
+        val BatchToks = 4096L
+        docToks(s, dir)
+          .select(size(col("toks")).cast(LongType).as("x"))
+          .filter(col("x") > 0)
+          .withColumn("bucket",
+            expr("CASE WHEN x <= 16 THEN 16L ELSE " +
+              "shiftleft(1L, CAST(length(bin(x - 1)) AS INT)) END"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("x").as("n_tokens"))
+          .select(col("bucket"), col("n_docs"), col("n_tokens"),
+            (col("bucket") * col("n_docs")).as("padded_tokens"),
+            ((col("bucket") * col("n_docs") - col("n_tokens"))
+              .cast(DoubleType)
+              / (col("bucket") * col("n_docs")).cast(DoubleType))
+              .as("waste_ratio"),
+            ceil(col("n_docs").cast(DoubleType)
+              / greatest(lit(1L), expr(s"$BatchToks div bucket"))
+                .cast(DoubleType)).cast(LongType).as("n_batches"))
+      },
+      Some(s"""WITH lb AS (
+              |  SELECT CAST(len($toksSql) AS BIGINT) AS x FROM documents),
+              |lbb AS (
+              |  SELECT x, CASE WHEN x <= 16 THEN 16
+              |    ELSE (CAST(1 AS BIGINT) << CAST(length(bin(x - 1)) AS
+              |      INTEGER)) END AS bucket
+              |  FROM lb WHERE x > 0)
+              |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(x) AS BIGINT) AS n_tokens,
+              |  CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+              |  CAST(bucket * count(*) - sum(x) AS DOUBLE)
+              |    / CAST(bucket * count(*) AS DOUBLE) AS waste_ratio,
+              |  CAST(ceil(CAST(count(*) AS DOUBLE)
+              |    / CAST(greatest(1, 4096 // bucket) AS DOUBLE)) AS BIGINT)
+              |    AS n_batches
+              |FROM lbb GROUP BY 1""".stripMargin)),
+
+    // BENFORD DIGIT AUDIT: the data-quality screen a reconciliation
+    // pipeline (this repo's own domain) runs on monetary columns —
+    // fabricated or re-keyed amounts break the first-digit law long
+    // before totals do. Observed leading-digit counts of the lineitem
+    // price column vs the Benford expectation n·log10(1+1/d), with the
+    // per-digit chi-square component; the nine log constants are
+    // hardcoded literals (both engines parse the identical decimal to
+    // the identical double), so no transcendental function runs at query
+    // time and the report is hash-exact. One groupBy on a derived
+    // single-char key; nine-row output.
+    QueryDef(
+      "tdp_benford",
+      (s, dir) => {
+        // log10(1 + 1/d) in 1e-15 units as INTEGER constants: a decimal
+        // double literal can parse 1 ulp apart across engines (observed
+        // on 0.12493873660829993); an integer divided by 1e15 is exactly
+        // rounded identically everywhere.
+        val benfordMu = Seq(
+          301029995663981L, 176091259055681L, 124938736608300L,
+          96910013008056L, 79181246047625L, 66946789630613L,
+          57991946977687L, 51152522447381L, 45757490560675L)
+        val expect = benfordMu.zipWithIndex.tail.foldLeft(
+          when(col("digit") === 1,
+            lit(benfordMu.head).cast(DoubleType) / lit(1e15))) {
+          case (acc, (p, i)) => acc.when(col("digit") === (i + 1),
+            lit(p).cast(DoubleType) / lit(1e15))
+        }
+        val counts = table(s, dir, "lineitem")
+          .select(substring(floor(col("l_extendedprice")).cast(LongType)
+            .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = counts.agg(sum("n_obs").as("n_total"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("p_benford", expect)
+          .select(col("digit"), col("n_obs"),
+            col("p_benford"),
+            (col("n_total").cast(DoubleType) * col("p_benford"))
+              .as("n_expected"),
+            ((col("n_obs").cast(DoubleType)
+              - col("n_total").cast(DoubleType) * col("p_benford"))
+              * (col("n_obs").cast(DoubleType)
+                - col("n_total").cast(DoubleType) * col("p_benford"))
+              / (col("n_total").cast(DoubleType) * col("p_benford")))
+              .as("chi2_component"))
+      },
+      Some("""WITH bf(digit, p_benford) AS (
+             |  SELECT digit, CAST(p_mu AS DOUBLE) / 1e15 FROM (VALUES
+             |    (1, 301029995663981), (2, 176091259055681),
+             |    (3, 124938736608300), (4, 96910013008056),
+             |    (5, 79181246047625), (6, 66946789630613),
+             |    (7, 57991946977687), (8, 51152522447381),
+             |    (9, 45757490560675)) t(digit, p_mu)),
+             |ob AS (
+             |  SELECT CAST(substr(CAST(CAST(TRUNC(l_extendedprice) AS
+             |      BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             |    CAST(count(*) AS BIGINT) AS n_obs
+             |  FROM lineitem GROUP BY 1),
+             |tt AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM ob)
+             |SELECT digit, n_obs, p_benford,
+             |  CAST(n_total AS DOUBLE) * p_benford AS n_expected,
+             |  (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_benford)
+             |    * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_benford)
+             |    / (CAST(n_total AS DOUBLE) * p_benford) AS chi2_component
+             |FROM ob JOIN bf USING (digit), tt""".stripMargin)),
   )
 }

@@ -123,7 +123,8 @@ class CodegenHealthSpec extends SparkSpec {
     "tdp_ann_filtered", "tdp_join_size_est", "tdp_topk_per_group",
     "tdp_weighted_sample", "tdp_silhouette", "tdp_hard_negatives",
     "tdp_skew_profile", "tdp_shuffle_quality", "tdp_scd2_history",
-    "tdp_tokenizer_fertility", "tdp_image_phash")
+    "tdp_tokenizer_fertility", "tdp_image_phash", "tdp_embedding_drift",
+    "tdp_length_batching", "tdp_benford")
 
   for (name <- tdpGuarded)
     test(s"TDP $name: every codegen subtree compiles under the 64 KB limit") {

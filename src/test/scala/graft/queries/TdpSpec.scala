@@ -1362,6 +1362,52 @@ class TdpSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("embedding drift: one row per dimension, drift is the mean gap") {
+    val rows = Registry.queries("tdp_embedding_drift")(spark, sf).collect()
+    val dims = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("size(embedding) AS d").head().getInt(0)
+    assert(rows.length == dims)
+    rows.foreach { r =>
+      val (a, b, d) = (r.getAs[Double]("mean_a"), r.getAs[Double]("mean_b"),
+        r.getAs[Double]("abs_drift"))
+      assert(!a.isNaN && !b.isNaN)
+      assert(math.abs(d - math.abs(a - b)) < 1e-9, s"dim ${r.get(0)}")
+    }
+  }
+
+  test("length batching: buckets are powers of two, accounting closes") {
+    val rows = Registry.queries("tdp_length_batching")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = Registry.table(spark, sf, "documents")
+      .selectExpr("size(filter(split(text, '\\\\s+'), x -> x != '')) AS n")
+      .filter(col("n") > 0).count()
+    assert(nDocs == corpus)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 16 && (b & (b - 1)) == 0, s"bucket $b not a power of two")
+      assert(r.getAs[Long]("padded_tokens") >= r.getAs[Long]("n_tokens"))
+      val w = r.getAs[Double]("waste_ratio")
+      assert(w >= 0.0 && w < 1.0)
+      assert(r.getAs[Long]("n_batches") >= 1L)
+    }
+  }
+
+  test("benford: digit law accounting over the price column") {
+    val rows = Registry.queries("tdp_benford")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSet.subsetOf((1 to 9).toSet))
+    val nTotal = rows.map(_.getAs[Long]("n_obs")).sum
+    assert(nTotal == spark.read.parquet(s"$sf/lineitem.parquet").count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2_component") >= 0.0)
+      assert(r.getAs[Double]("n_expected") > 0.0)
+    }
+    // TPC-H prices are roughly uniform in magnitude, not Benford —
+    // the audit should therefore FLAG them (large chi2), proving the
+    // metric isn't vacuously near zero on non-conforming data.
+    assert(rows.map(_.getAs[Double]("chi2_component")).sum > 100.0)
+  }
+
   test("silhouette: covers every vector once, means bounded in [0, 1]") {
     val rows = Registry.queries("tdp_silhouette")(spark, sf).collect()
     val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
