@@ -7013,5 +7013,186 @@ object TdpQueries {
              |    * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_benford)
              |    / (CAST(n_total AS DOUBLE) * p_benford) AS chi2_component
              |FROM ob JOIN bf USING (digit), tt""".stripMargin)),
+
+    // ANN RANKING METRICS (MRR + NDCG@3): recall says WHETHER the true
+    // neighbors surface; ranking metrics say WHERE. MRR scores the rank
+    // the IVF search gives the single true nearest neighbor; NDCG@3
+    // scores the whole candidate ordering against binary relevance (is
+    // the candidate in the brute-force top-3). Discount weights are
+    // INTEGER micro-unit constants (1/log2(r+1) ~ 1000000, 630930,
+    // 500000) so every per-query score is an exact integer and the
+    // corpus-level means are order-insensitive integer sums divided
+    // once — the cross-engine discipline of the whole registry. Rides
+    // the memoized IVF frame; truth is the same broadcast brute-force
+    // pass the recall metric certifies.
+    QueryDef(
+      "tdp_ann_ranking_metrics",
+      (s, dir) => {
+        val e = embWithNorm(s, dir)
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"))
+        val c = e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("norm").as("c_norm"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+        val truth = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("t_rank", row_number().over(w))
+          .filter(col("t_rank") <= 3)
+          .select("q_id", "c_id", "t_rank")
+        val cand = ivfTop3(s, dir).select("q_id", "c_id", "rank")
+        val rrMu = when(col("t_rank") === 1,
+          when(col("rank") === 1, 1000000L)
+            .when(col("rank") === 2, 500000L)
+            .when(col("rank") === 3, 333333L).otherwise(0L)).otherwise(0L)
+        val wMu = when(col("rank") === 1, 1000000L)
+          .when(col("rank") === 2, 630930L).otherwise(500000L)
+        val scored = cand.join(truth, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(when(col("t_rank").isNotNull, wMu).otherwise(0L))
+              .as("dcg_mu"),
+            sum(when(col("t_rank").isNotNull, rrMu).otherwise(0L))
+              .as("rr_mu"))
+        val nQ = truth.select("q_id").distinct()
+          .agg(count(lit(1)).as("n_queries"))
+        scored
+          .agg(count(lit(1)).as("n_scored"), sum("rr_mu").as("sum_rr_mu"),
+            sum("dcg_mu").as("sum_dcg_mu"))
+          .crossJoin(broadcast(nQ))
+          .select(col("n_queries"), col("n_scored"),
+            (col("sum_rr_mu").cast(DoubleType)
+              / col("n_queries").cast(DoubleType) / lit(1e6)).as("mrr"),
+            (col("sum_dcg_mu").cast(DoubleType)
+              / col("n_queries").cast(DoubleType) / lit(2130930.0))
+              .as("ndcg_at_3"))
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |rtruth AS (
+              |  SELECT q_id, c_id, t_rank FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id)
+              |        AS t_rank
+              |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+              |    WHERE q.vec_id % 50 = 0)
+              |  WHERE t_rank <= 3),
+              |rsc AS (
+              |  SELECT i.q_id,
+              |    CAST(sum(CASE WHEN t.t_rank IS NULL THEN 0
+              |      WHEN i.rank = 1 THEN 1000000
+              |      WHEN i.rank = 2 THEN 630930 ELSE 500000 END) AS BIGINT)
+              |      AS dcg_mu,
+              |    CAST(sum(CASE WHEN t.t_rank = 1 THEN
+              |        CASE WHEN i.rank = 1 THEN 1000000
+              |          WHEN i.rank = 2 THEN 500000
+              |          WHEN i.rank = 3 THEN 333333 ELSE 0 END
+              |      ELSE 0 END) AS BIGINT) AS rr_mu
+              |  FROM ivf i LEFT JOIN rtruth t
+              |    ON i.q_id = t.q_id AND i.c_id = t.c_id
+              |  GROUP BY 1),
+              |rn AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT)
+              |  AS n_queries FROM rtruth)
+              |SELECT n_queries,
+              |  CAST((SELECT count(*) FROM rsc) AS BIGINT) AS n_scored,
+              |  CAST((SELECT sum(rr_mu) FROM rsc) AS DOUBLE)
+              |    / CAST(n_queries AS DOUBLE) / 1000000 AS mrr,
+              |  CAST((SELECT sum(dcg_mu) FROM rsc) AS DOUBLE)
+              |    / CAST(n_queries AS DOUBLE) / 2130930.0 AS ndcg_at_3
+              |FROM rn""".stripMargin)),
+
+    // LABEL-NOISE MINING (k-NN label disagreement, the confident-learning
+    // screen): a vector whose in-cluster nearest neighbors vote for a
+    // different label is a mislabel candidate — the list a labeling team
+    // re-reviews before training. Votes come from the memoized IVF top-3
+    // frame (a SAMPLED audit over the query subset, like the truncdim
+    // ground-truth device: the production sweep runs the same plan over
+    // all vectors); majority is deterministic (count DESC, label ASC).
+    // Output is per-audited-vector verdicts plus nothing corpus-sized.
+    QueryDef(
+      "tdp_label_noise",
+      (s, dir) => {
+        val lab = table(s, dir, "embeddings").select("vec_id", "label")
+        val votes = ivfTop3(s, dir)
+          .join(lab.select(col("vec_id").as("c_id"),
+            col("label").as("n_label")), "c_id")
+          .groupBy("q_id", "n_label").agg(count(lit(1)).as("n_votes"))
+        val wv = Window.partitionBy("q_id")
+          .orderBy(desc("n_votes"), col("n_label"))
+        val pred = votes.withColumn("rk", row_number().over(wv))
+          .filter(col("rk") === 1)
+          .select(col("q_id"), col("n_label").as("predicted_label"),
+            col("n_votes").as("n_agree"))
+        pred.join(lab.select(col("vec_id").as("q_id"),
+            col("label").as("own_label")), "q_id")
+          .select(col("q_id"), col("own_label"), col("predicted_label"),
+            col("n_agree"),
+            (col("own_label") =!= col("predicted_label")).as("is_suspect"))
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |lnl AS (SELECT vec_id, label FROM embeddings),
+              |lnv AS (
+              |  SELECT i.q_id, l.label AS n_label,
+              |    CAST(count(*) AS BIGINT) AS n_votes
+              |  FROM ivf i JOIN lnl l ON l.vec_id = i.c_id
+              |  GROUP BY 1, 2),
+              |lnp AS (
+              |  SELECT q_id, n_label AS predicted_label, n_votes AS n_agree
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY n_votes DESC, n_label) AS rk FROM lnv)
+              |  WHERE rk = 1)
+              |SELECT p.q_id, l.label AS own_label, p.predicted_label,
+              |  p.n_agree, l.label <> p.predicted_label AS is_suspect
+              |FROM lnp p JOIN lnl l ON l.vec_id = p.q_id""".stripMargin)),
+
+    // L-DIVERSITY: the companion of the k-anonymity audit — group size
+    // alone doesn't stop attribute disclosure when everyone in a
+    // quasi-identifier group shares the sensitive value. Per QI group
+    // the sensitive attribute (account-balance band) must take >= l
+    // distinct values; the report carries the attained minimum and the
+    // failing mass at l = 3. Same all-aggregate shape as tdp_k_anonymity.
+    QueryDef(
+      "tdp_l_diversity",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+          .withColumn("sens", floor(col("c_acctbal") / 1000.0).cast(LongType))
+        def level(name: String, keys: Seq[String]) =
+          cust.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("n"),
+              countDistinct("sens").as("l"))
+            .agg(count(lit(1)).as("n_groups"),
+              min("l").as("l_attained"),
+              sum(when(col("l") < 3, 1L).otherwise(0L)).as("weak_groups"),
+              sum(when(col("l") < 3, col("n")).otherwise(0L)).as("exposed_rows"))
+            .select(lit(name).as("level"), col("n_groups"),
+              col("l_attained"), col("weak_groups"), col("exposed_rows"))
+        level("nation+segment", Seq("c_nationkey", "c_mktsegment"))
+          .unionAll(level("segment", Seq("c_mktsegment")))
+      },
+      Some("""WITH lds AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS sens
+             |  FROM customer),
+             |lg1 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             |    count(DISTINCT sens) AS l
+             |  FROM lds GROUP BY 1, 2),
+             |lg2 AS (SELECT c_mktsegment, count(*) AS n,
+             |    count(DISTINCT sens) AS l
+             |  FROM lds GROUP BY 1)
+             |SELECT 'nation+segment' AS level,
+             |  CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(min(l) AS BIGINT) AS l_attained,
+             |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS weak_groups,
+             |  CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+             |    AS exposed_rows
+             |FROM lg1
+             |UNION ALL
+             |SELECT 'segment', CAST(count(*) AS BIGINT),
+             |  CAST(min(l) AS BIGINT),
+             |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+             |FROM lg2""".stripMargin)),
   )
 }

@@ -124,7 +124,8 @@ class CodegenHealthSpec extends SparkSpec {
     "tdp_weighted_sample", "tdp_silhouette", "tdp_hard_negatives",
     "tdp_skew_profile", "tdp_shuffle_quality", "tdp_scd2_history",
     "tdp_tokenizer_fertility", "tdp_image_phash", "tdp_embedding_drift",
-    "tdp_length_batching", "tdp_benford")
+    "tdp_length_batching", "tdp_benford", "tdp_ann_ranking_metrics",
+    "tdp_label_noise", "tdp_l_diversity")
 
   for (name <- tdpGuarded)
     test(s"TDP $name: every codegen subtree compiles under the 64 KB limit") {

@@ -1408,6 +1408,47 @@ class TdpSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("chi2_component")).sum > 100.0)
   }
 
+  test("ANN ranking metrics: bounded in [0, 1] and consistent with recall") {
+    val r = Registry.queries("tdp_ann_ranking_metrics")(spark, sf)
+      .collect().head
+    val (mrr, ndcg) = (r.getAs[Double]("mrr"), r.getAs[Double]("ndcg_at_3"))
+    assert(mrr >= 0.0 && mrr <= 1.0, s"mrr $mrr")
+    assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"ndcg $ndcg")
+    assert(r.getAs[Long]("n_queries") > 0)
+    assert(r.getAs[Long]("n_scored") <= r.getAs[Long]("n_queries"))
+    // Some query must place its true NN (the fixture's recall is ~0.23
+    // at 64 clusters over 500 vectors — small but non-zero).
+    assert(mrr > 0.0 && ndcg > 0.0)
+    // Algebraic coupling: a found true-NN contributes at most 1e6 to the
+    // RR sum but at least 500000 to the DCG sum, so
+    // mrr <= ndcg * (2 * 2130930 / 1e6).
+    assert(mrr <= ndcg * 4.26186 + 1e-9, s"mrr $mrr vs ndcg $ndcg")
+  }
+
+  test("label noise: verdicts cover the query subset, flags are consistent") {
+    val rows = Registry.queries("tdp_label_noise")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val agree = r.getAs[Long]("n_agree")
+      assert(agree >= 1L && agree <= 3L)
+      assert(r.getAs[Boolean]("is_suspect") ==
+        (r.get(1) != r.get(2)), s"row $r")
+    }
+  }
+
+  test("l-diversity: attained l bounded by group sizes, exposure coherent") {
+    val rows = Registry.queries("tdp_l_diversity")(spark, sf).collect()
+      .map(r => r.getAs[String]("level") -> r).toMap
+    assert(rows.keySet == Set("nation+segment", "segment"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("l_attained") >= 1L)
+      assert(r.getAs[Long]("weak_groups") <= r.getAs[Long]("n_groups"))
+    }
+    // Coarser QI groups can only be MORE diverse: fewer, larger groups.
+    assert(rows("segment").getAs[Long]("l_attained") >=
+      rows("nation+segment").getAs[Long]("l_attained"))
+  }
+
   test("silhouette: covers every vector once, means bounded in [0, 1]") {
     val rows = Registry.queries("tdp_silhouette")(spark, sf).collect()
     val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
