@@ -560,6 +560,92 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Second WAV synthesis with a SMALL joint parameter period: n has
+    * period 8, the slope period 12, the phase period 96 → ids 96 apart
+    * produce byte-identical PCM, planting exact audio clones at every
+    * test scale (the audio twin of [[synthPng4]]'s 192-period device).
+    */
+  def synthWav2(id: Long): Array[Byte] = {
+    val n = 256 + ((id % 8) * 64).toInt
+    val a = 3 + (id % 12)
+    val phase = id % 96
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((i * a + phase) % 8193L - 4096L).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  final case class AudioPrint(
+      media_id: Long, fp: Int, full_hash: Long, n_samples: Long)
+
+  /** Frame-energy audio fingerprint over a REAL javax.sound decode of
+    * [[synthWav2]]: the stream splits into 16 frames (integer bounds
+    * `f*n/16`), bit f is set iff the frame's summed |sample| exceeds its
+    * share of the total (`energy_f * 16 > total`, no division), giving a
+    * 16-bit signature for candidate pairing. `full_hash` is the
+    * polynomial fold of the raw samples (`h*31 + s + 4096 mod P`) — the
+    * exact-verify key: fingerprint matches are candidates, equal full
+    * hashes are duplicates. Both are pure integer functions of the
+    * decoded PCM, replayable by a byte-free oracle.
+    */
+  def wavFingerprint(ids: Dataset[Long]): Dataset[AudioPrint] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      imageIoInMemory
+      it.map { id =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(synthWav2(id)))
+        val n = ais.getFrameLength.toInt
+        val bytes = ais.readAllBytes()
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((bytes(2 * i + 1).toInt << 8) |
+            (bytes(2 * i) & 0xff))
+          i += 1
+        }
+        var total = 0L
+        val energy = new Array[Long](16)
+        var f = 0
+        while (f < 16) {
+          val lo = f * n / 16
+          val hi = (f + 1) * n / 16
+          var j = lo
+          while (j < hi) {
+            energy(f) += math.abs(samples(j))
+            j += 1
+          }
+          total += energy(f)
+          f += 1
+        }
+        var fp = 0
+        f = 0
+        while (f < 16) {
+          if (energy(f) * 16 > total) fp |= (1 << f)
+          f += 1
+        }
+        var h = 0L
+        i = 0
+        while (i < n) {
+          h = (h * 31 + samples(i) + 4096L) % 1000000007L
+          i += 1
+        }
+        AudioPrint(id, fp, h, n.toLong)
+      }
+    }
+  }
+
   final case class AudioMeta(
       media_id: Long, sample_rate: Long, n_samples: Long,
       duration_ms: Long, rms_milli: Long)

@@ -7194,5 +7194,93 @@ object TdpQueries {
              |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT),
              |  CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
              |FROM lg2""".stripMargin)),
+
+    // AUDIO FINGERPRINT DEDUP: the audio-modality leg of the near-dup
+    // family (text: MinHash/SimHash; image: aHash; audio: frame-energy
+    // fingerprint). A REAL javax.sound decode at the codec boundary
+    // yields 16 frame energies; bit f is set iff energy_f·16 > total (no
+    // division enters the signature), giving a 16-bit candidate key.
+    // Fingerprint-equal pairs are verified by a full-stream polynomial
+    // fold of the PCM samples — equal folds are byte-exact duplicates
+    // (the synthesis plants clones every 96 ids). Hot fingerprints
+    // star-collapse at the LSH cap like every banded family. The oracle
+    // replays energies, bits and the sample fold arithmetically without
+    // touching a byte of audio.
+    QueryDef(
+      "tdp_audio_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val sig = graft.multimodal.Multimodal
+          .wavFingerprint(table(s, dir, "documents").select(col("doc_id"))
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .as[Long])
+          .toDF().select(col("media_id").as("doc_id"),
+            col("fp"), col("full_hash"))
+        val wB = Window.partitionBy("fp")
+        val sized = sig
+          .withColumn("bn", count(lit(1)).over(wB))
+          .withColumn("bmin",
+            min(struct(col("doc_id"), col("full_hash"))).over(wB))
+        val small = sized.filter(col("bn") <= LshBucketCap)
+          .select("doc_id", "fp", "full_hash")
+        val a = small.as("a")
+        val b = small.as("b")
+        val smallPairs = a
+          .join(b, col("a.fp") === col("b.fp") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.fp").as("fp"),
+            (col("a.full_hash") === col("b.full_hash")).as("is_exact_dup"))
+        val starPairs = sized
+          .filter(col("bn") > LshBucketCap &&
+            col("doc_id") =!= col("bmin.doc_id"))
+          .select(col("bmin.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+            col("fp"),
+            (col("bmin.full_hash") === col("full_hash")).as("is_exact_dup"))
+        smallPairs.union(starPairs)
+      },
+      Some(s"""WITH aw AS (
+              |  SELECT doc_id, 256 + (doc_id % 8) * 64 AS n,
+              |    3 + doc_id % 12 AS a, doc_id % 96 AS ph
+              |  FROM documents),
+              |asamp AS (
+              |  SELECT doc_id, n, i.range AS i,
+              |    (i.range * a + ph) % 8193 - 4096 AS s
+              |  FROM aw, range(0, 2048) i WHERE i.range < n),
+              |aen AS (
+              |  SELECT doc_id, i // (n // 16) AS f,
+              |    CAST(sum(abs(s)) AS BIGINT) AS e
+              |  FROM asamp GROUP BY 1, 2),
+              |atot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS total
+              |  FROM aen GROUP BY 1),
+              |afp AS (
+              |  SELECT doc_id, CAST(sum(CASE WHEN e * 16 > total
+              |      THEN (1 << CAST(f AS INTEGER)) ELSE 0 END) AS INTEGER)
+              |      AS fp
+              |  FROM aen JOIN atot USING (doc_id) GROUP BY doc_id),
+              |ahash AS (
+              |  SELECT doc_id,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list(s + 4096 ORDER BY i)),
+              |      (acc, x) -> (acc * 31 + x) % 1000000007) AS full_hash
+              |  FROM asamp GROUP BY doc_id),
+              |asig AS (
+              |  SELECT f.doc_id, f.fp, h.full_hash
+              |  FROM afp f JOIN ahash h USING (doc_id)),
+              |asized AS (
+              |  SELECT *, count(*) OVER (PARTITION BY fp) AS bn,
+              |    min(doc_id) OVER (PARTITION BY fp) AS bmin,
+              |    first_value(full_hash) OVER (PARTITION BY fp
+              |      ORDER BY doc_id) AS minh
+              |  FROM asig)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  a.fp AS fp, a.full_hash = b.full_hash AS is_exact_dup
+              |FROM asized a JOIN asized b
+              |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |WHERE a.bn <= $LshBucketCap AND b.bn <= $LshBucketCap
+              |UNION ALL
+              |SELECT bmin, doc_id, fp, minh = full_hash
+              |FROM asized WHERE bn > $LshBucketCap AND doc_id <> bmin"""
+        .stripMargin)),
   )
 }

@@ -215,6 +215,33 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(5L).n_dark == (0 until 64).count(b => cell(b) * 64L <= sum))
   }
 
+  test("wavFingerprint: real decode matches synthesis arithmetic; period 96") {
+    val s = spark
+    import s.implicits._
+    val rows = wavFingerprint(s.createDataset(Seq(11L, 107L, 203L, 12L)))
+      .collect().map(p => p.media_id -> p).toMap
+    // ids 96 apart synthesize byte-identical PCM: equal signature AND
+    // equal full-stream fold.
+    assert(rows(11L).fp == rows(107L).fp)
+    assert(rows(11L).full_hash == rows(107L).full_hash)
+    assert(rows(11L).full_hash == rows(203L).full_hash)
+    assert(rows(11L).full_hash != rows(12L).full_hash)
+    // Replay the synthesis arithmetic independently of the codec.
+    val id = 11L
+    val n = 256 + ((id % 8) * 64).toInt
+    assert(rows(11L).n_samples == n)
+    val (a, ph) = (3 + id % 12, id % 96)
+    val samples = (0 until n).map(i => ((i * a + ph) % 8193L - 4096L).toInt)
+    val h = samples.foldLeft(0L)((acc, x) => (acc * 31 + x + 4096L) % 1000000007L)
+    assert(rows(11L).full_hash == h, "decoded fold != synthesis fold")
+    val energies = (0 until 16).map(f =>
+      samples.slice(f * n / 16, (f + 1) * n / 16).map(x => math.abs(x).toLong).sum)
+    val total = energies.sum
+    val fp = (0 until 16).filter(f => energies(f) * 16 > total)
+      .foldLeft(0)((acc, f) => acc | (1 << f))
+    assert(rows(11L).fp == fp)
+  }
+
   test("nearest-neighbor resize: hand-computed pixels; pass-through branch") {
     val s = spark
     import s.implicits._

@@ -125,7 +125,7 @@ class CodegenHealthSpec extends SparkSpec {
     "tdp_skew_profile", "tdp_shuffle_quality", "tdp_scd2_history",
     "tdp_tokenizer_fertility", "tdp_image_phash", "tdp_embedding_drift",
     "tdp_length_batching", "tdp_benford", "tdp_ann_ranking_metrics",
-    "tdp_label_noise", "tdp_l_diversity")
+    "tdp_label_noise", "tdp_l_diversity", "tdp_audio_fingerprint")
 
   for (name <- tdpGuarded)
     test(s"TDP $name: every codegen subtree compiles under the 64 KB limit") {

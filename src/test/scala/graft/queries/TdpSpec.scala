@@ -1449,6 +1449,20 @@ class TdpSpec extends SparkSpec {
       rows("nation+segment").getAs[Long]("l_attained"))
   }
 
+  test("audio fingerprint: exact-dup flags coincide with the 96-period") {
+    val pairs = Registry.queries("tdp_audio_fingerprint")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Boolean]("is_exact_dup")))
+    assert(pairs.nonEmpty)
+    // Byte-identical PCM requires identical (n, slope, phase) — i.e. the
+    // ids agree mod 96; a fingerprint collision alone must NOT flag.
+    pairs.filter(_._3).foreach { case (a1, b1, _) =>
+      assert((b1 - a1) % 96 == 0, s"flagged non-clone pair ($a1, $b1)")
+    }
+    // And the planted clones DO surface with the flag set.
+    assert(pairs.exists { case (a1, b1, d) => d && (b1 - a1) % 96 == 0 })
+  }
+
   test("silhouette: covers every vector once, means bounded in [0, 1]") {
     val rows = Registry.queries("tdp_silhouette")(spark, sf).collect()
     val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
