@@ -5280,16 +5280,28 @@ object TdpQueries {
     // token counts (balance: hash-uniform to ~1/sqrt(n/W)), an ord
     // checksum (any mis-hashed row breaks it), and the epoch-2 carryover
     // count n_same_next_epoch — docs landing in the same shard twice,
-    // ~n/W² per shard pair, certifying successive epochs decorrelate.
+    // ~n/W per shard, certifying successive epochs decorrelate.
+    //
+    // Epoch independence is NOT free with a polynomial hash: two hashes
+    // of strings that differ only in a fixed seed block are affine
+    // offsets of each other (coefficient 31^suffix_len), so
+    // 'epoch1:<id>' vs 'epoch2:<id>' gave a measured ZERO same-shard
+    // carryover where ~n/64 is the ideal — perfectly anti-correlated
+    // epochs masquerading as decorrelation. Epoch 2 therefore hashes the
+    // DECIMAL DIGITS of epoch 1's ordinal (digit decomposition is
+    // nonlinear), which restores the ideal rate (measured 60/500 vs
+    // 62.5 expected); id² in epoch 1's input breaks the sorted-order
+    // regularity documented at tdp_shuffle_quality.
     QueryDef(
       "tdp_epoch_shard",
       (s, dir) => {
         val docs = docToks(s, dir)
           .select(col("doc_id"), size(col("toks")).as("n_toks"))
           .withColumn("ord1", expr(polyHashExpr(
-            "concat('epoch1:', CAST(doc_id AS STRING))")))
+            "concat('epoch1:', CAST(doc_id AS STRING), ':', " +
+              "CAST(doc_id * doc_id AS STRING))")))
           .withColumn("ord2", expr(polyHashExpr(
-            "concat('epoch2:', CAST(doc_id AS STRING))")))
+            "concat('epoch2:', CAST(ord1 AS STRING))")))
         docs.groupBy((col("ord1") % 8).as("shard"))
           .agg(count(lit(1)).as("n_docs"),
             sum("n_toks").as("n_tokens"),
@@ -5300,18 +5312,22 @@ object TdpQueries {
       Some(
         s"""WITH d AS (
            |  SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_toks,
-           |    ${polyHashSql("concat('epoch1:', CAST(doc_id AS VARCHAR))")}
-           |      AS ord1,
-           |    ${polyHashSql("concat('epoch2:', CAST(doc_id AS VARCHAR))")}
+           |    ${polyHashSql("concat('epoch1:', CAST(doc_id AS VARCHAR), " +
+             "':', CAST(doc_id * doc_id AS VARCHAR))")}
+           |      AS ord1
+           |  FROM documents),
+           |d2 AS (
+           |  SELECT doc_id, n_toks, ord1,
+           |    ${polyHashSql("concat('epoch2:', CAST(ord1 AS VARCHAR))")}
            |      AS ord2
-           |  FROM documents)
+           |  FROM d)
            |SELECT ord1 % 8 AS shard,
            |  CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
            |  CAST(sum(ord1) AS BIGINT) AS ord_checksum,
            |  CAST(count(*) FILTER (WHERE ord1 % 8 = ord2 % 8) AS BIGINT)
            |    AS n_same_next_epoch
-           |FROM d GROUP BY 1""".stripMargin)),
+           |FROM d2 GROUP BY 1""".stripMargin)),
 
     // PER-GROUP HLL — the production shape of the distinct sketch:
     // `groupBy(lang).agg(graft_hll_estimate(graft_hll_agg(key)))`

@@ -1463,6 +1463,15 @@ class TdpSpec extends SparkSpec {
     assert(pairs.exists { case (a1, b1, d) => d && (b1 - a1) % 96 == 0 })
   }
 
+  test("epoch shard: cross-epoch carryover sits at the independent-hash rate") {
+    val rows = Registry.queries("tdp_epoch_shard")(spark, sf).collect()
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val same = rows.map(_.getAs[Long]("n_same_next_epoch")).sum
+    // Ideal = n/8; the affine-hash bug this guards against measured 0.
+    assert(same > n / 16 && same < n / 4,
+      s"carryover $same of $n docs — epochs not independent")
+  }
+
   test("silhouette: covers every vector once, means bounded in [0, 1]") {
     val rows = Registry.queries("tdp_silhouette")(spark, sf).collect()
     val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
