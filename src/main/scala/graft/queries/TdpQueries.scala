@@ -5825,15 +5825,22 @@ object TdpQueries {
     // driver merge, no global sort at any corpus size.
     QueryDef(
       "tdp_uniform_sample",
+      // The hash input embeds id² (see tdp_shuffle_quality): the polyhash
+      // of a bare short id under-wraps the modulus and orders by string
+      // LENGTH class — measured: the bottom-100 contained all ten
+      // 1-digit ids and zero 2-digit ids, a maximally non-uniform
+      // "uniform" sample. The quadratic digits mix every length class.
       (s, dir) =>
         table(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("source"))
           .withColumn("h", expr(polyHashExpr(
-            "concat('smp:', CAST(doc_id AS STRING))")))
+            "concat('smp:', CAST(doc_id AS STRING), ':', " +
+              "CAST(doc_id * doc_id AS STRING))")))
           .orderBy("h", "doc_id")
           .limit(100),
       Some(s"""SELECT doc_id, lang, source,
-              |  ${polyHashSql("concat('smp:', CAST(doc_id AS VARCHAR))")} AS h
+              |  ${polyHashSql("concat('smp:', CAST(doc_id AS VARCHAR), " +
+                "':', CAST(doc_id * doc_id AS VARCHAR))")} AS h
               |FROM documents
               |ORDER BY h, doc_id LIMIT 100""".stripMargin)),
 

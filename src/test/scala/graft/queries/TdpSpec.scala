@@ -1099,6 +1099,11 @@ class TdpSpec extends SparkSpec {
     assert(s1.map(_.getAs[Long]("doc_id")).forall(corpus.contains))
     assert(s1.map(_.getAs[Long]("doc_id")).distinct.length == 100,
       "sampling is without replacement")
+    // Uniformity guard against the under-wrapped-polyhash bias (which
+    // sampled ALL ten 1-digit ids): no short-id length class may be
+    // swept in wholesale.
+    val small = s1.map(_.getAs[Long]("doc_id")).count(_ < 10)
+    assert(small < 10, s"$small of the ten 1-digit ids sampled — length bias")
   }
 
   test("containment: a nested doc is caught where symmetric Jaccard misses") {
