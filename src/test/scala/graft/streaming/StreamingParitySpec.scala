@@ -242,6 +242,42 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("audioNovelty parity: streamed decode+bloom verdicts == batch membership") {
+    val s = spark
+    import s.implicits._
+    // Corpus: clips 0..59 (residues 0..59 of the 96-period synthesis).
+    // Stream: 230..279 (residues 38..87): ids 230..251 are byte-identical
+    // clones of corpus clips and must verdict known=true; 252..279 carry
+    // residues no corpus clip has — genuinely novel.
+    val streamDir = Files.createTempDirectory("graft-parity-media").toString
+    (230L until 280L).toDF("media_id")
+      .write.mode("overwrite").parquet(streamDir)
+    val corpusIds = s.range(0, 60).as[Long]
+    val ids = s.readStream
+      .schema(StructType(Seq(StructField("media_id", LongType))))
+      .parquet(streamDir)
+      .select(col("media_id")).as[Long]
+    val out = MediaStream.audioNovelty(ids, corpusIds)
+    val q = out.writeStream.format("memory").queryName("par_media")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = s.sql("SELECT media_id, known FROM par_media")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(got.size == 50)
+      // Batch twin: exact membership of the full PCM fold.
+      val corpusH = graft.multimodal.Multimodal
+        .wavFingerprint(corpusIds).collect().map(_.full_hash).toSet
+      val want = graft.multimodal.Multimodal
+        .wavFingerprint(s.range(230, 280).as[Long]).collect()
+        .map(p => p.media_id -> corpusH.contains(p.full_hash)).toMap
+      assert(got == want,
+        s"diff=${(want.toSet -- got.toSet).take(5)}")
+      // The clone construction is non-vacuous in both directions.
+      assert(got.values.exists(identity) && got.values.exists(!_))
+    } finally q.stop()
+  }
+
   /** The documents feed with a deterministic event-time column. */
   private def stageDocs(s: SparkSession): String = {
     val dir = Files.createTempDirectory("graft-parity-docs").toString
