@@ -803,5 +803,41 @@ object CoreQueries {
              |FROM e JOIN c USING (user_id)
              |WHERE e.day - c.cohort_day <= 7
              |GROUP BY 1, 2""".stripMargin)),
+
+    // Snowflake star join: the fact table against a chain of three
+    // GENUINELY broadcast-scale dimensions (supplier is SF·10k rows,
+    // nation 25, region 5 — all dwarfed by the fact at ANY scale, unlike
+    // part/customer which outgrow broadcast). The plan must be three
+    // BroadcastHashJoins over ONE pruned scan of lineitem — zero
+    // shuffles before the final aggregation (PlanSpec-asserted). This is
+    // the canonical OLAP shape Catalyst should get right without hints
+    // beyond the explicit broadcast on the dimension chain.
+    QueryDef(
+      "q34_star_join",
+      (s, dir) => {
+        val dims = broadcast(
+          table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+            .join(broadcast(table(s, dir, "nation")
+              .select("n_nationkey", "n_regionkey", "n_name")),
+              col("s_nationkey") === col("n_nationkey"))
+            .join(broadcast(table(s, dir, "region")
+              .select("r_regionkey", "r_name")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("s_suppkey", "n_name", "r_name"))
+        table(s, dir, "lineitem")
+          .select("l_suppkey", "l_quantity")
+          .join(dims, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2""".stripMargin)),
   )
 }

@@ -593,24 +593,38 @@ object TdpQueries {
     * the pair query itself AND as the edge set of the duplicate-cluster
     * connected-components query.
     */
+  /** Memoized per-doc 8-permutation MinHash signature frame
+    * (doc_id, mh0..mh7) — the index both the all-pairs LSH sweep and the
+    * incremental probe build bands from.
+    */
+  private def minhashSigDf(s: SparkSession, dir: String): DataFrame = {
+    val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+      expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
+    }
+    Registry.memo(s, dir, "tdp_minhash_sigs")(
+      docHashes(s, dir)
+        .filter(col("n_sh") > 0)
+        .select(col("doc_id") +: sigs: _*))
+  }
+
+  /** (band, sig) fan-out of [[minhashSigDf]] — one generator, no second
+    * signature computation.
+    */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val bandStructs = (0 until 4).map { band =>
+      struct(lit(band).as("band"),
+        concat_ws(":", col(s"mh${2 * band}"), col(s"mh${2 * band + 1}")).as("sig"))
+    }
+    minhashSigDf(s, dir)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_lsh_pairs") {
-      val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
-        expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
-      }
-      val sigDf = Registry.memo(s, dir, "tdp_minhash_sigs")(
-        docHashes(s, dir)
-          .filter(col("n_sh") > 0)
-          .select(col("doc_id") +: sigs: _*))
       // One explode instead of a 4-way union: the signature computation
       // (the expensive part) runs once, the band fan-out is a generator.
-      val bandStructs = (0 until 4).map { band =>
-        struct(lit(band).as("band"),
-          concat_ws(":", col(s"mh${2 * band}"), col(s"mh${2 * band + 1}")).as("sig"))
-      }
-      val bands = sigDf
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val bands = minhashBands(s, dir)
       // Hot-bucket guard: dedup corpora are dup-heavy by construction, so
       // a single (band, sig) bucket holding N identical docs would emit
       // N^2/2 pairs inside one task. Buckets up to LshBucketCap self-join
@@ -7305,5 +7319,140 @@ object TdpQueries {
               |SELECT bmin, doc_id, fp, minh = full_hash
               |FROM asized WHERE bn > $LshBucketCap AND doc_id <> bmin"""
         .stripMargin)),
+
+    // INCREMENTAL NEAR-DUP (probe the index, never re-pair the corpus):
+    // the arrival-time economics of MinHash-LSH. The corpus's band index
+    // is already built (the memoized signature frame every LSH consumer
+    // shares); a new batch (doc_id % 10 = 7, the same split as
+    // tdp_bloom_dedup's exact-dedup leg) probes it with a batch-side ×
+    // index-side band equi-join — candidate volume scales with
+    // |batch| · bucket-occupancy, NEVER |corpus|², and the corpus-side
+    // hot buckets collapse to their representative exactly as the
+    // all-pairs sweep does. Each candidate carries the 8-permutation
+    // signature-agreement Jaccard estimate (n_agree/8, the classic
+    // MinHash estimator) — the triage score an incremental pipeline
+    // thresholds before any exact verification.
+    QueryDef(
+      "tdp_incremental_neardup",
+      (s, dir) => {
+        val isNew = col("doc_id") % 10 === 7
+        val bands = minhashBands(s, dir)
+        val wB = Window.partitionBy("band", "sig")
+        val idxSized = bands.filter(!isNew)
+          .withColumn("bucket_n", count(lit(1)).over(wB))
+          .withColumn("bucket_min", min("doc_id").over(wB))
+        val candIdx = idxSized.filter(col("bucket_n") <= LshBucketCap)
+          .select(col("doc_id").as("index_doc"), col("band"), col("sig"))
+          .union(idxSized.filter(col("bucket_n") > LshBucketCap)
+            .select(col("bucket_min").as("index_doc"), col("band"),
+              col("sig")).distinct())
+        val pairs = bands.filter(isNew)
+          .select(col("doc_id").as("batch_doc"), col("band"), col("sig"))
+          .join(candIdx, Seq("band", "sig"))
+          .select("batch_doc", "index_doc").distinct()
+        val sa = minhashSigDf(s, dir)
+        val aS = sa.select(col("doc_id").as("batch_doc") +:
+          (0 until 8).map(j => col(s"mh$j").as(s"a$j")): _*)
+        val bS = sa.select(col("doc_id").as("index_doc") +:
+          (0 until 8).map(j => col(s"mh$j").as(s"b$j")): _*)
+        val agree = (0 until 8)
+          .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        pairs.join(aS, "batch_doc").join(bS, "index_doc")
+          .withColumn("n_sig_agree", agree)
+          .select(col("batch_doc"), col("index_doc"), col("n_sig_agree"),
+            (col("n_sig_agree").cast(DoubleType) / lit(8.0))
+              .as("est_jaccard"))
+      },
+      Some {
+        val sigsSql = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(hashes, h -> (h * $a + $b) % $P)) AS mh$j"
+        }.mkString(",\n  ")
+        val bandSelects = (0 until 4).map { band =>
+          s"SELECT doc_id, $band AS band, CAST(mh${2 * band} AS VARCHAR)" +
+            s" || ':' || CAST(mh${2 * band + 1} AS VARCHAR) AS sig FROM isigs"
+        }.mkString("\n  UNION ALL ")
+        val agreeSql = (0 until 8)
+          .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $docsShinglesSql,
+           |isigs AS (
+           |  SELECT doc_id, $sigsSql
+           |  FROM doc_sh WHERE len(shingles) > 0),
+           |ibands AS (
+           |  $bandSelects),
+           |isized AS (
+           |  SELECT doc_id, band, sig,
+           |    count(*) OVER (PARTITION BY band, sig) AS bucket_n,
+           |    min(doc_id) OVER (PARTITION BY band, sig) AS bucket_min
+           |  FROM ibands WHERE doc_id % 10 <> 7),
+           |icand AS (
+           |  SELECT doc_id AS index_doc, band, sig FROM isized
+           |  WHERE bucket_n <= $LshBucketCap
+           |  UNION
+           |  SELECT DISTINCT bucket_min, band, sig FROM isized
+           |  WHERE bucket_n > $LshBucketCap),
+           |ipairs AS (
+           |  SELECT DISTINCT n.doc_id AS batch_doc, c.index_doc
+           |  FROM ibands n JOIN icand c
+           |    ON n.band = c.band AND n.sig = c.sig
+           |  WHERE n.doc_id % 10 = 7)
+           |SELECT p.batch_doc, p.index_doc,
+           |  CAST($agreeSql AS BIGINT) AS n_sig_agree,
+           |  CAST($agreeSql AS DOUBLE) / 8.0 AS est_jaccard
+           |FROM ipairs p
+           |JOIN isigs a ON a.doc_id = p.batch_doc
+           |JOIN isigs b ON b.doc_id = p.index_doc""".stripMargin
+      }),
+
+    // FRESHNESS DECAY: recency-weighted corpus mass — the weighting a
+    // crawl-refresh or news-heavy training mix applies before sampling.
+    // Weight halves per week of age (age measured from the feed's max
+    // event time): w_mu = 1000000 >> weeks, an EXACT power-of-two
+    // integer, so the per-type decayed mass is an order-insensitive
+    // integer sum and the share division happens once on exact totals —
+    // no float pow, no transcendental, hash-exact across engines. The
+    // max-timestamp anchor is a 1-row broadcast; everything else is one
+    // groupBy.
+    QueryDef(
+      "tdp_freshness_decay",
+      (s, dir) => {
+        val e = CoreQueries.eventsWithSec(s, dir)
+          .select(col("event_type"), col("sec"))
+        val anchor = e.agg(max("sec").as("max_sec"))
+        val weighted = e.crossJoin(broadcast(anchor))
+          .withColumn("weeks", expr("(max_sec - sec) div 604800"))
+          .withColumn("w_mu",
+            when(col("weeks") >= 20, lit(0L))
+              .otherwise(expr("1000000L div shiftleft(1L, CAST(weeks AS INT))")))
+        val perType = weighted.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("w_mu").as("decayed_mass_mu"))
+        val tot = perType.agg(sum("decayed_mass_mu").as("total_mu"))
+        perType.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n_events"), col("decayed_mass_mu"),
+            (col("decayed_mass_mu").cast(DoubleType)
+              / col("total_mu").cast(DoubleType)).as("decayed_share"))
+      },
+      Some("""WITH fe AS (
+             |  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |fa AS (SELECT max(sec) AS max_sec FROM fe),
+             |fw AS (
+             |  SELECT event_type,
+             |    CASE WHEN (max_sec - sec) // 604800 >= 20 THEN 0
+             |      ELSE 1000000 // (CAST(1 AS BIGINT) <<
+             |        CAST((max_sec - sec) // 604800 AS INTEGER)) END AS w_mu
+             |  FROM fe, fa),
+             |fp AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(w_mu) AS BIGINT) AS decayed_mass_mu
+             |  FROM fw GROUP BY 1),
+             |ft AS (SELECT CAST(sum(decayed_mass_mu) AS BIGINT) AS total_mu
+             |  FROM fp)
+             |SELECT event_type, n_events, decayed_mass_mu,
+             |  CAST(decayed_mass_mu AS DOUBLE) / CAST(total_mu AS DOUBLE)
+             |    AS decayed_share
+             |FROM fp, ft""".stripMargin)),
   )
 }

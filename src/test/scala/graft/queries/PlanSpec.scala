@@ -330,6 +330,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("star join: three broadcast dims over one pruned fact scan, no SMJ") {
+    val df = Registry.queries("q34_star_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 3, s"expected 3 broadcast joins, saw $bhj:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // The fact scan must read only the join key and the measure.
+    assert(plan.contains("l_suppkey") && plan.contains("l_quantity"))
+    assert(!plan.contains("l_extendedprice"), "fact scan not pruned")
+  }
+
   test("tokenizer fertility: vocabulary joins via broadcast, corpus unshuffled") {
     val df = Registry.queries("tdp_tokenizer_fertility")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -1477,6 +1477,34 @@ class TdpSpec extends SparkSpec {
       s"carryover $same of $n docs — epochs not independent")
   }
 
+  test("incremental near-dup: batch clone probes the index, novelty stays out") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_incr_nd").toString
+    val cloneText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    // id 7 is batch (7 % 10 = 7) and a clone of indexed id 0; id 17 is
+    // batch with unique content; ids 0/2 are the index.
+    val docs = Seq((0L, cloneText), (2L, "one two three four five six seven"),
+      (7L, cloneText), (17L, "totally different words appear in this doc"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_incremental_neardup")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("n_sig_agree"), r.getAs[Double]("est_jaccard")))).toMap
+    assert(got.keySet == Set((7L, 0L)), s"pairs: ${got.keySet}")
+    assert(got((7L, 0L)) == ((8L, 1.0)), "clone must agree on all 8 permutations")
+  }
+
+  test("freshness decay: shares normalize, weights bounded by recency") {
+    val rows = Registry.queries("tdp_freshness_decay")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("decayed_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      // Decayed mass can never exceed full (undecayed) mass.
+      assert(r.getAs[Long]("decayed_mass_mu") <=
+        r.getAs[Long]("n_events") * 1000000L)
+    }
+  }
+
   test("silhouette: covers every vector once, means bounded in [0, 1]") {
     val rows = Registry.queries("tdp_silhouette")(spark, sf).collect()
     val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
