@@ -7454,5 +7454,211 @@ object TdpQueries {
              |  CAST(decayed_mass_mu AS DOUBLE) / CAST(total_mu AS DOUBLE)
              |    AS decayed_share
              |FROM fp, ft""".stripMargin)),
+
+    // GROUPED QUANTILES: the per-group form of the tdp_quantile_sketch
+    // log-histogram device — p50/p90 token length PER LANGUAGE in one
+    // pass. Same deterministic bucket rule (exact below 16, then 16
+    // sub-buckets per octave, ≤6.7% relative width), but the cumulative
+    // window partitions by the group key, so state and sort are bounded
+    // per group and the whole profile is one groupBy + one partitioned
+    // running sum — no per-group sort of raw values, no collect. The
+    // exact per-group rank answer rides along as certification, with the
+    // bounds_hold column proving the sketch's error contract for every
+    // (group, percentile).
+    QueryDef(
+      "tdp_grouped_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val lens = docToks(s, dir)
+          .join(table(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+          .select(col("lang"), size(col("toks")).cast(LongType).as("x"))
+        val totals = lens.groupBy("lang").agg(count(lit(1)).as("total"))
+        val ps = Seq((1, 2), (9, 10)).toDF("num", "den")
+        val ranks = totals.crossJoin(broadcast(ps))
+          .select(col("lang"),
+            (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("p"),
+            expr("(total * num + den - 1) div den").as("target_rank"))
+        val bkt = lens.withColumn("i",
+          expr("""CASE WHEN x < 16 THEN x ELSE
+                 |  (length(bin(x)) - 1 - 4) * 16
+                 |    + shiftright(x, CAST(length(bin(x)) - 1 - 4 AS INT))
+                 |END""".stripMargin))
+        val wl = Window.partitionBy("lang").orderBy("i")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bkt.groupBy("lang", "i").agg(count(lit(1)).as("n"))
+          .withColumn("cum", sum("n").over(wl))
+        val chosen = ranks.join(cum, Seq("lang"))
+          .filter(col("cum") >= col("target_rank"))
+          .groupBy("lang", "p", "target_rank").agg(min(col("i")).as("i"))
+          .withColumn("em4",
+            when(col("i") < 16, lit(0L)).otherwise(expr("(i - 16) div 16")))
+          .withColumn("sub",
+            when(col("i") < 16, col("i"))
+              .otherwise(col("i") - col("em4") * 16))
+          .withColumn("bucket_lo", expr("shiftleft(sub, CAST(em4 AS INT))"))
+          .withColumn("bucket_hi",
+            expr("shiftleft(sub, CAST(em4 AS INT))" +
+              " + shiftleft(1, CAST(em4 AS INT)) - 1"))
+        val wv = Window.partitionBy("lang").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val vcum = lens.groupBy("lang", "x").agg(count(lit(1)).as("nv"))
+          .withColumn("cumv", sum("nv").over(wv))
+        val exact = ranks.join(vcum, Seq("lang"))
+          .filter(col("cumv") >= col("target_rank"))
+          .groupBy("lang", "p", "target_rank").agg(min(col("x")).as("exact_q"))
+        chosen.join(exact, Seq("lang", "p", "target_rank"))
+          .select(col("lang"), col("p"), col("target_rank"),
+            col("bucket_lo"), col("bucket_hi"), col("exact_q"),
+            (col("exact_q") >= col("bucket_lo") &&
+              col("exact_q") <= col("bucket_hi")).as("bounds_hold"))
+      },
+      Some(s"""WITH glens AS (
+              |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS x
+              |  FROM documents),
+              |gtot AS (SELECT lang, CAST(count(*) AS BIGINT) AS total
+              |  FROM glens GROUP BY 1),
+              |gps AS (SELECT * FROM (VALUES (1, 2), (9, 10)) v(num, den)),
+              |granks AS (
+              |  SELECT lang, CAST(num AS DOUBLE) / den AS p,
+              |    (total * num + den - 1) // den AS target_rank
+              |  FROM gps CROSS JOIN gtot),
+              |gbkt AS (
+              |  SELECT lang, x, CASE WHEN x < 16 THEN x ELSE
+              |    (length(bin(x)) - 1 - 4) * 16
+              |      + (x >> CAST(length(bin(x)) - 1 - 4 AS INTEGER))
+              |  END AS i FROM glens),
+              |gcum AS (
+              |  SELECT lang, i,
+              |    sum(n) OVER (PARTITION BY lang ORDER BY i
+              |      ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM (SELECT lang, i, CAST(count(*) AS BIGINT) AS n
+              |        FROM gbkt GROUP BY 1, 2)),
+              |gchosen0 AS (
+              |  SELECT r.lang, r.p, r.target_rank, min(c.i) AS i
+              |  FROM granks r JOIN gcum c
+              |    ON c.lang = r.lang AND c.cum >= r.target_rank
+              |  GROUP BY 1, 2, 3),
+              |gchosen AS (
+              |  SELECT lang, p, target_rank, i,
+              |    CASE WHEN i < 16 THEN 0 ELSE (i - 16) // 16 END AS em4,
+              |    CASE WHEN i < 16 THEN i
+              |      ELSE i - ((i - 16) // 16) * 16 END AS sub
+              |  FROM gchosen0),
+              |gest AS (
+              |  SELECT lang, p, target_rank,
+              |    CAST(sub << CAST(em4 AS INTEGER) AS BIGINT) AS bucket_lo,
+              |    CAST((sub << CAST(em4 AS INTEGER))
+              |      + (1 << CAST(em4 AS INTEGER)) - 1 AS BIGINT)
+              |      AS bucket_hi
+              |  FROM gchosen),
+              |gvcum AS (
+              |  SELECT lang, x,
+              |    sum(nv) OVER (PARTITION BY lang ORDER BY x
+              |      ROWS UNBOUNDED PRECEDING) AS cumv
+              |  FROM (SELECT lang, x, CAST(count(*) AS BIGINT) AS nv
+              |        FROM glens GROUP BY 1, 2)),
+              |gexact AS (
+              |  SELECT r.lang, r.p, r.target_rank, min(v.x) AS exact_q
+              |  FROM granks r JOIN gvcum v
+              |    ON v.lang = r.lang AND v.cumv >= r.target_rank
+              |  GROUP BY 1, 2, 3)
+              |SELECT e.lang, e.p, e.target_rank, s.bucket_lo, s.bucket_hi,
+              |  e.exact_q,
+              |  e.exact_q >= s.bucket_lo AND e.exact_q <= s.bucket_hi
+              |    AS bounds_hold
+              |FROM gexact e JOIN gest s
+              |  ON e.lang = s.lang AND e.p = s.p
+              |  AND e.target_rank = s.target_rank""".stripMargin)),
+
+    // DATASET CARD: the per-language release report a curation run ships
+    // with the data — composition, token mass, quality, duplication and
+    // dominant source in ONE frame. Every column composes an
+    // already-memoized spine (tokenization, quality scores, LSH duplicate
+    // clusters), so the card's marginal cost is a handful of lang-keyed
+    // aggregates and joins; nothing new is corpus-scale. Quality means
+    // come from per-doc micro-unit floors (order-insensitive integer
+    // sums); the dominant source is a deterministic argmax
+    // (count DESC, source ASC).
+    QueryDef(
+      "tdp_dataset_card",
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "lang", "source")
+        val toks = docToks(s, dir)
+          .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+        val qual = qualityScored(s, dir)
+          .select(col("doc_id"),
+            floor(col("quality") * lit(1e6)).cast(LongType).as("q_mu"))
+        val dupDocs = dupClusters(s, dir)
+          .filter(col("cluster_n") > 1)
+          .select(col("doc_id"), lit(1L).as("is_dup"))
+        val base = docs.join(toks, "doc_id").join(qual, Seq("doc_id"), "left")
+          .join(dupDocs, Seq("doc_id"), "left")
+        val perLang = base.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_toks").as("n_tokens"),
+            sum(coalesce(col("q_mu"), lit(0L))).as("sum_q_mu"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+        val wSrc = Window.partitionBy("lang")
+          .orderBy(desc("n_src"), col("source"))
+        val topSrc = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_src"))
+          .withColumn("rk", row_number().over(wSrc))
+          .filter(col("rk") === 1)
+          .select(col("lang"), col("source").as("top_source"),
+            col("n_src").as("top_source_docs"))
+        perLang.join(topSrc, "lang")
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            (col("sum_q_mu").cast(DoubleType)
+              / col("n_docs").cast(DoubleType) / lit(1e6)).as("mean_quality"),
+            col("n_dup_docs"),
+            (col("n_dup_docs").cast(DoubleType)
+              / col("n_docs").cast(DoubleType)).as("dup_rate"),
+            col("top_source"), col("top_source_docs"))
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |cds AS (
+              |  SELECT cluster_id, count(*) AS csize FROM cc GROUP BY 1),
+              |cdup AS (
+              |  SELECT cc.doc_id, 1 AS is_dup
+              |  FROM cc JOIN cds ON cc.cluster_id = cds.cluster_id
+              |  WHERE cds.csize > 1),
+              |cq AS (
+              |  SELECT doc_id,
+              |    CAST(FLOOR(($qualitySql) * 1000000) AS BIGINT) AS q_mu
+              |  FROM ($qualityPartsSql)),
+              |ctk AS (
+              |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+              |  FROM documents),
+              |cbase AS (
+              |  SELECT d.lang, d.source, t.n_toks,
+              |    coalesce(q.q_mu, 0) AS q_mu,
+              |    coalesce(u.is_dup, 0) AS is_dup
+              |  FROM documents d
+              |  JOIN ctk t ON t.doc_id = d.doc_id
+              |  LEFT JOIN cq q ON q.doc_id = d.doc_id
+              |  LEFT JOIN cdup u ON u.doc_id = d.doc_id),
+              |cpl AS (
+              |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              |    CAST(sum(q_mu) AS BIGINT) AS sum_q_mu,
+              |    CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
+              |  FROM cbase GROUP BY 1),
+              |csrc AS (
+              |  SELECT lang, source AS top_source,
+              |    CAST(n_src AS BIGINT) AS top_source_docs
+              |  FROM (
+              |    SELECT lang, source, count(*) AS n_src,
+              |      row_number() OVER (PARTITION BY lang
+              |        ORDER BY count(*) DESC, source) AS rk
+              |    FROM documents GROUP BY lang, source)
+              |  WHERE rk = 1)
+              |SELECT p.lang, p.n_docs, p.n_tokens,
+              |  CAST(sum_q_mu AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000
+              |    AS mean_quality,
+              |  n_dup_docs,
+              |  CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+              |    AS dup_rate,
+              |  s.top_source, s.top_source_docs
+              |FROM cpl p JOIN csrc s ON s.lang = p.lang""".stripMargin)),
   )
 }

@@ -1505,6 +1505,32 @@ class TdpSpec extends SparkSpec {
     }
   }
 
+  test("grouped quantiles: bounds hold for every (group, percentile)") {
+    val rows = Registry.queries("tdp_grouped_quantiles")(spark, sf).collect()
+    val nLangs = Registry.table(spark, sf, "documents")
+      .select("lang").distinct().count()
+    assert(rows.length == 2 * nLangs, s"${rows.length} rows for $nLangs langs")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("bounds_hold"),
+        s"${r.get(0)} p=${r.get(1)}: exact ${r.get(5)} outside " +
+          s"[${r.get(3)}, ${r.get(4)}]")
+    }
+  }
+
+  test("dataset card: per-language accounting closes against the corpus") {
+    val rows = Registry.queries("tdp_dataset_card")(spark, sf).collect()
+    val nDocs = Registry.table(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val q = r.getAs[Double]("mean_quality")
+      assert(q > 0.0 && q <= 1.0, s"${r.get(0)}: mean_quality $q")
+      val d = r.getAs[Double]("dup_rate")
+      assert(d >= 0.0 && d <= 1.0)
+      assert(r.getAs[Long]("top_source_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("silhouette: covers every vector once, means bounded in [0, 1]") {
     val rows = Registry.queries("tdp_silhouette")(spark, sf).collect()
     val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
