@@ -7660,5 +7660,271 @@ object TdpQueries {
               |    AS dup_rate,
               |  s.top_source, s.top_source_docs
               |FROM cpl p JOIN csrc s ON s.lang = p.lang""".stripMargin)),
+
+    // TEXT NORMALIZATION with an IDEMPOTENCE CERTIFICATE: the cleaning
+    // pass every corpus goes through before hashing/dedup — lowercase,
+    // strip non [a-z0-9 ] characters, collapse whitespace runs, trim.
+    // Normalization MUST be idempotent (a re-run over already-clean data
+    // is a no-op, and dedup keys computed before and after a re-clean
+    // must agree); the query PROVES it per row by applying the pipeline
+    // twice and publishing n_changed + n_unstable — n_unstable > 0 means
+    // the pipeline can never converge and every downstream content hash
+    // is release-dependent. Per-row projection, zero exchanges before
+    // the final count.
+    QueryDef(
+      "tdp_text_normalize",
+      (s, dir) => {
+        def normalize(c: Column): Column =
+          trim(regexp_replace(
+            regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .withColumn("norm1", normalize(col("text")))
+          .withColumn("norm2", normalize(col("norm1")))
+        d.agg(count(lit(1)).as("n_docs"),
+            sum(when(col("norm1") =!= col("text"), 1L).otherwise(0L))
+              .as("n_changed"),
+            sum(when(col("norm2") =!= col("norm1"), 1L).otherwise(0L))
+              .as("n_unstable"),
+            sum(length(col("text")).cast(LongType)).as("chars_in"),
+            sum(length(col("norm1")).cast(LongType)).as("chars_out"))
+          .select(col("n_docs"), col("n_changed"), col("n_unstable"),
+            col("chars_in"), col("chars_out"),
+            (col("chars_out").cast(DoubleType)
+              / col("chars_in").cast(DoubleType)).as("retention"))
+      },
+      Some("""WITH tn AS (
+             |  SELECT text,
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm1
+             |  FROM documents),
+             |tn2 AS (
+             |  SELECT text, norm1,
+             |    trim(regexp_replace(regexp_replace(lower(norm1),
+             |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm2
+             |  FROM tn)
+             |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN norm1 <> text THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_changed,
+             |  CAST(sum(CASE WHEN norm2 <> norm1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_unstable,
+             |  CAST(sum(length(text)) AS BIGINT) AS chars_in,
+             |  CAST(sum(length(norm1)) AS BIGINT) AS chars_out,
+             |  CAST(sum(length(norm1)) AS DOUBLE)
+             |    / CAST(sum(length(text)) AS DOUBLE) AS retention
+             |FROM tn2""".stripMargin)),
+
+    // CONTEXT-WINDOW CHUNKING PLAN: long-context training slices each
+    // document into windows of W tokens advancing by stride S < W, so
+    // consecutive windows share W - S tokens of context. The plan
+    // quantifies the cost of that choice BEFORE tokenizing anything:
+    // per document-length band, the window count ceil((len - W)/S) + 1,
+    // total emitted tokens, and the overlap (re-processed) token mass —
+    // all closed-form integer arithmetic per row, one groupBy on the
+    // length band. The overlap_ratio column is the knob report: training
+    // throughput divides by (1 + overlap).
+    QueryDef(
+      "tdp_context_windows",
+      (s, dir) => {
+        val W = 32L
+        val S = 24L
+        docToks(s, dir)
+          .select(size(col("toks")).cast(LongType).as("x"))
+          .filter(col("x") > 0)
+          .withColumn("n_win",
+            when(col("x") <= W, lit(1L))
+              .otherwise(expr(s"1 + (x - $W + $S - 1) div $S")))
+          .withColumn("emitted",
+            col("x") + (col("n_win") - 1) * lit(W - S))
+          .groupBy((col("x") / 16).cast(LongType).as("len_band"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_win").as("n_windows"),
+            sum("x").as("fresh_tokens"),
+            sum("emitted").as("emitted_tokens"))
+          .select(col("len_band"), col("n_docs"), col("n_windows"),
+            col("fresh_tokens"), col("emitted_tokens"),
+            (col("emitted_tokens") - col("fresh_tokens"))
+              .as("overlap_tokens"),
+            ((col("emitted_tokens") - col("fresh_tokens")).cast(DoubleType)
+              / col("fresh_tokens").cast(DoubleType)).as("overlap_ratio"))
+      },
+      Some(s"""WITH cw AS (
+              |  SELECT CAST(len($toksSql) AS BIGINT) AS x FROM documents),
+              |cwn AS (
+              |  SELECT x,
+              |    CASE WHEN x <= 32 THEN 1
+              |      ELSE 1 + (x - 32 + 24 - 1) // 24 END AS n_win
+              |  FROM cw WHERE x > 0),
+              |cwe AS (
+              |  SELECT x, n_win, x + (n_win - 1) * 8 AS emitted FROM cwn)
+              |SELECT x // 16 AS len_band,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_win) AS BIGINT) AS n_windows,
+              |  CAST(sum(x) AS BIGINT) AS fresh_tokens,
+              |  CAST(sum(emitted) AS BIGINT) AS emitted_tokens,
+              |  CAST(sum(emitted) - sum(x) AS BIGINT) AS overlap_tokens,
+              |  CAST(sum(emitted) - sum(x) AS DOUBLE)
+              |    / CAST(sum(x) AS DOUBLE) AS overlap_ratio
+              |FROM cwe GROUP BY 1""".stripMargin)),
+
+    // SCHEMA-DRIFT MONITOR (data-contract check between two feed
+    // snapshots): the even/odd event split stands in for "yesterday's
+    // load vs today's". Per column the monitor compares null rate and
+    // value range; for the categorical column it compares the domain
+    // (distinct count + membership via a symmetric-difference count).
+    // Everything is exact integer counting per (column, split) — one
+    // narrow aggregate per column, output sized by the schema, the shape
+    // a contract checker runs on every ingest regardless of feed size.
+    QueryDef(
+      "tdp_schema_drift",
+      (s, dir) => {
+        val e = CoreQueries.eventsWithSec(s, dir)
+          .withColumn("split",
+            when(col("event_id") % 2 === 0, "a").otherwise("b"))
+        def colStats(name: String, c: Column, valueOf: Column) =
+          e.groupBy("split")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+              min(valueOf).as("min_v"), max(valueOf).as("max_v"))
+            .withColumn("column_name", lit(name))
+        val stats = colStats("value", col("value"),
+            floor(col("value")).cast(LongType))
+          .unionByName(colStats("user_id", col("user_id"), col("user_id")))
+          .unionByName(colStats("sec", col("sec"), col("sec")))
+        val wide = stats.groupBy("column_name")
+          .agg(
+            max(when(col("split") === "a", col("n_rows"))).as("rows_a"),
+            max(when(col("split") === "b", col("n_rows"))).as("rows_b"),
+            max(when(col("split") === "a", col("n_null"))).as("null_a"),
+            max(when(col("split") === "b", col("n_null"))).as("null_b"),
+            max(when(col("split") === "a", col("min_v"))).as("min_a"),
+            max(when(col("split") === "b", col("min_v"))).as("min_b"),
+            max(when(col("split") === "a", col("max_v"))).as("max_a"),
+            max(when(col("split") === "b", col("max_v"))).as("max_b"))
+        val domA = e.filter(col("split") === "a")
+          .select("event_type").distinct()
+        val domB = e.filter(col("split") === "b")
+          .select("event_type").distinct()
+        val symDiff = domA.unionByName(domB)
+          .groupBy("event_type").agg(count(lit(1)).as("n_sides"))
+          .agg(sum(when(col("n_sides") === 1, 1L).otherwise(0L))
+            .as("domain_sym_diff"))
+        wide.crossJoin(broadcast(symDiff))
+          .select(col("column_name"), col("rows_a"), col("rows_b"),
+            col("null_a"), col("null_b"), col("min_a"), col("min_b"),
+            col("max_a"), col("max_b"), col("domain_sym_diff"),
+            (col("null_a") === col("null_b") &&
+              col("min_a") === col("min_b") &&
+              col("max_a") === col("max_b")).as("stable"))
+      },
+      Some("""WITH se AS (
+             |  SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             |    CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS split
+             |  FROM events),
+             |st AS (
+             |  SELECT 'value' AS column_name, split,
+             |    CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_null,
+             |    CAST(min(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS min_v,
+             |    CAST(max(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS max_v
+             |  FROM se GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'user_id', split, CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(min(user_id) AS BIGINT), CAST(max(user_id) AS BIGINT)
+             |  FROM se GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'sec', split, CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN sec IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(min(sec) AS BIGINT), CAST(max(sec) AS BIGINT)
+             |  FROM se GROUP BY 2),
+             |wd AS (
+             |  SELECT column_name,
+             |    max(CASE WHEN split = 'a' THEN n_rows END) AS rows_a,
+             |    max(CASE WHEN split = 'b' THEN n_rows END) AS rows_b,
+             |    max(CASE WHEN split = 'a' THEN n_null END) AS null_a,
+             |    max(CASE WHEN split = 'b' THEN n_null END) AS null_b,
+             |    max(CASE WHEN split = 'a' THEN min_v END) AS min_a,
+             |    max(CASE WHEN split = 'b' THEN min_v END) AS min_b,
+             |    max(CASE WHEN split = 'a' THEN max_v END) AS max_a,
+             |    max(CASE WHEN split = 'b' THEN max_v END) AS max_b
+             |  FROM st GROUP BY 1),
+             |sd AS (
+             |  SELECT CAST(sum(CASE WHEN n_sides = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS domain_sym_diff
+             |  FROM (
+             |    SELECT event_type, count(*) AS n_sides FROM (
+             |      SELECT DISTINCT event_type, split FROM se)
+             |    GROUP BY 1))
+             |SELECT column_name, rows_a, rows_b, null_a, null_b,
+             |  min_a, min_b, max_a, max_b, domain_sym_diff,
+             |  null_a = null_b AND min_a = min_b AND max_a = max_b
+             |    AS stable
+             |FROM wd, sd""".stripMargin)),
+
+    // GREEDY LM ROLLOUT: iterative inference as pure dataflow — a
+    // 6-step greedy argmax walk of the corpus bigram model (most
+    // frequent token seeds the chain; each step picks the highest-count
+    // successor, ties broken lexicographically). No driver loop and no
+    // collect: the walk is SIX chained 1-row-side joins against the
+    // memoized bigram frame, each resolved with a per-step TakeOrdered —
+    // the unrolled-iteration pattern the PageRank and BPE oracles
+    // already certify, applied to generation. A stuck chain (token with
+    // no successor) truncates — the row simply stops extending. The
+    // oracle replays every layer as a CTE.
+    QueryDef(
+      "tdp_lm_rollout",
+      (s, dir) => {
+        val bg = docBigrams(s, dir)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        val vocabTop = corpusToks(s, dir)
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("tok")).limit(1)
+          .select(col("tok").as("token"), col("n").as("cnt"),
+            lit(0).as("step"))
+        val wNext = Window.partitionBy("w1").orderBy(desc("cnt"), col("w2"))
+        val best = bg.withColumn("rk", row_number().over(wNext))
+          .filter(col("rk") === 1)
+          .select(col("w1"), col("w2"), col("cnt").as("next_cnt"))
+        val steps = (1 to 6).scanLeft(vocabTop) { (cur, k) =>
+          cur.select(col("token").as("w1"))
+            .join(best, Seq("w1"))
+            .select(col("w2").as("token"), col("next_cnt").as("cnt"),
+              lit(k).as("step"))
+        }
+        steps.reduce(_ unionByName _)
+          .select(col("step"), col("token"), col("cnt"))
+      },
+      Some {
+        val layers = (1 to 6).map { k =>
+          s"""g$k AS (
+             |  SELECT $k AS step, b.w2 AS token, b.cnt
+             |  FROM g${k - 1} g JOIN gbest b ON b.w1 = g.token)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH gt AS (
+           |  SELECT unnest($toksSql) AS tok FROM documents),
+           |g0 AS (
+           |  SELECT 0 AS step, tok AS token, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM gt GROUP BY tok ORDER BY cnt DESC, tok LIMIT 1),
+           |gb AS (
+           |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM (
+           |      SELECT toks, unnest(range(1, len(toks))) AS i
+           |      FROM (SELECT $toksSql AS toks FROM documents)
+           |      WHERE len(toks) >= 2))
+           |  GROUP BY 1, 2),
+           |gbest AS (
+           |  SELECT w1, w2, cnt FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY w1
+           |      ORDER BY cnt DESC, w2) AS rk FROM gb)
+           |  WHERE rk = 1),
+           |$layers
+           |SELECT step, token, cnt FROM g0
+           |${(1 to 6).map(k => s"UNION ALL SELECT step, token, cnt FROM g$k")
+            .mkString("\n")}""".stripMargin
+      }),
   )
 }

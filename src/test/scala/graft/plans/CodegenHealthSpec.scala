@@ -127,7 +127,8 @@ class CodegenHealthSpec extends SparkSpec {
     "tdp_length_batching", "tdp_benford", "tdp_ann_ranking_metrics",
     "tdp_label_noise", "tdp_l_diversity", "tdp_audio_fingerprint",
     "tdp_incremental_neardup", "tdp_freshness_decay", "q34_star_join",
-    "tdp_grouped_quantiles", "tdp_dataset_card")
+    "tdp_grouped_quantiles", "tdp_dataset_card", "tdp_text_normalize",
+    "tdp_context_windows", "tdp_schema_drift", "tdp_lm_rollout")
 
   for (name <- tdpGuarded)
     test(s"TDP $name: every codegen subtree compiles under the 64 KB limit") {

@@ -1531,6 +1531,69 @@ class TdpSpec extends SparkSpec {
     }
   }
 
+  test("text normalize: pipeline is idempotent and retention bounded") {
+    val r = Registry.queries("tdp_text_normalize")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_unstable") == 0L,
+      "normalization must be idempotent")
+    assert(r.getAs[Long]("chars_out") <= r.getAs[Long]("chars_in"))
+    val ret = r.getAs[Double]("retention")
+    assert(ret > 0.0 && ret <= 1.0)
+  }
+
+  test("context windows: overlap accounting matches the closed form") {
+    val rows = Registry.queries("tdp_context_windows")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("emitted_tokens") >= r.getAs[Long]("fresh_tokens"))
+      assert(r.getAs[Long]("overlap_tokens") ==
+        r.getAs[Long]("emitted_tokens") - r.getAs[Long]("fresh_tokens"))
+      // With W=32, S=24 each extra window re-reads exactly 8 tokens.
+      assert(r.getAs[Long]("overlap_tokens") ==
+        (r.getAs[Long]("n_windows") - r.getAs[Long]("n_docs")) * 8)
+    }
+  }
+
+  test("schema drift: identical-feed split reports a stable contract shape") {
+    val rows = Registry.queries("tdp_schema_drift")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("column_name")).toSet ==
+      Set("value", "user_id", "sec"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_a") + r.getAs[Long]("rows_b") ==
+        spark.read.parquet(s"$sf/events.parquet").count())
+      assert(r.getAs[Long]("null_a") >= 0 && r.getAs[Long]("null_b") >= 0)
+    }
+  }
+
+  test("LM rollout: the walk is a real bigram chain from the top token") {
+    val rows = Registry.queries("tdp_lm_rollout")(spark, sf).collect()
+      .sortBy(_.getAs[Int]("step"))
+    assert(rows.length >= 2 && rows.length <= 7)
+    assert(rows.head.getAs[Int]("step") == 0)
+    val topTok = Registry.table(spark, sf, "documents")
+      .selectExpr("explode(filter(split(text, '\\\\s+'), x -> x != '')) AS t")
+      .groupBy("t").count().orderBy(desc("count"), col("t"))
+      .head().getString(0)
+    assert(rows.head.getAs[String]("token") == topTok)
+    // Every consecutive pair in the emitted walk must be an observed
+    // bigram with the claimed count.
+    val bigrams = Registry.table(spark, sf, "documents")
+      .selectExpr("filter(split(text, '\\\\s+'), x -> x != '') AS toks")
+      .selectExpr("explode(CASE WHEN size(toks) >= 2 THEN " +
+        "transform(sequence(1, size(toks) - 1), i -> " +
+        "struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b)) " +
+        "ELSE array() END) AS bg")
+      .groupBy("bg.a", "bg.b").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    rows.sliding(2).foreach {
+      case Array(prev, next) =>
+        val key = (prev.getAs[String]("token"), next.getAs[String]("token"))
+        assert(bigrams.get(key).contains(next.getAs[Long]("cnt")),
+          s"step ${next.get(0)}: $key not an observed bigram with that count")
+      case _ =>
+    }
+  }
+
   test("silhouette: covers every vector once, means bounded in [0, 1]") {
     val rows = Registry.queries("tdp_silhouette")(spark, sf).collect()
     val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
