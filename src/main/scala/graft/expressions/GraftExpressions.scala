@@ -206,6 +206,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }
 
@@ -266,5 +267,6 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteDotProduct
+    graft.plans.NativeRangeJoin.register(spark)
   }
 }

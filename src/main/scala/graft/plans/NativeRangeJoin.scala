@@ -1,0 +1,189 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, JoinedRow,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** A WHOLE-OPERATOR Catalyst extension: the band (range-interval) join as
+  * a first-class logical plan + planner strategy + physical operator —
+  * the (c) tier of custom-operator integration, complementing the
+  * expression tier (graft_* functions) and the optimizer-rule tier
+  * (RewriteDotProduct).
+  *
+  * Semantics: all (l, r) pairs with `l.key = r.key` and
+  * `|l.time - r.time| <= width`. Spark's own planner turns the non-equi
+  * time predicate into a nested-loop join; the DataFrame-level
+  * alternative (`operators.RangeJoin`) buckets + replicates 3x into an
+  * equi-join. This operator instead plans a BROADCAST RANGE JOIN: the
+  * small side is collected ONCE, grouped by key and time-sorted, and
+  * each left row binary-searches its key's sorted times for the
+  * [t - width, t + width] slice — O(log n + matches) per probe, ZERO
+  * shuffle and zero replication of either side. The big side streams
+  * through untouched (outputPartitioning is inherited), which is the
+  * property the plan spec asserts: no Exchange anywhere.
+  */
+final case class BroadcastRangeJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: String,
+    leftTime: String,
+    rightKey: String,
+    rightTime: String,
+    width: Long)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  /** The node consumes (and re-emits) EVERY child column — without this,
+    * ColumnPruning sees an expression-free node with empty references and
+    * projects the children down to whatever the PARENT selects, stripping
+    * the key/time columns the physical operator needs (observed).
+    */
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      left.output ++ right.output)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): BroadcastRangeJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: lowers [[BroadcastRangeJoinPlan]] to the physical
+  * operator; injected via `SparkSessionExtensions.injectPlannerStrategy`
+  * (and idempotently through `spark.experimental.extraStrategies` for
+  * sessions built without the extensions config).
+  */
+object RangeJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case BroadcastRangeJoinPlan(l, r, lk, lt, rk, rt, w) =>
+      BroadcastRangeJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, w) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical broadcast range join. The right side must be the small one
+  * (it is collected to the driver and broadcast, like Spark's own
+  * BroadcastHashJoin build side); both time columns must be LongType and
+  * both key columns of an atomic type.
+  */
+final case class BroadcastRangeJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: String,
+    leftTime: String,
+    rightKey: String,
+    rightTime: String,
+    width: Long)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastRangeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  private def idx(plan: SparkPlan, name: String): Int = {
+    val i = plan.output.indexWhere(_.name == name)
+    require(i >= 0, s"column $name not found in ${plan.output.map(_.name)}")
+    i
+  }
+
+  /** Sorted-by-time rows of one key group of the build side. */
+  private final case class Bucket(times: Array[Long], rows: Array[InternalRow])
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rkIdx = idx(right, rightKey)
+    val rtIdx = idx(right, rightTime)
+    val rkType = right.output(rkIdx).dataType
+    require(right.output(rtIdx).dataType == LongType,
+      s"$rightTime must be LongType")
+    val lkIdx = idx(left, leftKey)
+    val ltIdx = idx(left, leftTime)
+    val lkType = left.output(lkIdx).dataType
+    require(left.output(ltIdx).dataType == LongType,
+      s"$leftTime must be LongType")
+
+    // Build: collect + group + time-sort the small side once.
+    val grouped = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]
+    right.executeCollect().foreach { row =>
+      val k = row.get(rkIdx, rkType)
+      grouped.getOrElseUpdate(k,
+        scala.collection.mutable.ArrayBuffer.empty) +=
+        ((row.getLong(rtIdx), row))
+    }
+    val index: Map[Any, Bucket] = grouped.map { case (k, buf) =>
+      val sorted = buf.sortBy(_._1)
+      k -> Bucket(sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+    }.toMap
+    val bcast = sparkContext.broadcast(index)
+    val w = width
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+
+    left.execute().mapPartitions({ iter =>
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      val buckets = bcast.value
+      iter.flatMap { lrow =>
+        buckets.get(lrow.get(lkIdx, lkType)) match {
+          case None => Iterator.empty
+          case Some(b) =>
+            val t = lrow.getLong(ltIdx)
+            // First index with time >= t - w, first index with
+            // time > t + w: the [lo, hi) slice is the band.
+            var lo = java.util.Arrays.binarySearch(b.times, t - w)
+            if (lo < 0) lo = -lo - 1
+            else while (lo > 0 && b.times(lo - 1) == t - w) lo -= 1
+            var hi = java.util.Arrays.binarySearch(b.times, t + w)
+            if (hi < 0) hi = -hi - 1
+            else {
+              while (hi < b.times.length && b.times(hi) == t + w) hi += 1
+            }
+            (lo until hi).iterator.map(i => proj(joined(lrow, b.rows(i))))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+/** User-facing constructor for the native operator. */
+object NativeRangeJoin {
+
+  /** Register the strategy on a session built without the extensions
+    * config (idempotent) — mirrors `GraftExtensions.registerAll`.
+    */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ RangeJoinStrategy
+
+  /** All (l, r) pairs with equal keys and `|leftTime - rightTime| <=
+    * width`. `right` is the broadcast build side; column names must be
+    * disjoint across the two sides.
+    */
+  def bandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      rightKey: String,
+      rightTime: String,
+      width: Long): DataFrame = {
+    require(width > 0, s"band width must be positive, got $width")
+    val spark = left.sparkSession
+    register(spark)
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      BroadcastRangeJoinPlan(
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        leftKey, leftTime, rightKey, rightTime, width))
+  }
+}

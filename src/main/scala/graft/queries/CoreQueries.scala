@@ -839,5 +839,35 @@ object CoreQueries {
              |JOIN nation ON s_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY 1, 2""".stripMargin)),
+
+    // The band join AGAIN, but through the whole-operator Catalyst
+    // extension (graft.plans.NativeRangeJoin): a custom LogicalPlan
+    // lowered by an injected SparkStrategy to BroadcastRangeJoinExec —
+    // time-sorted broadcast of the small side, per-row binary search on
+    // the big side, ZERO shuffle and zero replication (vs q24's 3x
+    // bucket-replica equi-join rewrite of the same semantics). Identical
+    // oracle to q24: two implementations, one truth.
+    QueryDef(
+      "q35_range_join_native",
+      (s, dir) => {
+        val e = eventsWithSec(s, dir)
+          .select(col("user_id"), col("sec"), col("event_id"))
+        val a = e.select(col("user_id"), col("sec").as("sec_a"),
+          col("event_id").as("id_a"))
+        val b = e.select(col("user_id").as("user_id_b"),
+          col("sec").as("sec_b"), col("event_id").as("id_b"))
+        graft.plans.NativeRangeJoin.bandJoin(a, b,
+            "user_id", "sec_a", "user_id_b", "sec_b", 300L)
+          .filter(col("id_a") < col("id_b"))
+          .select("user_id", "id_a", "id_b", "sec_a", "sec_b")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id
+             |  FROM events)
+             |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+             |  a.sec AS sec_a, b.sec AS sec_b
+             |FROM e a JOIN e b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             |  AND abs(a.sec - b.sec) <= 300""".stripMargin)),
   )
 }

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NativeRangeJoinSpec extends SparkSpec {
+
+  private def frames(n: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val rows = (1 to n).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val a = rows.toDF("k", "t", "id")
+      .select(col("k"), col("t").as("t_a"), col("id").as("id_a"))
+    val b = rows.map { case (k, t, i) => (k, (t + 17) % 1000, i + 100000) }
+      .toDF("k_b", "t_b", "id_b")
+    (a, b)
+  }
+
+  test("native exec matches the bucket-replica rewrite pair for pair") {
+    val (a, b) = frames(400, 31)
+    val native = NativeRangeJoin
+      .bandJoin(a, b, "k", "t_a", "k_b", "t_b", 25L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Independent truth: the DataFrame-level bucket rewrite (itself
+    // oracle-certified by q24) over renamed-compatible frames.
+    val viaBuckets = graft.operators.RangeJoin
+      .bandJoin(a.withColumnRenamed("k", "kk"),
+        b.withColumnRenamed("k_b", "kk"), Seq("kk"), "t_a", "t_b", 25L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == viaBuckets,
+      s"missing=${(viaBuckets -- native).take(5)} extra=${(native -- viaBuckets).take(5)}")
+    assert(native.nonEmpty)
+  }
+
+  test("band bounds are inclusive and key groups never leak") {
+    import spark.implicits._
+    val a = Seq((1L, 100L, 1L), (2L, 100L, 2L)).toDF("k", "t_a", "id_a")
+    val b = Seq((1L, 90L, 10L), (1L, 110L, 11L), (1L, 111L, 12L),
+      (1L, 89L, 13L), (2L, 100L, 20L)).toDF("k_b", "t_b", "id_b")
+    val got = NativeRangeJoin.bandJoin(a, b, "k", "t_a", "k_b", "t_b", 10L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // +/-10 inclusive: 90 and 110 match, 89 and 111 do not; key 2 only
+    // pairs within key 2.
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 20L)))
+  }
+
+  test("plan: custom strategy fires, no exchange and no nested loop") {
+    val (a, b) = frames(200, 7)
+    val df = NativeRangeJoin.bandJoin(a, b, "k", "t_a", "k_b", "t_b", 25L)
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings.
+    assert(plan.contains("BroadcastRangeJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("registration via SparkSessionExtensions config plans the operator") {
+    // registerAll (used by every session here) must install the strategy
+    // idempotently.
+    graft.expressions.GraftExtensions.registerAll(spark)
+    graft.expressions.GraftExtensions.registerAll(spark)
+    assert(spark.experimental.extraStrategies
+      .count(_ == RangeJoinStrategy) == 1)
+  }
+}
