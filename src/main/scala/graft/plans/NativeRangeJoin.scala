@@ -53,15 +53,50 @@ final case class BroadcastRangeJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: lowers [[BroadcastRangeJoinPlan]] to the physical
-  * operator; injected via `SparkSessionExtensions.injectPlannerStrategy`
-  * (and idempotently through `spark.experimental.extraStrategies` for
-  * sessions built without the extensions config).
+/** AS-OF LEFT join as a first-class operator: for each left row, the
+  * single build-side row of the same key with the LARGEST time <= left
+  * time — or nulls when none exists. Same broadcast + binary-search
+  * economics as the range join (the floor probe is one search, emitting
+  * exactly one row). The build side must have UNIQUE (key, time) pairs —
+  * enforcing this loudly at build keeps the result deterministic (a
+  * stable tie would otherwise depend on collection order); callers
+  * dedupe ties upstream exactly as the window-based `operators.AsOfJoin`
+  * formulation requires.
+  */
+final case class BroadcastAsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: String,
+    leftTime: String,
+    rightKey: String,
+    rightTime: String)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** See [[BroadcastRangeJoinPlan.references]]. */
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      left.output ++ right.output)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): BroadcastAsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: lowers the graft logical join nodes to their
+  * physical operators; injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` (and idempotently
+  * through `spark.experimental.extraStrategies` for sessions built
+  * without the extensions config).
   */
 object RangeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case BroadcastRangeJoinPlan(l, r, lk, lt, rk, rt, w) =>
       BroadcastRangeJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, w) :: Nil
+    case BroadcastAsOfJoinPlan(l, r, lk, lt, rk, rt) =>
+      BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
     case _ => Nil
   }
 }
@@ -155,6 +190,95 @@ final case class BroadcastRangeJoinExec(
   }
 }
 
+/** Physical broadcast as-of join (see [[BroadcastAsOfJoinPlan]]). */
+final case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: String,
+    leftTime: String,
+    rightKey: String,
+    rightTime: String)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  private def idx(plan: SparkPlan, name: String): Int = {
+    val i = plan.output.indexWhere(_.name == name)
+    require(i >= 0, s"column $name not found in ${plan.output.map(_.name)}")
+    i
+  }
+
+  private final case class Bucket(times: Array[Long], rows: Array[InternalRow])
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rkIdx = idx(right, rightKey)
+    val rtIdx = idx(right, rightTime)
+    val rkType = right.output(rkIdx).dataType
+    require(right.output(rtIdx).dataType == LongType,
+      s"$rightTime must be LongType")
+    val lkIdx = idx(left, leftKey)
+    val ltIdx = idx(left, leftTime)
+    val lkType = left.output(lkIdx).dataType
+
+    val grouped = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]
+    right.executeCollect().foreach { row =>
+      val k = row.get(rkIdx, rkType)
+      grouped.getOrElseUpdate(k,
+        scala.collection.mutable.ArrayBuffer.empty) +=
+        ((row.getLong(rtIdx), row))
+    }
+    val index: Map[Any, Bucket] = grouped.map { case (k, buf) =>
+      val sorted = buf.sortBy(_._1)
+      val times = sorted.map(_._1).toArray
+      var i = 1
+      while (i < times.length) {
+        require(times(i) != times(i - 1),
+          s"as-of build side has duplicate (key, time) = ($k, ${times(i)})" +
+            " — dedupe ties upstream, the result would be nondeterministic")
+        i += 1
+      }
+      k -> Bucket(times, sorted.map(_._2).toArray)
+    }.toMap
+    val bcast = sparkContext.broadcast(index)
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val nRight = right.output.length
+
+    left.execute().mapPartitions({ iter =>
+      val joined = new JoinedRow
+      // The input schema must carry the LEFT-join nullability, or the
+      // projection's bound references read primitives (0/false) out of
+      // the all-null no-match row instead of nulls.
+      val proj = UnsafeProjection.create(outAttrs,
+        leftOut ++ rightOut.map(_.withNullability(true)))
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(nRight)
+      val buckets = bcast.value
+      iter.map { lrow =>
+        val t = lrow.getLong(ltIdx)
+        val matched = buckets.get(lrow.get(lkIdx, lkType)) match {
+          case None => null
+          case Some(b) =>
+            // Largest index with time <= t (floor probe).
+            var i = java.util.Arrays.binarySearch(b.times, t)
+            if (i < 0) i = -i - 2
+            if (i < 0) null else b.rows(i)
+        }
+        proj(joined(lrow, if (matched == null) nullRight else matched))
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
 /** User-facing constructor for the native operator. */
 object NativeRangeJoin {
 
@@ -185,5 +309,24 @@ object NativeRangeJoin {
       BroadcastRangeJoinPlan(
         left.queryExecution.analyzed, right.queryExecution.analyzed,
         leftKey, leftTime, rightKey, rightTime, width))
+  }
+
+  /** AS-OF LEFT join: for each left row, the single `right` row of the
+    * same key with the largest `rightTime <= leftTime`, or nulls. The
+    * build side must be unique per (key, time) — enforced loudly.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      rightKey: String,
+      rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      BroadcastAsOfJoinPlan(
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        leftKey, leftTime, rightKey, rightTime))
   }
 }

@@ -869,5 +869,42 @@ object CoreQueries {
              |FROM e a JOIN e b
              |  ON a.user_id = b.user_id AND a.event_id < b.event_id
              |  AND abs(a.sec - b.sec) <= 300""".stripMargin)),
+
+    // q14's AS-OF semantics through the whole-operator extension: the
+    // broadcast floor-probe physical node (one binary search per left
+    // row, LEFT-join nulls on no match, loud duplicate-(key,time)
+    // rejection) against DuckDB's native ASOF LEFT JOIN — the same
+    // oracle as the union+window formulation, so all THREE
+    // implementations (window rewrite, DuckDB native, graft native)
+    // certify each other.
+    QueryDef(
+      "q36_asof_native",
+      (s, dir) => {
+        val e = eventsWithSec(s, dir)
+          .select(col("user_id"), col("sec"), col("event_id"), col("value"))
+        val l = e.filter(col("event_id") % 5 === 0)
+          .select("user_id", "sec", "event_id")
+        val rw = Window.partitionBy("user_id", "sec").orderBy(desc("event_id"))
+        val r = e.filter(col("event_id") % 5 =!= 0)
+          .withColumn("_rn", row_number().over(rw)).filter(col("_rn") === 1)
+          .select(col("user_id").as("user_id_r"), col("sec").as("sec_r"),
+            col("event_id").as("event_id_asof"), col("value").as("value_asof"))
+        graft.plans.NativeRangeJoin.asOfJoin(l, r,
+            "user_id", "sec", "user_id_r", "sec_r")
+          .select("user_id", "sec", "event_id", "event_id_asof", "value_asof")
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id
+             |  FROM events WHERE event_id % 5 = 0),
+             |r AS (
+             |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             |    event_id, value
+             |  FROM events WHERE event_id % 5 <> 0
+             |  QUALIFY row_number() OVER (PARTITION BY user_id,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) ORDER BY event_id DESC) = 1)
+             |SELECT l.user_id, l.sec, l.event_id,
+             |  r.event_id AS event_id_asof, r.value AS value_asof
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.sec >= r.sec""".stripMargin)),
   )
 }

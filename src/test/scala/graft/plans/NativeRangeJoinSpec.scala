@@ -60,6 +60,48 @@ class NativeRangeJoinSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("as-of: floor probe, left-join nulls, loud duplicate rejection") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 1L), (1L, 5L, 2L), (2L, 50L, 3L))
+      .toDF("k", "t_a", "id_a")
+    val r = Seq((1L, 90L, 10L), (1L, 100L, 11L), (1L, 110L, 12L))
+      .toDF("k_b", "t_b", "id_b")
+    val got = NativeRangeJoin.asOfJoin(l, r, "k", "t_a", "k_b", "t_b")
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toSet
+    // id 1 at t=100 takes the exact-time row 11 (floor includes equal);
+    // id 2 predates every build row -> null; key 2 has no build rows.
+    assert(got == Set((1L, 11L), (2L, -1L), (3L, -1L)))
+    // Duplicate (key, time) on the build side must fail loudly.
+    val dup = Seq((1L, 90L, 10L), (1L, 90L, 11L)).toDF("k_b", "t_b", "id_b")
+    val ex = intercept[Exception] {
+      NativeRangeJoin.asOfJoin(l, dup, "k", "t_a", "k_b", "t_b").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("as-of: matches the union+window operator on random data") {
+    val (a, b) = frames(300, 97)
+    val native = NativeRangeJoin
+      .asOfJoin(a.select(col("k"), col("t_a"), col("id_a")),
+        b.groupBy(col("k_b"), col("t_b")).agg(max("id_b").as("id_b")),
+        "k", "t_a", "k_b", "t_b")
+      .select("id_a", "id_b").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val viaWindow = graft.operators.AsOfJoin
+      .asOf(a.withColumnRenamed("k", "kk").withColumnRenamed("t_a", "tt"),
+        b.groupBy(col("k_b"), col("t_b")).agg(max("id_b").as("id_b"))
+          .withColumnRenamed("k_b", "kk").withColumnRenamed("t_b", "tt"),
+        Seq("kk"), "tt", Seq("id_b"), "id_b")
+      .select("id_a", "id_b_asof").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(native == viaWindow,
+      s"diff=${(viaWindow.toSet -- native.toSet).take(5)}")
+  }
+
   test("registration via SparkSessionExtensions config plans the operator") {
     // registerAll (used by every session here) must install the strategy
     // idempotently.
