@@ -206,6 +206,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }
@@ -267,6 +268,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteDotProduct
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteRangeJoin
     graft.plans.NativeRangeJoin.register(spark)
   }
 }

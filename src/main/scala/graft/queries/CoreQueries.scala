@@ -906,5 +906,34 @@ object CoreQueries {
              |  r.event_id AS event_id_asof, r.value AS value_asof
              |FROM l ASOF LEFT JOIN r
              |  ON l.user_id = r.user_id AND l.sec >= r.sec""".stripMargin)),
+
+    // The band join a THIRD way: plain declarative join syntax — no
+    // operator API at all — upgraded to the native broadcast range
+    // operator by the RewriteRangeJoin optimizer rule (the same
+    // users-write-idioms-and-get-kernels contract as RewriteDotProduct).
+    // Same oracle as q24/q35: three spellings, one truth.
+    QueryDef(
+      "q37_range_join_auto",
+      (s, dir) => {
+        val e = eventsWithSec(s, dir)
+          .select(col("user_id"), col("sec"), col("event_id"))
+        val a = e.select(col("user_id"), col("sec").as("sec_a"),
+          col("event_id").as("id_a"))
+        val b = e.select(col("user_id").as("user_id_b"),
+          col("sec").as("sec_b"), col("event_id").as("id_b"))
+        a.join(b, col("user_id") === col("user_id_b") &&
+            abs(col("sec_a") - col("sec_b")) <= lit(300L))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("user_id"), col("id_a").as("id_a"),
+            col("id_b").as("id_b"), col("sec_a"), col("sec_b"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id
+             |  FROM events)
+             |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+             |  a.sec AS sec_a, b.sec AS sec_b
+             |FROM e a JOIN e b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             |  AND abs(a.sec - b.sec) <= 300""".stripMargin)),
   )
 }

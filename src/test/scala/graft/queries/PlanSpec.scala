@@ -341,6 +341,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("l_extendedprice"), "fact scan not pruned")
   }
 
+  test("auto range join: declarative condition planned as the native operator") {
+    val df = Registry.queries("q37_range_join_auto")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastRangeJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("tokenizer fertility: vocabulary joins via broadcast, corpus unshuffled") {
     val df = Registry.queries("tdp_tokenizer_fertility")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
