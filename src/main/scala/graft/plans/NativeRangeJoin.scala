@@ -101,6 +101,53 @@ object RangeJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Shared build-side machinery for the broadcast joins: the index ships
+  * as raw UnsafeRow BYTES (one flat byte array per row), not row
+  * objects — Java serialization of a 100k-object map measured ~4 s of
+  * driver wall per query; byte arrays serialize linearly in size.
+  * Executors wrap matches in one reusable UnsafeRow via pointTo.
+  */
+private[plans] object RangeJoinBuild {
+  final case class Bucket(times: Array[Long], rows: Array[Array[Byte]])
+
+  def buildIndex(
+      right: SparkPlan,
+      rkIdx: Int,
+      rtIdx: Int,
+      uniqueTimes: Boolean): Map[Any, Bucket] = {
+    val rkType = right.output(rkIdx).dataType
+    val toUnsafe = UnsafeProjection.create(
+      right.output.map(_.dataType).toArray)
+    val grouped = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]]
+    right.executeCollect().foreach { row =>
+      val k = InternalRow.copyValue(row.get(rkIdx, rkType))
+      val bytes = row match {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+          u.getBytes
+        case r => toUnsafe(r).getBytes
+      }
+      grouped.getOrElseUpdate(k,
+        scala.collection.mutable.ArrayBuffer.empty) +=
+        ((row.getLong(rtIdx), bytes))
+    }
+    grouped.map { case (k, buf) =>
+      val sorted = buf.sortBy(_._1)
+      val times = sorted.map(_._1).toArray
+      if (uniqueTimes) {
+        var i = 1
+        while (i < times.length) {
+          require(times(i) != times(i - 1),
+            s"as-of build side has duplicate (key, time) = ($k, ${times(i)})" +
+              " — dedupe ties upstream, the result would be nondeterministic")
+          i += 1
+        }
+      }
+      k -> Bucket(times, sorted.map(_._2).toArray)
+    }.toMap
+  }
+}
+
 /** Physical broadcast range join. The right side must be the small one
   * (it is collected to the driver and broadcast, like Spark's own
   * BroadcastHashJoin build side); both time columns must be LongType and
@@ -130,13 +177,9 @@ final case class BroadcastRangeJoinExec(
     i
   }
 
-  /** Sorted-by-time rows of one key group of the build side. */
-  private final case class Bucket(times: Array[Long], rows: Array[InternalRow])
-
   override protected def doExecute(): RDD[InternalRow] = {
     val rkIdx = idx(right, rightKey)
     val rtIdx = idx(right, rightTime)
-    val rkType = right.output(rkIdx).dataType
     require(right.output(rtIdx).dataType == LongType,
       s"$rightTime must be LongType")
     val lkIdx = idx(left, leftKey)
@@ -145,28 +188,21 @@ final case class BroadcastRangeJoinExec(
     require(left.output(ltIdx).dataType == LongType,
       s"$leftTime must be LongType")
 
-    // Build: collect + group + time-sort the small side once.
-    val grouped = scala.collection.mutable.HashMap
-      .empty[Any, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]
-    right.executeCollect().foreach { row =>
-      val k = row.get(rkIdx, rkType)
-      grouped.getOrElseUpdate(k,
-        scala.collection.mutable.ArrayBuffer.empty) +=
-        ((row.getLong(rtIdx), row))
-    }
-    val index: Map[Any, Bucket] = grouped.map { case (k, buf) =>
-      val sorted = buf.sortBy(_._1)
-      k -> Bucket(sorted.map(_._1).toArray, sorted.map(_._2).toArray)
-    }.toMap
-    val bcast = sparkContext.broadcast(index)
+    // Build: collect + group + time-sort the small side once, packed as
+    // raw row bytes (see RangeJoinBuild).
+    val bcast = sparkContext.broadcast(
+      RangeJoinBuild.buildIndex(right, rkIdx, rtIdx, uniqueTimes = false))
     val w = width
     val leftOut = left.output
     val rightOut = right.output
     val outAttrs = output
+    val nRightFields = right.output.length
 
     left.execute().mapPartitions({ iter =>
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      val rrow = new org.apache.spark.sql.catalyst.expressions
+        .UnsafeRow(nRightFields)
       val buckets = bcast.value
       iter.flatMap { lrow =>
         buckets.get(lrow.get(lkIdx, lkType)) match {
@@ -183,7 +219,11 @@ final case class BroadcastRangeJoinExec(
             else {
               while (hi < b.times.length && b.times(hi) == t + w) hi += 1
             }
-            (lo until hi).iterator.map(i => proj(joined(lrow, b.rows(i))))
+            (lo until hi).iterator.map { i =>
+              val bytes = b.rows(i)
+              rrow.pointTo(bytes, bytes.length)
+              proj(joined(lrow, rrow))
+            }
         }
       }
     }, preservesPartitioning = true)
@@ -215,39 +255,17 @@ final case class BroadcastAsOfJoinExec(
     i
   }
 
-  private final case class Bucket(times: Array[Long], rows: Array[InternalRow])
-
   override protected def doExecute(): RDD[InternalRow] = {
     val rkIdx = idx(right, rightKey)
     val rtIdx = idx(right, rightTime)
-    val rkType = right.output(rkIdx).dataType
     require(right.output(rtIdx).dataType == LongType,
       s"$rightTime must be LongType")
     val lkIdx = idx(left, leftKey)
     val ltIdx = idx(left, leftTime)
     val lkType = left.output(lkIdx).dataType
 
-    val grouped = scala.collection.mutable.HashMap
-      .empty[Any, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]
-    right.executeCollect().foreach { row =>
-      val k = row.get(rkIdx, rkType)
-      grouped.getOrElseUpdate(k,
-        scala.collection.mutable.ArrayBuffer.empty) +=
-        ((row.getLong(rtIdx), row))
-    }
-    val index: Map[Any, Bucket] = grouped.map { case (k, buf) =>
-      val sorted = buf.sortBy(_._1)
-      val times = sorted.map(_._1).toArray
-      var i = 1
-      while (i < times.length) {
-        require(times(i) != times(i - 1),
-          s"as-of build side has duplicate (key, time) = ($k, ${times(i)})" +
-            " — dedupe ties upstream, the result would be nondeterministic")
-        i += 1
-      }
-      k -> Bucket(times, sorted.map(_._2).toArray)
-    }.toMap
-    val bcast = sparkContext.broadcast(index)
+    val bcast = sparkContext.broadcast(
+      RangeJoinBuild.buildIndex(right, rkIdx, rtIdx, uniqueTimes = true))
     val leftOut = left.output
     val rightOut = right.output
     val outAttrs = output
@@ -262,6 +280,8 @@ final case class BroadcastAsOfJoinExec(
         leftOut ++ rightOut.map(_.withNullability(true)))
       val nullRight = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(nRight)
+      val rrow = new org.apache.spark.sql.catalyst.expressions
+        .UnsafeRow(nRight)
       val buckets = bcast.value
       iter.map { lrow =>
         val t = lrow.getLong(ltIdx)
@@ -271,9 +291,15 @@ final case class BroadcastAsOfJoinExec(
             // Largest index with time <= t (floor probe).
             var i = java.util.Arrays.binarySearch(b.times, t)
             if (i < 0) i = -i - 2
-            if (i < 0) null else b.rows(i)
+            if (i < 0) null
+            else {
+              val bytes = b.rows(i)
+              rrow.pointTo(bytes, bytes.length)
+              rrow
+            }
         }
-        proj(joined(lrow, if (matched == null) nullRight else matched))
+        proj(joined(lrow,
+          if (matched == null) nullRight else matched))
       }
     }, preservesPartitioning = true)
   }

@@ -7878,17 +7878,23 @@ object TdpQueries {
     QueryDef(
       "tdp_lm_rollout",
       (s, dir) => {
-        val bg = docBigrams(s, dir)
-          .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-        val vocabTop = corpusToks(s, dir)
-          .groupBy("tok").agg(count(lit(1)).as("n"))
-          .orderBy(desc("n"), col("tok")).limit(1)
-          .select(col("tok").as("token"), col("n").as("cnt"),
-            lit(0).as("step"))
+        // Memoized: the final union materializes each step's frame, and
+        // step k's lineage contains the seed + best-successor frames —
+        // without the memo the vocab-scale aggregates recompute
+        // O(steps²) times (measured 92 CPU-s at sf0.1; ~1 s memoized).
+        val vocabTop = Registry.memo(s, dir, "tdp_lm_seed")(
+          corpusToks(s, dir)
+            .groupBy("tok").agg(count(lit(1)).as("n"))
+            .orderBy(desc("n"), col("tok")).limit(1)
+            .select(col("tok").as("token"), col("n").as("cnt"),
+              lit(0).as("step")))
         val wNext = Window.partitionBy("w1").orderBy(desc("cnt"), col("w2"))
-        val best = bg.withColumn("rk", row_number().over(wNext))
-          .filter(col("rk") === 1)
-          .select(col("w1"), col("w2"), col("cnt").as("next_cnt"))
+        val best = Registry.memo(s, dir, "tdp_lm_best")(
+          docBigrams(s, dir)
+            .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+            .withColumn("rk", row_number().over(wNext))
+            .filter(col("rk") === 1)
+            .select(col("w1"), col("w2"), col("cnt").as("next_cnt")))
         val steps = (1 to 6).scanLeft(vocabTop) { (cur, k) =>
           cur.select(col("token").as("w1"))
             .join(best, Seq("w1"))
