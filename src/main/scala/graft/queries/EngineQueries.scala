@@ -163,6 +163,57 @@ object EngineQueries {
           |    x -> x IS NOT NULL), '|'), '') AS validation_issues
           |FROM basis_clean""".stripMargin))),
 
+    // FUZZY AMOUNT MATCHING for Engine A's unmatched rows — the manual
+    // step a reconciliation analyst performs next ("is this a penny/
+    // dollar-off keying error?") as a query, and a DOMAIN use of the
+    // native broadcast range operator: unmatched Relius rows (anti-join
+    // on the exact (plan, ssn, gross) triple) band-join candidate Matrix
+    // rows of the same participant within $1, keyed on plan|ssn with the
+    // amount in exact integer cents as the band axis. The adapter
+    // PLANTS these near-misses (every 41st Relius gross is off by
+    // exactly $1), so the report is non-vacuous at every scale; the
+    // oracle replays it as a plain theta join over the same cleaned
+    // CTEs.
+    QueryDef(
+      "ea_fuzzy_match",
+      (s, dir) => {
+        val rel = Testdata.cleanRelius(s, dir)
+        val mat = Testdata.cleanMatrix(s, dir)
+        val unmatched = rel
+          .join(mat.select("plan_id", "ssn", "gross_amt"),
+            Seq("plan_id", "ssn", "gross_amt"), "left_anti")
+          .select(col("plan_id"), col("ssn"), col("gross_amt"))
+          .distinct()
+        val l = unmatched.select(
+          concat_ws("|", col("plan_id"), col("ssn")).as("match_key"),
+          col("plan_id"), col("ssn"),
+          (col("gross_amt") * 100).cast("long").as("r_cents"))
+        val r = mat.select(
+          concat_ws("|", col("plan_id"), col("ssn")).as("match_key_m"),
+          (col("gross_amt") * 100).cast("long").as("m_cents"))
+          .distinct()
+        graft.plans.NativeRangeJoin.bandJoin(l, r,
+            "match_key", "r_cents", "match_key_m", "m_cents", 100L)
+          .select(col("plan_id"), col("ssn"), col("r_cents"),
+            col("m_cents"), (col("m_cents") - col("r_cents")).as("diff_cents"))
+      },
+      Some(OracleSql.query(
+        """SELECT r.plan_id, r.ssn,
+          |  CAST(r.gross_amt * 100 AS BIGINT) AS r_cents,
+          |  CAST(m.gross_amt * 100 AS BIGINT) AS m_cents,
+          |  CAST(m.gross_amt * 100 - r.gross_amt * 100 AS BIGINT)
+          |    AS diff_cents
+          |FROM (SELECT DISTINCT plan_id, ssn, gross_amt FROM relius_clean r0
+          |      WHERE NOT EXISTS (
+          |        SELECT 1 FROM matrix_clean x
+          |        WHERE x.plan_id = r0.plan_id AND x.ssn = r0.ssn
+          |          AND x.gross_amt = r0.gross_amt)) r
+          |JOIN (SELECT DISTINCT plan_id, ssn, gross_amt
+          |      FROM matrix_clean) m
+          |  ON r.plan_id = m.plan_id AND r.ssn = m.ssn
+          |  AND abs(r.gross_amt * 100 - m.gross_amt * 100) <= 100"""
+          .stripMargin))),
+
     QueryDef(
       "ea_reconcile",
       (s, dir) =>
