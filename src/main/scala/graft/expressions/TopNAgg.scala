@@ -42,9 +42,21 @@ case class TopNAgg(
 
   /** (score DESC, id ASC): the TreeSet's FIRST element is the current
     * best, its LAST the weakest member — the eviction candidate.
+    * Overflow-safe comparison (no negation: `-Long.MinValue` overflows
+    * back to `Long.MinValue` and would rank the worst score as best).
+    *
+    * Note the TreeSet is a SET: two input rows with the identical
+    * (score, id) pair collapse to one ranked entry, unlike the
+    * `row_number()` window formulation which would keep both. For the
+    * intended unique-id use this is a non-difference; callers ranking
+    * non-unique (score, id) rows should pre-aggregate.
     */
-  private val ord: Ordering[(Long, Long)] =
-    Ordering.by[(Long, Long), (Long, Long)] { case (s, i) => (-s, i) }
+  private val ord: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val byScore = java.lang.Long.compare(b._1, a._1)
+      if (byScore != 0) byScore else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (scoreExpr.dataType != LongType || idExpr.dataType != LongType)

@@ -121,6 +121,13 @@ private[plans] object RangeJoinBuild {
     val grouped = scala.collection.mutable.HashMap
       .empty[Any, scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]]
     right.executeCollect().foreach { row =>
+      // SQL join semantics: NULL = NULL is not true, and a NULL time
+      // satisfies no band/floor predicate — a build row with a null key
+      // or time can never match, so it never enters the index. Without
+      // this, a null key would become an ordinary map key (matching
+      // null probes) and getLong would read a null time as t=0.
+      if (row.isNullAt(rkIdx) || row.isNullAt(rtIdx)) ()
+      else {
       val k = InternalRow.copyValue(row.get(rkIdx, rkType))
       val bytes = row match {
         case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
@@ -130,6 +137,7 @@ private[plans] object RangeJoinBuild {
       grouped.getOrElseUpdate(k,
         scala.collection.mutable.ArrayBuffer.empty) +=
         ((row.getLong(rtIdx), bytes))
+      }
     }
     grouped.map { case (k, buf) =>
       val sorted = buf.sortBy(_._1)
@@ -205,7 +213,11 @@ final case class BroadcastRangeJoinExec(
         .UnsafeRow(nRightFields)
       val buckets = bcast.value
       iter.flatMap { lrow =>
-        buckets.get(lrow.get(lkIdx, lkType)) match {
+        // NULL key or time matches nothing under inner-join semantics.
+        val bucket =
+          if (lrow.isNullAt(lkIdx) || lrow.isNullAt(ltIdx)) None
+          else buckets.get(lrow.get(lkIdx, lkType))
+        bucket match {
           case None => Iterator.empty
           case Some(b) =>
             val t = lrow.getLong(ltIdx)
@@ -263,6 +275,8 @@ final case class BroadcastAsOfJoinExec(
     val lkIdx = idx(left, leftKey)
     val ltIdx = idx(left, leftTime)
     val lkType = left.output(lkIdx).dataType
+    require(left.output(ltIdx).dataType == LongType,
+      s"$leftTime must be LongType")
 
     val bcast = sparkContext.broadcast(
       RangeJoinBuild.buildIndex(right, rkIdx, rtIdx, uniqueTimes = true))
@@ -284,20 +298,24 @@ final case class BroadcastAsOfJoinExec(
         .UnsafeRow(nRight)
       val buckets = bcast.value
       iter.map { lrow =>
-        val t = lrow.getLong(ltIdx)
-        val matched = buckets.get(lrow.get(lkIdx, lkType)) match {
-          case None => null
-          case Some(b) =>
-            // Largest index with time <= t (floor probe).
-            var i = java.util.Arrays.binarySearch(b.times, t)
-            if (i < 0) i = -i - 2
-            if (i < 0) null
-            else {
-              val bytes = b.rows(i)
-              rrow.pointTo(bytes, bytes.length)
-              rrow
-            }
-        }
+        // NULL key or time matches nothing; as a LEFT join the row still
+        // flows through null-extended.
+        val matched =
+          if (lrow.isNullAt(lkIdx) || lrow.isNullAt(ltIdx)) null
+          else buckets.get(lrow.get(lkIdx, lkType)) match {
+            case None => null
+            case Some(b) =>
+              // Largest index with time <= t (floor probe).
+              val t = lrow.getLong(ltIdx)
+              var i = java.util.Arrays.binarySearch(b.times, t)
+              if (i < 0) i = -i - 2
+              if (i < 0) null
+              else {
+                val bytes = b.rows(i)
+                rrow.pointTo(bytes, bytes.length)
+                rrow
+              }
+          }
         proj(joined(lrow,
           if (matched == null) nullRight else matched))
       }
@@ -316,6 +334,17 @@ object NativeRangeJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ RangeJoinStrategy
 
+  /** The physical operators bind columns BY NAME, so a name shared
+    * across the two sides would silently bind the first match (or build
+    * an invalid duplicate-attribute plan). Fail loudly instead.
+    */
+  private def requireDisjoint(left: DataFrame, right: DataFrame): Unit = {
+    val shared = left.columns.toSeq.intersect(right.columns.toSeq)
+    require(shared.isEmpty,
+      s"column names must be disjoint across the two join sides; " +
+        s"shared: ${shared.mkString(", ")} — alias one side first")
+  }
+
   /** All (l, r) pairs with equal keys and `|leftTime - rightTime| <=
     * width`. `right` is the broadcast build side; column names must be
     * disjoint across the two sides.
@@ -329,6 +358,7 @@ object NativeRangeJoin {
       rightTime: String,
       width: Long): DataFrame = {
     require(width > 0, s"band width must be positive, got $width")
+    requireDisjoint(left, right)
     val spark = left.sparkSession
     register(spark)
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
@@ -348,6 +378,7 @@ object NativeRangeJoin {
       leftTime: String,
       rightKey: String,
       rightTime: String): DataFrame = {
+    requireDisjoint(left, right)
     val spark = left.sparkSession
     register(spark)
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark,

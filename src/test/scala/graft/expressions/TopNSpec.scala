@@ -56,6 +56,22 @@ class TopNSpec extends SparkSpec {
     assert(top(32) == top(1))
   }
 
+  test("Long.MinValue score ranks worst, not best (negation overflow)") {
+    val s = registered
+    import s.implicits._
+    val df = Seq(
+      ("a", Long.MinValue, 1L), ("a", 0L, 2L), ("a", Long.MaxValue, 3L),
+      ("a", -5L, 4L)).toDF("g", "score", "id")
+    val got = df.groupBy("g")
+      .agg(call_function("graft_topn", col("score"), col("id"), lit(3))
+        .as("top"))
+      .select(expr("array_join(transform(top, x -> x.id), '|')"))
+      .head().getString(0)
+    // MaxValue first, MinValue evicted (a negating comparator would
+    // instead rank MinValue as the best element).
+    assert(got == "3|2|4")
+  }
+
   test("groups smaller than n return all members, ranked") {
     val s = registered
     import s.implicits._

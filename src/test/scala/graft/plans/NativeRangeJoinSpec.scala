@@ -102,6 +102,66 @@ class NativeRangeJoinSpec extends SparkSpec {
       s"diff=${(viaWindow.toSet -- native.toSet).take(5)}")
   }
 
+  test("null keys/times never match: inner drops, as-of null-extends") {
+    import spark.implicits._
+    val l = Seq(
+      (Some(1L), Some(100L), 1L),   // normal match
+      (None: Option[Long], Some(100L), 2L), // null key
+      (Some(1L), None: Option[Long], 3L),   // null time
+      (Some(9L), Some(100L), 4L))   // key only on build side as null
+      .toDF("k", "t_a", "id_a")
+    val r = Seq(
+      (Some(1L), Some(95L), 10L),
+      (None: Option[Long], Some(100L), 11L), // null build key: indexed by nobody
+      (Some(1L), None: Option[Long], 12L),   // null build time: never matches
+      (Some(9L), Some(200L), 13L))
+      .toDF("k_b", "t_b", "id_b")
+    // Inner band join: only the fully-non-null (1, 100)x(1, 95) pair.
+    val band = NativeRangeJoin.bandJoin(l, r, "k", "t_a", "k_b", "t_b", 10L)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(band == Set((1L, 10L)))
+    // Same answer as Spark's own inner join with the declarative band
+    // condition over the same nullable frames.
+    val viaSpark = l.join(r, col("k") === col("k_b") &&
+        abs(col("t_a") - col("t_b")) <= lit(10L))
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(band == viaSpark)
+    // As-of is a LEFT join: null-key/time left rows flow through
+    // null-extended; build rows with null key/time match nobody.
+    val asof = NativeRangeJoin.asOfJoin(l, r, "k", "t_a", "k_b", "t_b")
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toSet
+    assert(asof == Set((1L, 10L), (2L, -1L), (3L, -1L), (4L, -1L)))
+  }
+
+  test("overlapping column names across sides fail loudly") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 1L)).toDF("k", "t", "id")
+    val r = Seq((1L, 95L, 2L)).toDF("k_b", "t", "id_b") // shares "t"
+    val e1 = intercept[IllegalArgumentException] {
+      NativeRangeJoin.bandJoin(l, r, "k", "t", "k_b", "t", 10L)
+    }
+    assert(e1.getMessage.contains("disjoint"))
+    val e2 = intercept[IllegalArgumentException] {
+      NativeRangeJoin.asOfJoin(l, r, "k", "t", "k_b", "t")
+    }
+    assert(e2.getMessage.contains("disjoint"))
+  }
+
+  test("as-of rejects a non-Long LEFT time column loudly") {
+    import spark.implicits._
+    val l = Seq((1L, 100, 1L)).toDF("k", "t_a", "id_a") // t_a is Int
+    val r = Seq((1L, 95L, 2L)).toDF("k_b", "t_b", "id_b")
+    val ex = intercept[Exception] {
+      NativeRangeJoin.asOfJoin(l, r, "k", "t_a", "k_b", "t_b").collect()
+    }
+    assert(ex.getMessage.contains("LongType"),
+      s"expected loud LongType failure, got: ${ex.getMessage}")
+  }
+
   test("registration via SparkSessionExtensions config plans the operator") {
     // registerAll (used by every session here) must install the strategy
     // idempotently.
