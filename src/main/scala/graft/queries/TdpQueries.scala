@@ -84,6 +84,15 @@ object TdpQueries {
   private val SpanW = 8
   private val SpanDfCap = 1
 
+  /** Winnowing knobs: window of consecutive k-gram hashes a fingerprint
+    * is the min of (guarantee: any shared run of WinnowW + SpanW - 1
+    * tokens shares >= 1 selected fingerprint), and the document-
+    * frequency cap above which a selected hash is boilerplate and
+    * excluded from pairing (bounds bucket fan-out like LshBucketCap).
+    */
+  private val WinnowW = 4
+  private val FpDfCap = 8
+
   /** Every overlapping SpanW-token window of every document, hashed —
     * (doc_id, n_toks, hs) — memoized: the shingle-position inverted index
     * shared by tdp_repeated_spans (per-doc coverage) and
@@ -7932,5 +7941,335 @@ object TdpQueries {
            |${(1 to 6).map(k => s"UNION ALL SELECT step, token, cnt FROM g$k")
             .mkString("\n")}""".stripMargin
       }),
+
+    // TRIANGLE COUNT + local clustering coefficient over the near-dup
+    // graph — the standard "how clique-y is my duplication" diagnostic
+    // (a near-dup neighborhood that triangulates is one template; a
+    // star that doesn't is a hub linking unrelated docs). Classic
+    // degree-ordered orientation (each undirected edge points from its
+    // lower-(deg, id) endpoint): every out-neighborhood is O(sqrt(m)),
+    // so the wedge self-join materializes at most O(m^1.5) rows
+    // regardless of skew — a hot hub's wedges distribute over its
+    // LOW-degree neighbors — and the closing check is a semi-join on
+    // the oriented edge key. Three keyed equi-joins total, no driver
+    // state, no all-pairs; cc is integer permille so both engines
+    // agree bitwise.
+    QueryDef(
+      "tdp_triangle_count",
+      (s, dir) => {
+        val pairs = lshPairs(s, dir)
+        val sym = pairs.union(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        val deg = sym.groupBy(col("doc_a").as("v"))
+          .agg(count(lit(1)).as("deg"))
+        val pd2 = pairs
+          .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), "doc_a")
+          .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), "doc_b")
+        val fwd = col("da") < col("db") ||
+          (col("da") === col("db") && col("doc_a") < col("doc_b"))
+        val oriented = pd2.select(
+          when(fwd, col("doc_a")).otherwise(col("doc_b")).as("src"),
+          when(fwd, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+          when(fwd, col("db")).otherwise(col("da")).as("ddst"))
+        val wedges = oriented.as("a")
+          .join(oriented.as("b"), col("a.src") === col("b.src") &&
+            (col("a.ddst") < col("b.ddst") ||
+              (col("a.ddst") === col("b.ddst") && col("a.dst") < col("b.dst"))))
+          .select(col("a.src").as("u"), col("a.dst").as("v"),
+            col("b.dst").as("w"))
+        val tri = wedges.join(
+          oriented.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"), "left_semi")
+        val tcnt = tri
+          .select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+        deg.select(col("v").as("doc_id"), col("deg"))
+          .join(tcnt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("deg"),
+            coalesce(col("triangles"), lit(0L)).as("triangles"))
+          .withColumn("cc_permille",
+            when(col("deg") >= 2,
+              expr("(2000 * triangles) div (deg * (deg - 1))"))
+              .otherwise(lit(0L)))
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+              |ted AS MATERIALIZED (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |tdg AS MATERIALIZED (
+              |  SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+              |  FROM ted GROUP BY 1),
+              |tor AS MATERIALIZED (
+              |  SELECT CASE WHEN da.deg < db.deg
+              |      OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+              |    THEN p.doc_a ELSE p.doc_b END AS src,
+              |    CASE WHEN da.deg < db.deg
+              |      OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+              |    THEN p.doc_b ELSE p.doc_a END AS dst
+              |  FROM pairs p
+              |  JOIN tdg da ON da.v = p.doc_a
+              |  JOIN tdg db ON db.v = p.doc_b),
+              |tor2 AS (
+              |  SELECT o.src, o.dst, d.deg AS ddst
+              |  FROM tor o JOIN tdg d ON d.v = o.dst),
+              |tri AS MATERIALIZED (
+              |  SELECT a.src AS u, a.dst AS v, b.dst AS w
+              |  FROM tor2 a
+              |  JOIN tor2 b ON a.src = b.src
+              |    AND (a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst))
+              |  WHERE EXISTS (SELECT 1 FROM tor t
+              |    WHERE t.src = a.dst AND t.dst = b.dst)),
+              |tvert AS (
+              |  SELECT u AS doc_id FROM tri
+              |  UNION ALL SELECT v FROM tri
+              |  UNION ALL SELECT w FROM tri),
+              |tcnt AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles
+              |  FROM tvert GROUP BY 1)
+              |SELECT g.v AS doc_id, g.deg,
+              |  CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles,
+              |  CASE WHEN g.deg >= 2
+              |    THEN (2000 * coalesce(c.triangles, 0)) // (g.deg * (g.deg - 1))
+              |    ELSE 0 END AS cc_permille
+              |FROM tdg g LEFT JOIN tcnt c ON c.doc_id = g.v""".stripMargin)),
+
+    // PARETO-FRONTIER CURATION (skyline): the documents no other
+    // document beats on ALL of (quality, length, lexical diversity) —
+    // the "undominated exemplars" a curation pass keeps when it cannot
+    // weight the axes against each other. Distributed BNL with GRID
+    // PRUNING: each doc maps to an 8x8x8 cell of the integer dim cube;
+    // a cell with a strictly-greater non-empty cell in every dimension
+    // is dominated WHOLESALE (cell ranges are disjoint and ordered, so
+    // any point there dominates any point here — and by transitivity
+    // through the cell lattice, pruned cells never hide a true
+    // dominator). Only the surviving cells' docs — expected
+    // skyline-sized, not corpus-sized — enter the exact pairwise
+    // anti-join. The cell summary is <= 512 rows however large the
+    // corpus; the oracle is the naive NOT EXISTS over ALL docs, so a
+    // green row proves the pruning lossless.
+    QueryDef(
+      "tdp_pareto_frontier",
+      (s, dir) => {
+        val dims = qualityScored(s, dir).select("doc_id", "quality")
+          .join(docToks(s, dir), "doc_id")
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"),
+            (col("quality") * 1e6).cast(LongType).as("q_micro"),
+            size(col("toks")).cast(LongType).as("n_toks"),
+            expr("CAST(size(array_distinct(toks)) AS BIGINT) * 1000" +
+              " div size(toks)").as("lexdiv_permille"))
+        val rng = dims.agg(
+          min("q_micro").as("q0"), max("q_micro").as("q1"),
+          min("n_toks").as("n0"), max("n_toks").as("n1"),
+          min("lexdiv_permille").as("l0"), max("lexdiv_permille").as("l1"))
+        val celled = dims.crossJoin(broadcast(rng))
+          .withColumn("cq", expr("((q_micro - q0) * 8) div (q1 - q0 + 1)"))
+          .withColumn("cn", expr("((n_toks - n0) * 8) div (n1 - n0 + 1)"))
+          .withColumn("cl",
+            expr("((lexdiv_permille - l0) * 8) div (l1 - l0 + 1)"))
+        val occ = celled.groupBy("cq", "cn", "cl").agg(count(lit(1)).as("nc"))
+        val dominatedCells = occ.as("a").join(broadcast(occ.as("b")),
+          col("b.cq") > col("a.cq") && col("b.cn") > col("a.cn") &&
+            col("b.cl") > col("a.cl"), "left_semi")
+          .select("cq", "cn", "cl")
+        val cand = celled.join(broadcast(dominatedCells),
+          Seq("cq", "cn", "cl"), "left_anti")
+          .select("doc_id", "q_micro", "n_toks", "lexdiv_permille")
+        cand.as("p").join(broadcast(cand.as("q")),
+          col("q.q_micro") >= col("p.q_micro") &&
+            col("q.n_toks") >= col("p.n_toks") &&
+            col("q.lexdiv_permille") >= col("p.lexdiv_permille") &&
+            (col("q.q_micro") > col("p.q_micro") ||
+              col("q.n_toks") > col("p.n_toks") ||
+              col("q.lexdiv_permille") > col("p.lexdiv_permille")),
+          "left_anti")
+      },
+      Some(s"""WITH pq AS ($qualityPartsSql),
+              |ptk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |pd AS MATERIALIZED (
+              |  SELECT pq.doc_id,
+              |    CAST(TRUNC(($qualitySql) * 1000000) AS BIGINT) AS q_micro,
+              |    CAST(len(toks) AS BIGINT) AS n_toks,
+              |    (CAST(len(list_distinct(toks)) AS BIGINT) * 1000)
+              |      // CAST(len(toks) AS BIGINT) AS lexdiv_permille
+              |  FROM pq JOIN ptk USING (doc_id) WHERE len(toks) > 0)
+              |SELECT doc_id, q_micro, n_toks, lexdiv_permille FROM pd p
+              |WHERE NOT EXISTS (SELECT 1 FROM pd q
+              |  WHERE q.q_micro >= p.q_micro AND q.n_toks >= p.n_toks
+              |    AND q.lexdiv_permille >= p.lexdiv_permille
+              |    AND (q.q_micro > p.q_micro OR q.n_toks > p.n_toks
+              |      OR q.lexdiv_permille > p.lexdiv_permille))""".stripMargin)),
+
+    // WINNOWING FINGERPRINTS (Schleimer-Wilkerson-Aiken, the MOSS
+    // local-fingerprinting scheme): in every window of WinnowW
+    // consecutive k-gram hashes pick the minimum (rightmost on ties);
+    // the selected hashes are position-independent — two docs sharing a
+    // long-enough passage select the SAME hashes from it wherever it
+    // sits — so a plain equi-join on selected hash finds plagiarism-
+    // style overlap at ~1/WinnowW the index size of the full k-gram
+    // index. The min-of-window runs as a bounded-frame window function
+    // partitioned BY DOC (parallel across docs, W rows of state);
+    // selection is (hash, rightmost-pos) encoded in one BIGINT so the
+    // tie-break costs no struct ordering. Cross-doc pairing joins on
+    // the selected hash with a df cap (boilerplate hashes — the
+    // substring-dedup modality — are excluded), so bucket fan-out is
+    // bounded exactly like the LSH pair join.
+    QueryDef(
+      "tdp_winnow_fingerprint",
+      (s, dir) => {
+        val wDocOrd = Window.partitionBy("doc_id").orderBy("p0")
+        val sel = spanPos(s, dir)
+          .withColumn("nk",
+            count(lit(1)).over(Window.partitionBy("doc_id")))
+          .withColumn("key",
+            expr("h * 2097152 + (2097151 - p0)"))
+          .withColumn("wmin", min("key").over(
+            wDocOrd.rowsBetween(-(WinnowW - 1), 0)))
+          // Window ENDS: every full window, plus (short docs) the one
+          // window covering all nk < WinnowW hashes.
+          .filter(col("p0") >= least(lit(WinnowW.toLong), col("nk")) - 1)
+          .select(col("doc_id"), expr("wmin div 2097152").as("fh"))
+          .distinct()
+        val okHash = sel.groupBy("fh").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= FpDfCap)
+          .select("fh")
+        val shared = sel.join(okHash, "fh")
+        shared.select(col("doc_id").as("doc_a"), col("fh"))
+          .join(shared.select(col("doc_id").as("doc_b"), col("fh")), "fh")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("shared_fp"))
+      },
+      Some(s"""WITH wtk AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |wgr AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(toks) >= $SpanW THEN
+              |      list_transform(range(1, len(toks) - ${SpanW - 2}), i ->
+              |        ${polyHashSql(s"array_to_string(list_slice(toks, i, i + ${SpanW - 1}), ' ')")})
+              |    ELSE [] END AS hs
+              |  FROM wtk),
+              |wpos AS MATERIALIZED (
+              |  SELECT doc_id, unnest(hs) AS h,
+              |    generate_subscripts(hs, 1) AS p1
+              |  FROM wgr),
+              |wwin AS (
+              |  SELECT doc_id, p1,
+              |    count(*) OVER (PARTITION BY doc_id) AS nk,
+              |    min(h * 2097152 + (2097151 - (p1 - 1))) OVER (
+              |      PARTITION BY doc_id ORDER BY p1
+              |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW)
+              |      AS wmin
+              |  FROM wpos),
+              |wsel AS MATERIALIZED (
+              |  SELECT DISTINCT doc_id, wmin // 2097152 AS fh
+              |  FROM wwin WHERE p1 >= least($WinnowW, nk)),
+              |wok AS (
+              |  SELECT fh FROM wsel GROUP BY 1
+              |  HAVING count(*) >= 2 AND count(*) <= $FpDfCap)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(count(*) AS BIGINT) AS shared_fp
+              |FROM wsel a
+              |JOIN wok USING (fh)
+              |JOIN wsel b ON a.fh = b.fh AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // SPAN CORRUPTION (the T5 denoising objective's data transform):
+    // replace short token spans with <X_k> sentinels and emit the
+    // (corrupted input, target) pair. The "randomness" is a
+    // deterministic affine hash of (doc_id, block) on a fixed 8-token
+    // block grid — spans are non-overlapping BY CONSTRUCTION (each
+    // masks only inside its own block), so the transform is a pure
+    // per-row codegen'd expression: no sequential scan state, no
+    // shuffle at all, embarrassingly parallel at any corpus size — and
+    // reproducible across runs/engines, which is what makes a training
+    // corpus regenerable. ~15% of tokens mask (len 1-3 per 8-token
+    // block at start-offset hash % 5).
+    QueryDef(
+      "tdp_span_corruption",
+      (s, dir) => {
+        docToks(s, dir).filter(size(col("toks")) > 0)
+          .withColumn("n", size(col("toks")).cast(LongType))
+          .withColumn("spans", expr(
+            """transform(sequence(0L, (n + 7) div 8 - 1), b -> named_struct(
+              |  'b', b,
+              |  'st', b * 8 + (doc_id * 131 + b * 137) % 5,
+              |  'en', least(
+              |    b * 8 + (doc_id * 131 + b * 137) % 5
+              |      + 1 + (doc_id * 139 + b * 149) % 3,
+              |    least((b + 1) * 8, n))))""".stripMargin))
+          .select(
+            col("doc_id"),
+            col("n").as("n_toks"),
+            expr("CAST(size(filter(spans, sp -> sp.st < sp.en)) AS BIGINT)")
+              .as("n_spans"),
+            expr("""aggregate(spans, 0L,
+                   |  (acc, sp) -> acc + greatest(sp.en - sp.st, 0L))"""
+              .stripMargin).as("n_masked"),
+            expr("""concat_ws(' ', filter(transform(
+                   |  sequence(0L, n - 1), i ->
+                   |    CASE
+                   |      WHEN i = element_at(spans, CAST(i div 8 AS INT) + 1).st
+                   |        AND element_at(spans, CAST(i div 8 AS INT) + 1).st
+                   |          < element_at(spans, CAST(i div 8 AS INT) + 1).en
+                   |      THEN concat('<X_', CAST(i div 8 AS STRING), '>')
+                   |      WHEN i > element_at(spans, CAST(i div 8 AS INT) + 1).st
+                   |        AND i < element_at(spans, CAST(i div 8 AS INT) + 1).en
+                   |      THEN CAST(NULL AS STRING)
+                   |      ELSE element_at(toks, CAST(i + 1 AS INT))
+                   |    END), x -> x IS NOT NULL))""".stripMargin)
+              .as("corrupted"),
+            expr("""concat_ws(' ', flatten(transform(spans, sp ->
+                   |  CASE WHEN sp.st < sp.en THEN
+                   |    concat(array(concat('<X_', CAST(sp.b AS STRING), '>')),
+                   |      slice(toks, CAST(sp.st + 1 AS INT),
+                   |        CAST(sp.en - sp.st AS INT)))
+                   |  ELSE array() END)))""".stripMargin).as("target"))
+          .withColumn("mask_permille",
+            expr("n_masked * 1000 div n_toks"))
+      },
+      Some(s"""WITH sct AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |scn AS (
+              |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+              |  FROM sct WHERE len(toks) > 0),
+              |scs AS (
+              |  SELECT doc_id, toks, n,
+              |    list_transform(range(0, (n + 7) // 8), b -> struct_pack(
+              |      b := b,
+              |      st := b * 8 + (doc_id * 131 + b * 137) % 5,
+              |      en := least(
+              |        b * 8 + (doc_id * 131 + b * 137) % 5
+              |          + 1 + (doc_id * 139 + b * 149) % 3,
+              |        least((b + 1) * 8, n)))) AS spans
+              |  FROM scn)
+              |SELECT doc_id, n AS n_toks,
+              |  CAST(len(list_filter(spans, sp -> sp.st < sp.en)) AS BIGINT)
+              |    AS n_spans,
+              |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(spans, sp -> greatest(sp.en - sp.st, 0))),
+              |    (acc, x) -> acc + x) AS BIGINT) AS n_masked,
+              |  coalesce(array_to_string(list_filter(list_transform(
+              |    range(0, n), i ->
+              |      CASE
+              |        WHEN i = spans[CAST(i // 8 AS INT) + 1].st
+              |          AND spans[CAST(i // 8 AS INT) + 1].st
+              |            < spans[CAST(i // 8 AS INT) + 1].en
+              |        THEN '<X_' || CAST(i // 8 AS VARCHAR) || '>'
+              |        WHEN i > spans[CAST(i // 8 AS INT) + 1].st
+              |          AND i < spans[CAST(i // 8 AS INT) + 1].en
+              |        THEN NULL
+              |        ELSE toks[CAST(i + 1 AS INT)]
+              |      END), x -> x IS NOT NULL), ' '), '') AS corrupted,
+              |  coalesce(array_to_string(flatten(list_transform(spans, sp ->
+              |    CASE WHEN sp.st < sp.en THEN
+              |      list_prepend('<X_' || CAST(sp.b AS VARCHAR) || '>',
+              |        list_slice(toks, CAST(sp.st + 1 AS INT),
+              |          CAST(sp.en AS INT)))
+              |    ELSE [] END)), ' '), '') AS target,
+              |  (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(spans, sp -> greatest(sp.en - sp.st, 0))),
+              |    (acc, x) -> acc + x) AS BIGINT) * 1000) // n AS mask_permille
+              |FROM scs""".stripMargin)),
   )
 }
