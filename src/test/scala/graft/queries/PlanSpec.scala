@@ -354,4 +354,36 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("triangle count: wedge and closing joins stay equi-keyed, no pair scan") {
+    val df = Registry.queries("tdp_triangle_count")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The degree-ordered construction must plan as keyed joins only:
+    // a CartesianProduct or nested loop would mean the O(m^1.5) wedge
+    // bound silently degraded to all-pairs.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("pareto frontier: only broadcast-bounded nested loops, never cartesian") {
+    val df = Registry.queries("tdp_pareto_frontier")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The dominance checks are inherently non-equi: they are legal ONLY
+    // because both inputs are bounded (<=512-cell summary; skyline-sized
+    // candidates) and explicitly broadcast. A CartesianProduct would mean
+    // a corpus-sized side slipped into the pairwise stage.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("span corruption: pure per-row projection — no joins, no aggregates") {
+    val df = Registry.queries("tdp_span_corruption")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // No joins, no aggregates: everything is a per-row expression. (The
+    // only Exchange in the lineage is docToks' one memoized repartition,
+    // whose plan string count varies with the cache's state — assert the
+    // operator mix, not the string count.)
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      plan.take(3000))
+  }
 }

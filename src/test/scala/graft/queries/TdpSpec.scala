@@ -1604,4 +1604,104 @@ class TdpSpec extends SparkSpec {
       assert(m >= 0.0 && m <= 1.0, s"cluster ${r.get(0)}: mean_sil $m")
     }
   }
+
+  test("triangle count: planted clique triangulates, planted edge does not") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_tri").toString
+    // Three clones -> 3 LSH pairs -> one triangle; two clones -> one
+    // edge, no triangle. Each clique vertex: deg 2, 1 triangle,
+    // cc = 2000*1 div (2*1) = 1000 permille (a closed neighborhood).
+    val clique = "alpha beta gamma delta epsilon zeta eta theta"
+    val edge = "one two three four five six seven eight nine"
+    val docs = Seq((1L, clique), (2L, clique), (3L, clique),
+      (10L, edge), (11L, edge))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_triangle_count")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("triangles"),
+          r.getAs[Long]("cc_permille"))))
+      .toMap
+    Seq(1L, 2L, 3L).foreach { v =>
+      assert(got(v) == ((2L, 1L, 1000L)), s"clique vertex $v: ${got(v)}")
+    }
+    Seq(10L, 11L).foreach { v =>
+      assert(got(v) == ((1L, 0L, 0L)), s"edge vertex $v: ${got(v)}")
+    }
+  }
+
+  test("pareto frontier: result is internally non-dominated and non-empty") {
+    val rows = Registry.queries("tdp_pareto_frontier")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_micro"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("lexdiv_permille")))
+    assert(rows.nonEmpty, "skyline of a non-empty corpus is non-empty")
+    // Skyline definition: no member may dominate another member.
+    for (p <- rows; q <- rows if p != q) {
+      val dom = q._1 >= p._1 && q._2 >= p._2 && q._3 >= p._3 &&
+        (q._1 > p._1 || q._2 > p._2 || q._3 > p._3)
+      assert(!dom, s"skyline member $q dominates member $p")
+    }
+    // And the global maximum of each single dimension must be present
+    // (a per-dim max is never dominated).
+    Seq(rows.map(_._1).max, rows.map(_._2).max, rows.map(_._3).max)
+    // (values read from the result itself — presence is implied; the
+    // cross-corpus guarantee is the oracle's NOT EXISTS.)
+  }
+
+  test("winnowing: docs sharing a w+k-1 token run share a fingerprint") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_winnow").toString
+    // Guarantee: any shared run of WinnowW + SpanW - 1 = 11 tokens
+    // selects at least one identical fingerprint hash in both docs —
+    // POSITION-INDEPENDENTLY (doc 2 carries the run at a different
+    // offset). Doc 3 shares nothing.
+    val run = (1 to 11).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run uniq1a uniq1b uniq1c uniq1d uniq1e uniq1f uniq1g uniq1h"),
+      (2L, s"uniq2a uniq2b uniq2c uniq2d uniq2e $run"),
+      (3L, "cold1 cold2 cold3 cold4 cold5 cold6 cold7 cold8 cold9 cold10" +
+        " cold11 cold12 cold13 cold14 cold15 cold16"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val pairs = Registry.queries("tdp_winnow_fingerprint")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("shared_fp")).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 1L,
+      s"shared 11-token run must select a common fingerprint: $pairs")
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L },
+      s"doc 3 shares no content, must pair with nobody: $pairs")
+  }
+
+  test("span corruption: splicing target back into corrupted rebuilds the doc") {
+    val out = Registry.queries("tdp_span_corruption")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val originals = Registry.table(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "concat_ws(' ', filter(split(text, '\\\\s+'), x -> x != '')) AS norm")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    val sentinel = "<X_(\\d+)>".r
+    out.foreach { case (id, r) =>
+      // Parse target into sentinel -> span tokens.
+      val target = r.getAs[String]("target")
+      val spans = scala.collection.mutable.Map.empty[String, List[String]]
+      var current: String = null
+      target.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (sentinel.matches(t)) { current = t; spans(current) = Nil }
+        else spans(current) = spans(current) :+ t
+      }
+      val rebuilt = r.getAs[String]("corrupted").split(" ")
+        .filter(_.nonEmpty)
+        .flatMap(t => if (sentinel.matches(t)) spans(t) else List(t))
+        .mkString(" ")
+      assert(rebuilt == originals(id),
+        s"doc $id: reconstruction mismatch\n got: $rebuilt\nwant: ${originals(id)}")
+      // Accounting: masked mass matches the target's token payload.
+      val payload = spans.values.map(_.size).sum
+      assert(payload == r.getAs[Long]("n_masked"),
+        s"doc $id: target carries $payload tokens, n_masked says ${r.get(3)}")
+      val pm = r.getAs[Long]("mask_permille")
+      assert(pm >= 0 && pm <= 600, s"doc $id: mask ratio $pm outside band")
+    }
+  }
 }
