@@ -8271,5 +8271,327 @@ object TdpQueries {
               |    list_transform(spans, sp -> greatest(sp.en - sp.st, 0))),
               |    (acc, x) -> acc + x) AS BIGINT) * 1000) // n AS mask_permille
               |FROM scs""".stripMargin)),
+
+    // PII REDACTION (the transform tdp_pii_scan only audits): rewrite
+    // the text with typed placeholders — SSN-shaped first (the dashed
+    // form would otherwise be half-eaten by the digit-run rule), then
+    // email-shaped, then long digit runs — and emit a RESIDUAL
+    // certificate: the same detectors re-run on the redacted text must
+    // find zero matches, so the release gate is a column predicate, not
+    // a trust-me. Pure per-row codegen'd regex; the 100 TB cost is one
+    // scan of the column being released.
+    QueryDef(
+      "tdp_pii_redact",
+      (s, dir) => {
+        val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+        val email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+        val idrun = "[0-9]{9,}"
+        def nMatches(c: Column, pat: String): Column =
+          expr(s"size(regexp_extract_all(${c.toString}, '$pat', 0))")
+            .cast(LongType)
+        val red = regexp_replace(regexp_replace(regexp_replace(
+          col("c_name"), ssn, "<SSN>"), email, "<EMAIL>"), idrun, "<ID>")
+        table(s, dir, "customer").select(
+          col("c_custkey"),
+          nMatches(col("c_name"), ssn).as("n_ssn"),
+          nMatches(col("c_name"), email).as("n_email"),
+          nMatches(col("c_name"), idrun).as("n_id"),
+          red.as("redacted"))
+          .withColumn("n_residual",
+            nMatches(col("redacted"), ssn) +
+              nMatches(col("redacted"), email) +
+              nMatches(col("redacted"), idrun))
+      },
+      Some("""SELECT c_custkey,
+             |  CAST(len(regexp_extract_all(c_name,
+             |    '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+             |  CAST(len(regexp_extract_all(c_name,
+             |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(c_name,
+             |    '[0-9]{9,}')) AS BIGINT) AS n_id,
+             |  redacted,
+             |  CAST(len(regexp_extract_all(redacted,
+             |      '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+             |    + len(regexp_extract_all(redacted,
+             |      '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
+             |    + len(regexp_extract_all(redacted,
+             |      '[0-9]{9,}')) AS BIGINT) AS n_residual
+             |FROM (
+             |  SELECT c_custkey, c_name,
+             |    regexp_replace(regexp_replace(regexp_replace(c_name,
+             |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+             |      '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+             |      '[0-9]{9,}', '<ID>', 'g') AS redacted
+             |  FROM customer)""".stripMargin)),
+
+    // LEAKAGE-SAFE SPLIT: assign train/val/test BY NEAR-DUP CLUSTER,
+    // not by document — the split rule every leakage postmortem ends
+    // with. Split = seeded hash of the CLUSTER id (the connected-
+    // component label; singletons are their own cluster), so all
+    // members co-assign by construction, and the query publishes its
+    // own certificate: leaky_clusters (clusters spanning > 1 split)
+    // must be zero. Per-doc cost is one join onto the memoized cluster
+    // spine; the hash embeds the squared id (the anti-affine device
+    // proven necessary by tdp_uniform_sample).
+    QueryDef(
+      "tdp_leakage_safe_split",
+      (s, dir) => {
+        val assigned = dupClusters(s, dir)
+          .select("doc_id", "cluster_id")
+          .withColumn("h", expr(polyHashExpr(
+            "concat('lss:', CAST(cluster_id AS STRING), ':', " +
+              "CAST(cluster_id * cluster_id AS STRING))")) % 10)
+          .withColumn("split",
+            when(col("h") < 8, "train").when(col("h") === 8, "val")
+              .otherwise("test"))
+        val leaky = assigned.groupBy("cluster_id")
+          .agg(countDistinct(col("split")).as("nsp"))
+          .agg(sum(when(col("nsp") > 1, 1L).otherwise(0L))
+            .as("leaky_clusters"))
+        assigned.groupBy("split").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+          .crossJoin(broadcast(leaky))
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |lsa AS MATERIALIZED (
+              |  SELECT doc_id, cluster_id,
+              |    CASE
+              |      WHEN ${polyHashSql("'lss:' || CAST(cluster_id AS VARCHAR) || ':' || CAST(cluster_id * cluster_id AS VARCHAR)")} % 10 < 8
+              |        THEN 'train'
+              |      WHEN ${polyHashSql("'lss:' || CAST(cluster_id AS VARCHAR) || ':' || CAST(cluster_id * cluster_id AS VARCHAR)")} % 10 = 8
+              |        THEN 'val'
+              |      ELSE 'test' END AS split
+              |  FROM cc),
+              |lkc AS (
+              |  SELECT CAST(coalesce(sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END), 0)
+              |    AS BIGINT) AS leaky_clusters
+              |  FROM (SELECT cluster_id, count(DISTINCT split) AS nsp
+              |        FROM lsa GROUP BY 1))
+              |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+              |  leaky_clusters
+              |FROM lsa CROSS JOIN lkc
+              |GROUP BY split, leaky_clusters""".stripMargin)),
+
+    // RECIPROCAL RANK FUSION (Cormack-Clarke-Buettcher RRF, k=60): fuse
+    // the exact-cosine ranking with the IVF bucketed ranking into one
+    // list — the standard ensemble device when two retrieval runs
+    // disagree (here: the ground-truth run and the production index, so
+    // the fused list quantifies how much the index reshuffles the
+    // head). Scores are integer micro-units (1e6 div (60 + rank)), so
+    // ties and order are engine-exact. The fusion itself is one
+    // full-outer pair-keyed join of two top-3 frames — both already
+    // bounded per query — plus one per-query window over <= 6 rows.
+    QueryDef(
+      "tdp_rank_fusion",
+      (s, dir) => {
+        val e = embWithNorm(s, dir)
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"))
+        val c = e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("norm").as("c_norm"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+        val exact = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("c_id"), col("rank").as("rank_exact"))
+        val ivf = ivfTop3(s, dir)
+          .select(col("q_id"), col("c_id"), col("rank").as("rank_ivf"))
+        val fused = exact.join(ivf, Seq("q_id", "c_id"), "full_outer")
+          .select(col("q_id"), col("c_id"),
+            coalesce(col("rank_exact"), lit(0)).cast(LongType)
+              .as("rank_exact"),
+            coalesce(col("rank_ivf"), lit(0)).cast(LongType).as("rank_ivf"))
+          .withColumn("rrf_micro",
+            expr("""CASE WHEN rank_exact > 0
+                   |  THEN 1000000 div (60 + rank_exact) ELSE 0 END
+                   |+ CASE WHEN rank_ivf > 0
+                   |  THEN 1000000 div (60 + rank_ivf) ELSE 0 END"""
+              .stripMargin))
+        val wF = Window.partitionBy("q_id")
+          .orderBy(desc("rrf_micro"), col("c_id"))
+        fused.withColumn("fused_rank", row_number().over(wF).cast(LongType))
+          .filter(col("fused_rank") <= 3)
+          .select("q_id", "c_id", "rank_exact", "rank_ivf", "rrf_micro",
+            "fused_rank")
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |rfex AS (
+              |  SELECT q_id, c_id, rank AS rank_exact FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id)
+              |        AS rank
+              |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+              |    WHERE q.vec_id % 50 = 0)
+              |  WHERE rank <= 3),
+              |rfiv AS (
+              |  SELECT q_id, c_id, rank AS rank_ivf FROM ivf),
+              |rff AS (
+              |  SELECT coalesce(a.q_id, b.q_id) AS q_id,
+              |    coalesce(a.c_id, b.c_id) AS c_id,
+              |    CAST(coalesce(a.rank_exact, 0) AS BIGINT) AS rank_exact,
+              |    CAST(coalesce(b.rank_ivf, 0) AS BIGINT) AS rank_ivf
+              |  FROM rfex a FULL OUTER JOIN rfiv b
+              |    ON a.q_id = b.q_id AND a.c_id = b.c_id),
+              |rfs AS (
+              |  SELECT q_id, c_id, rank_exact, rank_ivf,
+              |    (CASE WHEN rank_exact > 0
+              |       THEN 1000000 // (60 + rank_exact) ELSE 0 END
+              |     + CASE WHEN rank_ivf > 0
+              |       THEN 1000000 // (60 + rank_ivf) ELSE 0 END) AS rrf_micro
+              |  FROM rff)
+              |SELECT q_id, c_id, rank_exact, rank_ivf, rrf_micro,
+              |  fused_rank
+              |FROM (
+              |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+              |    ORDER BY rrf_micro DESC, c_id) AS BIGINT) AS fused_rank
+              |  FROM rfs)
+              |WHERE fused_rank <= 3""".stripMargin)),
+
+    // QUALITY CLASSIFIER TRAINED IN THE ENGINE (the fastText-style
+    // filter every corpus release trains: predict a label — here
+    // lang='en' — from cheap surface features): a linear probability
+    // model fit by 3 full-batch gradient steps, ALL IN EXACT INTEGER
+    // ARITHMETIC. The "sigmoid" is the clipped-linear transfer
+    // clamp(1/2 + s/4, 0, 1) so no transcendental ever enters; gradients
+    // are order-insensitive long sums of (p - y)·x; every division is
+    // EXPLICIT TRUNCATED division (Spark `div` truncates toward zero,
+    // DuckDB `//` floors — on the negative gradients here they differ,
+    // so both engines spell out sign(a)·(|a| div b)). Scale shape: one
+    // corpus pass per step (aggregate of 5 longs), model state is 3
+    // longs on the driver — the BPE-loop pattern applied to learning;
+    // the oracle replays every step as unrolled CTE layers, so the
+    // training trajectory itself is hash-certified. (At 100 TB the
+    // (p-y)·x row terms are ~1e9, so a long sum holds to ~1e10 rows;
+    // beyond that the same fold runs in Decimal(38) unchanged.)
+    QueryDef(
+      "tdp_quality_classifier",
+      (s, dir) => {
+        def tdiv(a: String, b: String): String =
+          s"(CASE WHEN ($a) >= 0 THEN ($a) div ($b)" +
+            s" ELSE -((-($a)) div ($b)) END)"
+        // Label: the head half of the quality distribution (threshold
+        // fixed at 0.745, the calibration-corpus median — a production
+        // filter ships exactly such a frozen constant). The rule is a
+        // linear function of the surface ratios, so a linear model can
+        // genuinely LEARN it — accuracy must climb above the base rate,
+        // not collapse to the majority class.
+        val raw = table(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(
+            when(qualityScore >= 0.745, 1000000L).otherwise(0L).as("y"),
+            expr("CAST(length(regexp_replace(text, '[^A-Za-z]', ''))" +
+              " AS BIGINT) * 1000 div length(text)").as("r1"),
+            expr("(CAST(length(text) AS BIGINT)" +
+              " - length(replace(text, ' ', ''))) * 1000 div length(text)")
+              .as("r2"))
+        // CENTER the features (one 1-row pass): uncentered positive
+        // features make every gradient share the sign of the class
+        // imbalance and the fit collapses to the majority class.
+        val m = raw.agg(sum("r1").as("s1"), sum("r2").as("s2"),
+          count(lit(1)).as("n")).head()
+        val (m1, m2) =
+          (m.getAs[Long]("s1") / m.getAs[Long]("n"),
+            m.getAs[Long]("s2") / m.getAs[Long]("n"))
+        val feats = raw.select(col("y"), lit(1000L).as("x0"),
+          // ×100 rescale: the centered permille ratios span only ±40, so
+          // unscaled the bias coordinate (|x0| = 1000) out-muscles the
+          // informative features 25:1 in every gradient and the fit
+          // degenerates to the majority class (measured: 706 permille =
+          // the base rate; ×100 reaches 910 in one step).
+          ((col("r1") - m1) * 100).as("x1"),
+          ((col("r2") - m2) * 100).as("x2"))
+        var w = Array(0L, 0L, 0L)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long, Long)]
+        for (k <- 0L to 3L) {
+          val scored = feats
+            .withColumn("score", expr(tdiv(
+              s"${w(0)} * x0 + ${w(1)} * x1 + ${w(2)} * x2", "1000")))
+            .withColumn("p", expr(
+              s"greatest(0, least(1000000, 500000 + ${tdiv("score", "4")}))"))
+            .withColumn("correct",
+              ((col("p") >= 500000L) === (col("y") === 1000000L))
+                .cast(LongType))
+          // 1-row driver hop per step (5 longs) — the BPE merge-fold shape.
+          val r = scored.agg(
+            sum(expr("(p - y) * x0")).as("g0"),
+            sum(expr("(p - y) * x1")).as("g1"),
+            sum(expr("(p - y) * x2")).as("g2"),
+            count(lit(1)).as("n"),
+            sum("correct").as("n_correct")).head()
+          val n = r.getAs[Long]("n")
+          val nc = r.getAs[Long]("n_correct")
+          out += ((k, w(0), w(1), w(2), nc, nc * 1000 / n))
+          def t(a: Long, b: Long): Long =
+            if (a >= 0) a / b else -((-a) / b)
+          if (k < 3) w = Array(
+            w(0) - t(r.getAs[Long]("g0"), n * 4000),
+            w(1) - t(r.getAs[Long]("g1"), n * 4000),
+            w(2) - t(r.getAs[Long]("g2"), n * 4000))
+        }
+        import s.implicits._
+        out.toSeq.toDF("step", "w0", "w1", "w2", "n_correct",
+          "acc_permille")
+      },
+      Some {
+        def tdiv(a: String, b: String): String =
+          s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b)" +
+            s" ELSE -((-($a)) // ($b)) END)"
+        val steps = (0 to 3).map { k =>
+          val upd = if (k < 3)
+            s""",
+               |qw${k + 1} AS (
+               |  SELECT
+               |    CAST(w.w0 - ${tdiv("a.g0", "a.n * 4000")} AS BIGINT) AS w0,
+               |    CAST(w.w1 - ${tdiv("a.g1", "a.n * 4000")} AS BIGINT) AS w1,
+               |    CAST(w.w2 - ${tdiv("a.g2", "a.n * 4000")} AS BIGINT) AS w2
+               |  FROM qw$k w, qa$k a)""".stripMargin
+          else ""
+          s"""qs$k AS (
+             |  SELECT q.y, q.x0, q.x1, q.x2,
+             |    greatest(0, least(1000000, 500000 + ${tdiv(
+            s"${tdiv("w.w0 * q.x0 + w.w1 * q.x1 + w.w2 * q.x2", "1000")}",
+            "4")})) AS p
+             |  FROM qcf q CROSS JOIN qw$k w),
+             |qa$k AS (
+             |  SELECT sum((p - y) * x0) AS g0, sum((p - y) * x1) AS g1,
+             |    sum((p - y) * x2) AS g2, count(*) AS n,
+             |    sum(CASE WHEN (p >= 500000) = (y = 1000000)
+             |      THEN 1 ELSE 0 END) AS n_correct
+             |  FROM qs$k),
+             |qr$k AS (
+             |  SELECT CAST($k AS BIGINT) AS step, w.w0, w.w1, w.w2,
+             |    CAST(a.n_correct AS BIGINT) AS n_correct,
+             |    CAST((a.n_correct * 1000) // a.n AS BIGINT) AS acc_permille
+             |  FROM qw$k w, qa$k a)$upd""".stripMargin
+        }.mkString(",\n")
+        s"""WITH qcr AS (
+           |  SELECT
+           |    CASE WHEN ($qualitySql) >= 0.745 THEN 1000000 ELSE 0 END AS y,
+           |    (CAST(alpha AS BIGINT) * 1000) // CAST(n AS BIGINT) AS r1,
+           |    (CAST(ws AS BIGINT) * 1000) // CAST(n AS BIGINT) AS r2
+           |  FROM ($qualityPartsSql)),
+           |qcm AS (
+           |  SELECT CAST(sum(r1) // count(*) AS BIGINT) AS m1,
+           |    CAST(sum(r2) // count(*) AS BIGINT) AS m2
+           |  FROM qcr),
+           |qcf AS (
+           |  SELECT y, CAST(1000 AS BIGINT) AS x0,
+           |    (r1 - m1) * 100 AS x1, (r2 - m2) * 100 AS x2
+           |  FROM qcr CROSS JOIN qcm),
+           |qw0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+           |  CAST(0 AS BIGINT) AS w2),
+           |$steps
+           |SELECT step, w0, w1, w2, n_correct, acc_permille FROM qr0
+           |UNION ALL SELECT * FROM qr1
+           |UNION ALL SELECT * FROM qr2
+           |UNION ALL SELECT * FROM qr3""".stripMargin
+      }),
   )
 }
