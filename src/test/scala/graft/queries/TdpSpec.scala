@@ -1672,6 +1672,77 @@ class TdpSpec extends SparkSpec {
       s"doc 3 shares no content, must pair with nobody: $pairs")
   }
 
+  test("pii redact: planted SSN/email/id are replaced, residual is zero") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_pii").toString
+    val rows = Seq(
+      (1L, "call 123-45-6789 or mail bob.smith@example.com now"),
+      (2L, "account 123456789012 flagged"),
+      (3L, "no pii here at all"))
+    rows.toDF("c_custkey", "c_name").write.parquet(s"$dir/customer.parquet")
+    val got = Registry.queries("tdp_pii_redact")(spark, dir)
+      .collect().map(r => r.getAs[Long]("c_custkey") -> r).toMap
+    assert(got(1L).getAs[String]("redacted") ==
+      "call <SSN> or mail <EMAIL> now")
+    assert(got(1L).getAs[Long]("n_ssn") == 1L &&
+      got(1L).getAs[Long]("n_email") == 1L)
+    assert(got(2L).getAs[String]("redacted") == "account <ID> flagged" &&
+      got(2L).getAs[Long]("n_id") == 1L)
+    assert(got(3L).getAs[String]("redacted") == "no pii here at all")
+    got.values.foreach(r => assert(r.getAs[Long]("n_residual") == 0L,
+      s"redaction must leave no residual matches: $r"))
+  }
+
+  test("leakage-safe split: clusters never span splits, totals close") {
+    val rows = Registry.queries("tdp_leakage_safe_split")(spark, sf).collect()
+    val nDocs = Registry.table(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every document lands in exactly one split")
+    rows.foreach(r => assert(r.getAs[Long]("leaky_clusters") == 0L,
+      s"the certificate column must be zero: $r"))
+    assert(rows.map(_.getAs[String]("split")).toSet
+      .subsetOf(Set("train", "val", "test")))
+    // The train split must dominate (8/10 hash mass).
+    val byName = rows.map(r => r.getAs[String]("split") ->
+      r.getAs[Long]("n_docs")).toMap
+    assert(byName("train") > byName.getOrElse("val", 0L) &&
+      byName("train") > byName.getOrElse("test", 0L))
+  }
+
+  test("rank fusion: three fused rows per query, doubly-ranked hits lead") {
+    val rows = Registry.queries("tdp_rank_fusion")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 3, s"query $q: ${rs.length} fused rows")
+      val sorted = rs.sortBy(_.getAs[Long]("fused_rank"))
+      // Fused order must be non-increasing in rrf score.
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) =>
+          a.getAs[Long]("rrf_micro") >= b.getAs[Long]("rrf_micro")
+        case _ => true
+      })
+      // A candidate ranked 1 by BOTH lists must be fused rank 1
+      // (it holds the maximum possible score).
+      sorted.find(r => r.getAs[Long]("rank_exact") == 1L &&
+        r.getAs[Long]("rank_ivf") == 1L)
+        .foreach(r => assert(r.getAs[Long]("fused_rank") == 1L))
+    }
+  }
+
+  test("quality classifier: the gradient steps beat the base rate") {
+    val rows = Registry.queries("tdp_quality_classifier")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("step"))
+    assert(rows.length == 4)
+    val acc0 = rows.head.getAs[Long]("acc_permille")
+    val accLast = rows.last.getAs[Long]("acc_permille")
+    // Step 0 is the untrained w=0 model (predict-all-positive); training
+    // must clear BOTH the initial accuracy and the majority-class rate
+    // (1000 - acc0), or the model only memorized the imbalance.
+    assert(accLast > acc0, s"training never improved: $acc0 -> $accLast")
+    assert(accLast > 1000 - acc0,
+      s"model collapsed to the majority class: $accLast <= ${1000 - acc0}")
+  }
+
   test("span corruption: splicing target back into corrupted rebuilds the doc") {
     val out = Registry.queries("tdp_span_corruption")(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
