@@ -302,6 +302,28 @@ object TdpQueries {
         .select("q_id", "c_id", "rank", "sim")
     }
 
+  /** Broadcast brute-force exact cosine top-5 for the `% 50` query set,
+    * memoized: the float-exact ground truth every ANN metric grades
+    * against (recall, nprobe, PQ, IVFPQ, MRR/NDCG, rank fusion) and the
+    * cosine-topk baseline itself — ONE broadcast pass instead of seven
+    * rebuilt lineages. Consumers slice `rank <= k` off the cached frame.
+    */
+  private def exactTop5(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_exact_top5") {
+      val e = embWithNorm(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+      val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+      broadcast(q).join(c, col("q_id") =!= col("c_id"))
+        .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "rank", "sim")
+    }
+
   /** DuckDB CTE chain ending in `ivf(q_id, c_id, cluster, rank, sim)` —
     * the SQL twin of [[ivfTop3]] (expects `emb` in scope), shared by the
     * tdp_ann_ivf and tdp_ann_recall oracles so the searched index can
@@ -1832,20 +1854,7 @@ object TdpQueries {
     // dot products are bit-identical across engines.
     QueryDef(
       "tdp_cosine_topk",
-      (s, dir) => {
-        val e = embWithNorm(s, dir)
-        val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("norm").as("q_norm"))
-        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("norm").as("c_norm"))
-        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
-        broadcast(q).join(c, col("q_id") =!= col("c_id"))
-          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select("q_id", "c_id", "rank", "sim")
-      },
+      (s, dir) => exactTop5(s, dir),
       Some(s"""WITH $embNormSql
               |SELECT q_id, c_id, rank, sim FROM (
               |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
@@ -1882,17 +1891,7 @@ object TdpQueries {
     QueryDef(
       "tdp_ann_recall",
       (s, dir) => {
-        val e = embWithNorm(s, dir)
-        val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("norm").as("q_norm"))
-        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("norm").as("c_norm"))
-        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
-        val truth = broadcast(q).join(c, col("q_id") =!= col("c_id"))
-          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
+        val truth = exactTop5(s, dir).filter(col("rank") <= 3)
           .select("q_id", "c_id")
         val cand = ivfTop3(s, dir).select("q_id", "c_id")
         val nTruth = truth.agg(count(lit(1)).as("n_exact"))
@@ -1934,17 +1933,7 @@ object TdpQueries {
     QueryDef(
       "tdp_ann_recall_nprobe",
       (s, dir) => {
-        val e = embWithNorm(s, dir)
-        val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("norm").as("q_norm"))
-        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("norm").as("c_norm"))
-        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
-        val truth = broadcast(q).join(c, col("q_id") =!= col("c_id"))
-          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
+        val truth = exactTop5(s, dir).filter(col("rank") <= 3)
           .select("q_id", "c_id")
         val nTruth = truth.agg(count(lit(1)).as("n_exact"))
         def metric(np: Int, cand: DataFrame): DataFrame = {
@@ -2189,7 +2178,6 @@ object TdpQueries {
     QueryDef(
       "tdp_ann_pq",
       (s, dir) => {
-        val e = embWithNorm(s, dir)
         val adc = pqAssign(s, dir)
           .join(broadcast(pqQtab(s, dir)), Seq("m", "code_id"))
           .groupBy("q_id", "c_id")
@@ -2198,16 +2186,7 @@ object TdpQueries {
         val wPq = Window.partitionBy("q_id").orderBy(desc("adc_micro"), col("c_id"))
         val cand = adc.withColumn("rank", row_number().over(wPq))
           .filter(col("rank") <= 3).select("q_id", "c_id")
-        val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("norm").as("q_norm"))
-        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("norm").as("c_norm"))
-        val wf = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
-        val truth = broadcast(q).join(c, col("q_id") =!= col("c_id"))
-          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
-          .withColumn("rank", row_number().over(wf))
-          .filter(col("rank") <= 3)
+        val truth = exactTop5(s, dir).filter(col("rank") <= 3)
           .select("q_id", "c_id")
         val nTruth = truth.agg(count(lit(1)).as("n_exact"))
         val nHit = truth.join(cand, Seq("q_id", "c_id"), "left_semi")
@@ -2267,17 +2246,7 @@ object TdpQueries {
     QueryDef(
       "tdp_ann_ivfpq",
       (s, dir) => {
-        val e = embWithNorm(s, dir)
-        val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("norm").as("q_norm"))
-        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("norm").as("c_norm"))
-        val wf = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
-        val truth = broadcast(q).join(c, col("q_id") =!= col("c_id"))
-          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
-          .withColumn("rank", row_number().over(wf))
-          .filter(col("rank") <= 3)
+        val truth = exactTop5(s, dir).filter(col("rank") <= 3)
           .select("q_id", "c_id")
         val cand = ivfPqTop3(s, dir).select("q_id", "c_id")
         val nTruth = truth.agg(count(lit(1)).as("n_exact"))
@@ -7074,18 +7043,8 @@ object TdpQueries {
     QueryDef(
       "tdp_ann_ranking_metrics",
       (s, dir) => {
-        val e = embWithNorm(s, dir)
-        val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("norm").as("q_norm"))
-        val c = e.select(col("vec_id").as("c_id"),
-          col("embedding").as("c_emb"), col("norm").as("c_norm"))
-        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
-        val truth = broadcast(q).join(c, col("q_id") =!= col("c_id"))
-          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
-          .withColumn("t_rank", row_number().over(w))
-          .filter(col("t_rank") <= 3)
-          .select("q_id", "c_id", "t_rank")
+        val truth = exactTop5(s, dir).filter(col("rank") <= 3)
+          .select(col("q_id"), col("c_id"), col("rank").as("t_rank"))
         val cand = ivfTop3(s, dir).select("q_id", "c_id", "rank")
         val rrMu = when(col("t_rank") === 1,
           when(col("rank") === 1, 1000000L)
@@ -8386,17 +8345,7 @@ object TdpQueries {
     QueryDef(
       "tdp_rank_fusion",
       (s, dir) => {
-        val e = embWithNorm(s, dir)
-        val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("norm").as("q_norm"))
-        val c = e.select(col("vec_id").as("c_id"),
-          col("embedding").as("c_emb"), col("norm").as("c_norm"))
-        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
-        val exact = broadcast(q).join(c, col("q_id") =!= col("c_id"))
-          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
+        val exact = exactTop5(s, dir).filter(col("rank") <= 3)
           .select(col("q_id"), col("c_id"), col("rank").as("rank_exact"))
         val ivf = ivfTop3(s, dir)
           .select(col("q_id"), col("c_id"), col("rank").as("rank_ivf"))
