@@ -118,6 +118,31 @@ object TdpQueries {
       spanGrams(s, dir).select(
         col("doc_id"), posexplode(col("hs")).as(Seq("p0", "h"))))
 
+  /** HOT shared windows with exact text and canonical owner, memoized —
+    * the verified core of the ExactSubstr family: every (doc, position)
+    * whose SpanW-token window's HASH occurs in >= 2 distinct docs,
+    * re-sliced to its exact text (the Bloom-then-verify shape: the
+    * hash prefilter shuffles no text and loses nothing, collisions die
+    * at the text stage), joined with the per-text distinct-doc count
+    * `span_df` and the canonical owner `d1` = min doc id. Consumed by
+    * tdp_substring_dedup (detection) and tdp_dedup_apply (excision).
+    */
+  private def hotWindows(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_hot_windows") {
+      val pos = spanPos(s, dir)
+      val dfh = pos.groupBy("h").agg(
+        countDistinct(col("doc_id")).as("hash_df"))
+      val hot0 = pos.join(dfh.filter(col("hash_df") >= 2).select("h"), "h")
+      val hotT = hot0.join(docToks(s, dir), "doc_id")
+        .withColumn("wtext",
+          expr(s"concat_ws(' ', slice(toks, p0 + 1, $SpanW))"))
+        .select("doc_id", "p0", "wtext")
+      val df1 = hotT.groupBy("wtext").agg(
+        countDistinct(col("doc_id")).as("span_df"),
+        min(col("doc_id")).as("d1"))
+      hotT.join(df1, "wtext")
+    }
+
   /** Corpus token stream with its polyhash key — input of the
     * frequency-sketch family. Built on the memoized docToks; not itself
     * memoized (the explode is cheap to re-derive and corpus-sized to
@@ -1127,6 +1152,42 @@ object TdpQueries {
                 lit(false).as("skip"))))
       },
       st => st.getField("out"))
+
+  /** DuckDB CTE chain ending in `hott(doc_id, p0, wtext)` + `df1(wtext,
+    * span_df, d1)` — the SQL twin of [[hotWindows]] (NOTE: `p0` here is
+    * 1-based where the Spark frame's is 0-based; downstream arithmetic
+    * accounts for it). Shared by the tdp_substring_dedup and
+    * tdp_dedup_apply oracles.
+    */
+  private val hotWindowsSqlCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) >= $SpanW THEN
+       |      list_transform(range(1, len(toks) - ${SpanW - 2}), i ->
+       |        ${polyHashSql(s"array_to_string(list_slice(toks, i, i + ${SpanW - 1}), ' ')")})
+       |    ELSE [] END AS hs
+       |  FROM toks),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, unnest(hs) AS h,
+       |    generate_subscripts(hs, 1) AS p0
+       |  FROM grams),
+       |dfh AS (
+       |  SELECT h, count(DISTINCT doc_id) AS hash_df
+       |  FROM pos GROUP BY 1),
+       |hot0 AS (
+       |  SELECT pos.doc_id, pos.p0 FROM pos JOIN dfh USING (h)
+       |  WHERE hash_df >= 2),
+       |hott AS MATERIALIZED (
+       |  SELECT hot0.doc_id, hot0.p0,
+       |    array_to_string(list_slice(t.toks, hot0.p0,
+       |      hot0.p0 + ${SpanW - 1}), ' ') AS wtext
+       |  FROM hot0 JOIN toks t ON hot0.doc_id = t.doc_id),
+       |df1 AS MATERIALIZED (
+       |  SELECT wtext, count(DISTINCT doc_id) AS span_df,
+       |    min(doc_id) AS d1
+       |  FROM hott GROUP BY 1)""".stripMargin
 
   /** Number of BPE merge rounds learned by tdp_bpe_merges (and unrolled
     * in its oracle — keep the two in lockstep).
@@ -4780,27 +4841,13 @@ object TdpQueries {
     QueryDef(
       "tdp_substring_dedup",
       (s, dir) => {
-        val pos = spanPos(s, dir)
-        val dfh = pos.groupBy("h").agg(
-          countDistinct(col("doc_id")).as("hash_df"))
-        val hot0 = pos.join(dfh.filter(col("hash_df") >= 2).select("h"), "h")
-        // Exact verify: re-slice the window text for hot positions only.
-        val hotT = hot0.join(docToks(s, dir), "doc_id")
-          .withColumn("wtext",
-            expr(s"concat_ws(' ', slice(toks, p0 + 1, $SpanW))"))
-          .select("doc_id", "p0", "wtext")
-        val df1 = hotT.groupBy("wtext").agg(
-          countDistinct(col("doc_id")).as("span_df"),
-          min(col("doc_id")).as("d1"))
+        val hw = hotWindows(s, dir)
         // Second-distinct-min doc per window text: the witness for rows
         // that ARE the min. Keyed aggregation, bounded output (one row
         // per shared window), no pair expansion.
-        val d2f = hotT.join(df1.select("wtext", "d1"), "wtext")
-          .filter(col("doc_id") =!= col("d1"))
+        val d2f = hw.filter(col("doc_id") =!= col("d1"))
           .groupBy("wtext").agg(min(col("doc_id")).as("d2"))
-        val hot = hotT
-          .join(df1.filter(col("span_df") >= 2)
-            .select("wtext", "span_df", "d1"), "wtext")
+        val hot = hw.filter(col("span_df") >= 2)
           .join(d2f, "wtext") // span_df >= 2 guarantees a d2 row exists
           .withColumn("witness",
             when(col("doc_id") === col("d1"), col("d2")).otherwise(col("d1")))
@@ -4824,34 +4871,7 @@ object TdpQueries {
             expr("concat_ws(' ', slice(toks, CAST(start_tok AS INT), " +
               "CAST(span_toks AS INT)))").as("span_text"))
       },
-      Some(s"""WITH toks AS (
-              |  SELECT doc_id, $toksSql AS toks FROM documents),
-              |grams AS (
-              |  SELECT doc_id, toks,
-              |    CASE WHEN len(toks) >= $SpanW THEN
-              |      list_transform(range(1, len(toks) - ${SpanW - 2}), i ->
-              |        ${polyHashSql(s"array_to_string(list_slice(toks, i, i + ${SpanW - 1}), ' ')")})
-              |    ELSE [] END AS hs
-              |  FROM toks),
-              |pos AS MATERIALIZED (
-              |  SELECT doc_id, unnest(hs) AS h,
-              |    generate_subscripts(hs, 1) AS p0
-              |  FROM grams),
-              |dfh AS (
-              |  SELECT h, count(DISTINCT doc_id) AS hash_df
-              |  FROM pos GROUP BY 1),
-              |hot0 AS (
-              |  SELECT pos.doc_id, pos.p0 FROM pos JOIN dfh USING (h)
-              |  WHERE hash_df >= 2),
-              |hott AS MATERIALIZED (
-              |  SELECT hot0.doc_id, hot0.p0,
-              |    array_to_string(list_slice(t.toks, hot0.p0,
-              |      hot0.p0 + ${SpanW - 1}), ' ') AS wtext
-              |  FROM hot0 JOIN toks t ON hot0.doc_id = t.doc_id),
-              |df1 AS MATERIALIZED (
-              |  SELECT wtext, count(DISTINCT doc_id) AS span_df,
-              |    min(doc_id) AS d1
-              |  FROM hott GROUP BY 1),
+      Some(s"""WITH $hotWindowsSqlCtes,
               |d2f AS (
               |  SELECT wtext, min(doc_id) AS d2
               |  FROM hott JOIN df1 USING (wtext)
@@ -8542,5 +8562,71 @@ object TdpQueries {
            |UNION ALL SELECT * FROM qr2
            |UNION ALL SELECT * FROM qr3""".stripMargin
       }),
+
+    // EXACT SUBSTRING DEDUP — THE APPLY STEP (Lee et al.'s excision:
+    // tdp_substring_dedup only DETECTS the repeated spans): rewrite
+    // every document with its non-canonical shared windows removed,
+    // keeping exactly the copy in each window text's minimum doc id.
+    // A (doc, position) is excised iff its window text's canonical
+    // owner is another doc — so every removed passage provably still
+    // exists verbatim in its owner, and the d1 copy (plus all unique
+    // text) survives untouched. Shapes: the removable set explodes
+    // ONLY hot windows (boilerplate-sized), the excision is a
+    // (doc, position)-keyed anti-join against the corpus token stream,
+    // and the rebuild is a per-doc sort of kept tokens — nothing
+    // pairwise, nothing driver-side, every shuffle keyed by doc or
+    // position. The accounting certificate: n_removed + kept tokens
+    // = n_toks per row.
+    QueryDef(
+      "tdp_dedup_apply",
+      (s, dir) => {
+        val removable = hotWindows(s, dir)
+          .filter(col("doc_id") =!= col("d1"))
+          .select(col("doc_id"),
+            explode(expr(s"sequence(p0 + 1, p0 + $SpanW)")).as("tpos"))
+          .distinct()
+        val tokPos = docToks(s, dir)
+          .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
+          .select(col("doc_id"), (col("i0") + 1).as("tpos"), col("tok"))
+        val kept = tokPos.join(removable, Seq("doc_id", "tpos"), "left_anti")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_kept"),
+            expr("""concat_ws(' ', transform(
+                   |  array_sort(collect_list(struct(tpos, tok))),
+                   |  x -> x.tok))""".stripMargin).as("kept_text"))
+        docToks(s, dir)
+          .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_toks"),
+            (col("n_toks") - coalesce(col("n_kept"), lit(0L)))
+              .as("n_removed"),
+            coalesce(col("kept_text"), lit("")).as("kept_text"))
+      },
+      Some(s"""WITH $hotWindowsSqlCtes,
+              |rmv AS MATERIALIZED (
+              |  SELECT DISTINCT doc_id, tpos FROM (
+              |    SELECT h.doc_id,
+              |      unnest(range(h.p0, h.p0 + $SpanW)) AS tpos
+              |    FROM hott h JOIN df1 USING (wtext)
+              |    WHERE h.doc_id <> df1.d1)),
+              |tokpos AS (
+              |  SELECT doc_id, unnest(toks) AS tok,
+              |    generate_subscripts(toks, 1) AS tpos
+              |  FROM toks),
+              |keptt AS (
+              |  SELECT t.doc_id, t.tpos, t.tok
+              |  FROM tokpos t
+              |  WHERE NOT EXISTS (SELECT 1 FROM rmv r
+              |    WHERE r.doc_id = t.doc_id AND r.tpos = t.tpos)),
+              |kagg AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              |    array_to_string(list(tok ORDER BY tpos), ' ') AS kept_text
+              |  FROM keptt GROUP BY 1)
+              |SELECT s.doc_id, s.n_toks,
+              |  CAST(s.n_toks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+              |  coalesce(k.kept_text, '') AS kept_text
+              |FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks
+              |      FROM toks) s
+              |LEFT JOIN kagg k USING (doc_id)""".stripMargin)),
   )
 }

@@ -1740,6 +1740,38 @@ class TdpSpec extends SparkSpec {
       s"model collapsed to the majority class: $accLast <= ${1000 - acc0}")
   }
 
+  test("dedup apply: canonical copy survives, clone loses exactly the span") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_apply").toString
+    // Docs 1 and 2 share an 8-token boilerplate run; doc 1 (min id) is
+    // the canonical owner. Doc 3 is untouched unique text.
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler own1 own2 own3"),
+      (2L, s"pre1 pre2 $boiler post1"),
+      (3L, "solo1 solo2 solo3 solo4 solo5 solo6 solo7 solo8 solo9"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_dedup_apply")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // Owner keeps everything.
+    assert(got(1L).getAs[Long]("n_removed") == 0L)
+    assert(got(1L).getAs[String]("kept_text") == s"$boiler own1 own2 own3")
+    // The clone loses exactly the 8 boilerplate tokens; its unique
+    // prefix/suffix survive, and the removed text still exists verbatim
+    // in the owner's kept text.
+    assert(got(2L).getAs[Long]("n_removed") == 8L, got(2L).toString)
+    assert(got(2L).getAs[String]("kept_text") == "pre1 pre2 post1")
+    assert(got(1L).getAs[String]("kept_text").contains(boiler))
+    // Untouched doc passes through whole.
+    assert(got(3L).getAs[Long]("n_removed") == 0L)
+    // Accounting closes on every row.
+    got.values.foreach { r =>
+      val keptToks = r.getAs[String]("kept_text")
+        .split(" ").count(_.nonEmpty).toLong
+      assert(keptToks + r.getAs[Long]("n_removed") == r.getAs[Long]("n_toks"))
+    }
+  }
+
   test("span corruption: splicing target back into corrupted rebuilds the doc") {
     val out = Registry.queries("tdp_span_corruption")(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
