@@ -8628,5 +8628,75 @@ object TdpQueries {
               |FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks
               |      FROM toks) s
               |LEFT JOIN kagg k USING (doc_id)""".stripMargin)),
+
+    // FEATURE HASHING (Weinberger et al., the "hashing trick"): embed
+    // every document into a FIXED 16-dimension integer vector with no
+    // vocabulary table at all — dim = hash(token) mod D, sign = one
+    // more hash bit, value = signed token count. The signed variant
+    // makes collisions cancel in expectation, which is why the trick
+    // survives at 100 TB where a vocabulary-indexed embedding needs a
+    // corpus-wide dictionary build + broadcast. One explode + one
+    // (doc, dim) aggregate + a bounded per-doc densify; the vector
+    // ships as a '|'-joined string so both engines hash identically.
+    // Published next to it: the corpus collision pressure (distinct
+    // tokens landing per dimension) that prices the D knob.
+    QueryDef(
+      "tdp_feature_hashing",
+      (s, dir) => {
+        val hashed = docToks(s, dir)
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .withColumn("hk", expr(polyHashExpr("tok")))
+          .withColumn("dim", expr("CAST(hk % 16 AS INT)"))
+          .withColumn("sgn", expr("CASE WHEN (hk div 16) % 2 = 0" +
+            " THEN 1 ELSE -1 END"))
+        val cells = hashed.groupBy("doc_id", "dim")
+          .agg(sum("sgn").as("v"))
+        val press = hashed.groupBy("dim")
+          .agg(countDistinct(col("tok")).as("toks_in_dim"))
+          .agg(max("toks_in_dim").as("max_toks_per_dim"),
+            min("toks_in_dim").as("min_toks_per_dim"))
+        val vecs = cells.groupBy("doc_id").agg(
+          expr("""concat_ws('|', transform(sequence(0, 15), d ->
+                 |  CAST(coalesce(
+                 |    element_at(map_from_entries(
+                 |      array_sort(collect_list(struct(dim, v)))), CAST(d AS INT)),
+                 |    CAST(0 AS BIGINT)) AS STRING)))""".stripMargin).as("vec"),
+          sum(expr("v * v")).as("sq_norm"),
+          count(lit(1)).as("n_dims_hit"))
+        vecs.crossJoin(broadcast(press))
+      },
+      Some(s"""WITH fht AS (
+              |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+              |fhh AS MATERIALIZED (
+              |  SELECT doc_id, tok,
+              |    CAST(${polyHashSql("tok")} % 16 AS INT) AS dim,
+              |    CASE WHEN (${polyHashSql("tok")} // 16) % 2 = 0
+              |      THEN 1 ELSE -1 END AS sgn
+              |  FROM fht),
+              |fhc AS MATERIALIZED (
+              |  SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
+              |  FROM fhh GROUP BY 1, 2),
+              |fhp AS (
+              |  SELECT CAST(max(n) AS BIGINT) AS max_toks_per_dim,
+              |    CAST(min(n) AS BIGINT) AS min_toks_per_dim
+              |  FROM (SELECT dim, count(DISTINCT tok) AS n
+              |        FROM fhh GROUP BY 1)),
+              |fhe AS (
+              |  SELECT g.doc_id, g.dim, coalesce(c.v, 0) AS v
+              |  FROM (SELECT doc_id, unnest(range(0, 16)) AS dim
+              |        FROM (SELECT DISTINCT doc_id FROM fhc)) g
+              |  LEFT JOIN fhc c ON c.doc_id = g.doc_id AND c.dim = g.dim),
+              |fhvec AS (
+              |  SELECT doc_id,
+              |    array_to_string(list(CAST(v AS VARCHAR) ORDER BY dim), '|')
+              |      AS vec
+              |  FROM fhe GROUP BY 1),
+              |fhagg AS (
+              |  SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS sq_norm,
+              |    CAST(count(*) AS BIGINT) AS n_dims_hit
+              |  FROM fhc GROUP BY 1)
+              |SELECT doc_id, vec, sq_norm, n_dims_hit,
+              |  max_toks_per_dim, min_toks_per_dim
+              |FROM fhvec JOIN fhagg USING (doc_id) CROSS JOIN fhp""".stripMargin)),
   )
 }
