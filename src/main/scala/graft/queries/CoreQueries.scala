@@ -935,5 +935,74 @@ object CoreQueries {
              |FROM e a JOIN e b
              |  ON a.user_id = b.user_id AND a.event_id < b.event_id
              |  AND abs(a.sec - b.sec) <= 300""".stripMargin)),
+
+    // RECURSIVE CTE (Spark 4.x WITH RECURSIVE): the calendar-spine
+    // gap-filling query every reporting layer needs — generate every
+    // month between the corpus' min and max order date RECURSIVELY
+    // (no month can be absent because no orders fell in it) and
+    // left-join the monthly counts. Recursion depth = month span
+    // (~80), bounded and explicit via the session recursion limit;
+    // the spine is driver-tiny however large the fact table is.
+    QueryDef(
+      "q38_recursive_spine",
+      (s, dir) => {
+        s.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+        table(s, dir, "orders").createOrReplaceTempView("q38_orders")
+        s.sql("""
+          WITH RECURSIVE bounds AS (
+            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+                   CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+            FROM q38_orders),
+          spine(mon) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT add_months(mon, 1) FROM spine, bounds WHERE mon < hi),
+          monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+              count(*) AS n_orders
+            FROM q38_orders GROUP BY 1)
+          SELECT date_format(mon, 'yyyy-MM') AS month,
+            CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+          FROM spine LEFT JOIN monthly USING (mon)""")
+      },
+      Some("""WITH RECURSIVE bounds AS (
+             |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+             |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+             |  FROM orders),
+             |spine(mon) AS (
+             |  SELECT lo FROM bounds
+             |  UNION ALL
+             |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE)
+             |  FROM spine, bounds WHERE mon < hi),
+             |monthly AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             |    CAST(count(*) AS BIGINT) AS n_orders
+             |  FROM orders GROUP BY 1)
+             |SELECT strftime(mon, '%Y-%m') AS month,
+             |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+             |FROM spine LEFT JOIN monthly USING (mon)""".stripMargin)),
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT: top-2
+    // customers per nation spelled as the SQL-standard lateral join —
+    // the declarative twin of the graft_topn heap aggregate and the
+    // row_number window (q10/q23 family), here exercising Spark's
+    // lateral-subquery planner end to end against DuckDB's.
+    QueryDef(
+      "q39_lateral_topk",
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("q39_customer")
+        s.sql("""
+          SELECT n.c_nationkey, t.c_custkey, t.c_acctbal
+          FROM (SELECT DISTINCT c_nationkey FROM q39_customer) n,
+          LATERAL (SELECT c_custkey, c_acctbal FROM q39_customer c
+                   WHERE c.c_nationkey = n.c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""")
+      },
+      Some("""SELECT n.c_nationkey, t.c_custkey, t.c_acctbal
+             |FROM (SELECT DISTINCT c_nationkey FROM customer) n,
+             |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             |         WHERE c.c_nationkey = n.c_nationkey
+             |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
+        .stripMargin)),
   )
 }
