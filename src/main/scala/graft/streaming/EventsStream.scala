@@ -103,6 +103,19 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STATIC enrichment: attach a static per-user dimension to the
+    * event stream by broadcast hash join — the zero-state enrichment
+    * shape (no watermark, no join state: the static side is fixed for
+    * the query's lifetime and broadcast to every micro-batch's tasks).
+    * LEFT join so unknown users flow through null-extended; at 100 TB
+    * the dimension is the thing that must stay broadcast-sized, the
+    * stream side never shuffles at all.
+    */
+  def enrichEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"),
+      "left")
+
   /** Stream-stream interval join: attribute each click to the view(s) by
     * the same user within `horizon` BEFORE the click. Both sides carry
     * watermarks and the join predicate bounds event time on both ends —

@@ -124,6 +124,30 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("enrichEvents parity: stream-static broadcast join == batch left join") {
+    val s = spark
+    val dir = stageEvents()
+    // Static per-user profile built ONCE from the batch feed: the
+    // dimension a serving layer would precompute.
+    val userDim = batchEvents(s, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("hist_events"), sum("value").as("hist_value"))
+    runToMemory(
+      enrichEvents(readEvents(s, dir), userDim)
+        .select("event_id", "user_id", "hist_events"), "par_enrich",
+      "append") {
+      val got = s.sql("SELECT * FROM par_enrich").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = batchEvents(s, dir)
+        .join(broadcast(userDim), Seq("user_id"), "left")
+        .select("event_id", "user_id", "hist_events").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.size == want.size && got == want,
+        s"stream-static enrichment diverged: ${got.size} vs ${want.size}")
+      // Every event found its profile (the dim covers every user here).
+      assert(got.values.forall(_._2 >= 1L))
+    }
+  }
+
   test("attributeClicks parity: stream-stream interval join == batch theta join") {
     val s = spark
     val dir = stageEvents()
