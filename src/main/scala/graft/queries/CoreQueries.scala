@@ -1004,5 +1004,42 @@ object CoreQueries {
              |         WHERE c.c_nationkey = n.c_nationkey
              |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
         .stripMargin)),
+
+    // UNPIVOT — the inverse of the a9/q6 pivot family: widen order
+    // counts to one column per status (zero-filled, fixed vocabulary:
+    // nulls would silently vanish in engines whose UNPIVOT drops them),
+    // then melt back to (priority, status, n) long form with the
+    // Dataset.unpivot API; the oracle replays it with DuckDB's native
+    // UNPIVOT syntax, so both engines' melt semantics certify each
+    // other. Wide-to-long is a metadata-only Expand — no shuffle beyond
+    // the pivot aggregation itself.
+    QueryDef(
+      "q40_unpivot",
+      (s, dir) => {
+        val wide = table(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("O", "F", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("O"), lit(0L)).as("O"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("P"), lit(0L)).as("P"))
+        wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("O"), col("F"), col("P")),
+          "status", "n")
+      },
+      Some("""WITH wide AS (
+             |  SELECT o_orderpriority,
+             |    CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+             |      THEN 1 END), 0) AS BIGINT) AS "O",
+             |    CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+             |      THEN 1 END), 0) AS BIGINT) AS "F",
+             |    CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+             |      THEN 1 END), 0) AS BIGINT) AS "P"
+             |  FROM orders GROUP BY 1)
+             |SELECT o_orderpriority, status, n
+             |FROM wide UNPIVOT (n FOR status IN ("O", "F", "P"))"""
+        .stripMargin)),
   )
 }

@@ -1122,6 +1122,147 @@ object TdpQueries {
   private val qualitySql =
     "(alpha / n) * 0.6 + (1.0 - ws / n) * 0.3 + (sw * 5.0 / n) * 0.1"
 
+  // --- In-engine classifier machinery (shared by tdp_quality_classifier
+  // and tdp_classifier_calibration) -------------------------------------
+
+  /** Explicit truncated division — Spark `div` truncates toward zero
+    * where DuckDB `//` floors, so on negative operands both engines must
+    * spell out sign(a)·(|a| div b).
+    */
+  private def qcTdiv(a: String, b: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) div ($b)" +
+      s" ELSE -((-($a)) div ($b)) END)"
+  private def qcTdivSql(a: String, b: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b)" +
+      s" ELSE -((-($a)) // ($b)) END)"
+
+  /** Centered, rescaled integer feature frame (y, x0, x1, x2). Label:
+    * the head half of the quality distribution (threshold frozen at
+    * 0.745, the calibration-corpus median — a production filter ships
+    * exactly such a constant); the rule is a linear function of the
+    * surface ratios, so a linear model can genuinely LEARN it.
+    * Centering (one 1-row pass) and the ×100 rescale are both measured
+    * necessary: uncentered/unscaled features let the bias coordinate
+    * out-muscle the informative ones and the fit collapses to the
+    * majority class (706 permille); centered + ×100 reaches 910.
+    */
+  private def qcFeats(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(
+        when(qualityScore >= 0.745, 1000000L).otherwise(0L).as("y"),
+        expr("CAST(length(regexp_replace(text, '[^A-Za-z]', ''))" +
+          " AS BIGINT) * 1000 div length(text)").as("r1"),
+        expr("(CAST(length(text) AS BIGINT)" +
+          " - length(replace(text, ' ', ''))) * 1000 div length(text)")
+          .as("r2"))
+    val m = raw.agg(sum("r1").as("s1"), sum("r2").as("s2"),
+      count(lit(1)).as("n")).head()
+    val (m1, m2) =
+      (m.getAs[Long]("s1") / m.getAs[Long]("n"),
+        m.getAs[Long]("s2") / m.getAs[Long]("n"))
+    raw.select(col("y"), lit(1000L).as("x0"),
+      ((col("r1") - m1) * 100).as("x1"),
+      ((col("r2") - m2) * 100).as("x2"))
+  }
+
+  /** Attach the clipped-linear probability and correctness under fixed
+    * integer weights.
+    */
+  private def qcScored(feats: DataFrame, w: Array[Long]): DataFrame =
+    feats
+      .withColumn("score", expr(qcTdiv(
+        s"${w(0)} * x0 + ${w(1)} * x1 + ${w(2)} * x2", "1000")))
+      .withColumn("p", expr(
+        s"greatest(0, least(1000000, 500000 + ${qcTdiv("score", "4")}))"))
+      .withColumn("correct",
+        ((col("p") >= 500000L) === (col("y") === 1000000L)).cast(LongType))
+
+  /** Run the 3-step full-batch gradient descent: one corpus pass per
+    * step aggregating five longs, a 1-row driver hop (the BPE merge-fold
+    * shape), weights rebroadcast as literals. Returns the feature frame,
+    * the final weights, and the per-step trajectory rows.
+    */
+  private def qcTrain(s: SparkSession, dir: String)
+      : (DataFrame, Array[Long], Seq[(Long, Long, Long, Long, Long, Long)]) = {
+    val feats = qcFeats(s, dir)
+    var w = Array(0L, 0L, 0L)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    for (k <- 0L to 3L) {
+      val r = qcScored(feats, w).agg(
+        sum(expr("(p - y) * x0")).as("g0"),
+        sum(expr("(p - y) * x1")).as("g1"),
+        sum(expr("(p - y) * x2")).as("g2"),
+        count(lit(1)).as("n"),
+        sum("correct").as("n_correct")).head()
+      val n = r.getAs[Long]("n")
+      val nc = r.getAs[Long]("n_correct")
+      out += ((k, w(0), w(1), w(2), nc, nc * 1000 / n))
+      def t(a: Long, b: Long): Long =
+        if (a >= 0) a / b else -((-a) / b)
+      if (k < 3) w = Array(
+        w(0) - t(r.getAs[Long]("g0"), n * 4000),
+        w(1) - t(r.getAs[Long]("g1"), n * 4000),
+        w(2) - t(r.getAs[Long]("g2"), n * 4000))
+    }
+    (feats, w, out.toSeq)
+  }
+
+  /** DuckDB CTE chain replaying the full training trajectory — features
+    * (qcr/qcm/qcf), initial weights qw0, and per-step score/aggregate/
+    * report/update layers qs{k}/qa{k}/qr{k}/qw{k+1} through qw3. Shared
+    * by the classifier and calibration oracles so the replayed model can
+    * never drift between them.
+    */
+  private lazy val qcSqlCtes: String = {
+    val steps = (0 to 3).map { k =>
+      val upd = if (k < 3)
+        s""",
+           |qw${k + 1} AS (
+           |  SELECT
+           |    CAST(w.w0 - ${qcTdivSql("a.g0", "a.n * 4000")} AS BIGINT) AS w0,
+           |    CAST(w.w1 - ${qcTdivSql("a.g1", "a.n * 4000")} AS BIGINT) AS w1,
+           |    CAST(w.w2 - ${qcTdivSql("a.g2", "a.n * 4000")} AS BIGINT) AS w2
+           |  FROM qw$k w, qa$k a)""".stripMargin
+      else ""
+      s"""qs$k AS (
+         |  SELECT q.y, q.x0, q.x1, q.x2,
+         |    greatest(0, least(1000000, 500000 + ${qcTdivSql(
+        s"${qcTdivSql("w.w0 * q.x0 + w.w1 * q.x1 + w.w2 * q.x2", "1000")}",
+        "4")})) AS p
+         |  FROM qcf q CROSS JOIN qw$k w),
+         |qa$k AS (
+         |  SELECT sum((p - y) * x0) AS g0, sum((p - y) * x1) AS g1,
+         |    sum((p - y) * x2) AS g2, count(*) AS n,
+         |    sum(CASE WHEN (p >= 500000) = (y = 1000000)
+         |      THEN 1 ELSE 0 END) AS n_correct
+         |  FROM qs$k),
+         |qr$k AS (
+         |  SELECT CAST($k AS BIGINT) AS step, w.w0, w.w1, w.w2,
+         |    CAST(a.n_correct AS BIGINT) AS n_correct,
+         |    CAST((a.n_correct * 1000) // a.n AS BIGINT) AS acc_permille
+         |  FROM qw$k w, qa$k a)$upd""".stripMargin
+    }.mkString(",\n")
+    s"""qcr AS (
+       |  SELECT
+       |    CASE WHEN ($qualitySql) >= 0.745 THEN 1000000 ELSE 0 END AS y,
+       |    (CAST(alpha AS BIGINT) * 1000) // CAST(n AS BIGINT) AS r1,
+       |    (CAST(ws AS BIGINT) * 1000) // CAST(n AS BIGINT) AS r2
+       |  FROM ($qualityPartsSql)),
+       |qcm AS (
+       |  SELECT CAST(sum(r1) // count(*) AS BIGINT) AS m1,
+       |    CAST(sum(r2) // count(*) AS BIGINT) AS m2
+       |  FROM qcr),
+       |qcf AS (
+       |  SELECT y, CAST(1000 AS BIGINT) AS x0,
+       |    (r1 - m1) * 100 AS x1, (r2 - m2) * 100 AS x2
+       |  FROM qcr CROSS JOIN qcm),
+       |qw0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |  CAST(0 AS BIGINT) AS w2),
+       |$steps""".stripMargin
+  }
+
   /** One greedy left-to-right BPE merge pass over a symbol-array column:
     * scan i; (syms[i], syms[i+1]) == (a, b) emits a||b and skips i+1,
     * anything else emits syms[i] — so "aaab" under (a,a) becomes
@@ -8441,127 +8582,62 @@ object TdpQueries {
     QueryDef(
       "tdp_quality_classifier",
       (s, dir) => {
-        def tdiv(a: String, b: String): String =
-          s"(CASE WHEN ($a) >= 0 THEN ($a) div ($b)" +
-            s" ELSE -((-($a)) div ($b)) END)"
-        // Label: the head half of the quality distribution (threshold
-        // fixed at 0.745, the calibration-corpus median — a production
-        // filter ships exactly such a frozen constant). The rule is a
-        // linear function of the surface ratios, so a linear model can
-        // genuinely LEARN it — accuracy must climb above the base rate,
-        // not collapse to the majority class.
-        val raw = table(s, dir, "documents")
-          .filter(length(col("text")) > 0)
-          .select(
-            when(qualityScore >= 0.745, 1000000L).otherwise(0L).as("y"),
-            expr("CAST(length(regexp_replace(text, '[^A-Za-z]', ''))" +
-              " AS BIGINT) * 1000 div length(text)").as("r1"),
-            expr("(CAST(length(text) AS BIGINT)" +
-              " - length(replace(text, ' ', ''))) * 1000 div length(text)")
-              .as("r2"))
-        // CENTER the features (one 1-row pass): uncentered positive
-        // features make every gradient share the sign of the class
-        // imbalance and the fit collapses to the majority class.
-        val m = raw.agg(sum("r1").as("s1"), sum("r2").as("s2"),
-          count(lit(1)).as("n")).head()
-        val (m1, m2) =
-          (m.getAs[Long]("s1") / m.getAs[Long]("n"),
-            m.getAs[Long]("s2") / m.getAs[Long]("n"))
-        val feats = raw.select(col("y"), lit(1000L).as("x0"),
-          // ×100 rescale: the centered permille ratios span only ±40, so
-          // unscaled the bias coordinate (|x0| = 1000) out-muscles the
-          // informative features 25:1 in every gradient and the fit
-          // degenerates to the majority class (measured: 706 permille =
-          // the base rate; ×100 reaches 910 in one step).
-          ((col("r1") - m1) * 100).as("x1"),
-          ((col("r2") - m2) * 100).as("x2"))
-        var w = Array(0L, 0L, 0L)
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Long, Long, Long, Long)]
-        for (k <- 0L to 3L) {
-          val scored = feats
-            .withColumn("score", expr(tdiv(
-              s"${w(0)} * x0 + ${w(1)} * x1 + ${w(2)} * x2", "1000")))
-            .withColumn("p", expr(
-              s"greatest(0, least(1000000, 500000 + ${tdiv("score", "4")}))"))
-            .withColumn("correct",
-              ((col("p") >= 500000L) === (col("y") === 1000000L))
-                .cast(LongType))
-          // 1-row driver hop per step (5 longs) — the BPE merge-fold shape.
-          val r = scored.agg(
-            sum(expr("(p - y) * x0")).as("g0"),
-            sum(expr("(p - y) * x1")).as("g1"),
-            sum(expr("(p - y) * x2")).as("g2"),
-            count(lit(1)).as("n"),
-            sum("correct").as("n_correct")).head()
-          val n = r.getAs[Long]("n")
-          val nc = r.getAs[Long]("n_correct")
-          out += ((k, w(0), w(1), w(2), nc, nc * 1000 / n))
-          def t(a: Long, b: Long): Long =
-            if (a >= 0) a / b else -((-a) / b)
-          if (k < 3) w = Array(
-            w(0) - t(r.getAs[Long]("g0"), n * 4000),
-            w(1) - t(r.getAs[Long]("g1"), n * 4000),
-            w(2) - t(r.getAs[Long]("g2"), n * 4000))
-        }
+        val (_, _, out) = qcTrain(s, dir)
         import s.implicits._
-        out.toSeq.toDF("step", "w0", "w1", "w2", "n_correct",
-          "acc_permille")
+        out.toDF("step", "w0", "w1", "w2", "n_correct", "acc_permille")
       },
-      Some {
-        def tdiv(a: String, b: String): String =
-          s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b)" +
-            s" ELSE -((-($a)) // ($b)) END)"
-        val steps = (0 to 3).map { k =>
-          val upd = if (k < 3)
-            s""",
-               |qw${k + 1} AS (
-               |  SELECT
-               |    CAST(w.w0 - ${tdiv("a.g0", "a.n * 4000")} AS BIGINT) AS w0,
-               |    CAST(w.w1 - ${tdiv("a.g1", "a.n * 4000")} AS BIGINT) AS w1,
-               |    CAST(w.w2 - ${tdiv("a.g2", "a.n * 4000")} AS BIGINT) AS w2
-               |  FROM qw$k w, qa$k a)""".stripMargin
-          else ""
-          s"""qs$k AS (
-             |  SELECT q.y, q.x0, q.x1, q.x2,
-             |    greatest(0, least(1000000, 500000 + ${tdiv(
-            s"${tdiv("w.w0 * q.x0 + w.w1 * q.x1 + w.w2 * q.x2", "1000")}",
-            "4")})) AS p
-             |  FROM qcf q CROSS JOIN qw$k w),
-             |qa$k AS (
-             |  SELECT sum((p - y) * x0) AS g0, sum((p - y) * x1) AS g1,
-             |    sum((p - y) * x2) AS g2, count(*) AS n,
-             |    sum(CASE WHEN (p >= 500000) = (y = 1000000)
-             |      THEN 1 ELSE 0 END) AS n_correct
-             |  FROM qs$k),
-             |qr$k AS (
-             |  SELECT CAST($k AS BIGINT) AS step, w.w0, w.w1, w.w2,
-             |    CAST(a.n_correct AS BIGINT) AS n_correct,
-             |    CAST((a.n_correct * 1000) // a.n AS BIGINT) AS acc_permille
-             |  FROM qw$k w, qa$k a)$upd""".stripMargin
-        }.mkString(",\n")
-        s"""WITH qcr AS (
-           |  SELECT
-           |    CASE WHEN ($qualitySql) >= 0.745 THEN 1000000 ELSE 0 END AS y,
-           |    (CAST(alpha AS BIGINT) * 1000) // CAST(n AS BIGINT) AS r1,
-           |    (CAST(ws AS BIGINT) * 1000) // CAST(n AS BIGINT) AS r2
-           |  FROM ($qualityPartsSql)),
-           |qcm AS (
-           |  SELECT CAST(sum(r1) // count(*) AS BIGINT) AS m1,
-           |    CAST(sum(r2) // count(*) AS BIGINT) AS m2
-           |  FROM qcr),
-           |qcf AS (
-           |  SELECT y, CAST(1000 AS BIGINT) AS x0,
-           |    (r1 - m1) * 100 AS x1, (r2 - m2) * 100 AS x2
-           |  FROM qcr CROSS JOIN qcm),
-           |qw0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
-           |  CAST(0 AS BIGINT) AS w2),
-           |$steps
-           |SELECT step, w0, w1, w2, n_correct, acc_permille FROM qr0
-           |UNION ALL SELECT * FROM qr1
-           |UNION ALL SELECT * FROM qr2
-           |UNION ALL SELECT * FROM qr3""".stripMargin
-      }),
+      Some(s"""WITH $qcSqlCtes
+              |SELECT step, w0, w1, w2, n_correct, acc_permille FROM qr0
+              |UNION ALL SELECT * FROM qr1
+              |UNION ALL SELECT * FROM qr2
+              |UNION ALL SELECT * FROM qr3""".stripMargin)),
+
+    // CALIBRATION of the trained classifier (the reliability diagram
+    // every probability-emitting filter must publish before its scores
+    // gate a release): bin the final model's predicted probability into
+    // deciles and compare mean confidence against the OBSERVED positive
+    // rate per bin — the gap column is the per-bin calibration error
+    // (the integer-exact ingredient of ECE). One extra scoring pass
+    // over the same feature frame with the step-3 weights; the oracle
+    // replays the identical trajectory through the shared CTE chain and
+    // then the identical binning, so model AND diagram are both
+    // hash-certified.
+    QueryDef(
+      "tdp_classifier_calibration",
+      (s, dir) => {
+        val (feats, w, _) = qcTrain(s, dir)
+        qcScored(feats, w)
+          .withColumn("bin", expr("least(p div 100000, 9)"))
+          .groupBy("bin").agg(
+            count(lit(1)).as("n"),
+            sum(when(col("y") === 1000000L, 1L).otherwise(0L)).as("n_pos"),
+            sum("p").as("sp"))
+          .select(col("bin").cast(LongType).as("bin"), col("n"),
+            col("n_pos"),
+            expr("sp div n").as("mean_p_micro"),
+            expr("n_pos * 1000 div n").as("obs_pos_permille"),
+            expr("abs(sp div n div 1000 - n_pos * 1000 div n)")
+              .as("gap_permille"))
+      },
+      Some(s"""WITH $qcSqlCtes,
+              |cal AS (
+              |  SELECT q.y,
+              |    greatest(0, least(1000000, 500000 + ${qcTdivSql(
+          s"${qcTdivSql("w.w0 * q.x0 + w.w1 * q.x1 + w.w2 * q.x2", "1000")}",
+          "4")})) AS p
+              |  FROM qcf q CROSS JOIN qw3 w),
+              |calb AS (
+              |  SELECT least(p // 100000, 9) AS bin, count(*) AS n,
+              |    sum(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS n_pos,
+              |    sum(p) AS sp
+              |  FROM cal GROUP BY 1)
+              |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+              |  CAST(n_pos AS BIGINT) AS n_pos,
+              |  CAST(sp // n AS BIGINT) AS mean_p_micro,
+              |  CAST((n_pos * 1000) // n AS BIGINT) AS obs_pos_permille,
+              |  CAST(abs((sp // n) // 1000 - (n_pos * 1000) // n) AS BIGINT)
+              |    AS gap_permille
+              |FROM calb""".stripMargin)),
 
     // EXACT SUBSTRING DEDUP — THE APPLY STEP (Lee et al.'s excision:
     // tdp_substring_dedup only DETECTS the repeated spans): rewrite

@@ -1740,6 +1740,30 @@ class TdpSpec extends SparkSpec {
       s"model collapsed to the majority class: $accLast <= ${1000 - acc0}")
   }
 
+  test("classifier calibration: bins partition the corpus, monotone truth") {
+    val rows = Registry.queries("tdp_classifier_calibration")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    val nDocs = Registry.table(spark, sf, "documents")
+      .filter(length(col("text")) > 0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs,
+      "every scored doc lands in exactly one probability bin")
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val obs = r.getAs[Long]("obs_pos_permille")
+      assert(obs >= 0 && obs <= 1000)
+      val mp = r.getAs[Long]("mean_p_micro")
+      // Mean confidence must sit inside its own bin's range (the top
+      // bin absorbs p = 1e6).
+      assert(mp >= bin * 100000 && mp < (bin + 1) * 100000 + 1)
+    }
+    // A trained model's observed positive rate must not DECREASE as
+    // confidence rises (weak monotonicity across populated bins).
+    val obsSeq = rows.map(_.getAs[Long]("obs_pos_permille"))
+    assert(obsSeq.zip(obsSeq.tail).forall { case (a, b) => b >= a },
+      s"reliability not monotone: ${obsSeq.mkString(",")}")
+  }
+
   test("dedup apply: canonical copy survives, clone loses exactly the span") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tdp_apply").toString
