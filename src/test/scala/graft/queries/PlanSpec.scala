@@ -355,6 +355,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("recursive spine: native UnionLoop recursion, counts join broadcast") {
+    val df = Registry.queries("q38_recursive_spine")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("lateral top-k: planned as WindowGroupLimit pushdown, not a loop") {
+    val df = Registry.queries("q39_lateral_topk")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Spark must decorrelate the LATERAL LIMIT into the rank-limit
+    // pushdown (per-partition top-k before the full window sort) — a
+    // nested loop re-executing the subquery per outer row would be the
+    // scale-killer formulation.
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("unpivot: metadata-only Expand, scan pruned to the two columns") {
+    val df = Registry.queries("q40_unpivot")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(3000))
+    assert(!plan.contains("o_totalprice"), "unused fact columns not pruned")
+  }
+
   test("triangle count: wedge and closing joins stay equi-keyed, no pair scan") {
     val df = Registry.queries("tdp_triangle_count")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
