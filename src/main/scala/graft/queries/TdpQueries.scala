@@ -1150,6 +1150,7 @@ object TdpQueries {
     val raw = table(s, dir, "documents")
       .filter(length(col("text")) > 0)
       .select(
+        (col("doc_id") % 4).as("shard"),
         when(qualityScore >= 0.745, 1000000L).otherwise(0L).as("y"),
         expr("CAST(length(regexp_replace(text, '[^A-Za-z]', ''))" +
           " AS BIGINT) * 1000 div length(text)").as("r1"),
@@ -1161,7 +1162,7 @@ object TdpQueries {
     val (m1, m2) =
       (m.getAs[Long]("s1") / m.getAs[Long]("n"),
         m.getAs[Long]("s2") / m.getAs[Long]("n"))
-    raw.select(col("y"), lit(1000L).as("x0"),
+    raw.select(col("shard"), col("y"), lit(1000L).as("x0"),
       ((col("r1") - m1) * 100).as("x1"),
       ((col("r2") - m2) * 100).as("x2"))
   }
@@ -1215,37 +1216,20 @@ object TdpQueries {
     * by the classifier and calibration oracles so the replayed model can
     * never drift between them.
     */
-  private lazy val qcSqlCtes: String = {
-    val steps = (0 to 3).map { k =>
-      val upd = if (k < 3)
-        s""",
-           |qw${k + 1} AS (
-           |  SELECT
-           |    CAST(w.w0 - ${qcTdivSql("a.g0", "a.n * 4000")} AS BIGINT) AS w0,
-           |    CAST(w.w1 - ${qcTdivSql("a.g1", "a.n * 4000")} AS BIGINT) AS w1,
-           |    CAST(w.w2 - ${qcTdivSql("a.g2", "a.n * 4000")} AS BIGINT) AS w2
-           |  FROM qw$k w, qa$k a)""".stripMargin
-      else ""
-      s"""qs$k AS (
-         |  SELECT q.y, q.x0, q.x1, q.x2,
-         |    greatest(0, least(1000000, 500000 + ${qcTdivSql(
-        s"${qcTdivSql("w.w0 * q.x0 + w.w1 * q.x1 + w.w2 * q.x2", "1000")}",
-        "4")})) AS p
-         |  FROM qcf q CROSS JOIN qw$k w),
-         |qa$k AS (
-         |  SELECT sum((p - y) * x0) AS g0, sum((p - y) * x1) AS g1,
-         |    sum((p - y) * x2) AS g2, count(*) AS n,
-         |    sum(CASE WHEN (p >= 500000) = (y = 1000000)
-         |      THEN 1 ELSE 0 END) AS n_correct
-         |  FROM qs$k),
-         |qr$k AS (
-         |  SELECT CAST($k AS BIGINT) AS step, w.w0, w.w1, w.w2,
-         |    CAST(a.n_correct AS BIGINT) AS n_correct,
-         |    CAST((a.n_correct * 1000) // a.n AS BIGINT) AS acc_permille
-         |  FROM qw$k w, qa$k a)$upd""".stripMargin
-    }.mkString(",\n")
+  /** The clipped-linear probability under weights aliased `w` applied to
+    * feature row `q`, in DuckDB syntax.
+    */
+  private def qcPSql: String =
+    s"greatest(0, least(1000000, 500000 + ${qcTdivSql(
+      s"${qcTdivSql("w.w0 * q.x0 + w.w1 * q.x1 + w.w2 * q.x2", "1000")}",
+      "4")}))"
+
+  /** Feature + zero-weight CTEs (qcr/qcm/qcf/qw0) — the shared prefix of
+    * every classifier-family oracle.
+    */
+  private lazy val qcFeatSqlCtes: String =
     s"""qcr AS (
-       |  SELECT
+       |  SELECT doc_id % 4 AS shard,
        |    CASE WHEN ($qualitySql) >= 0.745 THEN 1000000 ELSE 0 END AS y,
        |    (CAST(alpha AS BIGINT) * 1000) // CAST(n AS BIGINT) AS r1,
        |    (CAST(ws AS BIGINT) * 1000) // CAST(n AS BIGINT) AS r2
@@ -1255,12 +1239,57 @@ object TdpQueries {
        |    CAST(sum(r2) // count(*) AS BIGINT) AS m2
        |  FROM qcr),
        |qcf AS (
-       |  SELECT y, CAST(1000 AS BIGINT) AS x0,
+       |  SELECT shard, y, CAST(1000 AS BIGINT) AS x0,
        |    (r1 - m1) * 100 AS x1, (r2 - m2) * 100 AS x2
        |  FROM qcr CROSS JOIN qcm),
        |qw0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
-       |  CAST(0 AS BIGINT) AS w2),
-       |$steps""".stripMargin
+       |  CAST(0 AS BIGINT) AS w2)""".stripMargin
+
+  /** One unrolled training chain over training-set CTE `$tr` with CTE
+    * prefix `$px`: score/aggregate/update layers ${px}s{k}/${px}a{k}/
+    * ${px}w{k+1}, starting from qw0, ending with ${px}w3 defined. Report
+    * layers ${px}r{k} are emitted only when `reports` is set.
+    */
+  private def qcTrainSqlChain(
+      px: String, tr: String, reports: Boolean): String =
+    (0 to 3).map { k =>
+      val wRef = if (k == 0) "qw0" else s"${px}w$k"
+      val upd = if (k < 3)
+        s""",
+           |${px}w${k + 1} AS (
+           |  SELECT
+           |    CAST(w.w0 - ${qcTdivSql("a.g0", "a.n * 4000")} AS BIGINT) AS w0,
+           |    CAST(w.w1 - ${qcTdivSql("a.g1", "a.n * 4000")} AS BIGINT) AS w1,
+           |    CAST(w.w2 - ${qcTdivSql("a.g2", "a.n * 4000")} AS BIGINT) AS w2
+           |  FROM $wRef w, ${px}a$k a)""".stripMargin
+      else ""
+      val rpt = if (reports)
+        s""",
+           |${px}r$k AS (
+           |  SELECT CAST($k AS BIGINT) AS step, w.w0, w.w1, w.w2,
+           |    CAST(a.n_correct AS BIGINT) AS n_correct,
+           |    CAST((a.n_correct * 1000) // a.n AS BIGINT) AS acc_permille
+           |  FROM $wRef w, ${px}a$k a)""".stripMargin
+      else ""
+      s"""${px}s$k AS (
+         |  SELECT q.y, q.x0, q.x1, q.x2, $qcPSql AS p
+         |  FROM $tr q CROSS JOIN $wRef w),
+         |${px}a$k AS (
+         |  SELECT sum((p - y) * x0) AS g0, sum((p - y) * x1) AS g1,
+         |    sum((p - y) * x2) AS g2, count(*) AS n,
+         |    sum(CASE WHEN (p >= 500000) = (y = 1000000)
+         |      THEN 1 ELSE 0 END) AS n_correct
+         |  FROM ${px}s$k)$rpt$upd""".stripMargin
+    }.mkString(",\n")
+
+  /** Full classifier oracle chain: features + the reporting training
+    * run whose layers keep the historical qs/qa/qr/qw names.
+    */
+  private lazy val qcSqlCtes: String = {
+    // Keep the legacy qw1..qw3 names (the calibration oracle reads qw3):
+    // chain prefix "q" yields qs0/qa0/qr0/qw1... exactly as before.
+    s"""$qcFeatSqlCtes,
+       |${qcTrainSqlChain("q", "qcf", reports = true)}""".stripMargin
   }
 
   /** One greedy left-to-right BPE merge pass over a symbol-array column:
@@ -8638,6 +8667,86 @@ object TdpQueries {
               |  CAST(abs((sp // n) // 1000 - (n_pos * 1000) // n) AS BIGINT)
               |    AS gap_permille
               |FROM calb""".stripMargin)),
+
+    // SHARD-ABLATION DATA VALUATION (leave-one-out over deterministic
+    // quarter-shards — the data-Shapley-shaped question "which slice of
+    // the corpus is load-bearing for the model?"): retrain the quality
+    // classifier five times (full corpus + each of the four doc_id%4
+    // shards held out), evaluate EVERY variant on the SAME full corpus,
+    // and report each shard's accuracy delta vs the full model.
+    // Featurization (centering constants, threshold) stays frozen from
+    // the full corpus, as a production ablation must — otherwise the
+    // deltas confound data value with featurization drift. Cost: 5
+    // trainings x 3 passes + 5 eval passes, each a 5-long aggregate;
+    // the oracle replays all five trajectories through the shared
+    // unrolled chain, so every ablated model is hash-certified too.
+    QueryDef(
+      "tdp_shard_ablation",
+      (s, dir) => {
+        val feats = qcFeats(s, dir)
+        def t(a: Long, b: Long): Long =
+          if (a >= 0) a / b else -((-a) / b)
+        def trainOn(tr: DataFrame): (Array[Long], Long) = {
+          var w = Array(0L, 0L, 0L)
+          var nTrain = 0L
+          for (_ <- 1 to 3) {
+            val r = qcScored(tr, w).agg(
+              sum(expr("(p - y) * x0")).as("g0"),
+              sum(expr("(p - y) * x1")).as("g1"),
+              sum(expr("(p - y) * x2")).as("g2"),
+              count(lit(1)).as("n")).head()
+            val n = r.getAs[Long]("n")
+            nTrain = n
+            w = Array(
+              w(0) - t(r.getAs[Long]("g0"), n * 4000),
+              w(1) - t(r.getAs[Long]("g1"), n * 4000),
+              w(2) - t(r.getAs[Long]("g2"), n * 4000))
+          }
+          (w, nTrain)
+        }
+        val variants = Seq("none" -> feats) ++
+          (0 to 3).map(i => s"shard$i" -> feats.filter(col("shard") =!= i))
+        val evals = variants.map { case (name, tr) =>
+          val (w, nTr) = trainOn(tr)
+          val ev = qcScored(feats, w)
+            .agg(count(lit(1)).as("n"), sum("correct").as("nc")).head()
+          (name, nTr, w(0), w(1), w(2),
+            ev.getAs[Long]("nc") * 1000 / ev.getAs[Long]("n"))
+        }
+        val fullAcc = evals.head._6
+        import s.implicits._
+        evals.map { case (n, nt, w0, w1, w2, acc) =>
+          (n, nt, w0, w1, w2, acc, acc - fullAcc)
+        }.toDF("ablated", "n_train", "w0", "w1", "w2",
+          "acc_full_eval_permille", "delta_vs_full_permille")
+      },
+      Some {
+        val variants = Seq(("none", "", "abn")) ++
+          (0 to 3).map(i => (s"shard$i", s"WHERE shard <> $i", s"ab$i"))
+        val chains = variants.map { case (_, where, px) =>
+          s"""qtr_$px AS (SELECT * FROM qcf $where),
+             |${qcTrainSqlChain(px, s"qtr_$px", reports = false)},
+             |${px}_ev AS (
+             |  SELECT count(*) AS n,
+             |    sum(CASE WHEN (p >= 500000) = (y = 1000000)
+             |      THEN 1 ELSE 0 END) AS nc
+             |  FROM (SELECT q.y, $qcPSql AS p
+             |        FROM qcf q CROSS JOIN ${px}w3 w))""".stripMargin
+        }.mkString(",\n")
+        val rows = variants.map { case (name, _, px) =>
+          s"""SELECT '$name' AS ablated,
+             |  CAST(a.n AS BIGINT) AS n_train,
+             |  w.w0, w.w1, w.w2,
+             |  CAST((e.nc * 1000) // e.n AS BIGINT)
+             |    AS acc_full_eval_permille,
+             |  CAST((e.nc * 1000) // e.n - (f.nc * 1000) // f.n AS BIGINT)
+             |    AS delta_vs_full_permille
+             |FROM ${px}a0 a, ${px}w3 w, ${px}_ev e, abn_ev f""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $qcFeatSqlCtes,
+           |$chains
+           |$rows""".stripMargin
+      }),
 
     // EXACT SUBSTRING DEDUP — THE APPLY STEP (Lee et al.'s excision:
     // tdp_substring_dedup only DETECTS the repeated spans): rewrite
