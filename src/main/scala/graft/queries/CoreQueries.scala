@@ -942,7 +942,11 @@ object CoreQueries {
     // (no month can be absent because no orders fell in it) and
     // left-join the monthly counts. Recursion depth = month span
     // (~80), bounded and explicit via the session recursion limit;
-    // the spine is driver-tiny however large the fact table is.
+    // the spine is driver-tiny however large the fact table is. The
+    // stop bound rides IN the recursion state — a recursive leg that
+    // re-joins the `bounds` CTE re-scans and re-aggregates the fact
+    // table on EVERY iteration (measured: 10.9 s at sf0.1 vs ~1 s with
+    // the bound carried as state).
     QueryDef(
       "q38_recursive_spine",
       (s, dir) => {
@@ -953,10 +957,10 @@ object CoreQueries {
             SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
                    CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
             FROM q38_orders),
-          spine(mon) AS (
-            SELECT lo FROM bounds
+          spine(mon, hi) AS (
+            SELECT lo, hi FROM bounds
             UNION ALL
-            SELECT add_months(mon, 1) FROM spine, bounds WHERE mon < hi),
+            SELECT add_months(mon, 1), hi FROM spine WHERE mon < hi),
           monthly AS (
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
               count(*) AS n_orders
@@ -969,11 +973,11 @@ object CoreQueries {
              |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
              |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
              |  FROM orders),
-             |spine(mon) AS (
-             |  SELECT lo FROM bounds
+             |spine(mon, hi) AS (
+             |  SELECT lo, hi FROM bounds
              |  UNION ALL
-             |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE)
-             |  FROM spine, bounds WHERE mon < hi),
+             |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE), hi
+             |  FROM spine WHERE mon < hi),
              |monthly AS (
              |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
              |    CAST(count(*) AS BIGINT) AS n_orders

@@ -1146,7 +1146,8 @@ object TdpQueries {
     * out-muscle the informative ones and the fit collapses to the
     * majority class (706 permille); centered + ×100 reaches 910.
     */
-  private def qcFeats(s: SparkSession, dir: String): DataFrame = {
+  private def qcFeats(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_qc_feats") {
     val raw = table(s, dir, "documents")
       .filter(length(col("text")) > 0)
       .select(
@@ -1165,7 +1166,7 @@ object TdpQueries {
     raw.select(col("shard"), col("y"), lit(1000L).as("x0"),
       ((col("r1") - m1) * 100).as("x1"),
       ((col("r2") - m2) * 100).as("x2"))
-  }
+    }
 
   /** Attach the clipped-linear probability and correctness under fixed
     * integer weights.

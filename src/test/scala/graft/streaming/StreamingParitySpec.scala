@@ -14,7 +14,7 @@ import graft.queries.Registry
   * DocsStream/EventsStream entry point runs as a real file-source stream
   * over the SAME driver-generated parquet the batch queries read, and
   * its complete output is compared SET-wise against an independently
-  * computed batch twin. This is the oracle discipline of the 153-query
+  * computed batch twin. This is the oracle discipline of the batch-query
   * registry extended to the streaming operators, which the DuckDB gate
   * cannot reach (micro-batch boundaries and watermarks are not
   * SQL-expressible): same inputs, two execution models, equal results.
