@@ -5998,6 +5998,94 @@ object TdpQueries {
               |FROM bc JOIN uc u1 ON bc.w1 = u1.tok
               |JOIN uc u2 ON bc.w2 = u2.tok, nb""".stripMargin)),
 
+    // BM25 RETRIEVAL SCORING (Robertson-Sparck Jones probabilistic
+    // ranking, k1=1.2 b=0.75): score every document against a
+    // deterministic 3-term query (the vocabulary's rank-20..22 tokens;
+    // the synthetic vocabulary is only ~31 words) and emit the top-20.
+    // idf is the LUCENE variant ln(1 + (N - df + 0.5)/(df + 0.5)) —
+    // always positive, which matters here because every term in a
+    // 31-word vocabulary has df > N/2 (classic idf would go negative
+    // corpus-wide). The engine shape is the
+    // inverted-index join every search stack runs: postings (doc, term,
+    // tf) equi-joined to the broadcast query terms, per-(doc, term)
+    // partial scores floored to integer micro-units so the per-doc
+    // reduce is an order-insensitive long sum, then TakeOrdered for the
+    // head. df/len/avglen all derive from exact integer aggregates; the
+    // one transcendental (idf's ln) uses the collocations micro-nat
+    // floor device.
+    QueryDef(
+      "tdp_bm25",
+      (s, dir) => {
+        val toks = docToks(s, dir)
+          .select(col("doc_id"), col("toks"),
+            size(col("toks")).cast(LongType).as("len"))
+          .filter(col("len") > 0)
+        val postings = toks
+          .select(col("doc_id"), col("len"), explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "len", "tok").agg(count(lit(1)).as("tf"))
+        val counts = postings.groupBy("tok")
+          .agg(sum("tf").as("cnt"), count(lit(1)).as("df"))
+        val wRk = Window.orderBy(desc("cnt"), col("tok"))
+        val qterms = counts.orderBy(desc("cnt"), col("tok")).limit(22)
+          .withColumn("rk", row_number().over(wRk))
+          .filter(col("rk") >= 20)
+          .select("tok", "df")
+        val stats = toks.agg(count(lit(1)).as("nn"), sum("len").as("slen"))
+        val scored = postings.join(broadcast(qterms), "tok")
+          .crossJoin(broadcast(stats))
+          .withColumn("term_micro", expr(
+            """CAST(floor(
+              |  ln(1.0 + (CAST(nn AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              |    / (CAST(df AS DOUBLE) + 0.5))
+              |  * (CAST(tf AS DOUBLE) * 2.2)
+              |  / (CAST(tf AS DOUBLE)
+              |     + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE)
+              |       / (CAST(slen AS DOUBLE) / CAST(nn AS DOUBLE))))
+              |  * 1000000) AS BIGINT)""".stripMargin))
+        scored.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_matched"),
+            sum("term_micro").as("score_micro"))
+          .orderBy(desc("score_micro"), col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH btk AS (
+              |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len
+              |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+              |  WHERE len(toks) > 0),
+              |bpost AS (
+              |  SELECT doc_id, len, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, len, unnest(toks) AS tok FROM btk)
+              |  GROUP BY 1, 2, 3),
+              |bcnt AS (
+              |  SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt,
+              |    CAST(count(*) AS BIGINT) AS df
+              |  FROM bpost GROUP BY 1),
+              |bq AS (
+              |  SELECT tok, df FROM (
+              |    SELECT tok, df,
+              |      row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+              |    FROM bcnt)
+              |  WHERE rk BETWEEN 20 AND 22),
+              |bst AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS nn,
+              |    CAST(sum(len) AS BIGINT) AS slen
+              |  FROM btk),
+              |bsc AS (
+              |  SELECT p.doc_id,
+              |    CAST(floor(
+              |      ln(1.0 + (CAST(nn AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+              |        / (CAST(q.df AS DOUBLE) + 0.5))
+              |      * (CAST(p.tf AS DOUBLE) * 2.2)
+              |      / (CAST(p.tf AS DOUBLE)
+              |         + 1.2 * (0.25 + 0.75 * CAST(p.len AS DOUBLE)
+              |           / (CAST(slen AS DOUBLE) / CAST(nn AS DOUBLE))))
+              |      * 1000000) AS BIGINT) AS term_micro
+              |  FROM bpost p JOIN bq q ON p.tok = q.tok CROSS JOIN bst)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+              |  CAST(sum(term_micro) AS BIGINT) AS score_micro
+              |FROM bsc GROUP BY 1
+              |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin)),
+
     // DETERMINISTIC UNIFORM SAMPLE: the k docs with the smallest seeded
     // hash of their id — bottom-k-by-hash IS a uniform sample without
     // replacement, and unlike an RNG reservoir it is reproducible on any
