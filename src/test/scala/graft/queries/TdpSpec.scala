@@ -1740,6 +1740,26 @@ class TdpSpec extends SparkSpec {
       s"model collapsed to the majority class: $accLast <= ${1000 - acc0}")
   }
 
+  test("bm25: top-20 is positive, full-match docs present, ranked sane") {
+    val rows = Registry.queries("tdp_bm25")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      // Lucene idf is always positive, so matched docs score positive.
+      assert(r.getAs[Long]("score_micro") > 0L, r.toString)
+      val m = r.getAs[Long]("n_matched")
+      assert(m >= 1L && m <= 3L)
+    }
+    // The head of the list should be saturated with full 3-term matches
+    // on this dense corpus, and scores must be non-increasing.
+    val sorted = rows.sortBy(-_.getAs[Long]("score_micro"))
+    assert(sorted.head.getAs[Long]("n_matched") == 3L)
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) =>
+        a.getAs[Long]("score_micro") >= b.getAs[Long]("score_micro")
+      case _ => true
+    })
+  }
+
   test("classifier calibration: bins partition the corpus, monotone truth") {
     val rows = Registry.queries("tdp_classifier_calibration")(spark, sf)
       .collect().sortBy(_.getAs[Long]("bin"))
