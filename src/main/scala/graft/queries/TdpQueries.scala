@@ -8347,7 +8347,10 @@ object TdpQueries {
     // style overlap at ~1/WinnowW the index size of the full k-gram
     // index. The min-of-window runs as a bounded-frame window function
     // partitioned BY DOC (parallel across docs, W rows of state);
-    // selection is (hash, rightmost-pos) encoded in one BIGINT so the
+    // selection is (hash, rightmost-pos) encoded in one BIGINT (2^21
+    // position slots — documents past 2M windows would need a wider
+    // packing; the tie-break field only disambiguates WITHIN a window,
+    // so the selected hash set is unaffected either way) so the
     // tie-break costs no struct ordering. Cross-doc pairing joins on
     // the selected hash with a df cap (boilerplate hashes — the
     // substring-dedup modality — are excluded), so bucket fan-out is
