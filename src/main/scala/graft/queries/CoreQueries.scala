@@ -950,7 +950,11 @@ object CoreQueries {
     QueryDef(
       "q38_recursive_spine",
       (s, dir) => {
-        s.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+        // Depth is the ~80-month span — inside Spark's default
+        // cteRecursionLevelLimit of 100, so the session's runaway-
+        // recursion guard stays untouched (raising it globally would
+        // silently weaken the loud-failure bound for every other
+        // recursive query on the shared session).
         table(s, dir, "orders").createOrReplaceTempView("q38_orders")
         s.sql("""
           WITH RECURSIVE bounds AS (

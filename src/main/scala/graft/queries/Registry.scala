@@ -50,6 +50,7 @@ object Registry {
       .foreach { k =>
         memoCache.remove(k).foreach(_.unpersist(blocking = false))
       }
+    TdpQueries.evictDriverState(id)
   }
 
   def all: Seq[QueryDef] =

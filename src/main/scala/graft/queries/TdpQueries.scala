@@ -1180,35 +1180,56 @@ object TdpQueries {
       .withColumn("correct",
         ((col("p") >= 500000L) === (col("y") === 1000000L)).cast(LongType))
 
+  /** Driver-side memo of the trained model per (session, dir) — three
+    * queries (classifier, calibration, ablation's full variant) would
+    * otherwise re-run the identical 4-pass training from scratch. The
+    * state is ~30 longs; keyed like Registry's memoCache.
+    */
+  private val qcTrainCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String),
+      (Array[Long], Seq[(Long, Long, Long, Long, Long, Long)])]
+
+  /** Drop this session's driver-side model state (called from
+    * [[Registry.evict]] alongside the frame memo cleanup).
+    */
+  private[queries] def evictDriverState(sessionId: Int): Unit =
+    qcTrainCache.keys.filter(_._1 == sessionId)
+      .foreach(qcTrainCache.remove)
+
   /** Run the 3-step full-batch gradient descent: one corpus pass per
     * step aggregating five longs, a 1-row driver hop (the BPE merge-fold
     * shape), weights rebroadcast as literals. Returns the feature frame,
-    * the final weights, and the per-step trajectory rows.
+    * the final weights, and the per-step trajectory rows (memoized per
+    * session/SF).
     */
   private def qcTrain(s: SparkSession, dir: String)
       : (DataFrame, Array[Long], Seq[(Long, Long, Long, Long, Long, Long)]) = {
     val feats = qcFeats(s, dir)
-    var w = Array(0L, 0L, 0L)
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Long, Long, Long)]
-    for (k <- 0L to 3L) {
-      val r = qcScored(feats, w).agg(
-        sum(expr("(p - y) * x0")).as("g0"),
-        sum(expr("(p - y) * x1")).as("g1"),
-        sum(expr("(p - y) * x2")).as("g2"),
-        count(lit(1)).as("n"),
-        sum("correct").as("n_correct")).head()
-      val n = r.getAs[Long]("n")
-      val nc = r.getAs[Long]("n_correct")
-      out += ((k, w(0), w(1), w(2), nc, nc * 1000 / n))
-      def t(a: Long, b: Long): Long =
-        if (a >= 0) a / b else -((-a) / b)
-      if (k < 3) w = Array(
-        w(0) - t(r.getAs[Long]("g0"), n * 4000),
-        w(1) - t(r.getAs[Long]("g1"), n * 4000),
-        w(2) - t(r.getAs[Long]("g2"), n * 4000))
-    }
-    (feats, w, out.toSeq)
+    val (w3, out) = qcTrainCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir), {
+        var w = Array(0L, 0L, 0L)
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long, Long)]
+        for (k <- 0L to 3L) {
+          val r = qcScored(feats, w).agg(
+            sum(expr("(p - y) * x0")).as("g0"),
+            sum(expr("(p - y) * x1")).as("g1"),
+            sum(expr("(p - y) * x2")).as("g2"),
+            count(lit(1)).as("n"),
+            sum("correct").as("n_correct")).head()
+          val n = r.getAs[Long]("n")
+          val nc = r.getAs[Long]("n_correct")
+          rows += ((k, w(0), w(1), w(2), nc, nc * 1000 / n))
+          def t(a: Long, b: Long): Long =
+            if (a >= 0) a / b else -((-a) / b)
+          if (k < 3) w = Array(
+            w(0) - t(r.getAs[Long]("g0"), n * 4000),
+            w(1) - t(r.getAs[Long]("g1"), n * 4000),
+            w(2) - t(r.getAs[Long]("g2"), n * 4000))
+        }
+        (w, rows.toSeq)
+      })
+    (feats, w3, out)
   }
 
   /** DuckDB CTE chain replaying the full training trajectory — features
@@ -8528,8 +8549,7 @@ object TdpQueries {
         val email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
         val idrun = "[0-9]{9,}"
         def nMatches(c: Column, pat: String): Column =
-          expr(s"size(regexp_extract_all(${c.toString}, '$pat', 0))")
-            .cast(LongType)
+          size(regexp_extract_all(c, lit(pat), lit(0))).cast(LongType)
         val red = regexp_replace(regexp_replace(regexp_replace(
           col("c_name"), ssn, "<SSN>"), email, "<EMAIL>"), idrun, "<ID>")
         table(s, dir, "customer").select(
@@ -8775,7 +8795,9 @@ object TdpQueries {
     QueryDef(
       "tdp_shard_ablation",
       (s, dir) => {
-        val feats = qcFeats(s, dir)
+        // The full ("none") variant IS the memoized classifier model —
+        // only the four held-out retrainings run fresh passes.
+        val (feats, wFull, _) = qcTrain(s, dir)
         def t(a: Long, b: Long): Long =
           if (a >= 0) a / b else -((-a) / b)
         def trainOn(tr: DataFrame): (Array[Long], Long) = {
@@ -8799,11 +8821,13 @@ object TdpQueries {
         val variants = Seq("none" -> feats) ++
           (0 to 3).map(i => s"shard$i" -> feats.filter(col("shard") =!= i))
         val evals = variants.map { case (name, tr) =>
-          val (w, nTr) = trainOn(tr)
+          val (w, nTr) =
+            if (name == "none") (wFull, -1L) else trainOn(tr)
           val ev = qcScored(feats, w)
             .agg(count(lit(1)).as("n"), sum("correct").as("nc")).head()
-          (name, nTr, w(0), w(1), w(2),
-            ev.getAs[Long]("nc") * 1000 / ev.getAs[Long]("n"))
+          val nEval = ev.getAs[Long]("n")
+          (name, if (nTr < 0) nEval else nTr, w(0), w(1), w(2),
+            ev.getAs[Long]("nc") * 1000 / nEval)
         }
         val fullAcc = evals.head._6
         import s.implicits._

@@ -131,11 +131,15 @@ class CodegenHealthSpec extends SparkSpec {
     "tdp_context_windows", "tdp_schema_drift", "tdp_lm_rollout",
     "tdp_triangle_count", "tdp_pareto_frontier", "tdp_winnow_fingerprint",
     "tdp_span_corruption", "tdp_pii_redact", "tdp_leakage_safe_split",
-    "tdp_rank_fusion")
-  // tdp_quality_classifier is deliberately absent: its RETURNED frame is
-  // the 4-row literal trajectory (the gradient passes run as separate
-  // jobs during construction, the BPE-loop shape), so it has no codegen
-  // subtree of its own to compile.
+    "tdp_rank_fusion", "tdp_dedup_apply", "tdp_feature_hashing",
+    "tdp_bm25", "tdp_classifier_calibration", "q39_lateral_topk",
+    "q40_unpivot")
+  // tdp_quality_classifier and tdp_shard_ablation are deliberately
+  // absent: their RETURNED frames are literal trajectories (the gradient
+  // passes run as separate jobs during construction, the BPE-loop
+  // shape), so they have no codegen subtree of their own to compile.
+  // q38_recursive_spine is absent because pre-execution recursive plans
+  // carry no codegen subtrees (UnionLoop inserts stages at runtime).
 
   for (name <- tdpGuarded)
     test(s"TDP $name: every codegen subtree compiles under the 64 KB limit") {
