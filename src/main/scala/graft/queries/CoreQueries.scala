@@ -1049,5 +1049,45 @@ object CoreQueries {
              |SELECT o_orderpriority, status, n
              |FROM wide UNPIVOT (n FOR status IN ("O", "F", "P"))"""
         .stripMargin)),
+
+    // NULL-SEMANTICS BATTERY: the corner where engines disagree by
+    // DEFAULT and only explicit spelling aligns them — null-safe
+    // equality (Spark `<=>` vs SQL-standard IS NOT DISTINCT FROM),
+    // explicit NULLS FIRST ordering (Spark's ASC default is NULLS
+    // FIRST, DuckDB's is NULLS LAST — the unspelled query would
+    // hash-mismatch), COALESCE chains and NULLIF. A dedup/reconcile
+    // engine lives on these semantics (the reference's `_merge`
+    // markers and null-keeps-row quirks), so they deserve their own
+    // oracle row, not just incidental coverage.
+    QueryDef(
+      "q41_null_semantics",
+      (s, dir) => {
+        val d = table(s, dir, "customer").select(col("c_custkey"),
+          expr("CASE WHEN c_custkey % 3 = 0 THEN NULL" +
+            " ELSE c_custkey % 7 END").as("a"),
+          expr("CASE WHEN c_custkey % 5 = 0 THEN NULL" +
+            " ELSE c_custkey % 7 END").as("b"))
+        d.select(col("c_custkey"), col("a"), col("b"),
+          expr("a <=> b").as("null_safe_eq"),
+          coalesce(col("a"), col("b"), lit(-1L)).as("first_non_null"),
+          expr("nullif(a, b)").as("null_if_equal"),
+          row_number().over(
+            Window.orderBy(col("a").asc_nulls_first, col("c_custkey")))
+            .cast(LongType).as("rn_nulls_first"))
+      },
+      Some("""WITH d AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 3 = 0 THEN NULL
+             |      ELSE c_custkey % 7 END AS a,
+             |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+             |      ELSE c_custkey % 7 END AS b
+             |  FROM customer)
+             |SELECT c_custkey, a, b,
+             |  (a IS NOT DISTINCT FROM b) AS null_safe_eq,
+             |  coalesce(a, b, -1) AS first_non_null,
+             |  nullif(a, b) AS null_if_equal,
+             |  CAST(row_number() OVER (ORDER BY a ASC NULLS FIRST, c_custkey)
+             |    AS BIGINT) AS rn_nulls_first
+             |FROM d""".stripMargin)),
   )
 }
