@@ -6107,6 +6107,94 @@ object TdpQueries {
               |FROM bsc GROUP BY 1
               |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // GREEDY LONGEST-MATCH SEGMENTATION (WordPiece-style tokenizer
+    // INFERENCE): segment every vocabulary word against the learned BPE
+    // piece set by repeatedly taking the longest matching piece — the
+    // OTHER standard inference algorithm next to tdp_bpe_encode's
+    // merge-order replay, and the two genuinely disagree (greedy grabs
+    // the longest piece even when the merge order would have split
+    // differently), which is exactly what the per-word `agree` column
+    // measures. Spark side: one codegen'd per-word fold (branch count =
+    // the actual max piece length, a 1-int driver hop; the piece set
+    // rides as a broadcast vocabulary array — the artifact a tokenizer
+    // ships). Oracle: a DELIBERATELY different construction — a
+    // (word, pos) longest-match table joined through a recursive walk —
+    // so the two implementations can only agree by being the same
+    // algorithm. Single characters are always in the piece set, so the
+    // greedy walk can never strand.
+    QueryDef(
+      "tdp_greedy_segment",
+      (s, dir) => {
+        val fin = bpeWordsFinal(s, dir)
+        val pieces = fin.select(explode(col("syms")).as("sym"))
+          .union(bpeVocab(s, dir).select(explode(col("syms")).as("sym")))
+          .distinct()
+        val maxLen = pieces.agg(max(length(col("sym")))).head().getInt(0)
+        val vocabDf = pieces.agg(
+          sort_array(collect_set(col("sym"))).as("gvocab"))
+        val branches = (maxLen to 2 by -1).map { l =>
+          s"""WHEN i + ${l - 1} <= length(word)
+             |  AND array_contains(gvocab, substring(word, i, $l))
+             |THEN named_struct('nxt', i + $l,
+             |  'out', concat(st.out, array(substring(word, i, $l))))"""
+            .stripMargin
+        }.mkString("\n")
+        val fold =
+          s"""aggregate(sequence(1, length(word)),
+             |  named_struct('nxt', 1, 'out', CAST(array() AS ARRAY<STRING>)),
+             |  (st, i) -> CASE WHEN i < st.nxt THEN st
+             |    $branches
+             |    ELSE named_struct('nxt', i + 1,
+             |      'out', concat(st.out, array(substring(word, i, 1))))
+             |  END,
+             |  st -> st.out)""".stripMargin
+        fin.crossJoin(broadcast(vocabDf))
+          .withColumn("greedy", expr(fold))
+          .select(col("word"), col("freq"),
+            concat_ws("|", col("greedy")).as("greedy_pieces"),
+            size(col("greedy")).cast(LongType).as("n_greedy"),
+            concat_ws("|", col("syms")).as("bpe_pieces"),
+            size(col("syms")).cast(LongType).as("n_bpe"))
+          .withColumn("agree",
+            col("greedy_pieces") === col("bpe_pieces"))
+      },
+      Some(s"""WITH RECURSIVE $bpeSqlCtes,
+              |gvp AS (
+              |  SELECT DISTINCT sym FROM (
+              |    SELECT unnest(syms) AS sym FROM w${BpeRounds + 1}
+              |    UNION ALL SELECT unnest(syms) FROM w1)),
+              |gpos AS (
+              |  SELECT word, unnest(range(1, length(word) + 1)) AS pos
+              |  FROM w1),
+              |gmat AS (
+              |  SELECT p.word, p.pos, max(length(v.sym)) AS L
+              |  FROM gpos p JOIN gvp v
+              |    ON length(v.sym) <= length(p.word) - p.pos + 1
+              |    AND substr(p.word, CAST(p.pos AS INT),
+              |          length(v.sym)) = v.sym
+              |  GROUP BY 1, 2),
+              |gwalk(word, pos, out) AS (
+              |  SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[])
+              |  FROM w1
+              |  UNION ALL
+              |  SELECT w.word, w.pos + g.L,
+              |    list_append(w.out,
+              |      substr(w.word, CAST(w.pos AS INT), CAST(g.L AS INT)))
+              |  FROM gwalk w JOIN gmat g
+              |    ON g.word = w.word AND g.pos = w.pos
+              |  WHERE w.pos <= length(w.word)),
+              |gseg AS (
+              |  SELECT word, out FROM gwalk WHERE pos = length(word) + 1)
+              |SELECT f.word, f.freq,
+              |  array_to_string(g.out, '|') AS greedy_pieces,
+              |  CAST(len(g.out) AS BIGINT) AS n_greedy,
+              |  array_to_string(f.syms, '|') AS bpe_pieces,
+              |  CAST(len(f.syms) AS BIGINT) AS n_bpe,
+              |  (array_to_string(g.out, '|') = array_to_string(f.syms, '|'))
+              |    AS agree
+              |FROM w${BpeRounds + 1} f
+              |JOIN gseg g USING (word)""".stripMargin)),
+
     // DETERMINISTIC UNIFORM SAMPLE: the k docs with the smallest seeded
     // hash of their id — bottom-k-by-hash IS a uniform sample without
     // replacement, and unlike an RNG reservoir it is reproducible on any

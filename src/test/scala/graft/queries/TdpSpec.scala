@@ -1740,6 +1740,31 @@ class TdpSpec extends SparkSpec {
       s"model collapsed to the majority class: $accLast <= ${1000 - acc0}")
   }
 
+  test("greedy segment: pieces rebuild the word from the learned vocab") {
+    val rows = Registry.queries("tdp_greedy_segment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // The piece vocabulary = every BPE final piece + every single char.
+    val vocab = rows.flatMap(_.getAs[String]("bpe_pieces").split('|')).toSet
+    rows.foreach { r =>
+      val word = r.getAs[String]("word")
+      val pieces = r.getAs[String]("greedy_pieces").split('|')
+      // Segmentation is a partition of the word's characters in order.
+      assert(pieces.mkString == word,
+        s"'$word' segmented to ${pieces.mkString("|")}")
+      assert(r.getAs[Long]("n_greedy") == pieces.length.toLong)
+      // Every multi-char piece must come from the learned vocabulary
+      // (single chars are the universal fallback). NOTE deliberately NOT
+      // asserted: n_greedy <= n_bpe — greedy longest-match can strand
+      // characters and come out FINER than the merge-order segmentation
+      // (the classic greedy-tokenizer failure the `agree` column exists
+      // to surface).
+      pieces.filter(_.length > 1).foreach(p =>
+        assert(vocab.contains(p), s"'$word': piece '$p' not in vocab"))
+      assert(r.getAs[Boolean]("agree") ==
+        (r.getAs[String]("greedy_pieces") == r.getAs[String]("bpe_pieces")))
+    }
+  }
+
   test("bm25: top-20 is positive, full-match docs present, ranked sane") {
     val rows = Registry.queries("tdp_bm25")(spark, sf).collect()
     assert(rows.length == 20)
