@@ -133,7 +133,7 @@ class CodegenHealthSpec extends SparkSpec {
     "tdp_span_corruption", "tdp_pii_redact", "tdp_leakage_safe_split",
     "tdp_rank_fusion", "tdp_dedup_apply", "tdp_feature_hashing",
     "tdp_bm25", "tdp_classifier_calibration", "q39_lateral_topk",
-    "q40_unpivot")
+    "q40_unpivot", "q41_null_semantics", "tdp_greedy_segment")
   // tdp_quality_classifier and tdp_shard_ablation are deliberately
   // absent: their RETURNED frames are literal trajectories (the gradient
   // passes run as separate jobs during construction, the BPE-loop
