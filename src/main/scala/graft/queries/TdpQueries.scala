@@ -6129,9 +6129,13 @@ object TdpQueries {
         val pieces = fin.select(explode(col("syms")).as("sym"))
           .union(bpeVocab(s, dir).select(explode(col("syms")).as("sym")))
           .distinct()
-        val maxLen = pieces.agg(max(length(col("sym")))).head().getInt(0)
-        val vocabDf = pieces.agg(
-          sort_array(collect_set(col("sym"))).as("gvocab"))
+        // ONE driver hop: the piece array and its max length together
+        // (the vocabulary is the bounded artifact a tokenizer ships).
+        val vrow = pieces.agg(
+          sort_array(collect_set(col("sym"))).as("gvocab"),
+          max(length(col("sym"))).as("max_len")).head()
+        val maxLen = vrow.getAs[Int]("max_len")
+        val vocabLit = array(vrow.getSeq[String](0).map(lit): _*)
         val branches = (maxLen to 2 by -1).map { l =>
           s"""WHEN i + ${l - 1} <= length(word)
              |  AND array_contains(gvocab, substring(word, i, $l))
@@ -6148,7 +6152,7 @@ object TdpQueries {
              |      'out', concat(st.out, array(substring(word, i, 1))))
              |  END,
              |  st -> st.out)""".stripMargin
-        fin.crossJoin(broadcast(vocabDf))
+        fin.withColumn("gvocab", vocabLit)
           .withColumn("greedy", expr(fold))
           .select(col("word"), col("freq"),
             concat_ws("|", col("greedy")).as("greedy_pieces"),

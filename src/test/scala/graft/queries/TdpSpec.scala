@@ -1765,6 +1765,38 @@ class TdpSpec extends SparkSpec {
     }
   }
 
+  test("greedy segment: planted corpus forces greedy/BPE disagreement") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_greedy").toString
+    // Pair frequencies engineered so the six learned merges are, in
+    // order: bc(110) de(90) fg(80) hi(70) jk(65) ab(60) — (b,c) learned
+    // BEFORE (a,b). The probe word "abc" therefore BPE-segments as
+    // a|bc (the bc merge fires first and blocks ab), while greedy
+    // longest-match grabs the 'ab' piece at position 1 and emits ab|c:
+    // the classic inference divergence the `agree` column exists to
+    // surface, and the input where the two deliberately-different
+    // implementations must BOTH produce the same non-trivial answer.
+    val docs = Seq(
+      (1L, ("bc " * 105).trim),
+      (2L, ("de " * 90).trim),
+      (3L, ("fg " * 80).trim),
+      (4L, ("hi " * 70).trim),
+      (5L, ("jk " * 65).trim),
+      (6L, ("abx " * 55).trim),
+      (7L, ("abc " * 5).trim))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_greedy_segment")(spark, dir)
+      .collect().map(r => r.getAs[String]("word") -> r).toMap
+    val abc = got("abc")
+    assert(abc.getAs[String]("bpe_pieces") == "a|bc", abc.toString)
+    assert(abc.getAs[String]("greedy_pieces") == "ab|c", abc.toString)
+    assert(!abc.getAs[Boolean]("agree"))
+    // And the filler words agree trivially (their own merge is their
+    // whole segmentation).
+    assert(got("bc").getAs[Boolean]("agree"))
+    assert(got("de").getAs[Boolean]("agree"))
+  }
+
   test("bm25: top-20 is positive, full-match docs present, ranked sane") {
     val rows = Registry.queries("tdp_bm25")(spark, sf).collect()
     assert(rows.length == 20)
