@@ -1058,22 +1058,44 @@ object CoreQueries {
     // hash-mismatch), COALESCE chains and NULLIF. A dedup/reconcile
     // engine lives on these semantics (the reference's `_merge`
     // markers and null-keeps-row quirks), so they deserve their own
-    // oracle row, not just incidental coverage.
+    // oracle row, not just incidental coverage. The global NULLS
+    // FIRST rank is EXACT but never single-partition: the same
+    // range-partition + P-row-offset device as tdp_quality_buckets
+    // (range exchange carries the null ordering; each task ranks
+    // ~n/P rows; the driver hop is P rows of counts, not data).
     QueryDef(
       "q41_null_semantics",
       (s, dir) => {
-        val d = table(s, dir, "customer").select(col("c_custkey"),
-          expr("CASE WHEN c_custkey % 3 = 0 THEN NULL" +
-            " ELSE c_custkey % 7 END").as("a"),
-          expr("CASE WHEN c_custkey % 5 = 0 THEN NULL" +
-            " ELSE c_custkey % 7 END").as("b"))
-        d.select(col("c_custkey"), col("a"), col("b"),
-          expr("a <=> b").as("null_safe_eq"),
-          coalesce(col("a"), col("b"), lit(-1L)).as("first_non_null"),
-          expr("nullif(a, b)").as("null_if_equal"),
-          row_number().over(
-            Window.orderBy(col("a").asc_nulls_first, col("c_custkey")))
-            .cast(LongType).as("rn_nulls_first"))
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val ranged = Registry.memo(s, dir, "q41_null_ranged")(
+          table(s, dir, "customer").select(col("c_custkey"),
+            expr("CASE WHEN c_custkey % 3 = 0 THEN NULL" +
+              " ELSE c_custkey % 7 END").as("a"),
+            expr("CASE WHEN c_custkey % 5 = 0 THEN NULL" +
+              " ELSE c_custkey % 7 END").as("b"))
+            .repartitionByRange(
+              nPart, col("a").asc_nulls_first, col("c_custkey"))
+            .withColumn("pid", spark_partition_id()))
+        // Persist is load-bearing: the offset collect and the rank join
+        // must observe one materialization of the range exchange (same
+        // contract as tdp_quality_buckets).
+        ranged.count()
+        val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        var acc = 0L
+        val offsets = counts.map { case (p, c) =>
+          val o = acc; acc += c; (p, o)
+        }.toSeq
+        val offDf = s.createDataFrame(offsets).toDF("pid", "off")
+        val wPid = Window.partitionBy("pid")
+          .orderBy(col("a").asc_nulls_first, col("c_custkey"))
+        ranged.join(broadcast(offDf), "pid")
+          .select(col("c_custkey"), col("a"), col("b"),
+            expr("a <=> b").as("null_safe_eq"),
+            coalesce(col("a"), col("b"), lit(-1L)).as("first_non_null"),
+            expr("nullif(a, b)").as("null_if_equal"),
+            (row_number().over(wPid).cast(LongType) + col("off"))
+              .as("rn_nulls_first"))
       },
       Some("""WITH d AS (
              |  SELECT c_custkey,

