@@ -1111,5 +1111,167 @@ object CoreQueries {
              |  CAST(row_number() OVER (ORDER BY a ASC NULLS FIRST, c_custkey)
              |    AS BIGINT) AS rn_nulls_first
              |FROM d""".stripMargin)),
+
+    // FIRST-ORDER MARKOV TRANSITION MATRIX over per-user event
+    // sequences — the user-journey model behind funnel design and
+    // next-action prediction. The sequence step is a lag window
+    // PARTITIONED BY USER (parallel across users, 1 row of state;
+    // ordering key (sec, event_id) is a total order, so the previous
+    // event is engine-independent); transition counts and the
+    // per-source normalization are narrow-key aggregates over the
+    // event-type alphabet (|types|^2 = 25 cells here — alphabet-sized,
+    // never data-sized). Probabilities ship as integer permille so the
+    // one division per cell is exact in both engines.
+    QueryDef(
+      "q42_markov_chain",
+      (s, dir) => {
+        val wU = Window.partitionBy("user_id")
+          .orderBy(col("sec"), col("event_id"))
+        val tr = eventsWithSec(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("sec"))
+          .withColumn("prev_type", lag("event_type", 1).over(wU))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        tr.withColumn("row_total",
+          sum("n").over(Window.partitionBy("prev_type")))
+          .select(col("prev_type"), col("next_type"), col("n"),
+            expr("n * 1000 div row_total").as("permille"))
+      },
+      Some("""WITH mev AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |mtr AS (
+             |  SELECT lag(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY sec, event_id)
+             |      AS prev_type,
+             |    event_type AS next_type
+             |  FROM mev),
+             |mct AS (
+             |  SELECT prev_type, next_type, count(*) AS n
+             |  FROM mtr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+             |  CAST(CAST(n AS BIGINT) * 1000
+             |    // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+             |    AS BIGINT) AS permille
+             |FROM mct""".stripMargin)),
+
+    // GAPS-AND-ISLANDS activity profile: per user, contiguous active-day
+    // streaks via the classic (day - row_number) island key — the
+    // engagement/churn shape every retention team computes. Both windows
+    // are PARTITIONED BY USER; the streak and span aggregates land on
+    // the same user_id hash partitioning, so the final join moves no
+    // data under AQE. Day ordinals come from the type-adaptive epoch
+    // seconds (integer div), never a timezone-dependent date cast.
+    QueryDef(
+      "q43_gap_islands",
+      (s, dir) => {
+        val days = eventsWithSec(s, dir)
+          .select(col("user_id"), expr("sec div 86400").as("day"))
+          .distinct()
+        val wU = Window.partitionBy("user_id").orderBy("day")
+        val streaks = days
+          .withColumn("island", col("day") - row_number().over(wU))
+          .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+        val spans = days.groupBy("user_id")
+          .agg((max("day") - min("day") + 1).as("span_days"))
+        streaks.groupBy("user_id")
+          .agg(sum("len").as("n_active_days"),
+            count(lit(1)).as("n_streaks"),
+            max("len").as("longest_streak"))
+          .join(spans, Seq("user_id"))
+          .select(col("user_id"), col("n_active_days"), col("span_days"),
+            (col("span_days") - col("n_active_days")).as("n_gap_days"),
+            col("n_streaks"), col("longest_streak"))
+      },
+      Some("""WITH gdy AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+             |  FROM events),
+             |gis AS (
+             |  SELECT user_id,
+             |    day - row_number() OVER (
+             |      PARTITION BY user_id ORDER BY day) AS island
+             |  FROM gdy),
+             |gst AS (
+             |  SELECT user_id, island, count(*) AS len
+             |  FROM gis GROUP BY 1, 2),
+             |gsp AS (
+             |  SELECT user_id, max(day) - min(day) + 1 AS span_days
+             |  FROM gdy GROUP BY 1),
+             |gag AS (
+             |  SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+             |    CAST(count(*) AS BIGINT) AS n_streaks,
+             |    CAST(max(len) AS BIGINT) AS longest_streak
+             |  FROM gst GROUP BY 1)
+             |SELECT g.user_id, g.n_active_days, p.span_days,
+             |  p.span_days - g.n_active_days AS n_gap_days,
+             |  g.n_streaks, g.longest_streak
+             |FROM gag g JOIN gsp p USING (user_id)""".stripMargin)),
+
+    // EWMA ANOMALY SCAN: exponentially-weighted moving average of each
+    // user's daily event count with a 2x-spike flag — the sequential
+    // recurrence (ewma' = 0.9*ewma + 0.1*x) that windows can't express.
+    // The device: a user's (day, count) points pack into single BIGINTs
+    // (day*1e5 + count), sort_array makes the collected list
+    // ORDER-DETERMINISTIC (collect_list alone is not), and one
+    // `aggregate` lambda folds the recurrence in integer milli-units
+    // with the running anomaly count packed into the same accumulator
+    // (acc = ewma_milli*1000 + n_anom) — so the whole scan is one
+    // groupBy plus a bounded per-user fold. The list is CALENDAR-
+    // bounded (<= days in the observation window, 30 here), not
+    // data-sized: at 100 TB each user still folds <= |days| elements.
+    QueryDef(
+      "q44_ewma_anomaly",
+      (s, dir) => {
+        val daily = eventsWithSec(s, dir)
+          .select(col("user_id"), expr("sec div 86400").as("day"))
+          .groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+        daily.groupBy("user_id")
+          .agg(sort_array(collect_list(expr("day * 100000 + cnt")))
+            .as("arr"))
+          .select(col("user_id"), size(col("arr")).cast(LongType)
+            .as("n_days"),
+            expr("""aggregate(
+                   |  slice(arr, 2, size(arr) - 1),
+                   |  (element_at(arr, 1) % 100000) * 1000000,
+                   |  (acc, v) ->
+                   |    ((9 * (acc div 1000) + (v % 100000) * 1000) div 10)
+                   |      * 1000
+                   |    + acc % 1000
+                   |    + (CASE WHEN (v % 100000) * 1000 > 2 * (acc div 1000)
+                   |       THEN 1 ELSE 0 END))""".stripMargin)
+              .as("packed"))
+          .select(col("user_id"), col("n_days"),
+            expr("packed div 1000").as("ewma_final_milli"),
+            expr("packed % 1000").as("n_anomaly_days"))
+      },
+      Some("""WITH wdy AS (
+             |  SELECT user_id,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |wag AS (
+             |  SELECT user_id,
+             |    list_sort(list(day * 100000 + cnt)) AS arr
+             |  FROM wdy GROUP BY 1),
+             |wfd AS (
+             |  SELECT user_id, CAST(len(arr) AS BIGINT) AS n_days,
+             |    list_reduce(
+             |      list_prepend((arr[1] % 100000) * 1000000,
+             |        list_slice(arr, 2, len(arr))),
+             |      (acc, v) ->
+             |        ((9 * (acc // 1000) + (v % 100000) * 1000) // 10)
+             |          * 1000
+             |        + acc % 1000
+             |        + (CASE WHEN (v % 100000) * 1000 > 2 * (acc // 1000)
+             |           THEN 1 ELSE 0 END)) AS packed
+             |  FROM wag)
+             |SELECT user_id, n_days,
+             |  packed // 1000 AS ewma_final_milli,
+             |  packed % 1000 AS n_anomaly_days
+             |FROM wfd""".stripMargin)),
   )
 }

@@ -9120,5 +9120,284 @@ object TdpQueries {
               |SELECT doc_id, vec, sq_norm, n_dims_hit,
               |  max_toks_per_dim, min_toks_per_dim
               |FROM fhvec JOIN fhagg USING (doc_id) CROSS JOIN fhp""".stripMargin)),
+
+    // REFERENTIAL-INTEGRITY PROFILE (the Deequ-style constraint suite):
+    // for every foreign-key edge of the star schema, count null FKs,
+    // orphan children (FK with no parent) and childless parents — the
+    // audit a pipeline runs before trusting joins, because an orphan
+    // silently drops rows from every inner join downstream. Orphans are
+    // left-ANTI joins: parent key sets broadcast for the true dims
+    // (nation/region/part/supplier/customer); the one genuinely big
+    // parent (orders) anti-joins shuffled on the key, exactly as the
+    // reconcile does. Each relation reduces to a 1-row frame (the
+    // scalar-attach crossJoin shape), so the report is 7 rows no matter
+    // the corpus size.
+    QueryDef(
+      "tdp_fk_integrity",
+      (s, dir) => {
+        def rel(
+            name: String,
+            child: DataFrame, fkCol: String,
+            parent: DataFrame, pkCol: String,
+            bcastParent: Boolean): DataFrame = {
+          val fk = child.select(col(fkCol).as("fk"))
+          val pk = parent.select(col(pkCol).as("pk")).distinct()
+          val pkSide = if (bcastParent) broadcast(pk) else pk
+          val base = fk.agg(count(lit(1)).as("n_child_rows"),
+            sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+          val orphan = fk.filter(col("fk").isNotNull)
+            .join(pkSide, col("fk") === col("pk"), "left_anti")
+            .agg(count(lit(1)).as("n_orphan"))
+          val childless = pk
+            .join(fk.filter(col("fk").isNotNull).distinct(),
+              col("pk") === col("fk"), "left_anti")
+            .agg(count(lit(1)).as("n_childless_parents"))
+          base.crossJoin(orphan).crossJoin(childless)
+            .select(lit(name).as("relation"),
+              col("n_child_rows"), col("n_null_fk"), col("n_orphan"),
+              expr("(n_null_fk + n_orphan) * 1000 div n_child_rows")
+                .as("violation_permille"),
+              col("n_childless_parents"))
+        }
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders")
+        rel("lineitem.orderkey->orders", li, "l_orderkey",
+            ord, "o_orderkey", bcastParent = false)
+          .unionAll(rel("lineitem.partkey->part", li, "l_partkey",
+            table(s, dir, "part"), "p_partkey", bcastParent = true))
+          .unionAll(rel("lineitem.suppkey->supplier", li, "l_suppkey",
+            table(s, dir, "supplier"), "s_suppkey", bcastParent = true))
+          .unionAll(rel("orders.custkey->customer", ord, "o_custkey",
+            table(s, dir, "customer"), "c_custkey", bcastParent = true))
+          .unionAll(rel("customer.nationkey->nation",
+            table(s, dir, "customer"), "c_nationkey",
+            table(s, dir, "nation"), "n_nationkey", bcastParent = true))
+          .unionAll(rel("supplier.nationkey->nation",
+            table(s, dir, "supplier"), "s_nationkey",
+            table(s, dir, "nation"), "n_nationkey", bcastParent = true))
+          .unionAll(rel("nation.regionkey->region",
+            table(s, dir, "nation"), "n_regionkey",
+            table(s, dir, "region"), "r_regionkey", bcastParent = true))
+      },
+      Some(Seq(
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        ("orders.custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        ("supplier.nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        ("nation.regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"))
+        .map { case (name, c, fk, p, pk) =>
+          s"""SELECT '$name' AS relation,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM $c) AS n_child_rows,
+             |  (SELECT CAST(coalesce(sum(
+             |      CASE WHEN $fk IS NULL THEN 1 END), 0) AS BIGINT)
+             |    FROM $c) AS n_null_fk,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM $c
+             |    WHERE $fk IS NOT NULL AND NOT EXISTS
+             |      (SELECT 1 FROM $p WHERE $pk = $fk)) AS n_orphan,
+             |  CAST(((SELECT CAST(coalesce(sum(
+             |        CASE WHEN $fk IS NULL THEN 1 END), 0) AS BIGINT)
+             |      FROM $c)
+             |    + (SELECT CAST(count(*) AS BIGINT) FROM $c
+             |      WHERE $fk IS NOT NULL AND NOT EXISTS
+             |        (SELECT 1 FROM $p WHERE $pk = $fk))) * 1000
+             |    // (SELECT count(*) FROM $c) AS BIGINT)
+             |    AS violation_permille,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM $p
+             |    WHERE NOT EXISTS
+             |      (SELECT 1 FROM $c WHERE $fk = $pk)) AS n_childless_parents"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n"))),
+
+    // T-CLOSENESS: the third leg of the privacy-audit triad
+    // (k-anonymity caps group re-identification, l-diversity demands
+    // sensitive-value variety, t-closeness bounds how far a group's
+    // sensitive DISTRIBUTION drifts from the global one — the attack
+    // both others miss is a group whose values are diverse but skewed).
+    // For the ordered sensitive attribute (acctbal band) the Earth
+    // Mover's Distance reduces to the mean |cumulative difference|, and
+    // the cross-multiplied integer form |cumg*N - cumq*n_g| makes every
+    // comparison exact (one floor-div per group at the end). Frames are
+    // QI-keyspace x band-range sized (the group/band grid is a
+    // broadcast crossJoin of two tiny aggregates), never data-sized;
+    // the per-group cumsum window is partitioned by group. The BIGINT
+    // cross-products bound the audit at ~10^18/band-count rows — beyond
+    // that the same query runs with DECIMAL(38,0) sums.
+    QueryDef(
+      "tdp_t_closeness",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+          .withColumn("sens",
+            floor(col("c_acctbal") / 1000.0).cast(LongType))
+        def tLevel(name: String, keys: Seq[String]): DataFrame = {
+          val rows = cust.select((keys.map(col) :+ col("sens")): _*)
+          val groups = rows.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("n_g"))
+          val glob = rows.groupBy("sens").agg(count(lit(1)).as("cq"))
+          val globCum = glob
+            .withColumn("cumq", sum("cq").over(
+              Window.partitionBy(pmod(col("sens"), lit(1L)))
+                .orderBy("sens")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .select("sens", "cumq")
+          val tot = glob.agg(sum("cq").as("n_tot"),
+            count(lit(1)).as("m"), max("sens").as("max_band"))
+          val gb = rows.groupBy((keys.map(col) :+ col("sens")): _*)
+            .agg(count(lit(1)).as("c"))
+          val grid = groups.crossJoin(broadcast(globCum))
+            .join(gb, keys :+ "sens", "left")
+            .withColumn("c0", coalesce(col("c"), lit(0L)))
+          val wG = Window.partitionBy(keys.map(col): _*).orderBy("sens")
+          val cum = grid.withColumn("cumg", sum("c0").over(
+            wG.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          cum.crossJoin(broadcast(tot))
+            .filter(col("sens") < col("max_band"))
+            .groupBy((keys.map(col) ++ Seq(col("n_g"), col("n_tot"),
+              col("m"))): _*)
+            .agg(sum(abs(col("cumg") * col("n_tot")
+              - col("cumq") * col("n_g"))).as("sdiff"))
+            .withColumn("emd_micro", expr(
+              "sdiff * 1000000 div (greatest(m - 1, 1) * n_g * n_tot)"))
+            .agg(count(lit(1)).as("n_groups"),
+              max("emd_micro").as("t_max_micro"),
+              sum(when(col("emd_micro") > 200000, 1L).otherwise(0L))
+                .as("weak_groups"),
+              sum(when(col("emd_micro") > 200000, col("n_g"))
+                .otherwise(0L)).as("exposed_rows"))
+            .select(lit(name).as("level"), col("n_groups"),
+              col("t_max_micro"), col("weak_groups"), col("exposed_rows"))
+        }
+        tLevel("nation+segment", Seq("c_nationkey", "c_mktsegment"))
+          .unionAll(tLevel("segment", Seq("c_mktsegment")))
+      },
+      Some {
+        def lvl(pfx: String, name: String, keys: Seq[String]): String = {
+          val k = keys.mkString(", ")
+          val bj = keys.map(c => s"b.$c = g.$c").mkString(" AND ")
+          (s"""${pfx}g AS (
+              |  SELECT $k, CAST(count(*) AS BIGINT) AS n_g
+              |  FROM tcsens GROUP BY ${keys.indices.map(_ + 1).mkString(", ")}),
+              |${pfx}b AS (
+              |  SELECT $k, sens, CAST(count(*) AS BIGINT) AS c
+              |  FROM tcsens
+              |  GROUP BY ${(0 to keys.size).map(_ + 1).mkString(", ")}),
+              |${pfx}cum AS (
+              |  SELECT g.n_g, q.sens, q.cumq, ${keys.map("g." + _).mkString(", ")},
+              |    CAST(sum(coalesce(b.c, 0)) OVER (
+              |      PARTITION BY ${keys.map("g." + _).mkString(", ")}
+              |      ORDER BY q.sens ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              |      AS cumg
+              |  FROM ${pfx}g g CROSS JOIN tcqcum q
+              |  LEFT JOIN ${pfx}b b ON $bj AND b.sens = q.sens),
+              |${pfx}emd AS (
+              |  SELECT $k, n_g,
+              |    CAST(sum(abs(cumg * t.n_tot - cumq * n_g)) AS BIGINT)
+              |      * 1000000
+              |      // (greatest(t.m - 1, 1) * n_g * t.n_tot) AS emd_micro
+              |  FROM ${pfx}cum, tct t WHERE sens < t.max_band
+              |  GROUP BY ${keys.indices.map(_ + 1).mkString(", ")}, n_g,
+              |    t.m, t.n_tot),
+              |${pfx}out AS (
+              |  SELECT '$name' AS level, CAST(count(*) AS BIGINT) AS n_groups,
+              |    CAST(max(emd_micro) AS BIGINT) AS t_max_micro,
+              |    CAST(sum(CASE WHEN emd_micro > 200000 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS weak_groups,
+              |    CAST(sum(CASE WHEN emd_micro > 200000 THEN n_g ELSE 0 END)
+              |      AS BIGINT) AS exposed_rows
+              |  FROM ${pfx}emd)""").stripMargin
+        }
+        s"""WITH tcsens AS (
+           |  SELECT c_nationkey, c_mktsegment,
+           |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS sens
+           |  FROM customer),
+           |tcq AS (
+           |  SELECT sens, CAST(count(*) AS BIGINT) AS cq
+           |  FROM tcsens GROUP BY 1),
+           |tcqcum AS (
+           |  SELECT sens, CAST(sum(cq) OVER (
+           |    ORDER BY sens ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumq
+           |  FROM tcq),
+           |tct AS (
+           |  SELECT CAST(sum(cq) AS BIGINT) AS n_tot,
+           |    CAST(count(*) AS BIGINT) AS m, max(sens) AS max_band
+           |  FROM tcq),
+           |${lvl("t1", "nation+segment", Seq("c_nationkey", "c_mktsegment"))},
+           |${lvl("t2", "segment", Seq("c_mktsegment"))}
+           |SELECT * FROM t1out UNION ALL SELECT * FROM t2out""".stripMargin
+      }),
+
+    // LABEL-PROPAGATION COMMUNITIES over the near-dup candidate graph:
+    // where connected components (tdp_dup_clusters) answers "what is
+    // transitively linked", LPA answers "what CLUSTERS densely" — a
+    // bridge edge between two clone families keeps them one CC but LPA
+    // splits them, which is the right unit for near-dup REVIEW (a human
+    // audits a community, not a sprawling component). Three SYNCHRONOUS
+    // rounds (every node adopts the most-frequent neighbor label from
+    // the PREVIOUS round, ties to the smallest label — fully
+    // deterministic, no sequential node order like classic async LPA);
+    // each round is one edges-to-labels equi-join shuffled on the
+    // vertex id plus a per-vertex argmax window — the Pregel shape, so
+    // the per-round cost is sized by the near-dup graph, not the
+    // corpus, and the fixed round count needs no convergence test.
+    QueryDef(
+      "tdp_label_propagation",
+      (s, dir) => {
+        val pairs = lshPairs(s, dir)
+        // Pre-partition the (bigger) edge side once on the vote key so
+        // all three rounds shuffle only the small labels frame.
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .repartition(col("dst"))
+          .persist()
+        var labels = edges.select(col("dst").as("doc_id")).distinct()
+          .withColumn("lab", col("doc_id"))
+        for (_ <- 1 to 3) {
+          val votes = edges
+            .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
+            .groupBy(col("dst").as("doc_id"), col("lab"))
+            .agg(count(lit(1)).as("v"))
+          val wV = Window.partitionBy("doc_id")
+            .orderBy(desc("v"), col("lab"))
+          labels = votes.withColumn("rk", row_number().over(wV))
+            .filter(col("rk") === 1)
+            .select(col("doc_id"), col("lab"))
+        }
+        val out = labels.groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("community_size"),
+            min("doc_id").as("min_member"), max("doc_id").as("max_member"))
+        edges.unpersist(blocking = false)
+        out
+      },
+      Some {
+        val rounds = (1 to 3).map { k =>
+          s"""lpv$k AS (
+             |  SELECT e.dst AS doc_id, l.lab, count(*) AS v
+             |  FROM lpe e JOIN lp${k - 1} l ON l.doc_id = e.src
+             |  GROUP BY 1, 2),
+             |lp$k AS (
+             |  SELECT doc_id, lab FROM (
+             |    SELECT doc_id, lab, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY v DESC, lab) AS rk
+             |    FROM lpv$k) WHERE rk = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $lshPairsSqlCtes,
+           |lpe AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |lp0 AS (SELECT DISTINCT dst AS doc_id, dst AS lab FROM lpe),
+           |$rounds
+           |SELECT lab AS community,
+           |  CAST(count(*) AS BIGINT) AS community_size,
+           |  min(doc_id) AS min_member, max(doc_id) AS max_member
+           |FROM lp3 GROUP BY 1""".stripMargin
+      }),
   )
 }
