@@ -9399,5 +9399,226 @@ object TdpQueries {
            |  min(doc_id) AS min_member, max(doc_id) AS max_member
            |FROM lp3 GROUP BY 1""".stripMargin
       }),
+
+    // PCA TOP COMPONENT by the tall-skinny pattern: ONE distributed
+    // pass folds the D^2 second moments and D first moments (micro-unit
+    // integers summed as DECIMAL(38,0) — order-insensitive and
+    // unoverflowable at any corpus size), then the D x D eigenproblem
+    // runs on the DRIVER — an O(D^2) hop like the rank-offset collects,
+    // never O(n). Power iteration is integer-exact: 12 fixed rounds of
+    // BigInt matvec with max-norm rescaling (v' = trunc(u * 1e6 /
+    // max|u|)), so no convergence test, no floating accumulation, and
+    // the oracle replays the identical arithmetic in HUGEINT (the
+    // division is spelled sign-explicitly because BigInt truncates
+    // toward zero while // floors). The published rows are
+    // dimension-sized: the component, each dim's variance share, and
+    // the top component's explained-variance share — the "is one
+    // direction dominating my embedding space" collapse diagnostic run
+    // before trusting ANN recall numbers. All-ones init cannot be
+    // orthogonal to the top eigenvector of a PSD covariance with
+    // non-negative row sums dominating; 12 rounds is plenty at the
+    // observed spectral gaps, and determinism holds REGARDLESS of
+    // convergence because both engines run the same 12 steps.
+    QueryDef(
+      "tdp_pca_power",
+      (s, dir) => {
+        val D = 64
+        val mic = embWithNorm(s, dir).select(col("vec_id"),
+          expr("transform(embedding, v -> " +
+            "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("m"))
+        val exi = mic.select(col("vec_id"), col("m"),
+          posexplode(col("m")).as(Seq("i", "mi")))
+        val moments = exi
+          .select(col("i"), col("mi"), posexplode(col("m")).as(Seq("j", "mj")))
+          .groupBy("i", "j")
+          .agg(sum(expr("CAST(mi * mj AS DECIMAL(38,0))")).as("sij"))
+          .collect()
+        val means = exi.groupBy("i")
+          .agg(sum(expr("CAST(mi AS DECIMAL(38,0))")).as("mu"))
+          .collect()
+        val n = BigInt(mic.count())
+        val S = Array.ofDim[BigInt](D, D)
+        moments.foreach(r => S(r.getAs[Int]("i"))(r.getAs[Int]("j")) =
+          BigInt(r.getDecimal(2).toBigInteger))
+        val M = Array.ofDim[BigInt](D)
+        means.foreach(r => M(r.getAs[Int]("i")) =
+          BigInt(r.getDecimal(1).toBigInteger))
+        // C = n^2 * covariance (exact, no mean division).
+        val C = Array.tabulate(D, D)((i, j) => n * S(i)(j) - M(i) * M(j))
+        def matvec(v: Array[BigInt]): Array[BigInt] =
+          Array.tabulate(D)(i =>
+            (0 until D).map(j => C(i)(j) * v(j)).sum)
+        var v = Array.fill(D)(BigInt(1000000))
+        for (_ <- 1 to 12) {
+          val u = matvec(v)
+          val mx = u.map(_.abs).max.max(BigInt(1))
+          v = u.map(x => (x * 1000000) / mx) // BigInt /: trunc toward 0
+        }
+        val u = matvec(v)
+        val num = (0 until D).map(i => u(i) * v(i)).sum
+        val den = (0 until D).map(i => v(i) * v(i)).sum.max(BigInt(1))
+        val lam = num / den
+        val trace = (0 until D).map(i => C(i)(i)).sum.max(BigInt(1))
+        val rows = (0 until D).map(i =>
+          (i.toLong, v(i).toLong, ((C(i)(i) * 1000) / trace).toLong,
+            ((lam * 1000) / trace).toLong))
+        s.createDataFrame(rows).toDF("dim", "component_micro",
+          "diag_share_permille", "top_eig_share_permille")
+      },
+      Some {
+        val iters = (1 to 12).map { k =>
+          s"""pu$k AS MATERIALIZED (
+             |  SELECT c.i, sum(c.c * v.v) AS u
+             |  FROM pcm c JOIN pv${k - 1} v ON v.i = c.j GROUP BY 1),
+             |pm$k AS MATERIALIZED (
+             |  SELECT greatest(max(abs(u)), 1) AS mx FROM pu$k),
+             |pv$k AS MATERIALIZED (
+             |  SELECT i, CASE WHEN u >= 0 THEN (u * 1000000) // mx
+             |    ELSE -(((-u) * 1000000) // mx) END AS v
+             |  FROM pu$k, pm$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pex AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+           |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+           |      AS BIGINT) AS mi
+           |  FROM embeddings),
+           |psm AS MATERIALIZED (
+           |  SELECT a.i AS i, b.i AS j,
+           |    sum(CAST(a.mi AS HUGEINT) * b.mi) AS s
+           |  FROM pex a JOIN pex b USING (vec_id) GROUP BY 1, 2),
+           |pmu AS (SELECT i, CAST(sum(mi) AS HUGEINT) AS mu
+           |  FROM pex GROUP BY 1),
+           |pnn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n
+           |  FROM pex),
+           |pcm AS MATERIALIZED (
+           |  SELECT s.i, s.j, t.n * s.s - a.mu * b.mu AS c
+           |  FROM psm s JOIN pmu a ON a.i = s.i JOIN pmu b ON b.i = s.j,
+           |    pnn t),
+           |pv0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM pmu),
+           |$iters,
+           |puf AS (
+           |  SELECT c.i, sum(c.c * v.v) AS u
+           |  FROM pcm c JOIN pv12 v ON v.i = c.j GROUP BY 1),
+           |pray AS (
+           |  SELECT sum(u.u * v.v) AS num,
+           |    greatest(sum(v.v * v.v), 1) AS den
+           |  FROM puf u JOIN pv12 v USING (i)),
+           |plam AS (
+           |  SELECT CASE WHEN num >= 0 THEN num // den
+           |    ELSE -((-num) // den) END AS lam FROM pray),
+           |ptr AS (
+           |  SELECT greatest(sum(CASE WHEN i = j THEN c ELSE 0 END), 1)
+           |    AS tr FROM pcm)
+           |SELECT v.i AS dim, CAST(v.v AS BIGINT) AS component_micro,
+           |  CAST((d.c * 1000) // t.tr AS BIGINT) AS diag_share_permille,
+           |  CAST((l.lam * 1000) // t.tr AS BIGINT)
+           |    AS top_eig_share_permille
+           |FROM pv12 v JOIN pcm d ON d.i = v.i AND d.j = v.i,
+           |  plam l, ptr t""".stripMargin
+      }),
+
+    // MMR DIVERSE TOP-K (maximal marginal relevance): the curation-side
+    // retrieval that plain cosine top-k gets wrong — the 5 most
+    // relevant vectors to a query are usually 5 near-copies, and a
+    // training-data sampler wants coverage, not redundancy. Greedy MMR:
+    // each of the K=5 rounds picks argmax of 0.6*relevance -
+    // 0.4*max-sim-to-already-selected (integer micro^2 dot products,
+    // weights scaled x10 so no division at all; ties to the smallest
+    // vec_id). Each round is ONE distributed argmax (TakeOrdered of 1)
+    // over candidates against the <=4-vector selected set embedded as
+    // broadcast literals — the driver state is K rows plus the 64-long
+    // query vector, and the scan cost is K passes regardless of corpus
+    // size. The query vector is the label-0 centroid in truncated
+    // integer micro-units, so both engines derive it exactly.
+    QueryDef(
+      "tdp_mmr_select",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, v -> " +
+              "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("m"))
+        val qm = emb.filter(col("label") === 0)
+          .select(posexplode(col("m")).as(Seq("i", "mi")))
+          .groupBy("i").agg(sum("mi").as("sm"), count(lit(1)).as("cn"))
+          .select(col("i"), expr("sm div cn").as("qv"))
+          .collect().map(r => r.getAs[Int]("i") -> r.getAs[Long]("qv"))
+          .sortBy(_._1).map(_._2)
+        def dotWith(lits: Array[Long]): Column = expr(
+          s"aggregate(zip_with(m, array(${lits.mkString(",")}), " +
+            "(x, y) -> x * y), 0L, (a, b) -> a + b)")
+        val cand = emb.withColumn("rel", dotWith(qm)).persist()
+        var selected = Vector.empty[(Long, Array[Long], Long, Long, Long)]
+        for (_ <- 1 to 5) {
+          val simCols = selected.map(t => dotWith(t._2))
+          val withSim =
+            if (simCols.isEmpty) cand.withColumn("maxsim", lit(0L))
+            else if (simCols.size == 1) cand.withColumn("maxsim", simCols.head)
+            else cand.withColumn("maxsim", greatest(simCols: _*))
+          val pool =
+            if (selected.isEmpty) withSim
+            else withSim.filter(!col("vec_id").isin(selected.map(_._1): _*))
+          val top = pool
+            .withColumn("score", col("rel") * 6 - col("maxsim") * 4)
+            .orderBy(desc("score"), col("vec_id"))
+            .select("vec_id", "m", "rel", "maxsim", "score")
+            .head() // 1-row driver hop per round
+          selected :+= ((top.getLong(0), top.getSeq[Long](1).toArray,
+            top.getLong(2), top.getLong(3), top.getLong(4)))
+        }
+        cand.unpersist(blocking = false)
+        val rows = selected.zipWithIndex.map { case ((id, _, rel, ms, sc), ix) =>
+          ((ix + 1).toLong, id, rel, ms, sc)
+        }
+        s.createDataFrame(rows).toDF("rank", "vec_id", "rel_micro2",
+          "max_sim_micro2", "score_micro2")
+      },
+      Some {
+        def selPrev(k: Int): String =
+          (1 until k).map(j => s"SELECT vec_id FROM ms$j")
+            .mkString(" UNION ALL ")
+        val steps = (2 to 5).map { k =>
+          s"""mp$k AS MATERIALIZED (SELECT vec_id FROM (${selPrev(k)})),
+             |md$k AS MATERIALIZED (
+             |  SELECT vec_id, max(dt) AS maxsim FROM (
+             |    SELECT a.vec_id, b.vec_id AS sid,
+             |      CAST(sum(a.mi * b.mi) AS BIGINT) AS dt
+             |    FROM mex a JOIN mex b USING (i)
+             |    WHERE b.vec_id IN (SELECT vec_id FROM mp$k)
+             |      AND a.vec_id NOT IN (SELECT vec_id FROM mp$k)
+             |    GROUP BY 1, 2) GROUP BY 1),
+             |ms$k AS MATERIALIZED (
+             |  SELECT r.vec_id, r.rel, d.maxsim,
+             |    r.rel * 6 - d.maxsim * 4 AS score
+             |  FROM mrel r JOIN md$k d USING (vec_id)
+             |  ORDER BY score DESC, r.vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 5).map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS rank, vec_id,
+             |  rel AS rel_micro2, maxsim AS max_sim_micro2,
+             |  score AS score_micro2 FROM ms$k""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH mex AS MATERIALIZED (
+           |  SELECT vec_id, label,
+           |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+           |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+           |      AS BIGINT) AS mi
+           |  FROM embeddings),
+           |mq AS (
+           |  SELECT i, CASE WHEN s >= 0 THEN s // c
+           |    ELSE -((-s) // c) END AS qv
+           |  FROM (SELECT i, CAST(sum(mi) AS BIGINT) AS s,
+           |      CAST(count(*) AS BIGINT) AS c
+           |    FROM mex WHERE label = 0 GROUP BY 1)),
+           |mrel AS MATERIALIZED (
+           |  SELECT e.vec_id, CAST(sum(e.mi * q.qv) AS BIGINT) AS rel
+           |  FROM mex e JOIN mq q USING (i) GROUP BY 1),
+           |ms1 AS MATERIALIZED (
+           |  SELECT vec_id, rel, CAST(0 AS BIGINT) AS maxsim,
+           |    rel * 6 AS score
+           |  FROM mrel ORDER BY rel * 6 DESC, vec_id LIMIT 1),
+           |$steps
+           |$out""".stripMargin
+      }),
   )
 }
