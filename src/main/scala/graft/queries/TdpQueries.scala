@@ -9340,13 +9340,16 @@ object TdpQueries {
     // bridge edge between two clone families keeps them one CC but LPA
     // splits them, which is the right unit for near-dup REVIEW (a human
     // audits a community, not a sprawling component). Three SYNCHRONOUS
-    // rounds (every node adopts the most-frequent neighbor label from
-    // the PREVIOUS round, ties to the smallest label — fully
-    // deterministic, no sequential node order like classic async LPA);
-    // each round is one edges-to-labels equi-join shuffled on the
-    // vertex id plus a per-vertex argmax window — the Pregel shape, so
-    // the per-round cost is sized by the near-dup graph, not the
-    // corpus, and the fixed round count needs no convergence test.
+    // rounds: every node adopts the most-frequent label among ITSELF
+    // plus its neighbors from the PREVIOUS round, ties to the smallest
+    // label — fully deterministic (no sequential node order like
+    // classic async LPA), and the self-vote kills the textbook
+    // bipartite oscillation (a 2-clique under neighbors-only voting
+    // swaps labels forever and never forms a community). Each round is
+    // one edges-to-labels equi-join shuffled on the vertex id plus a
+    // per-vertex argmax window — the Pregel shape, so the per-round
+    // cost is sized by the near-dup graph, not the corpus, and the
+    // fixed round count needs no convergence test.
     QueryDef(
       "tdp_label_propagation",
       (s, dir) => {
@@ -9360,9 +9363,11 @@ object TdpQueries {
         var labels = edges.select(col("dst").as("doc_id")).distinct()
           .withColumn("lab", col("doc_id"))
         for (_ <- 1 to 3) {
-          val votes = edges
+          val nbr = edges
             .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
-            .groupBy(col("dst").as("doc_id"), col("lab"))
+            .select(col("dst").as("doc_id"), col("lab"))
+          val votes = nbr.union(labels)
+            .groupBy("doc_id", "lab")
             .agg(count(lit(1)).as("v"))
           val wV = Window.partitionBy("doc_id")
             .orderBy(desc("v"), col("lab"))
@@ -9378,11 +9383,13 @@ object TdpQueries {
       },
       Some {
         val rounds = (1 to 3).map { k =>
-          s"""lpv$k AS (
-             |  SELECT e.dst AS doc_id, l.lab, count(*) AS v
-             |  FROM lpe e JOIN lp${k - 1} l ON l.doc_id = e.src
+          s"""lpv$k AS MATERIALIZED (
+             |  SELECT doc_id, lab, count(*) AS v FROM (
+             |    SELECT e.dst AS doc_id, l.lab
+             |    FROM lpe e JOIN lp${k - 1} l ON l.doc_id = e.src
+             |    UNION ALL SELECT doc_id, lab FROM lp${k - 1})
              |  GROUP BY 1, 2),
-             |lp$k AS (
+             |lp$k AS MATERIALIZED (
              |  SELECT doc_id, lab FROM (
              |    SELECT doc_id, lab, row_number() OVER (
              |      PARTITION BY doc_id ORDER BY v DESC, lab) AS rk
@@ -9558,13 +9565,16 @@ object TdpQueries {
           val pool =
             if (selected.isEmpty) withSim
             else withSim.filter(!col("vec_id").isin(selected.map(_._1): _*))
-          val top = pool
+          // 1-row driver hop per round; an exhausted pool (corpus
+          // smaller than K) just stops the greedy walk early.
+          pool
             .withColumn("score", col("rel") * 6 - col("maxsim") * 4)
             .orderBy(desc("score"), col("vec_id"))
             .select("vec_id", "m", "rel", "maxsim", "score")
-            .head() // 1-row driver hop per round
-          selected :+= ((top.getLong(0), top.getSeq[Long](1).toArray,
-            top.getLong(2), top.getLong(3), top.getLong(4)))
+            .limit(1).collect().headOption.foreach { top =>
+              selected :+= ((top.getLong(0), top.getSeq[Long](1).toArray,
+                top.getLong(2), top.getLong(3), top.getLong(4)))
+            }
         }
         cand.unpersist(blocking = false)
         val rows = selected.zipWithIndex.map { case ((id, _, rel, ms, sc), ix) =>

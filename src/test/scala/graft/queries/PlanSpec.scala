@@ -411,4 +411,53 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Aggregate"),
       plan.take(3000))
   }
+
+  test("fk integrity: dim orphan checks broadcast, fact side never cartesian") {
+    val df = Registry.queries("tdp_fk_integrity")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Six of the seven parent key sets are dims -> broadcast LeftAnti;
+    // a CartesianProduct anywhere outside the 1-row scalar attaches
+    // would mean an orphan check degenerated to all-pairs.
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("t-closeness: group/band grid is broadcast, windows group-partitioned") {
+    val df = Registry.queries("tdp_t_closeness")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The grid crossJoin multiplies two KEYSPACE-sized aggregates; both
+    // band frames must arrive broadcast, and the only nested-loop joins
+    // allowed are those broadcast-bounded ones.
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("No Partition Defined"), "data-sized window")
+  }
+
+  test("label propagation: rounds are equi-joins on the vertex id") {
+    val df = Registry.queries("tdp_label_propagation")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Three rounds of edges-to-labels joins: all hash-keyed, never a
+    // nested loop — the Pregel shape's whole point.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("pca power: one distributed moment pass, D^2-bounded driver state") {
+    val df = Registry.queries("tdp_pca_power")(spark, dir)
+    // The returned frame is the driver-built component table: 64 rows.
+    assert(df.count() == 64)
+    // The distributed part is the moment aggregate; assert its shape
+    // directly — a partial_sum under the final HashAggregate means
+    // map-side combine keeps the shuffle at D^2 rows per partition.
+    val moments = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS m")
+      .selectExpr("m", "posexplode(m) AS (i, mi)")
+      .selectExpr("i", "mi", "posexplode(m) AS (j, mj)")
+      .groupBy("i", "j").agg(sum(expr("CAST(mi * mj AS DECIMAL(38,0))")))
+    val mplan = moments.queryExecution.executedPlan.toString
+    assert(mplan.contains("HashAggregate") &&
+      mplan.contains("partial"), mplan.take(3000))
+  }
 }

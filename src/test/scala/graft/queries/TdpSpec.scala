@@ -1934,4 +1934,180 @@ class TdpSpec extends SparkSpec {
       assert(pm >= 0 && pm <= 600, s"doc $id: mask ratio $pm outside band")
     }
   }
+
+  test("markov chain: planted transitions count and normalize exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q42_markov").toString
+    // user 1: A B A B (A->B x2, B->A x1); user 2: A C (A->C x1).
+    val ev = Seq(
+      (1L, 10L * 1000000000L, 1L, "A"), (2L, 20L * 1000000000L, 1L, "B"),
+      (3L, 30L * 1000000000L, 1L, "A"), (4L, 40L * 1000000000L, 1L, "B"),
+      (5L, 15L * 1000000000L, 2L, "A"), (6L, 25L * 1000000000L, 2L, "C"))
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("q42_markov_chain")(spark, dir).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type"))
+        -> (r.getAs[Long]("n"), r.getAs[Long]("permille"))).toMap
+    assert(got == Map(
+      ("A", "B") -> ((2L, 666L)), // 2 of A's 3 exits
+      ("A", "C") -> ((1L, 333L)),
+      ("B", "A") -> ((1L, 1000L))), got)
+  }
+
+  test("gap islands: streak lengths, span and gap count per user") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q43_gaps").toString
+    // user 1 active days {0,1,2, 5,6, 9}: streaks 3/2/1, span 10, 4 gaps.
+    val days1 = Seq(0L, 1L, 2L, 5L, 6L, 9L)
+    val ev = days1.zipWithIndex.map { case (d, ix) =>
+      (ix.toLong, d * 86400L * 1000000000L + 1000000000L, 1L, "x")
+    } :+ ((99L, 3L * 86400L * 1000000000L, 2L, "x"))
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("q43_gap_islands")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("span_days"),
+          r.getAs[Long]("n_gap_days"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("longest_streak"))).toMap
+    assert(got(1L) == ((6L, 10L, 4L, 3L, 3L)), got)
+    assert(got(2L) == ((1L, 1L, 0L, 1L, 1L)), got)
+  }
+
+  test("ewma anomaly: integer recurrence and spike flag replay by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q44_ewma").toString
+    // user 1 daily counts day0=10, day1=1, day2=40:
+    //   seed 10000; d1: (9*10000+1000)/10 = 9100, 1000 < 2*10000 ok;
+    //   d2: 40000 > 2*9100 -> anomaly; (9*9100+40000)/10 = 12190.
+    val ev = (0 until 10).map(i =>
+      (i.toLong, 0L * 86400e9.toLong + i * 1000000000L, 1L, "x")) ++
+      Seq((20L, 1L * 86400L * 1000000000L, 1L, "x")) ++
+      (0 until 40).map(i =>
+        (30L + i, 2L * 86400L * 1000000000L + i * 1000000000L, 1L, "x"))
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Registry.queries("q44_ewma_anomaly")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_days") == 3L)
+    assert(r.head.getAs[Long]("ewma_final_milli") == 12190L, r.head)
+    assert(r.head.getAs[Long]("n_anomaly_days") == 1L, r.head)
+  }
+
+  test("fk integrity: planted orphan, null FK and childless parent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_fk").toString
+    Seq((1L, 10L, 100L), (1L, 11L, 100L), (99L, 10L, 100L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet") // 99 = orphan orderkey
+    Seq((1L, Some(5L)), (2L, None: Option[Long]))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet") // order 2: null FK, childless
+    Seq(Tuple1(10L), Tuple1(11L), Tuple1(77L)).toDF("p_partkey")
+      .write.parquet(s"$dir/part.parquet") // 77 childless
+    Seq((100L, 0L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((5L, 0L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((0L, 0L)).toDF("n_nationkey", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq(Tuple1(0L)).toDF("r_regionkey")
+      .write.parquet(s"$dir/region.parquet")
+    val got = Registry.queries("tdp_fk_integrity")(spark, dir).collect()
+      .map(r => r.getAs[String]("relation") ->
+        (r.getAs[Long]("n_child_rows"), r.getAs[Long]("n_null_fk"),
+          r.getAs[Long]("n_orphan"), r.getAs[Long]("violation_permille"),
+          r.getAs[Long]("n_childless_parents"))).toMap
+    assert(got("lineitem.orderkey->orders") == ((3L, 0L, 1L, 333L, 1L)), got)
+    assert(got("lineitem.partkey->part") == ((3L, 0L, 0L, 0L, 1L)), got)
+    assert(got("orders.custkey->customer") == ((2L, 1L, 0L, 500L, 0L)), got)
+    assert(got("nation.regionkey->region") == ((1L, 0L, 0L, 0L, 0L)), got)
+  }
+
+  test("t-closeness: skewed groups flagged, global-like group is not") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_tclose").toString
+    // Bands come from floor(acctbal/1000). Group A spans bands 0/1/2,
+    // group B is all band 2, group C all bands 0/1. Global cum
+    // (2,4,8), m=3. Hand EMD: A=125000, B=375000, C=375000 micro.
+    val rows = Seq(
+      (1L, 0L, "S", 500.0), (2L, 0L, "S", 1500.0), (3L, 0L, "S", 2500.0),
+      (4L, 1L, "S", 2500.0), (5L, 1L, "S", 2500.0), (6L, 1L, "S", 2500.0),
+      (7L, 2L, "S", 500.0), (8L, 2L, "S", 1500.0))
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = Registry.queries("tdp_t_closeness")(spark, dir).collect()
+      .map(r => r.getAs[String]("level") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("t_max_micro"),
+          r.getAs[Long]("weak_groups"), r.getAs[Long]("exposed_rows")))
+      .toMap
+    assert(got("nation+segment") == ((3L, 375000L, 2L, 5L)), got)
+    // The single segment group IS the global distribution: EMD 0.
+    assert(got("segment") == ((1L, 0L, 0L, 0L)), got)
+  }
+
+  test("label propagation: clone families form communities, pairs too") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_lpa").toString
+    val famA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val famB = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq(
+      (1L, famA), (2L, famA), (3L, famA), // 3-clique
+      (4L, famB), (5L, famB),             // 2-clique: the case
+      // neighbors-only LPA oscillates on — the self-vote settles it
+      (6L, "lonely words that never match anything else at all here"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_label_propagation")(spark, dir)
+      .collect().map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("community_size"), r.getAs[Long]("min_member"),
+          r.getAs[Long]("max_member"))).toMap
+    assert(got == Map(1L -> ((3L, 1L, 3L)), 4L -> ((2L, 4L, 5L))), got)
+  }
+
+  test("pca power: planted dominant dimension wins the component") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_pca").toString
+    // All variance lives in dim 5 (alternating +-0.3), all else zero.
+    val rows = (0 until 16).map { k =>
+      val v = Array.fill(64)(0.0f)
+      v(5) = if (k % 2 == 0) 0.3f else -0.3f
+      (k.toLong, v.toSeq, k % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Registry.queries("tdp_pca_power")(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("component_micro"),
+          r.getAs[Long]("diag_share_permille"),
+          r.getAs[Long]("top_eig_share_permille"))).toMap
+    assert(got(5L) == ((1000000L, 1000L, 1000L)), got(5L))
+    assert(got(0L)._1 == 0L && got(0L)._2 == 0L, got(0L))
+    assert(got.size == 64)
+  }
+
+  test("mmr: equal-relevance near-copy loses to the diverse candidate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_mmr").toString
+    def vec(pairs: (Int, Float)*): Seq[Float] = {
+      val v = Array.fill(64)(0.0f)
+      pairs.foreach { case (i, x) => v(i) = x }
+      v.toSeq
+    }
+    // Query = label-0 centroid = 0.3*e0. Candidates A1/A2 along
+    // e0+e1, B along e0-e1: all have EQUAL relevance to the query,
+    // but after picking A1 the redundant A2 scores 6r-4(2r) < 0 while
+    // the diverse B scores ~6r. Noise vectors fill the remaining picks.
+    val rows = Seq(
+      (1L, vec(0 -> 0.3f, 1 -> 0.3f), 1),   // A1
+      (2L, vec(0 -> 0.3f, 1 -> 0.3f), 1),   // A2 (near copy)
+      (3L, vec(0 -> 0.3f, 1 -> -0.3f), 2),  // B (diverse)
+      (100L, vec(0 -> 0.3f), 0),            // defines the query
+      (50L, vec(2 -> 0.01f), 3), (51L, vec(3 -> 0.01f), 3))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Registry.queries("tdp_mmr_select")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    // 1 first (min id among equal scores), then the DIVERSE 3 over the
+    // near-copy 2; 2 is never picked at all.
+    assert(got == Seq(1L, 3L, 100L, 50L, 51L), got)
+  }
 }
