@@ -578,6 +578,23 @@ object TdpQueries {
     */
   private val EmbBucketCap = 1000
 
+  /** DBSCAN epsilon² in micro² distance units (~0.8% of candidate pairs
+    * qualify on the synthetic corpus — measured, keeps a genuine
+    * core/border/noise mix) and the core-point neighbor minimum.
+    */
+  private val DbEps2 = 1400000000000L
+  private val DbMinPts = 4
+
+  /** Unigram-LM (SentencePiece-style) geometry: Viterbi DP over word
+    * positions capped at [[UniMaxWordLen]] (the DP round count — words
+    * longer than the cap are excluded, documented), candidate pieces up
+    * to [[UniMaxPieceLen]] chars, inventory floor [[UniMinPieceCnt]]
+    * (single chars always kept so every word stays segmentable).
+    */
+  private val UniMaxWordLen = 12
+  private val UniMaxPieceLen = 4
+  private val UniMinPieceCnt = 3
+
   /** Quality-score building blocks, ONE definition shared by
     * tdp_quality_score and tdp_corpus_pipeline so the bit-exact float
     * operation order the oracle contract depends on can never drift
@@ -9629,6 +9646,276 @@ object TdpQueries {
            |  FROM mrel ORDER BY rel * 6 DESC, vec_id LIMIT 1),
            |$steps
            |$out""".stripMargin
+      }),
+
+    // DBSCAN DENSITY CLUSTERING: the clustering family's missing member
+    // next to k-means (centroid) and LPA/CC (graph) — density-defined
+    // clusters with explicit NOISE, the shape used to find coherent
+    // sub-corpora in embedding space without fixing k. Fully
+    // deterministic and exact-integer: epsilon-neighbor candidates come
+    // from the memoized top-2 IVF probe cells (cluster-keyed equi-join —
+    // the SemDeDup bucket bill Σ cell², never corpus²; cross-cell
+    // neighbors beyond the two probed cells are out of scope BY
+    // DEFINITION here, and the oracle replays the identical candidate
+    // generation so the contract is the bucketed operator, not an
+    // approximation of all-pairs), verified by integer micro² distance
+    // ≤ eps². Core = ≥ minPts verified neighbors; clusters are min-label
+    // CC over CORE-CORE edges only (bounded rounds, edge-incident
+    // vertices); border points attach to the min cluster among their
+    // core neighbors; everything else is noise with cluster -1.
+    QueryDef(
+      "tdp_dbscan",
+      (s, dir) => {
+        val mic = embWithNorm(s, dir).select(col("vec_id"),
+          expr("transform(embedding, v -> " +
+            "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("m"))
+        val assign = ivfAssign2(s, dir).select("vec_id", "cluster")
+        val cand = assign.as("a")
+          .join(assign.as("b"), col("a.cluster") === col("b.cluster")
+            && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .distinct()
+        val pairs = cand
+          .join(mic.select(col("vec_id").as("va"), col("m").as("ma")), "va")
+          .join(mic.select(col("vec_id").as("vb"), col("m").as("mb")), "vb")
+          .withColumn("d2", expr(
+            "aggregate(zip_with(ma, mb, (x, y) -> (x - y) * (x - y)), " +
+              "0L, (acc, v) -> acc + v)"))
+          .filter(col("d2") <= DbEps2)
+          .select("va", "vb")
+          .persist()
+        val nbrs = pairs.select(col("va").as("vec_id"), col("vb").as("nb"))
+          .union(pairs.select(col("vb").as("vec_id"), col("va").as("nb")))
+        val allv = mic.select("vec_id")
+          .join(nbrs.groupBy("vec_id").agg(count(lit(1)).as("n_nbrs")),
+            Seq("vec_id"), "left")
+          .withColumn("n_nbrs", coalesce(col("n_nbrs"), lit(0L)))
+        val cores = allv.filter(col("n_nbrs") >= DbMinPts).select("vec_id")
+        val cseta = cores.withColumnRenamed("vec_id", "cva")
+        val csetb = cores.withColumnRenamed("vec_id", "cvb")
+        val cedges = pairs
+          .join(cseta, col("va") === col("cva"))
+          .join(csetb, col("vb") === col("cvb"))
+          .select(col("va").as("src"), col("vb").as("dst"))
+        val sym = cedges
+          .union(cedges.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src")).persist()
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
+        var labels = cut(cores.withColumn("lab", col("vec_id")))
+        var converged = false
+        var rounds = 0
+        while (!converged) {
+          rounds += 1
+          require(rounds <= 64, "DBSCAN core CC exceeded 64 rounds")
+          val prop = sym
+            .join(labels.select(col("vec_id").as("src"), col("lab")), "src")
+            .groupBy(col("dst").as("vec_id")).agg(min("lab").as("nlab"))
+          val next = cut(labels.join(prop, Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+              (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg")))
+          converged = next.filter(col("chg")).limit(1).count() == 0L
+          labels = next.select("vec_id", "lab")
+        }
+        val nbCore = nbrs
+          .join(labels.select(col("vec_id").as("nb"), col("lab")), "nb")
+          .groupBy("vec_id").agg(min("lab").as("blab"))
+        val out = allv
+          .join(labels.select(col("vec_id"), col("lab").as("clab")),
+            Seq("vec_id"), "left")
+          .join(nbCore, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("n_nbrs"),
+            when(col("clab").isNotNull, "core")
+              .when(col("blab").isNotNull, "border")
+              .otherwise("noise").as("role"),
+            coalesce(col("clab"), col("blab"), lit(-1L)).as("cluster_id"))
+        pairs.unpersist(blocking = false)
+        sym.unpersist(blocking = false)
+        out
+      },
+      Some(s"""WITH RECURSIVE $embNormSql,
+              |$ivfSqlCtes,
+              |dbm AS MATERIALIZED (
+              |  SELECT vec_id, list_transform(embedding, v ->
+              |    CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS m
+              |  FROM embeddings),
+              |dbc AS (
+              |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+              |  FROM assigned2 a JOIN assigned2 b
+              |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+              |dbp AS MATERIALIZED (
+              |  SELECT va, vb FROM (
+              |    SELECT c.va, c.vb,
+              |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |        list_transform(range(1, 65),
+              |          i -> (x.m[i] - y.m[i]) * (x.m[i] - y.m[i]))),
+              |        (acc, v) -> acc + v) AS d2
+              |    FROM dbc c JOIN dbm x ON x.vec_id = c.va
+              |    JOIN dbm y ON y.vec_id = c.vb)
+              |  WHERE d2 <= $DbEps2),
+              |dbn AS MATERIALIZED (
+              |  SELECT vec_id, nb FROM (
+              |    SELECT va AS vec_id, vb AS nb FROM dbp
+              |    UNION ALL SELECT vb, va FROM dbp)),
+              |dba AS MATERIALIZED (
+              |  SELECT e.vec_id, coalesce(d.n_nbrs, 0) AS n_nbrs
+              |  FROM emb e LEFT JOIN (
+              |    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_nbrs
+              |    FROM dbn GROUP BY 1) d USING (vec_id)),
+              |dbcore AS MATERIALIZED (
+              |  SELECT vec_id FROM dba WHERE n_nbrs >= $DbMinPts),
+              |dbce AS MATERIALIZED (
+              |  SELECT src, dst FROM (
+              |    SELECT va AS src, vb AS dst FROM dbp
+              |    UNION ALL SELECT vb, va FROM dbp)
+              |  WHERE src IN (SELECT vec_id FROM dbcore)
+              |    AND dst IN (SELECT vec_id FROM dbcore)),
+              |dbreach AS (
+              |  SELECT vec_id AS v, vec_id AS lab FROM dbcore
+              |  UNION
+              |  SELECT e.dst AS v, r.lab
+              |  FROM dbreach r JOIN dbce e ON e.src = r.v),
+              |dbcc AS MATERIALIZED (
+              |  SELECT v AS vec_id, min(lab) AS clab FROM dbreach GROUP BY 1),
+              |dbb AS MATERIALIZED (
+              |  SELECT n.vec_id, min(c.clab) AS blab
+              |  FROM dbn n JOIN dbcc c ON c.vec_id = n.nb GROUP BY 1)
+              |SELECT a.vec_id, a.n_nbrs,
+              |  CASE WHEN cc.clab IS NOT NULL THEN 'core'
+              |    WHEN b.blab IS NOT NULL THEN 'border'
+              |    ELSE 'noise' END AS role,
+              |  coalesce(cc.clab, b.blab, CAST(-1 AS BIGINT)) AS cluster_id
+              |FROM dba a LEFT JOIN dbcc cc USING (vec_id)
+              |LEFT JOIN dbb b ON b.vec_id = a.vec_id""".stripMargin)),
+
+    // UNIGRAM-LM SEGMENTATION (the SentencePiece/Kudo-2018 modality):
+    // completes the tokenizer family — BPE learns by merge counts,
+    // greedy/WordPiece infers by longest match, unigram segments by
+    // LIKELIHOOD: Viterbi-best split of each word under piece
+    // log-probabilities, then the M-step recount of piece usage (the
+    // EM half-step that drives SentencePiece pruning). Fully integer:
+    // piece scores are floor(ln(cnt/total)*1e6) micro-nats (negative,
+    // so the DP genuinely trades piece count against piece likelihood
+    // instead of degenerating to all-singles), the DP state is
+    // (best_ll, segmentation) per (word, position) — position rounds
+    // are the driver loop (<= UniMaxWordLen, the BPE-loop shape), each
+    // round one vocab-sized join + per-word argmax window, tie-broken
+    // (ll DESC, pos ASC) = prefer the longer final piece. The corpus
+    // pays ONE word-frequency reduction (the memoized BPE vocab); all
+    // DP frames are DISTINCT-WORD-sized, never corpus-sized. The
+    // oracle unrolls the identical DP as materialized CTEs.
+    QueryDef(
+      "tdp_unigram_lm",
+      (s, dir) => {
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
+        val words = bpeVocab(s, dir).select("word", "freq")
+          .filter(length(col("word")) <= UniMaxWordLen)
+        val rawPieces = words
+          .select(col("freq"), explode(expr(
+            s"""flatten(transform(sequence(1, length(word)), i ->
+               |  transform(sequence(1, least($UniMaxPieceLen,
+               |    length(word) - i + 1)), l -> substring(word, i, l))))"""
+              .stripMargin)).as("piece"))
+          .groupBy("piece").agg(sum("freq").as("cnt"))
+          .filter(col("cnt") >= UniMinPieceCnt || length(col("piece")) === 1)
+        val tot = rawPieces.agg(sum("cnt").as("tot"))
+        val pieces = rawPieces.crossJoin(broadcast(tot))
+          .withColumn("score", expr(
+            "CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))" +
+              " * 1000000) AS BIGINT)"))
+          .select("piece", "score")
+        val pieceB = broadcast(pieces)
+        var states = cut(words.select(col("word"), col("freq"),
+          lit(0).as("pos"), lit(0L).as("ll"), lit("").as("seg")))
+        for (i <- 1 to UniMaxWordLen) {
+          val cand = states
+            .filter(col("pos") >= i - UniMaxPieceLen && col("pos") <= i - 1
+              && length(col("word")) >= i)
+            .withColumn("pc", expr(s"substring(word, pos + 1, $i - pos)"))
+            .join(pieceB, col("pc") === col("piece"))
+            .withColumn("nll", col("ll") + col("score"))
+          val wW = Window.partitionBy("word")
+            .orderBy(desc("nll"), col("pos").asc)
+          val next = cand.withColumn("rk", row_number().over(wW))
+            .filter(col("rk") === 1)
+            .select(col("word"), col("freq"), lit(i).as("pos"),
+              col("nll").as("ll"),
+              when(col("seg") === "", col("pc"))
+                .otherwise(concat(col("seg"), lit(" "), col("pc")))
+                .as("seg"))
+          states = cut(states.union(next))
+        }
+        val fin = states.filter(col("pos") === length(col("word")))
+        val usage = fin
+          .select(col("freq"), explode(split(col("seg"), " ")).as("piece"))
+          .groupBy("piece").agg(sum("freq").as("usage"))
+        val totU = usage.agg(sum("usage").as("tu"))
+        usage.orderBy(desc("usage"), col("piece")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(pmod(col("usage"), lit(1L)))
+              .orderBy(desc("usage"), col("piece"))).cast(LongType))
+          .crossJoin(broadcast(totU))
+          .select(col("rank"), col("piece"), col("usage"),
+            expr("usage * 1000 div tu").as("share_permille"))
+      },
+      Some {
+        val rounds = (1 to UniMaxWordLen).map { i =>
+          val branches = (math.max(0, i - UniMaxPieceLen) until i).map { j =>
+            s"""SELECT s.word, s.freq, $j AS pos, s.ll + p.score AS nll,
+               |  CASE WHEN s.seg = '' THEN s.pc
+               |    ELSE s.seg || ' ' || s.pc END AS nseg
+               |FROM (SELECT *, substr(word, $j + 1, ${i - j}) AS pc
+               |      FROM ust$j WHERE length(word) >= $i) s
+               |JOIN upsc p ON p.piece = s.pc""".stripMargin
+          }.mkString("\nUNION ALL\n")
+          s"""ust$i AS MATERIALIZED (
+             |  SELECT word, freq, $i AS pos, nll AS ll, nseg AS seg FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY word ORDER BY nll DESC, pos ASC) AS rk
+             |    FROM ($branches)) WHERE rk = 1)""".stripMargin
+        }.mkString(",\n")
+        val finUnion = (1 to UniMaxWordLen)
+          .map(i => s"SELECT * FROM ust$i WHERE pos = length(word)")
+          .mkString(" UNION ALL ")
+        s"""WITH uwt AS (SELECT unnest($toksSql) AS word FROM documents),
+           |uw AS MATERIALIZED (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+           |  FROM uwt GROUP BY 1 HAVING length(word) <= $UniMaxWordLen),
+           |upc AS MATERIALIZED (
+           |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT w.freq,
+           |      substr(w.word, CAST(t.i AS INT), CAST(u.l AS INT)) AS piece
+           |    FROM uw w,
+           |      unnest(range(1, length(w.word) + 1)) AS t(i),
+           |      unnest(range(1, least($UniMaxPieceLen,
+           |        length(w.word) - t.i + 1) + 1)) AS u(l))
+           |  GROUP BY 1
+           |  HAVING sum(freq) >= $UniMinPieceCnt OR length(piece) = 1),
+           |utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM upc),
+           |upsc AS MATERIALIZED (
+           |  SELECT piece,
+           |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+           |      * 1000000) AS BIGINT) AS score
+           |  FROM upc, utot),
+           |ust0 AS MATERIALIZED (
+           |  SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS ll,
+           |    '' AS seg FROM uw),
+           |$rounds,
+           |ufin AS MATERIALIZED ($finUnion),
+           |uuse AS MATERIALIZED (
+           |  SELECT piece, CAST(sum(freq) AS BIGINT) AS usage FROM (
+           |    SELECT freq, unnest(string_split(seg, ' ')) AS piece
+           |    FROM ufin)
+           |  GROUP BY 1),
+           |utu AS (SELECT CAST(sum(usage) AS BIGINT) AS tu FROM uuse)
+           |SELECT CAST(row_number() OVER (ORDER BY usage DESC, piece)
+           |    AS BIGINT) AS rank,
+           |  piece, usage, usage * 1000 // tu AS share_permille
+           |FROM uuse, utu ORDER BY rank LIMIT 20""".stripMargin
       }),
   )
 }

@@ -443,6 +443,15 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("dbscan: probe-cell candidates stay equi-keyed, never cartesian") {
+    val df = Registry.queries("tdp_dbscan")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Candidate generation is a cluster-keyed self-join of the memoized
+    // probe assignment; the only nested loop in the lineage is the
+    // broadcast-centroid assignment crossJoin shared with the ANN family.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("pca power: one distributed moment pass, D^2-bounded driver state") {
     val df = Registry.queries("tdp_pca_power")(spark, dir)
     // The returned frame is the driver-built component table: 64 rows.

@@ -2084,6 +2084,55 @@ class TdpSpec extends SparkSpec {
     assert(got.size == 64)
   }
 
+  test("dbscan: chain yields one core + borders, blob all-core, far point noise") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_dbscan").toString
+    def e0(x: Float): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(0) = x; v.toSeq
+    }
+    // eps = sqrt(1.4e12) micro ~ 1.183. Chain at gaps 0.5: only the
+    // middle point reaches minPts=4 (core); ends and mids are borders.
+    // Dense blob: every member has 4 neighbors -> all core, one
+    // cluster labeled by the min member. Far point: zero neighbors.
+    val rows =
+      Seq(10L -> 1.0f, 11L -> 1.5f, 12L -> 2.0f, 13L -> 2.5f,
+        14L -> 3.0f).map { case (id, x) => (id, e0(x), 1) } ++
+      (0 until 5).map(k => (20L + k, e0(-5.0f - k * 0.01f), 2)) ++
+      Seq((30L, e0(10.0f), 3))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Registry.queries("tdp_dbscan")(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_nbrs"), r.getAs[String]("role"),
+          r.getAs[Long]("cluster_id"))).toMap
+    assert(got(12L) == ((4L, "core", 12L)), got(12L))
+    Seq(10L, 14L).foreach(id =>
+      assert(got(id) == ((2L, "border", 12L)), s"$id -> ${got(id)}"))
+    Seq(11L, 13L).foreach(id =>
+      assert(got(id) == ((3L, "border", 12L)), s"$id -> ${got(id)}"))
+    (20L to 24L).foreach(id =>
+      assert(got(id) == ((4L, "core", 20L)), s"$id -> ${got(id)}"))
+    assert(got(30L) == ((0L, "noise", -1L)), got(30L))
+  }
+
+  test("unigram lm: whole-word piece beats splits; floor drops rare pieces") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_unigram").toString
+    // 'abab' x6: the whole-word piece (1 x ln(6/79)) out-scores every
+    // split (2+ negative scores), so Viterbi keeps it whole. 'xy' x2:
+    // piece 'xy' has cnt 2 < 3 -> dropped from the inventory, so the
+    // word MUST segment to singles.
+    Seq((1L, "abab abab abab abab abab abab cd cd cd cd cd xy xy"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_unigram_lm")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("piece"),
+        r.getAs[Long]("usage"), r.getAs[Long]("share_permille"))).toSeq
+    assert(got == Seq(
+      (1L, "abab", 6L, 400L), (2L, "cd", 5L, 333L),
+      (3L, "x", 2L, 133L), (4L, "y", 2L, 133L)), got)
+  }
+
   test("mmr: equal-relevance near-copy loses to the diverse candidate") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tdp_mmr").toString
