@@ -1215,14 +1215,24 @@ object CoreQueries {
     // user's daily event count with a 2x-spike flag — the sequential
     // recurrence (ewma' = 0.9*ewma + 0.1*x) that windows can't express.
     // The device: a user's (day, count) points pack into single BIGINTs
-    // (day*1e5 + count), sort_array makes the collected list
+    // (day*2^36 + count), sort_array makes the collected list
     // ORDER-DETERMINISTIC (collect_list alone is not), and one
     // `aggregate` lambda folds the recurrence in integer milli-units
     // with the running anomaly count packed into the same accumulator
-    // (acc = ewma_milli*1000 + n_anom) — so the whole scan is one
+    // (acc = ewma_milli*8192 + n_anom) — so the whole scan is one
     // groupBy plus a bounded per-user fold. The list is CALENDAR-
     // bounded (<= days in the observation window, 30 here), not
     // data-sized: at 100 TB each user still folds <= |days| elements.
+    // Packing bounds, ENFORCED not assumed: the per-user-per-day count
+    // saturates at 2^36-1 (~6.9e10 — a single user exceeding that in
+    // one day is past any real feed, and EWMA saturation is then the
+    // right behavior) so cnt can never bleed into the day field of the
+    // sort key, epoch-day*2^36 ~ 1.4e15 stays far under the Long
+    // ceiling, worst-case acc = (2^36-1)*1000*8192 + 8191 ~ 5.6e17 <
+    // 2^63, and the n_anom field holds < 8192 anomaly days (= 22 years
+    // of daily anomalies; the calendar bound that sizes the list also
+    // sizes this field). Both engines saturate identically, so the
+    // cross-engine hash grades the saturating operator exactly.
     QueryDef(
       "q44_ewma_anomaly",
       (s, dir) => {
@@ -1230,23 +1240,26 @@ object CoreQueries {
           .select(col("user_id"), expr("sec div 86400").as("day"))
           .groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
         daily.groupBy("user_id")
-          .agg(sort_array(collect_list(expr("day * 100000 + cnt")))
+          .agg(sort_array(collect_list(
+            expr("day * 68719476736 + least(cnt, 68719476735)")))
             .as("arr"))
           .select(col("user_id"), size(col("arr")).cast(LongType)
             .as("n_days"),
             expr("""aggregate(
                    |  slice(arr, 2, size(arr) - 1),
-                   |  (element_at(arr, 1) % 100000) * 1000000,
+                   |  (element_at(arr, 1) % 68719476736) * 8192000,
                    |  (acc, v) ->
-                   |    ((9 * (acc div 1000) + (v % 100000) * 1000) div 10)
-                   |      * 1000
-                   |    + acc % 1000
-                   |    + (CASE WHEN (v % 100000) * 1000 > 2 * (acc div 1000)
+                   |    ((9 * (acc div 8192) + (v % 68719476736) * 1000)
+                   |        div 10)
+                   |      * 8192
+                   |    + acc % 8192
+                   |    + (CASE WHEN (v % 68719476736) * 1000
+                   |            > 2 * (acc div 8192)
                    |       THEN 1 ELSE 0 END))""".stripMargin)
               .as("packed"))
           .select(col("user_id"), col("n_days"),
-            expr("packed div 1000").as("ewma_final_milli"),
-            expr("packed % 1000").as("n_anomaly_days"))
+            expr("packed div 8192").as("ewma_final_milli"),
+            expr("packed % 8192").as("n_anomaly_days"))
       },
       Some("""WITH wdy AS (
              |  SELECT user_id,
@@ -1255,23 +1268,26 @@ object CoreQueries {
              |  FROM events GROUP BY 1, 2),
              |wag AS (
              |  SELECT user_id,
-             |    list_sort(list(day * 100000 + cnt)) AS arr
+             |    list_sort(list(day * 68719476736
+             |      + least(cnt, 68719476735))) AS arr
              |  FROM wdy GROUP BY 1),
              |wfd AS (
              |  SELECT user_id, CAST(len(arr) AS BIGINT) AS n_days,
              |    list_reduce(
-             |      list_prepend((arr[1] % 100000) * 1000000,
+             |      list_prepend((arr[1] % 68719476736) * 8192000,
              |        list_slice(arr, 2, len(arr))),
              |      (acc, v) ->
-             |        ((9 * (acc // 1000) + (v % 100000) * 1000) // 10)
-             |          * 1000
-             |        + acc % 1000
-             |        + (CASE WHEN (v % 100000) * 1000 > 2 * (acc // 1000)
+             |        ((9 * (acc // 8192) + (v % 68719476736) * 1000)
+             |            // 10)
+             |          * 8192
+             |        + acc % 8192
+             |        + (CASE WHEN (v % 68719476736) * 1000
+             |               > 2 * (acc // 8192)
              |           THEN 1 ELSE 0 END)) AS packed
              |  FROM wag)
              |SELECT user_id, n_days,
-             |  packed // 1000 AS ewma_final_milli,
-             |  packed % 1000 AS n_anomaly_days
+             |  packed // 8192 AS ewma_final_milli,
+             |  packed % 8192 AS n_anomaly_days
              |FROM wfd""".stripMargin)),
   )
 }

@@ -259,6 +259,59 @@ object TdpQueries {
     * probe=2 is the second-closest bucket a multi-probe query ALSO
     * searches. One crossJoin pass feeds all five consumers.
     */
+  /** Distributed min-label connected components over a SYMMETRIC edge
+    * list (`sym`: src/dst) covering `vertices` (one `vertex` column;
+    * isolated vertices keep their own id as label). Each round combines
+    * the 1-hop neighbor minimum (hash-min) with a POINTER JUMP — labels
+    * always hold vertex ids, so "my label's label" is one more equi-join
+    * on the labels frame — which doubles the effective reach per round:
+    * convergence is O(log diameter), so the 64-round safety cap covers
+    * any graph of diameter < 2^64 instead of hard-failing on a 64-hop
+    * chain (the adversarial topology for 1-hop-only propagation, which
+    * needs diameter-many rounds). Fixed point: neighbor-min forces the
+    * label constant across every edge, and the minimum vertex starts as
+    * its own label, so every component converges exactly to its minimum
+    * id — identical to the oracle's recursive-CTE reachability. Each
+    * round is one edges-to-labels equi-join (pre-partitioned edges never
+    * move) plus one labels-to-labels jump join, with a lineage cut
+    * (reliable checkpoint when a checkpoint dir is configured, else the
+    * executor-local fast path) so the plan never compounds.
+    */
+  private[graft] def minLabelCC(
+      s: SparkSession, sym: DataFrame, vertices: DataFrame): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var labels = cut(vertices.withColumn("lab", col("vertex")))
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64,
+        "min-label CC exceeded 64 rounds — with pointer jumping that " +
+          "implies diameter >= 2^64, so suspect a graph bug")
+      val prop = sym
+        .join(labels.select(col("vertex").as("src"), col("lab")), "src")
+        .groupBy(col("dst").as("vertex")).agg(min("lab").as("nlab"))
+      val hop = labels.join(prop, Seq("vertex"), "left")
+        .select(col("vertex"), col("lab"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("m"))
+      // The materialized round frame carries its OWN change flag, so the
+      // fixpoint test is a shuffle-free scan of the fresh cache
+      // (limit(1) stops at the first shrunk label).
+      val next = cut(hop
+        .join(labels.select(col("vertex").as("m"),
+          col("lab").as("lab_of_m")), Seq("m"), "left")
+        .select(col("vertex"), col("lab").as("old"),
+          least(col("m"), coalesce(col("lab_of_m"), col("m"))).as("lab"))
+        .select(col("vertex"), col("lab"),
+          (col("lab") < col("old")).as("chg")))
+      converged = next.filter(col("chg")).limit(1).count() == 0L
+      labels = next.select("vertex", "lab")
+    }
+    labels
+  }
+
   private def ivfAssign2(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_ivf_assign2") {
       val e = embWithNorm(s, dir)
@@ -864,47 +917,15 @@ object TdpQueries {
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .repartition(col("src"))
         .persist()
-      // Lineage cut per round: a RELIABLE checkpoint when the session has
-      // a checkpoint dir configured (the fault-tolerant 100 TB path —
-      // blocks survive executor loss), else the executor-local fast path
-      // for the test harness.
-      def cut(df: DataFrame): DataFrame =
-        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-        else df.localCheckpoint()
-      // Rounds = near-dup-graph diameter, which star-collapsed clone
-      // buckets keep tiny; a runaway bound turns a never-converging loop
-      // (a bug, or adversarial chain topology without the large-star
-      // optimization) into a loud failure instead of an infinite job.
-      val maxRounds = 64
       // Iterate ONLY over vertices that touch an edge: on a real corpus
       // the near-dup graph is a vanishing fraction of the documents, so
       // the per-round shuffles are sized by the duplicate graph, not the
       // corpus. Singletons rejoin as their own cluster in one pass below.
-      var labels = cut(edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("lab", col("doc_id")))
-      var converged = false
-      var rounds = 0
-      while (!converged) {
-        rounds += 1
-        require(rounds <= maxRounds,
-          s"duplicate-cluster label propagation exceeded $maxRounds rounds" +
-            " without converging — suspect graph bug or adversarial chain")
-        val prop = edges
-          .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
-          .groupBy(col("dst").as("doc_id"))
-          .agg(min("lab").as("nlab"))
-        // The materialized round frame carries its OWN change flag, so the
-        // fixpoint test below is a shuffle-free scan of the fresh cache
-        // (limit(1) stops at the first shrunk label) instead of a second
-        // labels-to-labels join job per round.
-        val next = cut(labels.join(prop, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
-            (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg")))
-        val changed = next.filter(col("chg")).limit(1).count()
-        labels = next.select("doc_id", "lab")
-        converged = changed == 0L
-      }
+      // The shared hash-min + pointer-jump fixpoint (log-diameter rounds,
+      // per-round lineage cuts) lives in minLabelCC.
+      val labels = minLabelCC(s, edges,
+        edges.select(col("src").as("vertex")).distinct())
+        .select(col("vertex").as("doc_id"), col("lab"))
       // The final labels frame is already materialized (eager
       // localCheckpoint), so the edge cache can be released; superseded
       // per-round checkpoint blocks are freed by the ContextCleaner once
@@ -9245,9 +9266,13 @@ object TdpQueries {
     // comparison exact (one floor-div per group at the end). Frames are
     // QI-keyspace x band-range sized (the group/band grid is a
     // broadcast crossJoin of two tiny aggregates), never data-sized;
-    // the per-group cumsum window is partitioned by group. The BIGINT
-    // cross-products bound the audit at ~10^18/band-count rows — beyond
-    // that the same query runs with DECIMAL(38,0) sums.
+    // the per-group cumsum window is partitioned by group. The
+    // cross-product sum is quadratic in N (sdiff <= (m-1)*n_g*n_tot, and
+    // sdiff*10^6 would hit the BIGINT ceiling near N~10^6 customer rows
+    // — sqrt-scale, not 10^18), so it accumulates as DECIMAL(38,0) on
+    // the Spark side and HUGEINT in the oracle: overflow-free until
+    // N~10^15, far past a 100 TB customer table. Only the final
+    // emd_micro ratio (<= 10^6 by construction) narrows back to BIGINT.
     QueryDef(
       "tdp_t_closeness",
       (s, dir) => {
@@ -9279,10 +9304,12 @@ object TdpQueries {
             .filter(col("sens") < col("max_band"))
             .groupBy((keys.map(col) ++ Seq(col("n_g"), col("n_tot"),
               col("m"))): _*)
-            .agg(sum(abs(col("cumg") * col("n_tot")
-              - col("cumq") * col("n_g"))).as("sdiff"))
+            .agg(sum(abs(col("cumg").cast(DecimalType(38, 0)) * col("n_tot")
+              - col("cumq").cast(DecimalType(38, 0)) * col("n_g")))
+              .as("sdiff"))
             .withColumn("emd_micro", expr(
-              "sdiff * 1000000 div (greatest(m - 1, 1) * n_g * n_tot)"))
+              "sdiff * 1000000 div (greatest(m - 1, 1)" +
+                " * CAST(n_g AS DECIMAL(38, 0)) * n_tot)"))
             .agg(count(lit(1)).as("n_groups"),
               max("emd_micro").as("t_max_micro"),
               sum(when(col("emd_micro") > 200000, 1L).otherwise(0L))
@@ -9316,9 +9343,11 @@ object TdpQueries {
               |  LEFT JOIN ${pfx}b b ON $bj AND b.sens = q.sens),
               |${pfx}emd AS (
               |  SELECT $k, n_g,
-              |    CAST(sum(abs(cumg * t.n_tot - cumq * n_g)) AS BIGINT)
+              |    CAST(sum(abs(CAST(cumg AS HUGEINT) * t.n_tot
+              |        - CAST(cumq AS HUGEINT) * n_g))
               |      * 1000000
-              |      // (greatest(t.m - 1, 1) * n_g * t.n_tot) AS emd_micro
+              |      // (greatest(t.m - 1, 1) * CAST(n_g AS HUGEINT)
+              |         * t.n_tot) AS BIGINT) AS emd_micro
               |  FROM ${pfx}cum, tct t WHERE sens < t.max_band
               |  GROUP BY ${keys.indices.map(_ + 1).mkString(", ")}, n_g,
               |    t.m, t.n_tot),
@@ -9700,25 +9729,15 @@ object TdpQueries {
         val sym = cedges
           .union(cedges.select(col("dst").as("src"), col("src").as("dst")))
           .repartition(col("src")).persist()
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
-        var labels = cut(cores.withColumn("lab", col("vec_id")))
-        var converged = false
-        var rounds = 0
-        while (!converged) {
-          rounds += 1
-          require(rounds <= 64, "DBSCAN core CC exceeded 64 rounds")
-          val prop = sym
-            .join(labels.select(col("vec_id").as("src"), col("lab")), "src")
-            .groupBy(col("dst").as("vec_id")).agg(min("lab").as("nlab"))
-          val next = cut(labels.join(prop, Seq("vec_id"), "left")
-            .select(col("vec_id"),
-              least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
-              (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg")))
-          converged = next.filter(col("chg")).limit(1).count() == 0L
-          labels = next.select("vec_id", "lab")
-        }
+        // Shared hash-min + pointer-jump CC (log-diameter rounds): an
+        // adversarial chain-shaped cluster, which the previous 1-hop-only
+        // variant hard-failed at 64 hops while the oracle's recursive CTE
+        // succeeded, now terminates in ~log2(diameter) rounds. Labels
+        // cover ALL cores (an isolated core keeps its own id), which the
+        // role classification below relies on.
+        val labels = minLabelCC(s, sym,
+          cores.select(col("vec_id").as("vertex")))
+          .select(col("vertex").as("vec_id"), col("lab"))
         val nbCore = nbrs
           .join(labels.select(col("vec_id").as("nb"), col("lab")), "nb")
           .groupBy("vec_id").agg(min("lab").as("blab"))

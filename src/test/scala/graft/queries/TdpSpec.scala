@@ -1993,6 +1993,76 @@ class TdpSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_anomaly_days") == 1L, r.head)
   }
 
+  test("ewma anomaly: a 120000-event day survives the packing (r10 bound)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q44_ewma_hot").toString
+    // REGRESSION (round-10 ADVICE): the old base-1e5 packing silently
+    // bled a >=100000 daily count into the day field, corrupting both
+    // the sort order and the count extraction. Under the widened 2^36
+    // packing a 120000-event day must replay exactly: seed 120000000
+    // milli; day1 cnt=10 -> (9*120000000 + 10000)/10 = 108001000, no
+    // spike (10000 < 2*120000000).
+    val ev = (0 until 120000).map(i =>
+      (i.toLong, 0L * 86400L + i % 86400L, 1L, "x")).map { case (id, s, u, t) =>
+      (id, s * 1000000000L, u, t)
+    } :+ ((200000L, 1L * 86400L * 1000000000L, 1L, "x")) :+
+      ((200001L, 1L * 86400L * 1000000000L + 5L * 1000000000L, 1L, "x")) :+
+      ((200002L, 1L * 86400L * 1000000000L + 6L * 1000000000L, 1L, "x")) :+
+      ((200003L, 1L * 86400L * 1000000000L + 7L * 1000000000L, 1L, "x")) :+
+      ((200004L, 1L * 86400L * 1000000000L + 8L * 1000000000L, 1L, "x")) :+
+      ((200005L, 1L * 86400L * 1000000000L + 9L * 1000000000L, 1L, "x")) :+
+      ((200006L, 1L * 86400L * 1000000000L + 10L * 1000000000L, 1L, "x")) :+
+      ((200007L, 1L * 86400L * 1000000000L + 11L * 1000000000L, 1L, "x")) :+
+      ((200008L, 1L * 86400L * 1000000000L + 12L * 1000000000L, 1L, "x")) :+
+      ((200009L, 1L * 86400L * 1000000000L + 13L * 1000000000L, 1L, "x"))
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Registry.queries("q44_ewma_anomaly")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_days") == 2L, r.head)
+    assert(r.head.getAs[Long]("ewma_final_milli") == 108001000L, r.head)
+    assert(r.head.getAs[Long]("n_anomaly_days") == 0L, r.head)
+  }
+
+  test("min-label CC: a 200-hop chain converges (log-diameter pointer jump)") {
+    import spark.implicits._
+    // REGRESSION (round-10 ADVICE): 1-hop min propagation needs
+    // diameter-many rounds, so a >64-hop core chain tripped the round
+    // cap while the DuckDB recursive-CTE oracle succeeded. The pointer
+    // jump makes this path graph (diameter 199) converge in ~8 rounds.
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val sym = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val verts = (0L to 200L).map(Tuple1(_)).toDF("vertex") // 200: isolated
+    val labs = TdpQueries.minLabelCC(spark, sym, verts).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("lab")).toMap
+    assert(labs.size == 201)
+    (0L to 199L).foreach(v => assert(labs(v) == 0L, s"$v -> ${labs(v)}"))
+    assert(labs(200L) == 200L, "isolated vertex keeps its own label")
+  }
+
+  test("t-closeness: 8M-row cross-product sum stays exact past the BIGINT line") {
+    val dir = Files.createTempDirectory("tdp_tclose_big").toString
+    // REGRESSION (round-10 ADVICE): sdiff <= (m-1)*n_g*n_tot is
+    // quadratic in N, so sdiff*1e6 crossed the BIGINT ceiling near
+    // N~2M rows and non-ANSI Spark wrapped silently. Two 4M-row groups
+    // split over two bands give sdiff = (4e6*8e6 - 4e6*4e6) = 1.6e13
+    // per group -> sdiff*1e6 = 1.6e19 > 2^63. The DECIMAL(38,0)
+    // accumulator must land the exact EMD: 1.6e19 / (1*4e6*8e6) =
+    // 500000 micro for both groups.
+    spark.range(8000000L).selectExpr(
+      "id AS c_custkey", "id % 2 AS c_nationkey", "'S' AS c_mktsegment",
+      "CAST(CASE WHEN id % 2 = 0 THEN 500.0 ELSE 1500.0 END" +
+        " AS DOUBLE) AS c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = Registry.queries("tdp_t_closeness")(spark, dir).collect()
+      .map(r => r.getAs[String]("level") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("t_max_micro"),
+          r.getAs[Long]("weak_groups"), r.getAs[Long]("exposed_rows")))
+      .toMap
+    assert(got("nation+segment") == ((2L, 500000L, 2L, 8000000L)), got)
+    assert(got("segment") == ((1L, 0L, 0L, 0L)), got)
+  }
+
   test("fk integrity: planted orphan, null FK and childless parent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tdp_fk").toString
