@@ -9936,5 +9936,235 @@ object TdpQueries {
            |  piece, usage, usage * 1000 // tu AS share_permille
            |FROM uuse, utu ORDER BY rank LIMIT 20""".stripMargin
       }),
+
+    // AUC-ROC of a single surface feature as a ranker for the quality
+    // label — the threshold-free counterpart of tdp_classifier_
+    // calibration's reliability diagram: "if I ranked documents by
+    // alpha-ratio alone, how often would a random good doc outrank a
+    // random bad one?" Computed as the tie-aware Mann-Whitney rank sum
+    // over the PERMILLE-quantized feature (the memoized classifier
+    // feature frame, so zero new corpus scans): group by distinct score
+    // (alphabet <= ~1001 permille values — the cumulative window rides
+    // the constant-partition device, never data-sized), cumulative
+    // negatives below each score, doubled-U = sum npos*(2*cumneg - nneg)
+    // so ties get half credit without any fraction. The doubled-U sum is
+    // quadratic in N, so it accumulates as DECIMAL(38,0)/HUGEINT (the
+    // t-closeness device — exact past 10^15 docs) and only the final
+    // auc_micro (<= 10^6) narrows to BIGINT.
+    QueryDef(
+      "tdp_auc_roc",
+      (s, dir) => {
+        val f = qcFeats(s, dir).select(col("y"), col("x1"))
+        val g = f.groupBy("x1").agg(
+          sum(when(col("y") === 1000000L, 1L).otherwise(0L)).as("npos"),
+          sum(when(col("y") === 1000000L, 0L).otherwise(1L)).as("nneg"))
+        val w = Window.partitionBy(pmod(col("x1"), lit(1L))).orderBy("x1")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = g.withColumn("cumneg", sum("nneg").over(w))
+        cum.agg(
+          sum("npos").as("n_pos"), sum("nneg").as("n_neg"),
+          count(lit(1)).as("n_scores"),
+          sum(col("npos").cast(DecimalType(38, 0))
+            * (col("cumneg") * 2 - col("nneg"))).as("u2"))
+          .select(col("n_pos"), col("n_neg"), col("n_scores"),
+            expr("CAST(u2 * 1000000 div (2" +
+              " * CAST(greatest(n_pos, 1) AS DECIMAL(38, 0))" +
+              " * greatest(n_neg, 1)) AS BIGINT)").as("auc_micro"))
+          .withColumn("gini_micro", col("auc_micro") * 2 - 1000000L)
+      },
+      Some(s"""WITH $qcFeatSqlCtes,
+              |aucg AS (
+              |  SELECT x1,
+              |    CAST(sum(CASE WHEN y = 1000000 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS npos,
+              |    CAST(sum(CASE WHEN y = 1000000 THEN 0 ELSE 1 END)
+              |      AS BIGINT) AS nneg
+              |  FROM qcf GROUP BY 1),
+              |aucc AS (
+              |  SELECT x1, npos, nneg,
+              |    CAST(sum(nneg) OVER (ORDER BY x1 ROWS UNBOUNDED PRECEDING)
+              |      AS BIGINT) AS cumneg
+              |  FROM aucg),
+              |auct AS (
+              |  SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+              |    CAST(sum(nneg) AS BIGINT) AS n_neg,
+              |    CAST(count(*) AS BIGINT) AS n_scores,
+              |    sum(CAST(npos AS HUGEINT) * (2 * cumneg - nneg)) AS u2
+              |  FROM aucc)
+              |SELECT n_pos, n_neg, n_scores,
+              |  CAST(u2 * 1000000 // (2 * CAST(greatest(n_pos, 1) AS HUGEINT)
+              |    * greatest(n_neg, 1)) AS BIGINT) AS auc_micro,
+              |  CAST(u2 * 1000000 // (2 * CAST(greatest(n_pos, 1) AS HUGEINT)
+              |    * greatest(n_neg, 1)) AS BIGINT) * 2 - 1000000 AS gini_micro
+              |FROM auct""".stripMargin)),
+
+    // TWO-SAMPLE KOLMOGOROV-SMIRNOV per source vs rest-of-corpus — the
+    // distribution-drift audit behind "did src3's quality profile shift?":
+    // D = max_x |F_src(x) - F_rest(x)| over the PERMILLE-banded quality
+    // score (banded KS is the production form; the contract is exact on
+    // the banded distribution). Same grid shape as t-closeness: the
+    // source x band grid is a crossJoin of two KEYSPACE-sized aggregates
+    // (both broadcast), per-source cumulatives are windows partitioned by
+    // source over <= ~1001-band frames, and the rest-cdf needs no second
+    // scan (cum_rest = cum_glob - cum_src, so D's numerator is
+    // |cum_s*N - cum_g*n_s|). Cross-products are quadratic in N ->
+    // DECIMAL(38,0)/HUGEINT accumulators, exact past 10^15 docs; the
+    // critical band (smallest band attaining D) comes from one join-back
+    // on the tiny grid, not a re-scan.
+    QueryDef(
+      "tdp_ks_test",
+      (s, dir) => {
+        val rows = qualityScored(s, dir).select(col("doc_id"),
+          floor(col("quality") * 1000).cast(LongType).as("band"))
+          .join(table(s, dir, "documents").select("doc_id", "source"),
+            "doc_id")
+        val srcs = rows.groupBy("source").agg(count(lit(1)).as("n_s"))
+        val glob = rows.groupBy("band").agg(count(lit(1)).as("cg"))
+        val wg = Window.partitionBy(pmod(col("band"), lit(1L)))
+          .orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val globCum = glob.withColumn("cumg", sum("cg").over(wg))
+          .select("band", "cumg")
+        val tot = glob.agg(sum("cg").as("n_tot"))
+        val sb = rows.groupBy("source", "band").agg(count(lit(1)).as("c"))
+        val grid = srcs.crossJoin(broadcast(globCum))
+          .join(sb, Seq("source", "band"), "left")
+          .withColumn("c0", coalesce(col("c"), lit(0L)))
+        val ws = Window.partitionBy("source").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dn = grid
+          .withColumn("cums", sum("c0").over(ws))
+          .crossJoin(broadcast(tot))
+          .withColumn("dnum",
+            abs(col("cums").cast(DecimalType(38, 0)) * col("n_tot")
+              - col("cumg").cast(DecimalType(38, 0)) * col("n_s")))
+        val agg = dn.groupBy("source", "n_s", "n_tot")
+          .agg(max("dnum").as("dmax"))
+        val crit = dn.join(
+          agg.select(col("source"), col("dmax")), Seq("source"))
+          .filter(col("dnum") === col("dmax"))
+          .groupBy("source").agg(min("band").as("crit_band"))
+        val out = agg.join(crit, Seq("source"))
+          .select(col("source"), col("n_s").as("n_docs"),
+            expr("CAST(dmax * 1000000 div (CAST(n_s AS DECIMAL(38, 0))" +
+              " * greatest(n_tot - n_s, 1)) AS BIGINT)").as("ks_micro"),
+            col("crit_band"))
+        out
+      },
+      Some(s"""WITH ksr AS (
+              |  SELECT d.source,
+              |    CAST(floor(q.quality * 1000) AS BIGINT) AS band
+              |  FROM (SELECT doc_id, $qualitySql AS quality
+              |        FROM ($qualityPartsSql)) q
+              |  JOIN documents d USING (doc_id)),
+              |kss AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS n_s
+              |  FROM ksr GROUP BY 1),
+              |ksg AS (
+              |  SELECT band, CAST(count(*) AS BIGINT) AS cg
+              |  FROM ksr GROUP BY 1),
+              |ksgc AS (
+              |  SELECT band, CAST(sum(cg) OVER (
+              |    ORDER BY band ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumg
+              |  FROM ksg),
+              |kst AS (SELECT CAST(sum(cg) AS BIGINT) AS n_tot FROM ksg),
+              |ksb AS (
+              |  SELECT source, band, CAST(count(*) AS BIGINT) AS c
+              |  FROM ksr GROUP BY 1, 2),
+              |ksd AS MATERIALIZED (
+              |  SELECT s.source, s.n_s, g.band, t.n_tot,
+              |    abs(CAST(sum(coalesce(b.c, 0)) OVER (
+              |          PARTITION BY s.source
+              |          ORDER BY g.band ROWS UNBOUNDED PRECEDING)
+              |        AS HUGEINT) * t.n_tot
+              |      - CAST(g.cumg AS HUGEINT) * s.n_s) AS dnum
+              |  FROM kss s CROSS JOIN ksgc g
+              |  LEFT JOIN ksb b ON b.source = s.source AND b.band = g.band,
+              |    kst t),
+              |ksa AS (
+              |  SELECT source, n_s, n_tot, max(dnum) AS dmax
+              |  FROM ksd GROUP BY 1, 2, 3),
+              |ksc AS (
+              |  SELECT d.source, min(d.band) AS crit_band
+              |  FROM ksd d JOIN ksa a
+              |    ON a.source = d.source AND d.dnum = a.dmax
+              |  GROUP BY 1)
+              |SELECT a.source, a.n_s AS n_docs,
+              |  CAST(a.dmax * 1000000 // (CAST(a.n_s AS HUGEINT)
+              |    * greatest(a.n_tot - a.n_s, 1)) AS BIGINT) AS ks_micro,
+              |  c.crit_band
+              |FROM ksa a JOIN ksc c USING (source)""".stripMargin)),
+
+    // CHI-SQUARED INDEPENDENCE of language x quality percent-band — "does
+    // quality depend on language?", the contingency audit a corpus
+    // balancing pass runs before per-language thresholds. Uses the
+    // zero-cell-free identity chi2 = N*(sum O^2/(R*C) - 1): observed
+    // cells alone carry the whole statistic (an empty cell's (O-E)^2/E
+    // contribution is exactly its E, absorbed by the -N term), so the
+    // plan is one cells aggregate + two broadcast marginal attaches —
+    // alphabet-sized everything after the first groupBy. Per-cell terms
+    // are floored at micro precision (the documented contract; floor
+    // loss < #cells micro) and accumulate as DECIMAL(38,0)/HUGEINT:
+    // O^2*N*10^6 stays in 38 digits to N ~ 4.6e10 docs — past that the
+    // same query ships with a milli unit. Cramer's V^2 divides a
+    // possibly-(floor-)negative chi2, so it clamps at 0 first — Spark
+    // div truncates where DuckDB floors, and the clamp keeps the
+    // operand non-negative where the two agree.
+    QueryDef(
+      "tdp_chi_square",
+      (s, dir) => {
+        val q = qualityScored(s, dir).select(col("lang"),
+          greatest(least(floor(col("quality") * 100).cast(LongType),
+            lit(99L)), lit(0L)).as("band"))
+        val cells = q.groupBy("lang", "band").agg(count(lit(1)).as("o"))
+        val rowt = cells.groupBy("lang").agg(sum("o").as("r"))
+        val colt = cells.groupBy("band").agg(sum("o").as("c"))
+        val tot = q.agg(count(lit(1)).as("n_docs"))
+        val st = cells.join(broadcast(rowt), "lang")
+          .join(broadcast(colt), "band")
+          .crossJoin(broadcast(tot))
+          .select(expr("CAST(o AS DECIMAL(38, 0)) * o * n_docs * 1000000" +
+            " div (CAST(r AS DECIMAL(38, 0)) * c)").as("term"))
+          .agg(sum(col("term").cast(DecimalType(38, 0))).as("sterm"))
+        val nl = rowt.agg(count(lit(1)).as("n_langs"))
+        val nb = colt.agg(count(lit(1)).as("n_bands"))
+        tot.crossJoin(nl).crossJoin(nb).crossJoin(st)
+          .select(col("n_docs"), col("n_langs"), col("n_bands"),
+            ((col("n_langs") - 1) * (col("n_bands") - 1)).as("dof"),
+            expr("CAST(sterm - CAST(n_docs AS DECIMAL(38, 0)) * 1000000" +
+              " AS BIGINT)").as("chi2_micro"))
+          .withColumn("cramer_v2_micro", expr(
+            "greatest(chi2_micro, 0) div (n_docs" +
+              " * greatest(least(n_langs - 1, n_bands - 1), 1))"))
+      },
+      Some(s"""WITH xq AS (
+              |  SELECT lang,
+              |    greatest(least(CAST(floor(($qualitySql) * 100) AS BIGINT),
+              |      99), 0) AS band
+              |  FROM ($qualityPartsSql)),
+              |xcell AS (
+              |  SELECT lang, band, CAST(count(*) AS BIGINT) AS o
+              |  FROM xq GROUP BY 1, 2),
+              |xr AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r
+              |  FROM xcell GROUP BY 1),
+              |xc AS (SELECT band, CAST(sum(o) AS BIGINT) AS c
+              |  FROM xcell GROUP BY 1),
+              |xt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM xq),
+              |xs AS (
+              |  SELECT sum(CAST(e.o AS HUGEINT) * e.o * t.n_docs * 1000000
+              |    // (CAST(r.r AS HUGEINT) * c.c)) AS sterm
+              |  FROM xcell e JOIN xr r ON r.lang = e.lang
+              |  JOIN xc c ON c.band = e.band, xt t),
+              |xnl AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM xr),
+              |xnb AS (SELECT CAST(count(*) AS BIGINT) AS n_bands FROM xc)
+              |SELECT t.n_docs, l.n_langs, b.n_bands,
+              |  (l.n_langs - 1) * (b.n_bands - 1) AS dof,
+              |  CAST(s.sterm - CAST(t.n_docs AS HUGEINT) * 1000000
+              |    AS BIGINT) AS chi2_micro,
+              |  greatest(CAST(s.sterm - CAST(t.n_docs AS HUGEINT) * 1000000
+              |      AS BIGINT), 0)
+              |    // (t.n_docs * greatest(least(l.n_langs - 1,
+              |         b.n_bands - 1), 1)) AS cramer_v2_micro
+              |FROM xt t, xnl l, xnb b, xs s""".stripMargin)),
   )
 }
