@@ -1289,5 +1289,157 @@ object CoreQueries {
              |  packed // 8192 AS ewma_final_milli,
              |  packed % 8192 AS n_anomaly_days
              |FROM wfd""".stripMargin)),
+
+    // INTERVAL MERGE (overlapping-interval union): each event opens a
+    // 300 s activity interval; per user, overlapping-or-touching
+    // intervals coalesce and the query reports how many merged spans
+    // remain, their total coverage and the longest — the sweep-line
+    // shape (usage metering, session coverage, SLA downtime) that
+    // gaps-and-islands (q43) does NOT cover because intervals have
+    // EXTENT: two events 299 s apart chain into one span no matter how
+    // many intervals bridge them. The sweep is one window pass per
+    // user: running max of interval ends over PRECEDING rows marks a
+    // new span exactly when the current start clears it, and a running
+    // sum of those marks numbers the spans — no self-join, no
+    // data-sized state beyond the per-user window Spark already
+    // partitions by user_id (the same per-user frame q43/q12 ride; at
+    // 100 TB the shuffle key is user_id and each task streams its
+    // users' rows once, 1 running value of state). Ties sort by
+    // (sec, event_id) in BOTH engines so every frame is deterministic.
+    QueryDef(
+      "q45_interval_merge",
+      (s, dir) => {
+        val ev = eventsWithSec(s, dir)
+          .select(col("user_id"), col("event_id"), col("sec"))
+        val wOrd = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        val isl = ev
+          .withColumn("prev_end", max(col("sec") + 300).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("is_new",
+            when(col("prev_end").isNull
+              || col("sec") > col("prev_end"), 1L).otherwise(0L))
+          .withColumn("island", sum("is_new").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        isl.groupBy("user_id", "island")
+          .agg(min("sec").as("s0"), max(col("sec") + 300).as("e0"),
+            count(lit(1)).as("ne"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("e0") - col("s0")).as("covered_sec"),
+            max(col("e0") - col("s0")).as("longest_sec"),
+            sum("ne").as("n_events"))
+      },
+      Some("""WITH imv AS (
+             |  SELECT user_id, event_id,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |imp AS (
+             |  SELECT user_id, event_id, sec,
+             |    max(sec + 300) OVER (
+             |      PARTITION BY user_id ORDER BY sec, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prev_end
+             |  FROM imv),
+             |imi AS (
+             |  SELECT user_id, sec,
+             |    sum(CASE WHEN prev_end IS NULL OR sec > prev_end
+             |        THEN 1 ELSE 0 END) OVER (
+             |      PARTITION BY user_id ORDER BY sec, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM imp),
+             |img AS (
+             |  SELECT user_id, island, min(sec) AS s0,
+             |    max(sec + 300) AS e0, CAST(count(*) AS BIGINT) AS ne
+             |  FROM imi GROUP BY 1, 2)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+             |  CAST(sum(e0 - s0) AS BIGINT) AS covered_sec,
+             |  CAST(max(e0 - s0) AS BIGINT) AS longest_sec,
+             |  CAST(sum(ne) AS BIGINT) AS n_events
+             |FROM img GROUP BY 1""".stripMargin)),
+
+    // MANN-KENDALL TREND TEST per event type: S = sum over ordered day
+    // pairs of sign(cnt_j - cnt_i), the nonparametric "is this metric
+    // drifting?" monitor that needs no distribution assumption — the
+    // drift-detection sibling of the EWMA spike scan (q44). Rides the
+    // same device: daily counts pack into base-2^36 BIGINTs (count
+    // saturated, so order and extraction survive any hot day),
+    // sort_array fixes the fold order, and the O(days^2) pairwise sign
+    // sum runs inside one codegen'd nested higher-order expression over
+    // a CALENDAR-bounded list (<= |days|^2 comparisons per type — 435
+    // for a 30-day window — regardless of corpus size; the only
+    // data-sized stage is the map-side-combined daily count). Kendall
+    // tau in micro units uses the sign-explicit truncated division both
+    // engines agree on (S can be negative; Spark div truncates, DuckDB
+    // // floors).
+    QueryDef(
+      "q46_trend_test",
+      (s, dir) => {
+        val daily = eventsWithSec(s, dir)
+          .select(col("event_type"), expr("sec div 86400").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        daily.groupBy("event_type")
+          .agg(sort_array(collect_list(
+            expr("day * 68719476736 + least(cnt, 68719476735)")))
+            .as("arr"))
+          .select(col("event_type"),
+            size(col("arr")).cast(LongType).as("n_days"),
+            expr("""CASE WHEN size(arr) < 2 THEN 0L ELSE
+                   |  aggregate(
+                   |    transform(sequence(2, size(arr)), j ->
+                   |      aggregate(slice(arr, 1, j - 1), 0L, (acc, v) ->
+                   |        acc + (CASE
+                   |          WHEN element_at(arr, j) % 68719476736
+                   |             > v % 68719476736 THEN 1
+                   |          WHEN element_at(arr, j) % 68719476736
+                   |             < v % 68719476736 THEN -1
+                   |          ELSE 0 END))),
+                   |    0L, (a, x) -> a + x) END""".stripMargin)
+              .as("s_stat"))
+          .withColumn("n_pairs", expr("n_days * (n_days - 1) div 2"))
+          .withColumn("tau_micro", expr(
+            "CASE WHEN s_stat >= 0" +
+              " THEN (s_stat * 1000000) div greatest(n_pairs, 1)" +
+              " ELSE -((-s_stat * 1000000) div greatest(n_pairs, 1)) END"))
+          .withColumn("trend",
+            when(col("s_stat") > 0, "rising")
+              .when(col("s_stat") < 0, "falling").otherwise("flat"))
+      },
+      Some("""WITH mkd AS (
+             |  SELECT event_type,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |mka AS (
+             |  SELECT event_type,
+             |    list_sort(list(day * 68719476736
+             |      + least(cnt, 68719476735))) AS arr
+             |  FROM mkd GROUP BY 1),
+             |mks AS (
+             |  SELECT event_type, CAST(len(arr) AS BIGINT) AS n_days,
+             |    CAST(CASE WHEN len(arr) < 2 THEN 0 ELSE
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(2, len(arr) + 1), jj ->
+             |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |            list_transform(list_slice(arr, 1, jj - 1), vv ->
+             |              CAST(CASE
+             |                WHEN arr[jj] % 68719476736
+             |                   > vv % 68719476736 THEN 1
+             |                WHEN arr[jj] % 68719476736
+             |                   < vv % 68719476736 THEN -1
+             |                ELSE 0 END AS BIGINT))),
+             |            (aa, xx) -> aa + xx))),
+             |        (a2, x2) -> a2 + x2) END AS BIGINT) AS s_stat
+             |  FROM mka)
+             |SELECT event_type, n_days, s_stat,
+             |  n_days * (n_days - 1) // 2 AS n_pairs,
+             |  CAST(CASE WHEN s_stat >= 0
+             |    THEN (s_stat * 1000000) // greatest(n_days * (n_days - 1)
+             |      // 2, 1)
+             |    ELSE -((-s_stat * 1000000) // greatest(n_days
+             |      * (n_days - 1) // 2, 1)) END AS BIGINT) AS tau_micro,
+             |  CASE WHEN s_stat > 0 THEN 'rising'
+             |    WHEN s_stat < 0 THEN 'falling'
+             |    ELSE 'flat' END AS trend
+             |FROM mks""".stripMargin)),
   )
 }

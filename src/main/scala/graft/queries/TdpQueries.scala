@@ -10166,5 +10166,250 @@ object TdpQueries {
               |    // (t.n_docs * greatest(least(l.n_langs - 1,
               |         b.n_bands - 1), 1)) AS cramer_v2_micro
               |FROM xt t, xnl l, xnb b, xs s""".stripMargin)),
+
+    // HITS HUBS & AUTHORITIES over the user -> event-type bipartite
+    // graph, weighted by interaction count — the second classic
+    // eigenvector centrality next to tdp_pagerank, and the one that
+    // fits a bipartite feed: authority says which event types the
+    // heavy multi-type users concentrate on, hubs say which users
+    // drive them. Two full rounds of the mutual recurrence with
+    // MAX-normalization after every half-step — all integer: scores
+    // live in micro-units, the weighted sums accumulate as
+    // DECIMAL(38,0)/HUGEINT (w*h <= 10^6 * per-pair count, summed over
+    // the whole feed — exact at any corpus size), and each
+    // normalization is one 1-row broadcast max followed by a floor
+    // division that pins the top score to exactly 10^6. Per half-step
+    // cost: ONE equi-join of the (user,type,w) aggregate against a
+    // side whose size is |users| or |event types| — the same
+    // edges-never-move Pregel shape as pagerank, and the event-type
+    // side is alphabet-sized so every auth frame broadcasts.
+    QueryDef(
+      "tdp_hits",
+      (s, dir) => {
+        val w = Registry.memo(s, dir, "tdp_hits_w")(
+          table(s, dir, "events").groupBy("user_id", "event_type")
+            .agg(count(lit(1)).as("w")))
+        var hub = w.select("user_id").distinct()
+          .withColumn("h", lit(1000000L))
+        var auth: DataFrame = w.sparkSession.emptyDataFrame
+        for (_ <- 1 to 2) {
+          val araw = w.join(hub, "user_id")
+            .groupBy("event_type")
+            .agg(sum(col("w").cast(DecimalType(38, 0)) * col("h"))
+              .as("ar"))
+          val amax = araw.agg(max("ar").as("am"))
+          auth = araw.crossJoin(broadcast(amax))
+            .select(col("event_type"),
+              expr("CAST(ar * 1000000 div am AS BIGINT)").as("a"))
+          val hraw = w.join(broadcast(auth), "event_type")
+            .groupBy("user_id")
+            .agg(sum(col("w").cast(DecimalType(38, 0)) * col("a"))
+              .as("hr"))
+          val hmax = hraw.agg(max("hr").as("hm"))
+          hub = hraw.crossJoin(broadcast(hmax))
+            .select(col("user_id"),
+              expr("CAST(hr * 1000000 div hm AS BIGINT)").as("h"))
+        }
+        val nu = w.groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"), sum("w").as("w_total"))
+        auth.join(nu, "event_type")
+          .select(col("event_type"), col("n_users"), col("w_total"),
+            col("a").as("auth_micro"))
+      },
+      Some("""WITH hw AS MATERIALIZED (
+             |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS w
+             |  FROM events GROUP BY 1, 2),
+             |hh0 AS (SELECT DISTINCT user_id,
+             |  CAST(1000000 AS BIGINT) AS h FROM hw),
+             |ha1r AS (
+             |  SELECT event_type, sum(CAST(w AS HUGEINT) * h.h) AS ar
+             |  FROM hw JOIN hh0 h USING (user_id) GROUP BY 1),
+             |ha1m AS (SELECT max(ar) AS am FROM ha1r),
+             |ha1 AS (SELECT event_type,
+             |  CAST(ar * 1000000 // am AS BIGINT) AS a FROM ha1r, ha1m),
+             |hh1r AS (
+             |  SELECT user_id, sum(CAST(w AS HUGEINT) * a.a) AS hr
+             |  FROM hw JOIN ha1 a USING (event_type) GROUP BY 1),
+             |hh1m AS (SELECT max(hr) AS hm FROM hh1r),
+             |hh1 AS (SELECT user_id,
+             |  CAST(hr * 1000000 // hm AS BIGINT) AS h FROM hh1r, hh1m),
+             |ha2r AS (
+             |  SELECT event_type, sum(CAST(w AS HUGEINT) * h.h) AS ar
+             |  FROM hw JOIN hh1 h USING (user_id) GROUP BY 1),
+             |ha2m AS (SELECT max(ar) AS am FROM ha2r),
+             |ha2 AS (SELECT event_type,
+             |  CAST(ar * 1000000 // am AS BIGINT) AS a FROM ha2r, ha2m),
+             |hnu AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(sum(w) AS BIGINT) AS w_total
+             |  FROM hw GROUP BY 1)
+             |SELECT a.event_type, n.n_users, n.w_total, a.a AS auth_micro
+             |FROM ha2 a JOIN hnu n USING (event_type)""".stripMargin)),
+
+    // SKIP-GRAM CO-OCCURRENCE: (center, context) pair weights within a
+    // +-3 token window, linear distance ramp (4 - d, so adjacency
+    // counts 3x a gap-2 pair) — the counting pass under word2vec/GloVe
+    // embedding training and the collocation generalization beyond
+    // tdp_collocations' adjacent bigrams. Deliberately NOT a positional
+    // self-join (an equi-join on doc_id explodes to O(len^2) candidate
+    // pairs per doc before the range filter): the window is bounded, so
+    // three LEAD columns over one (doc_id, pos) window pass emit
+    // exactly the <= 3 forward contexts per token, and one named-struct
+    // explode + filter turns them into weighted pairs — per-token cost
+    // is a CONSTANT 3 regardless of document length, the shuffle key is
+    // doc_id once and (word_a, word_b) once (map-side combined), and
+    // the head is a TakeOrdered(50) under the total order
+    // (weight DESC, word_a, word_b) that both engines share.
+    QueryDef(
+      "tdp_skipgram_cooc",
+      (s, dir) => {
+        val t = table(s, dir, "documents")
+          .select(col("doc_id"), expr(toksExpr).as("toks"))
+          .select(col("doc_id"), posexplode(col("toks"))
+            .as(Seq("pos", "tok")))
+        val wD = Window.partitionBy("doc_id").orderBy("pos")
+        val leads = t.select(col("tok").as("word_a"),
+          lead("tok", 1).over(wD).as("l1"),
+          lead("tok", 2).over(wD).as("l2"),
+          lead("tok", 3).over(wD).as("l3"))
+        leads
+          .select(col("word_a"), explode(expr(
+            """filter(array(
+              |  named_struct('wb', l1, 'wgt', 3L),
+              |  named_struct('wb', l2, 'wgt', 2L),
+              |  named_struct('wb', l3, 'wgt', 1L)),
+              |  p -> p.wb IS NOT NULL)""".stripMargin)).as("p"))
+          .select(col("word_a"), col("p.wb").as("word_b"),
+            col("p.wgt").as("wgt"))
+          .groupBy("word_a", "word_b")
+          .agg(sum("wgt").as("weight"), count(lit(1)).as("n_pairs"))
+          .orderBy(desc("weight"), col("word_a"), col("word_b"))
+          .limit(50)
+      },
+      Some(s"""WITH sgd AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |sgt AS (
+              |  SELECT doc_id, unnest(toks) AS tok,
+              |    CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos
+              |  FROM sgd),
+              |sgl AS (
+              |  SELECT tok AS word_a,
+              |    lead(tok, 1) OVER
+              |      (PARTITION BY doc_id ORDER BY pos) AS l1,
+              |    lead(tok, 2) OVER
+              |      (PARTITION BY doc_id ORDER BY pos) AS l2,
+              |    lead(tok, 3) OVER
+              |      (PARTITION BY doc_id ORDER BY pos) AS l3
+              |  FROM sgt),
+              |sgp AS (
+              |  SELECT word_a, word_b, wgt FROM (
+              |    SELECT word_a, l1 AS word_b,
+              |      CAST(3 AS BIGINT) AS wgt FROM sgl
+              |    UNION ALL SELECT word_a, l2,
+              |      CAST(2 AS BIGINT) FROM sgl
+              |    UNION ALL SELECT word_a, l3,
+              |      CAST(1 AS BIGINT) FROM sgl)
+              |  WHERE word_b IS NOT NULL)
+              |SELECT word_a, word_b, CAST(sum(wgt) AS BIGINT) AS weight,
+              |  CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM sgp GROUP BY 1, 2
+              |ORDER BY weight DESC, word_a, word_b LIMIT 50"""
+        .stripMargin)),
+
+    // K-CENTER CORESET (Gonzalez farthest-first): pick K=5 embedding
+    // vectors so every vector is close to some pick — the COVERAGE
+    // selection a curation sampler wants (2-approximation of optimal
+    // k-center), where MMR optimizes query relevance vs redundancy and
+    // k-means optimizes mean distortion. Fully deterministic: seed is
+    // the smallest vec_id, each round adds the point with the MAXIMUM
+    // min-distance-to-selected (integer micro^2 L2, ties to smallest
+    // vec_id), and the reported radii are the non-increasing
+    // farthest-first distances plus the final cover radius (the
+    // argmax a 6th pick would get). Each round is ONE distributed
+    // argmax (TakeOrdered of 1) against <= 4 selected vectors embedded
+    // as broadcast literals — K passes over the corpus, K 1-row driver
+    // hops (the MMR device), nothing data-sized on the driver. The
+    // oracle replays the identical greedy walk as unrolled CTE layers
+    // carrying the running min-distance, so grading is exact.
+    QueryDef(
+      "tdp_kcenter",
+      (s, dir) => {
+        val mic = table(s, dir, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, v -> " +
+            "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("m"))
+          .persist()
+        def d2To(lits: Array[Long]): Column = expr(
+          s"aggregate(zip_with(m, array(${lits.mkString(",")}), " +
+            "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
+        val seed = mic.orderBy("vec_id").limit(1)
+          .select("vec_id", "m").collect().head
+        var selected = Vector(
+          (seed.getLong(0), seed.getSeq[Long](1).toArray, 0L))
+        for (_ <- 2 to 5) {
+          val dcols = selected.map(t => d2To(t._2))
+          val mind = if (dcols.size == 1) dcols.head else least(dcols: _*)
+          mic.filter(!col("vec_id").isin(selected.map(_._1): _*))
+            .withColumn("mind", mind)
+            .orderBy(desc("mind"), col("vec_id"))
+            .select("vec_id", "m", "mind")
+            .limit(1).collect().headOption.foreach { r =>
+              selected :+= ((r.getLong(0), r.getSeq[Long](1).toArray,
+                r.getLong(2)))
+            }
+        }
+        val dcols = selected.map(t => d2To(t._2))
+        val coverCol = if (dcols.size == 1) dcols.head else least(dcols: _*)
+        val cover = mic.withColumn("mind", coverCol)
+          .agg(max("mind").as("cover")).collect().head.getLong(0)
+        mic.unpersist(blocking = false)
+        val rows = selected.zipWithIndex.map { case ((id, _, d2), ix) =>
+          ((ix + 1).toLong, id, d2, cover)
+        }
+        s.createDataFrame(rows)
+          .toDF("rank", "vec_id", "d2_sel_micro2", "cover_r2_micro2")
+      },
+      Some {
+        def selPrev(k: Int): String =
+          (1 until k).map(j => s"SELECT vec_id FROM kc$j")
+            .mkString(" UNION ALL ")
+        val steps = (2 to 5).map { k =>
+          s"""kc$k AS MATERIALIZED (
+             |  SELECT vec_id, mind AS d2 FROM kd${k - 1}
+             |  WHERE vec_id NOT IN (${selPrev(k)})
+             |  ORDER BY mind DESC, vec_id LIMIT 1),
+             |kd$k AS MATERIALIZED (
+             |  SELECT x.vec_id, least(d.mind,
+             |    CAST(sum((x.mi - c.mi) * (x.mi - c.mi)) AS BIGINT))
+             |    AS mind
+             |  FROM kex x JOIN kex c ON c.i = x.i
+             |  JOIN kd${k - 1} d ON d.vec_id = x.vec_id
+             |  WHERE c.vec_id IN (SELECT vec_id FROM kc$k)
+             |  GROUP BY 1, d.mind)""".stripMargin
+        }.mkString(",\n")
+        val ranks = (1 to 5).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS rank, vec_id, d2 FROM kc$k")
+          .mkString(" UNION ALL ")
+        s"""WITH kem AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(embedding, v ->
+           |    CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS m
+           |  FROM embeddings),
+           |kex AS MATERIALIZED (
+           |  SELECT vec_id, unnest(m) AS mi,
+           |    CAST(generate_subscripts(m, 1) AS BIGINT) AS i
+           |  FROM kem),
+           |kc1 AS (SELECT min(vec_id) AS vec_id,
+           |  CAST(0 AS BIGINT) AS d2 FROM kem),
+           |kd1 AS MATERIALIZED (
+           |  SELECT x.vec_id,
+           |    CAST(sum((x.mi - c.mi) * (x.mi - c.mi)) AS BIGINT) AS mind
+           |  FROM kex x JOIN kex c ON c.i = x.i
+           |  WHERE c.vec_id IN (SELECT vec_id FROM kc1)
+           |  GROUP BY 1),
+           |$steps,
+           |kcover AS (SELECT CAST(max(mind) AS BIGINT) AS cover FROM kd5)
+           |SELECT k.rank, k.vec_id, k.d2 AS d2_sel_micro2,
+           |  c.cover AS cover_r2_micro2
+           |FROM ($ranks) k, kcover c""".stripMargin
+      }),
   )
 }

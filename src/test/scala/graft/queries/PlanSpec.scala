@@ -452,6 +452,52 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("skipgram cooc: no self-join — window leads only, TakeOrdered head") {
+    val df = Registry.queries("tdp_skipgram_cooc")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The whole pair generation must be lead() columns over one
+    // (doc_id, pos) window — a positional self-join would put an
+    // O(len^2)-per-doc join in the plan. And the head must be a
+    // TakeOrdered, never a global sort of the pair table.
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("hits: auth side broadcasts, rounds stay equi-keyed") {
+    val df = Registry.queries("tdp_hits")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The alphabet-sized authority frame must attach via broadcast;
+    // the only nested loops allowed are the broadcast-bounded 1-row
+    // max-normalization attaches (the scalar crossJoin device) — a
+    // cartesian anywhere is a scale bug.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("auc/ks/chi2: stat audits keep windows bounded, no data-sized sort") {
+    for (q <- Seq("tdp_auc_roc", "tdp_ks_test", "tdp_chi_square")) {
+      val plan = Registry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      // Cumulative windows ride the constant-partition device over
+      // alphabet-sized frames; an unpartitioned window over corpus
+      // rows would print 'No Partition Defined'.
+      assert(!plan.contains("No Partition Defined"), s"$q: data-sized window")
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1500)}")
+    }
+  }
+
+  test("interval merge: one user_id exchange feeds window and aggregates") {
+    val df = Registry.queries("q45_interval_merge")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The sweep is windows + two groupBys all keyed on user_id (island
+    // is a refinement): exactly ONE shuffle of the event rows.
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n" +
+      plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("pca power: one distributed moment pass, D^2-bounded driver state") {
     val df = Registry.queries("tdp_pca_power")(spark, dir)
     // The returned frame is the driver-built component table: 64 rows.

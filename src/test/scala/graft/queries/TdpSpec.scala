@@ -2229,4 +2229,166 @@ class TdpSpec extends SparkSpec {
     // near-copy 2; 2 is never picked at all.
     assert(got == Seq(1L, 3L, 100L, 50L, 51L), got)
   }
+
+  test("auc: perfectly separating feature scores exactly 10^6") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_auc").toString
+    // No spaces, no 'the': quality = 0.6*alpha_ratio + 0.3, so the
+    // alpha-permille feature x1 ranks EXACTLY as the label does.
+    // all-alpha -> q=0.9 (pos); half/quarter alpha -> 0.6/0.45 (neg).
+    val docs = Seq(
+      (1L, "abcdefgh", "en", "s0", 8L),
+      (2L, "abcd1234", "en", "s0", 8L),
+      (3L, "ab123456", "en", "s0", 8L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Registry.queries("tdp_auc_roc")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_pos") == 1L && r.getAs[Long]("n_neg") == 2L, r)
+    assert(r.getAs[Long]("n_scores") == 3L, r)
+    assert(r.getAs[Long]("auc_micro") == 1000000L, r)
+    assert(r.getAs[Long]("gini_micro") == 1000000L, r)
+  }
+
+  test("ks test: disjoint source distributions hit D = 10^6") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_ks").toString
+    // Source A all high-quality bands, source B all low: the banded
+    // cdfs are disjoint, so for each source-vs-rest D = 1 exactly.
+    val docs = Seq(
+      (1L, "abcdefgh", "en", "A", 8L), (2L, "abcdefgh", "en", "A", 8L),
+      (3L, "ab123456", "en", "B", 8L), (4L, "ab123456", "en", "B", 8L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_ks_test")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("ks_micro"),
+          r.getAs[Long]("crit_band"))).toMap
+    assert(got("A")._1 == 2L && got("B")._1 == 2L, got)
+    assert(got("A")._2 == 1000000L && got("B")._2 == 1000000L, got)
+    // Both directions attain the max gap first at the LOW band.
+    assert(got("A")._3 == got("B")._3, got)
+  }
+
+  test("chi-square: perfect lang/band dependence gives V^2 = 1") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_chi").toString
+    // en docs all land in the high percent band, de docs all low ->
+    // chi2 = N*min(r-1, c-1) = 4, V^2 = 1, both exact in micro units.
+    val docs = Seq(
+      (1L, "abcdefgh", "en", "s0", 8L), (2L, "abcdefgh", "en", "s0", 8L),
+      (3L, "ab123456", "de", "s0", 8L), (4L, "ab123456", "de", "s0", 8L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Registry.queries("tdp_chi_square")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L && r.getAs[Long]("dof") == 1L, r)
+    assert(r.getAs[Long]("chi2_micro") == 4000000L, r)
+    assert(r.getAs[Long]("cramer_v2_micro") == 1000000L, r)
+  }
+
+  test("interval merge: overlap chains, touching merges, gaps split") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q45_ivm").toString
+    // user 1: [0,300)+[100,400) merge -> covered 400; [500,800) apart.
+    // user 2: [0,300)+[300,600) TOUCH -> one span of 600.
+    // user 3: 0/299/598 chain through bridging intervals -> one 898.
+    val ev = Seq(
+      (1L, 0L, 1L), (2L, 100L, 1L), (3L, 500L, 1L),
+      (4L, 0L, 2L), (5L, 300L, 2L),
+      (6L, 0L, 3L), (7L, 299L, 3L), (8L, 598L, 3L))
+    ev.map { case (id, sec, u) => (id, sec * 1000000000L, u, "x") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("q45_interval_merge")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("covered_sec"),
+          r.getAs[Long]("longest_sec"), r.getAs[Long]("n_events"))).toMap
+    assert(got(1L) == ((2L, 700L, 400L, 3L)), got)
+    assert(got(2L) == ((1L, 600L, 600L, 2L)), got)
+    assert(got(3L) == ((1L, 898L, 898L, 3L)), got)
+  }
+
+  test("trend test: rising, falling and flat series score tau = +-10^6/0") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q46_mk").toString
+    def day(d: Long, i: Long): Long = (d * 86400L + i) * 1000000000L
+    // up: 1/2/3 events on days 0/1/2 -> S=3, tau=1e6; down mirrored;
+    // flat2: equal counts on two days -> S=0.
+    val ev =
+      Seq((1L, day(0, 0), 1L, "up")) ++
+      (0L until 2L).map(i => (10L + i, day(1, i), 1L, "up")) ++
+      (0L until 3L).map(i => (20L + i, day(2, i), 1L, "up")) ++
+      (0L until 3L).map(i => (30L + i, day(0, i), 1L, "down")) ++
+      (0L until 2L).map(i => (40L + i, day(1, i), 1L, "down")) ++
+      Seq((50L, day(2, 0), 1L, "down")) ++
+      Seq((60L, day(0, 0), 1L, "flat2"), (61L, day(1, 0), 1L, "flat2"))
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("q46_trend_test")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("s_stat"),
+          r.getAs[Long]("n_pairs"), r.getAs[Long]("tau_micro"),
+          r.getAs[String]("trend"))).toMap
+    assert(got("up") == ((3L, 3L, 3L, 1000000L, "rising")), got)
+    assert(got("down") == ((3L, -3L, 3L, -1000000L, "falling")), got)
+    assert(got("flat2") == ((2L, 0L, 1L, 0L, "flat")), got)
+  }
+
+  test("hits: two max-normalized rounds replay by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_hits").toString
+    // u1 -> A x2; u2 -> A, B. Round 1: a(A)=1e6, a(B)=333333;
+    // h(u1)=1e6, h(u2)=666666. Round 2: ar(A)=2666666, ar(B)=666666
+    // -> a(A)=1e6, a(B)=666666*1e6 // 2666666 = 249999.
+    val ev = Seq(
+      (1L, 1L, 1L, "A"), (2L, 2L, 1L, "A"),
+      (3L, 3L, 2L, "A"), (4L, 4L, 2L, "B"))
+    ev.map { case (id, sec, u, t) => (id, sec * 1000000000L, u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("tdp_hits")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("w_total"),
+          r.getAs[Long]("auth_micro"))).toMap
+    assert(got("A") == ((2L, 3L, 1000000L)), got)
+    assert(got("B") == ((1L, 1L, 249999L)), got)
+  }
+
+  test("skipgram cooc: ramp weights over the +-3 window replay by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_sg").toString
+    // 'a b a b': forward pairs (a,b)@d1 x2 + (a,b)@d3, (a,a)@d2,
+    // (b,a)@d1, (b,b)@d2 -> weights 7/2/3/2.
+    Seq((1L, "a b a b")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_skipgram_cooc")(spark, dir).collect()
+      .map(r => (r.getAs[String]("word_a"), r.getAs[String]("word_b")) ->
+        (r.getAs[Long]("weight"), r.getAs[Long]("n_pairs"))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((7L, 3L)), ("a", "a") -> ((2L, 1L)),
+      ("b", "a") -> ((3L, 1L)), ("b", "b") -> ((2L, 1L))), got)
+  }
+
+  test("k-center: farthest-first walk on a line, ties to smallest id") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_kc").toString
+    def e0(x: Float): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(0) = x; v.toSeq
+    }
+    // Line at 0, 0.1, 1, -1, 0.5: seed id0; then the 1e12-tie between
+    // id2 (+1) and id3 (-1) goes to id2; id3; id4 (0.5, d2=2.5e11);
+    // id1 last (d2=1e10). All points selected -> cover radius 0.
+    val rows = Seq((0L, e0(0.0f), 0), (1L, e0(0.1f), 0),
+      (2L, e0(1.0f), 0), (3L, e0(-1.0f), 0), (4L, e0(0.5f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Registry.queries("tdp_kcenter")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("d2_sel_micro2"), r.getAs[Long]("cover_r2_micro2")))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L), (2L, 2L, 1000000000000L, 0L),
+      (3L, 3L, 1000000000000L, 0L), (4L, 4L, 250000000000L, 0L),
+      (5L, 1L, 10000000000L, 0L)), got)
+  }
 }
