@@ -134,9 +134,19 @@ object Bench {
     // the same JVM — up to 3 passes or 25 min. Every pass total is
     // reported in the JSON line; the per-query map is the BEST pass.
     val passBudgetMs = 25 * 60 * 1000L
-    // ~2x the idle-host median -> clearly contended (env override for tests)
+    // Wall band SCALES WITH THE REGISTRY (r10 lesson: the fixed 165 s
+    // band accepted a 2.6x-contended pass by 1.3% at 232 queries, and a
+    // genuinely clean pass at 240+ queries would exceed it and burn
+    // retries): clean idle-host passes run ~0.55-0.70 s/query, so
+    // 0.9 s/query ~ the contended/clean separatrix at any registry size.
+    // The probe band below remains the primary contention detector — the
+    // wall band only catches inflation the idle-pool probe can't see.
+    // SPARK_GRAFT_PASS_BAND (absolute seconds) still overrides for tests.
+    val nQueries = 1 + SparkEntry.queries.keySet // +1 = warmup entry
+      .count(n => only.forall(_.contains(n)))
     val passBand =
-      sys.env.get("SPARK_GRAFT_PASS_BAND").map(_.toDouble).getOrElse(165.0)
+      sys.env.get("SPARK_GRAFT_PASS_BAND").map(_.toDouble)
+        .getOrElse(0.9 * nQueries)
     // Fixed-work probe band: idle-host floor is 0.39-0.51 s, so >0.7 s
     // means the pass ran >=~1.5x contended even when its wall total sneaks
     // under the wall band (BENCH_r06's accepted pass: probe 1.28 s -> the
@@ -195,6 +205,7 @@ object Bench {
           ",\"err_queries\":" + errJson +
           ",\"pass_totals\":[" + passTotals.map(sec3).mkString(",") + "]" +
           ",\"pass_probes\":[" + passProbes.map(sec3).mkString(",") + "]" +
+          ",\"pass_band\":" + sec3(passBand) +
           ",\"loadavg\":[" + sec3(loadStart) + "," + sec3(loadavg()) + "]" +
           ",\"probe\":[" + sec3(probeStart) + "]" +
           ",\"queries_wall_cpu\":{", ",", "}}")
@@ -239,6 +250,7 @@ object Bench {
         s""""err_queries":$errJson,""" +
         s""""pass_totals":[${passTotals.map(sec3).mkString(",")}],""" +
         s""""pass_probes":[${passProbes.map(sec3).mkString(",")}],""" +
+        s""""pass_band":${sec3(passBand)},""" +
         s""""loadavg":[${sec3(loadStart)},${sec3(loadEnd)}],""" +
         s""""probe":[${sec3(probeStart)},${sec3(probeEnd)}],"sf":"$sfDir"}""")
     System.out.flush()

@@ -252,13 +252,6 @@ object TdpQueries {
       .select(col("vec_id").as("cent_id"), col("embedding").as("q_emb"),
         col("norm").as("cent_norm"))
 
-  /** Top-2 nearest-seed-centroid assignment for EVERY corpus vector
-    * (vectors x broadcast centroids, one per-vector window), memoized:
-    * probe=1 is the classic IVF bucket assignment (consumed by the IVF
-    * search, the recall metrics and iteration-0 of the k-means round);
-    * probe=2 is the second-closest bucket a multi-probe query ALSO
-    * searches. One crossJoin pass feeds all five consumers.
-    */
   /** Distributed min-label connected components over a SYMMETRIC edge
     * list (`sym`: src/dst) covering `vertices` (one `vertex` column;
     * isolated vertices keep their own id as label). Each round combines
@@ -312,8 +305,17 @@ object TdpQueries {
     labels
   }
 
-  private def ivfAssign2(s: SparkSession, dir: String): DataFrame =
-    Registry.memo(s, dir, "tdp_ivf_assign2") {
+  /** Top-4 nearest-seed-centroid assignment for EVERY corpus vector
+    * (vectors x broadcast centroids, one per-vector window), memoized:
+    * probes 1-2 serve every pre-existing consumer via [[ivfAssign2]];
+    * probes 3-4 exist solely for the tdp_dbscan_nprobe operating-point
+    * sweep. Widening the memoized window 2 -> 4 costs nothing extra at
+    * scale — the crossJoin pass and the per-vector window are identical,
+    * only the kept rows double — and keeps the ONE-pass-feeds-all-
+    * consumers contract.
+    */
+  private def ivfAssign4(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_ivf_assign4") {
       val e = embWithNorm(s, dir)
       val cent = ivfCentroids(s, dir)
       val vecs = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
@@ -322,10 +324,17 @@ object TdpQueries {
       vecs.crossJoin(broadcast(cent))
         .withColumn("sim", expr(dotExpr) / (col("cent_norm") * col("c_norm")))
         .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") <= 2)
+        .filter(col("rn") <= 4)
         .select(col("c_id").as("vec_id"), col("cent_id").as("cluster"),
           col("rn").as("probe"), col("sim"))
     }
+
+  /** Top-2 slice of the memoized top-4 assignment: probe=1 is the
+    * classic IVF bucket assignment, probe=2 the second bucket a
+    * multi-probe query ALSO searches.
+    */
+  private def ivfAssign2(s: SparkSession, dir: String): DataFrame =
+    ivfAssign4(s, dir).filter(col("probe") <= 2)
 
   /** Nearest-centroid (probe=1) assignment — a cheap filter over the
     * memoized top-2 frame, NOT a second crossJoin pass.
@@ -412,14 +421,16 @@ object TdpQueries {
        |  SELECT vec_id, embedding, norm FROM emb
        |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
        |  LIMIT $IvfNlist),
-       |assigned2 AS (
+       |assigned4 AS (
        |  SELECT c_id AS vec_id, cent_id AS cluster, rn AS probe, sim FROM (
        |    SELECT c.vec_id AS c_id, q.vec_id AS cent_id,
        |      ($dotSql) / (q.norm * c.norm) AS sim,
        |      row_number() OVER (PARTITION BY c.vec_id
        |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, q.vec_id) AS rn
        |    FROM emb c CROSS JOIN cent q)
-       |  WHERE rn <= 2),
+       |  WHERE rn <= 4),
+       |assigned2 AS (
+       |  SELECT vec_id, cluster, probe, sim FROM assigned4 WHERE probe <= 2),
        |assigned AS (
        |  SELECT vec_id, cluster FROM assigned2 WHERE probe = 1),
        |wc AS (
@@ -648,6 +659,333 @@ object TdpQueries {
   private val UniMaxPieceLen = 4
   private val UniMinPieceCnt = 3
 
+  /** Unigram-LM shared machinery, consumed by tdp_unigram_lm AND the
+    * tdp_unigram_prune EM round so the two queries can never drift on
+    * the DP they share. The corpus pays ONE word-frequency reduction
+    * (the memoized BPE vocab); every frame below is DISTINCT-WORD- or
+    * inventory-sized, never corpus-sized.
+    */
+  private def uniWords(s: SparkSession, dir: String): DataFrame =
+    bpeVocab(s, dir).select("word", "freq")
+      .filter(length(col("word")) <= UniMaxWordLen)
+
+  /** Candidate piece inventory (piece, cnt): every substring up to
+    * [[UniMaxPieceLen]] chars of every word, freq-weighted, floored at
+    * [[UniMinPieceCnt]] with single chars always kept (so any word stays
+    * segmentable). Memoized — pass 1 scoring and the prune both read it.
+    */
+  private def uniPieceCnt(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_uni_piece_cnt")(
+      uniWords(s, dir)
+        .select(col("freq"), explode(expr(
+          s"""flatten(transform(sequence(1, length(word)), i ->
+             |  transform(sequence(1, least($UniMaxPieceLen,
+             |    length(word) - i + 1)), l -> substring(word, i, l))))"""
+            .stripMargin)).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .filter(col("cnt") >= UniMinPieceCnt || length(col("piece")) === 1))
+
+  /** floor(ln(cnt / sum(cnt)) * 1e6) micro-nat scores for an inventory —
+    * negative integers, so the DP genuinely trades piece count against
+    * piece likelihood instead of degenerating to all-singles.
+    */
+  private def uniScores(inv: DataFrame): DataFrame = {
+    val tot = inv.agg(sum("cnt").as("tot"))
+    inv.crossJoin(broadcast(tot))
+      .withColumn("score", expr(
+        "CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))" +
+          " * 1000000) AS BIGINT)"))
+      .select("piece", "score")
+  }
+
+  /** Viterbi-best segmentation of every word under `pieces(piece,
+    * score)`: (word, freq, ll, seg). Position rounds are the driver
+    * loop (<= UniMaxWordLen, the BPE-loop shape), each round one
+    * broadcast piece join + per-word argmax window, tie-broken
+    * (ll DESC, pos ASC) = prefer the longer final piece, with a
+    * per-round lineage cut so the plan never compounds.
+    */
+  private def uniViterbi(
+      s: SparkSession, words: DataFrame, pieces: DataFrame): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val pieceB = broadcast(pieces)
+    var states = cut(words.select(col("word"), col("freq"),
+      lit(0).as("pos"), lit(0L).as("ll"), lit("").as("seg")))
+    for (i <- 1 to UniMaxWordLen) {
+      val cand = states
+        .filter(col("pos") >= i - UniMaxPieceLen && col("pos") <= i - 1
+          && length(col("word")) >= i)
+        .withColumn("pc", expr(s"substring(word, pos + 1, $i - pos)"))
+        .join(pieceB, col("pc") === col("piece"))
+        .withColumn("nll", col("ll") + col("score"))
+      val wW = Window.partitionBy("word")
+        .orderBy(desc("nll"), col("pos").asc)
+      val next = cand.withColumn("rk", row_number().over(wW))
+        .filter(col("rk") === 1)
+        .select(col("word"), col("freq"), lit(i).as("pos"),
+          col("nll").as("ll"),
+          when(col("seg") === "", col("pc"))
+            .otherwise(concat(col("seg"), lit(" "), col("pc")))
+            .as("seg"))
+      states = cut(states.union(next))
+    }
+    states.filter(col("pos") === length(col("word")))
+      .select("word", "freq", "ll", "seg")
+  }
+
+  /** M-step usage recount (piece, usage) over a segmentation frame. */
+  private def uniUsage(fin: DataFrame): DataFrame =
+    fin.select(col("freq"), explode(split(col("seg"), " ")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("usage"))
+
+  /** Pass-1 segmentation under the full inventory, memoized: both
+    * unigram queries pay the 12-round DP ONCE between them.
+    */
+  private def uniFin1(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_uni_fin1")(
+      uniViterbi(s, uniWords(s, dir), uniScores(uniPieceCnt(s, dir))))
+
+  /** DuckDB twin of the shared unigram base: word frequencies `uw`,
+    * inventory `upc`, pass-1 scores `upsc`.
+    */
+  private def uniBaseSql: String =
+    s"""uwt AS (SELECT unnest($toksSql) AS word FROM documents),
+       |uw AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM uwt GROUP BY 1 HAVING length(word) <= $UniMaxWordLen),
+       |upc AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT w.freq,
+       |      substr(w.word, CAST(t.i AS INT), CAST(u.l AS INT)) AS piece
+       |    FROM uw w,
+       |      unnest(range(1, length(w.word) + 1)) AS t(i),
+       |      unnest(range(1, least($UniMaxPieceLen,
+       |        length(w.word) - t.i + 1) + 1)) AS u(l))
+       |  GROUP BY 1
+       |  HAVING sum(freq) >= $UniMinPieceCnt OR length(piece) = 1),
+       |utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM upc),
+       |upsc AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+       |      * 1000000) AS BIGINT) AS score
+       |  FROM upc, utot)""".stripMargin
+
+  /** DuckDB twin of [[uniViterbi]] + [[uniUsage]]: the unrolled DP as
+    * materialized CTEs `${pfx}st0..${pfx}stN`, final states `${pfx}fin`,
+    * usage `${pfx}use` — parameterized by prefix and score-CTE name so
+    * the pass-1 and post-prune oracles replay the IDENTICAL DP.
+    */
+  private def uniDpSql(pfx: String, scoreCte: String): String = {
+    val rounds = (1 to UniMaxWordLen).map { i =>
+      val branches = (math.max(0, i - UniMaxPieceLen) until i).map { j =>
+        s"""SELECT s.word, s.freq, $j AS pos, s.ll + p.score AS nll,
+           |  CASE WHEN s.seg = '' THEN s.pc
+           |    ELSE s.seg || ' ' || s.pc END AS nseg
+           |FROM (SELECT *, substr(word, $j + 1, ${i - j}) AS pc
+           |      FROM ${pfx}st$j WHERE length(word) >= $i) s
+           |JOIN $scoreCte p ON p.piece = s.pc""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""${pfx}st$i AS MATERIALIZED (
+         |  SELECT word, freq, $i AS pos, nll AS ll, nseg AS seg FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY word ORDER BY nll DESC, pos ASC) AS rk
+         |    FROM ($branches)) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val finUnion = (1 to UniMaxWordLen)
+      .map(i => s"SELECT * FROM ${pfx}st$i WHERE pos = length(word)")
+      .mkString(" UNION ALL ")
+    s"""${pfx}st0 AS MATERIALIZED (
+       |  SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS ll,
+       |    '' AS seg FROM uw),
+       |$rounds,
+       |${pfx}fin AS MATERIALIZED ($finUnion),
+       |${pfx}use AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS usage FROM (
+       |    SELECT freq, unnest(string_split(seg, ' ')) AS piece
+       |    FROM ${pfx}fin)
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  /** Micro-unit boundary-margin audit for every ln()-floored oracle
+    * family — the named SCALING.md "transcendental boundary" remedy
+    * made executable: the cross-engine floor(f(x)*1e6) contract is safe
+    * exactly when no actual corpus input lands within the JVM-vs-libm
+    * last-ulp disagreement window (~1e-10 relative) of an integer
+    * micro-unit boundary. This re-derives each family's pre-floor
+    * DOUBLE over the real corpus (same count frames, same expression
+    * shapes as the query sites — kept in this file so a family edit and
+    * its audit row are one screen apart) and reports the count of
+    * distinct inputs plus the minimum distance to the nearest integer.
+    * Consumed by TranscendentalMarginSpec, which asserts min_margin >
+    * 1e-9 per family at sf0.01. Families: bigram_logprob, heldout
+    * (train-split add-one form incl. the OOV coalesce), kneser_ney
+    * (full interpolated p), token_entropy (the p*ln(1/p) product),
+    * collocations PMI, zipf (both ln(rank) and ln(freq) axes),
+    * unigram_lm pass-1 scores, unigram_prune post-prune scores,
+    * importance_resample bucket log-ratios.
+    */
+  private[queries] def lnBoundaryMargins(
+      s: SparkSession, dir: String): DataFrame = {
+    def margin(v: Column): Column = {
+      val fr = v - floor(v)
+      least(fr, lit(1.0) - fr)
+    }
+    // v == +0.0 exactly is the ONE benign on-boundary case: it only
+    // arises from ln(1.0) (a ratio that is exactly 1 in both engines —
+    // e.g. Zipf rank 1), and IEEE/ISO require log(1.0) = +0.0, so the
+    // engines cannot floor apart there. Any OTHER integer-valued v would
+    // be a genuine boundary hit and must stay flagged.
+    def fam(name: String, vals: DataFrame): DataFrame =
+      vals.filter(col("v") =!= 0.0)
+        .agg(count(lit(1)).as("n_inputs"),
+          min(margin(col("v"))).as("min_margin"))
+        .select(lit(name).as("family"), col("n_inputs"), col("min_margin"))
+
+    val toks = docToks(s, dir).select(explode(col("toks")).as("tok"))
+    val vocab = toks.agg(countDistinct(col("tok")).as("vocab"))
+    val bgAll = docBigrams(s, dir)
+
+    // tdp_bigram_logprob: ln((c_big+1)/(c_ctx+vocab)) — the input set is
+    // every (c_big, c_ctx) pair the bigram join can produce.
+    val cbA = bgAll.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
+    val cuA = bgAll.groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+    val bigramV = cbA.join(cuA, "w1").crossJoin(broadcast(vocab))
+      .select((log((col("c_big") + lit(1.0)) / (col("c_ctx") + col("vocab")))
+        * lit(1000000L)).as("v"))
+
+    // tdp_heldout_perplexity: same add-one form over TRAIN-side counts,
+    // scored on validation bigrams (incl. the OOV 0-coalesces).
+    val isVal = col("doc_id") % 10 === 3
+    val trainH = bgAll.filter(!isVal)
+    val cbH = trainH.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
+    val cuH = trainH.groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+    val heldoutV = bgAll.filter(isVal)
+      .join(cbH, Seq("w1", "w2"), "left")
+      .join(cuH, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select((log((coalesce(col("c_big"), lit(0L)) + lit(1.0))
+        / (coalesce(col("c_ctx"), lit(0L)) + col("vocab")))
+        * lit(1000000L)).as("v")).distinct()
+
+    // tdp_kneser_ney: ln(greatest(p, 1e-12)) for the fully interpolated
+    // absolute-discount p over the validation bigrams.
+    val n1fK = cbH.groupBy("w1").agg(count(lit(1)).as("n1f"))
+    val n1bK = cbH.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val naK = cbH.agg(count(lit(1)).as("n1all"))
+    val knV = bgAll.filter(isVal)
+      .join(cbH, Seq("w1", "w2"), "left")
+      .join(cuH, Seq("w1"), "left")
+      .join(n1fK, Seq("w1"), "left")
+      .join(n1bK, Seq("w2"), "left")
+      .crossJoin(broadcast(naK))
+      .withColumn("pcont",
+        coalesce(col("n1b"), lit(0L)).cast(DoubleType)
+          / col("n1all").cast(DoubleType))
+      .withColumn("p",
+        when(col("c_ctx").isNotNull,
+          greatest(coalesce(col("c_big"), lit(0L)).cast(DoubleType)
+            - lit(0.75), lit(0.0)) / col("c_ctx").cast(DoubleType)
+            + ((lit(0.75) * col("n1f").cast(DoubleType))
+              / col("c_ctx").cast(DoubleType)) * col("pcont"))
+          .otherwise(col("pcont")))
+      .select((log(greatest(col("p"), lit(1e-12)))
+        * lit(1000000L)).as("v")).distinct()
+
+    // tdp_token_entropy: the floored value is the PRODUCT
+    // (freq/N) * ln(N/freq) * 1e6 — audit the product, not just the ln.
+    val totT = toks.agg(count(lit(1)).as("n_tokens"))
+    val entropyV = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select("freq").distinct().crossJoin(broadcast(totT))
+      .select(((col("freq").cast(DoubleType)
+        / col("n_tokens").cast(DoubleType))
+        * log(col("n_tokens").cast(DoubleType)
+          / col("freq").cast(DoubleType))
+        * lit(1000000.0)).as("v"))
+
+    // tdp_collocations: ln(c_xy * n_bigrams / (c_x * c_y)) over the
+    // c_xy >= 5 collocation pairs.
+    val uniC = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val nBigC = bgAll.agg(count(lit(1)).as("n_bigrams"))
+    val pmiV = cbA.withColumnRenamed("c_big", "c_xy")
+      .filter(col("c_xy") >= 5)
+      .join(uniC.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
+      .join(uniC.select(col("tok").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(nBigC))
+      .select((log((col("c_xy").cast(DoubleType)
+        * col("n_bigrams").cast(DoubleType))
+        / (col("c_x").cast(DoubleType) * col("c_y").cast(DoubleType)))
+        * lit(1000000.0)).as("v"))
+
+    // tdp_zipf_fit: both regression axes — ln(rank) over 1..vocab and
+    // ln(freq) over the distinct frequencies. (The query's rank comes
+    // from a partition-offset device; the rank SET is identical to a
+    // plain dense numbering, which is what the boundary cares about.)
+    val freqZ = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val zipfRankV = freqZ
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(desc("freq"), col("tok")))
+        .cast(LongType))
+      .select((log(col("rn").cast(DoubleType)) * lit(1000000.0)).as("v"))
+    val zipfFreqV = freqZ.select("freq").distinct()
+      .select((log(col("freq").cast(DoubleType)) * lit(1000000.0)).as("v"))
+
+    // tdp_unigram_lm / tdp_unigram_prune: ln(cnt/tot) over the pass-1
+    // inventory and over the usage-pruned inventory (prune replayed
+    // exactly as the query does it).
+    val inv1 = uniPieceCnt(s, dir)
+    val tot1 = inv1.agg(sum("cnt").as("tot"))
+    val uniV = inv1.crossJoin(broadcast(tot1))
+      .select((log(col("cnt").cast(DoubleType)
+        / col("tot").cast(DoubleType)) * lit(1000000.0)).as("v"))
+    val usage1 = uniUsage(uniFin1(s, dir))
+    val wMeta = inv1.join(usage1, Seq("piece"), "left")
+      .withColumn("usage", coalesce(col("usage"), lit(0L)))
+    val wOne = Window.partitionBy(lit(0))
+    val keepMulti = wMeta.filter(length(col("piece")) > 1)
+      .withColumn("rk", row_number()
+        .over(wOne.orderBy(col("usage").asc, col("piece"))).cast(LongType))
+      .withColumn("nm", count(lit(1)).over(wOne))
+      .filter(col("rk") * 5 > col("nm"))
+      .select("piece", "cnt")
+    val inv2 = wMeta.filter(length(col("piece")) === 1)
+      .select("piece", "cnt").union(keepMulti)
+    val tot2 = inv2.agg(sum("cnt").as("tot"))
+    val uniPruneV = inv2.crossJoin(broadcast(tot2))
+      .select((log(col("cnt").cast(DoubleType)
+        / col("tot").cast(DoubleType)) * lit(1000000.0)).as("v"))
+
+    // tdp_importance_resample: the 64 bucket log-ratios
+    // ln(((c_t+1)/(n_t+64)) / ((c_raw+1)/(n_raw+64))).
+    val tb = docToks(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), expr(s"${polyHashExpr("tok")} % 64").as("b"))
+    val tgt = qualityScored(s, dir)
+      .filter(col("quality") >= 0.75).select("doc_id")
+    val rawB = tb.groupBy("b").agg(count(lit(1)).as("c_raw"))
+    val tcB = tb.join(tgt, "doc_id").groupBy("b").agg(count(lit(1)).as("c_t"))
+    val nrB = tb.agg(count(lit(1)).as("n_raw"))
+    val ntB = tb.join(tgt, "doc_id").agg(count(lit(1)).as("n_t"))
+    val dsirV = rawB.join(tcB, Seq("b"), "left")
+      .crossJoin(broadcast(nrB)).crossJoin(broadcast(ntB))
+      .select((log(((coalesce(col("c_t"), lit(0L)) + lit(1.0))
+        / (col("n_t") + lit(64)))
+        / ((col("c_raw") + lit(1.0)) / (col("n_raw") + lit(64))))
+        * lit(1000000.0)).as("v"))
+
+    fam("bigram_logprob", bigramV)
+      .unionAll(fam("heldout_perplexity", heldoutV))
+      .unionAll(fam("kneser_ney", knV))
+      .unionAll(fam("token_entropy", entropyV))
+      .unionAll(fam("collocations_pmi", pmiV))
+      .unionAll(fam("zipf_rank", zipfRankV))
+      .unionAll(fam("zipf_freq", zipfFreqV))
+      .unionAll(fam("unigram_lm", uniV))
+      .unionAll(fam("unigram_prune", uniPruneV))
+      .unionAll(fam("importance_resample", dsirV))
+  }
+
   /** Quality-score building blocks, ONE definition shared by
     * tdp_quality_score and tdp_corpus_pipeline so the bit-exact float
     * operation order the oracle contract depends on can never drift
@@ -744,6 +1082,39 @@ object TdpQueries {
     minhashSigDf(s, dir)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** `rounds` synchronous self-vote LPA iterations over the near-dup
+    * graph: (doc_id, lab). Package-visible so LpaConvergenceSpec can
+    * compare round counts (3 vs 4) on real data — the evidence that the
+    * query's fixed 3 rounds sit past the fixpoint. The edge side is
+    * pre-partitioned once on the vote key so every round shuffles only
+    * the small labels frame.
+    */
+  private[queries] def lpaLabels(
+      s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val pairs = lshPairs(s, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
+      .persist()
+    var labels = edges.select(col("dst").as("doc_id")).distinct()
+      .withColumn("lab", col("doc_id"))
+    for (_ <- 1 to rounds) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
+        .select(col("dst").as("doc_id"), col("lab"))
+      val votes = nbr.union(labels)
+        .groupBy("doc_id", "lab")
+        .agg(count(lit(1)).as("v"))
+      val wV = Window.partitionBy("doc_id")
+        .orderBy(desc("v"), col("lab"))
+      labels = votes.withColumn("rk", row_number().over(wV))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lab"))
+    }
+    edges.unpersist(blocking = false)
+    labels
   }
 
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
@@ -9398,35 +9769,10 @@ object TdpQueries {
     // fixed round count needs no convergence test.
     QueryDef(
       "tdp_label_propagation",
-      (s, dir) => {
-        val pairs = lshPairs(s, dir)
-        // Pre-partition the (bigger) edge side once on the vote key so
-        // all three rounds shuffle only the small labels frame.
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .repartition(col("dst"))
-          .persist()
-        var labels = edges.select(col("dst").as("doc_id")).distinct()
-          .withColumn("lab", col("doc_id"))
-        for (_ <- 1 to 3) {
-          val nbr = edges
-            .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
-            .select(col("dst").as("doc_id"), col("lab"))
-          val votes = nbr.union(labels)
-            .groupBy("doc_id", "lab")
-            .agg(count(lit(1)).as("v"))
-          val wV = Window.partitionBy("doc_id")
-            .orderBy(desc("v"), col("lab"))
-          labels = votes.withColumn("rk", row_number().over(wV))
-            .filter(col("rk") === 1)
-            .select(col("doc_id"), col("lab"))
-        }
-        val out = labels.groupBy(col("lab").as("community"))
-          .agg(count(lit(1)).as("community_size"),
-            min("doc_id").as("min_member"), max("doc_id").as("max_member"))
-        edges.unpersist(blocking = false)
-        out
-      },
+      (s, dir) => lpaLabels(s, dir, rounds = 3)
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("community_size"),
+          min("doc_id").as("min_member"), max("doc_id").as("max_member")),
       Some {
         val rounds = (1 to 3).map { k =>
           s"""lpv$k AS MATERIALIZED (
@@ -9809,6 +10155,151 @@ object TdpQueries {
               |FROM dba a LEFT JOIN dbcc cc USING (vec_id)
               |LEFT JOIN dbb b ON b.vec_id = a.vec_id""".stripMargin)),
 
+    // DBSCAN CANDIDATE-SCOPE OPERATING POINT — the density-family twin
+    // of tdp_ann_recall_nprobe: tdp_dbscan's neighbor contract is
+    // "exact within the top-2 IVF probe cells", and this query MEASURES
+    // what that scope choice trades by sweeping nprobe IN (1, 2, 4).
+    // For every vector pair sharing any top-4 cell, pair_np = the
+    // smallest probe width at which the pair becomes a candidate
+    // (min over shared cells of max(probe_a, probe_b)) — so ONE
+    // candidate join + ONE integer-micro² ε-verify pass serves all
+    // three sweep points; per-nprobe frames are filters, not re-scans
+    // (the 3x fan-out is on the already-bucketed candidate pair set,
+    // Σ cell² sized, never corpus²). Per nprobe it reports candidate
+    // pairs, verified ε-edges, and the role census (core/border/noise)
+    // — the nprobe=2 row is tdp_dbscan's exact operating point, and the
+    // nprobe=4 deltas are the measured cost of the documented scope
+    // limit. Roles need no CC here (cluster ids don't change counts),
+    // so the sweep stays join+aggregate shaped; the oracle replays the
+    // identical candidate generation.
+    QueryDef(
+      "tdp_dbscan_nprobe",
+      (s, dir) => {
+        import s.implicits._
+        val mic = embWithNorm(s, dir).select(col("vec_id"),
+          expr("transform(embedding, v -> " +
+            "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("m"))
+        val a4 = ivfAssign4(s, dir).select("vec_id", "cluster", "probe")
+        val cand = a4.as("a")
+          .join(a4.as("b"), col("a.cluster") === col("b.cluster")
+            && col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .agg(min(greatest(col("a.probe"), col("b.probe")))
+            .cast(LongType).as("pair_np"))
+        val verified = cand
+          .join(mic.select(col("vec_id").as("va"), col("m").as("ma")), "va")
+          .join(mic.select(col("vec_id").as("vb"), col("m").as("mb")), "vb")
+          .withColumn("d2", expr(
+            "aggregate(zip_with(ma, mb, (x, y) -> (x - y) * (x - y)), " +
+              "0L, (acc, v) -> acc + v)"))
+          .select(col("va"), col("vb"), col("pair_np"),
+            (col("d2") <= DbEps2).as("is_edge"))
+          .persist()
+        val nps = Seq(1L, 2L, 4L).toDF("nprobe")
+        val candN = verified.crossJoin(broadcast(nps))
+          .filter(col("pair_np") <= col("nprobe"))
+        val edges = candN.filter(col("is_edge")).select("nprobe", "va", "vb")
+        val nbrCnt = edges.select(col("nprobe"), col("va").as("vec_id"))
+          .union(edges.select(col("nprobe"), col("vb").as("vec_id")))
+          .groupBy("nprobe", "vec_id").agg(count(lit(1)).as("n_nbrs"))
+        val cores = nbrCnt.filter(col("n_nbrs") >= DbMinPts)
+          .select("nprobe", "vec_id")
+        val adj = edges
+          .select(col("nprobe"), col("va").as("vec_id"), col("vb").as("nb"))
+          .union(edges
+            .select(col("nprobe"), col("vb").as("vec_id"), col("va").as("nb")))
+        val border = adj
+          .join(cores.withColumnRenamed("vec_id", "nb"),
+            Seq("nprobe", "nb"), "left_semi")
+          .select("nprobe", "vec_id").distinct()
+          .join(cores, Seq("nprobe", "vec_id"), "left_anti")
+        val nCand = candN.groupBy("nprobe")
+          .agg(count(lit(1)).as("n_candidates"))
+        val nEdge = edges.groupBy("nprobe").agg(count(lit(1)).as("n_edges"))
+        val nCore = cores.groupBy("nprobe").agg(count(lit(1)).as("n_core"))
+        val nBorder = border.groupBy("nprobe")
+          .agg(count(lit(1)).as("n_border"))
+        val nVec = mic.agg(count(lit(1)).as("n_vec"))
+        val out = nps
+          .join(nCand, Seq("nprobe"), "left")
+          .join(nEdge, Seq("nprobe"), "left")
+          .join(nCore, Seq("nprobe"), "left")
+          .join(nBorder, Seq("nprobe"), "left")
+          .crossJoin(broadcast(nVec))
+          .select(col("nprobe"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+            coalesce(col("n_core"), lit(0L)).as("n_core"),
+            coalesce(col("n_border"), lit(0L)).as("n_border"),
+            (col("n_vec") - coalesce(col("n_core"), lit(0L))
+              - coalesce(col("n_border"), lit(0L))).as("n_noise"))
+          .orderBy("nprobe")
+        verified.unpersist(blocking = false)
+        out
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |dnm AS MATERIALIZED (
+              |  SELECT vec_id, list_transform(embedding, v ->
+              |    CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS m
+              |  FROM embeddings),
+              |dnc AS MATERIALIZED (
+              |  SELECT a.vec_id AS va, b.vec_id AS vb,
+              |    CAST(min(greatest(a.probe, b.probe)) AS BIGINT) AS pair_np
+              |  FROM assigned4 a JOIN assigned4 b
+              |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              |  GROUP BY 1, 2),
+              |dnv AS MATERIALIZED (
+              |  SELECT c.va, c.vb, c.pair_np,
+              |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(range(1, 65),
+              |        i -> (x.m[i] - y.m[i]) * (x.m[i] - y.m[i]))),
+              |      (acc, v) -> acc + v) <= $DbEps2) AS is_edge
+              |  FROM dnc c JOIN dnm x ON x.vec_id = c.va
+              |  JOIN dnm y ON y.vec_id = c.vb),
+              |dnp AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+              |dncand AS MATERIALIZED (
+              |  SELECT n.nprobe, v.va, v.vb, v.is_edge
+              |  FROM dnv v JOIN dnp n ON v.pair_np <= n.nprobe),
+              |dne AS MATERIALIZED (
+              |  SELECT nprobe, va, vb FROM dncand WHERE is_edge),
+              |dnn AS MATERIALIZED (
+              |  SELECT nprobe, vec_id, CAST(count(*) AS BIGINT) AS n_nbrs
+              |  FROM (
+              |    SELECT nprobe, va AS vec_id FROM dne
+              |    UNION ALL SELECT nprobe, vb FROM dne)
+              |  GROUP BY 1, 2),
+              |dncore AS MATERIALIZED (
+              |  SELECT nprobe, vec_id FROM dnn WHERE n_nbrs >= $DbMinPts),
+              |dnadj AS (
+              |  SELECT nprobe, va AS vec_id, vb AS nb FROM dne
+              |  UNION ALL SELECT nprobe, vb, va FROM dne),
+              |dnborder AS MATERIALIZED (
+              |  SELECT DISTINCT a.nprobe, a.vec_id
+              |  FROM dnadj a JOIN dncore c
+              |    ON c.nprobe = a.nprobe AND c.vec_id = a.nb
+              |  WHERE NOT EXISTS (SELECT 1 FROM dncore k
+              |    WHERE k.nprobe = a.nprobe AND k.vec_id = a.vec_id)),
+              |dntot AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM emb)
+              |SELECT n.nprobe,
+              |  CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+              |  CAST(coalesce(e.n_edges, 0) AS BIGINT) AS n_edges,
+              |  CAST(coalesce(k.n_core, 0) AS BIGINT) AS n_core,
+              |  CAST(coalesce(b.n_border, 0) AS BIGINT) AS n_border,
+              |  CAST(t.n_vec - coalesce(k.n_core, 0)
+              |    - coalesce(b.n_border, 0) AS BIGINT) AS n_noise
+              |FROM dnp n
+              |LEFT JOIN (SELECT nprobe, count(*) AS n_candidates
+              |           FROM dncand GROUP BY 1) c USING (nprobe)
+              |LEFT JOIN (SELECT nprobe, count(*) AS n_edges
+              |           FROM dne GROUP BY 1) e USING (nprobe)
+              |LEFT JOIN (SELECT nprobe, count(*) AS n_core
+              |           FROM dncore GROUP BY 1) k USING (nprobe)
+              |LEFT JOIN (SELECT nprobe, count(*) AS n_border
+              |           FROM dnborder GROUP BY 1) b USING (nprobe)
+              |CROSS JOIN dntot t
+              |ORDER BY n.nprobe""".stripMargin)),
+
     // UNIGRAM-LM SEGMENTATION (the SentencePiece/Kudo-2018 modality):
     // completes the tokenizer family — BPE learns by merge counts,
     // greedy/WordPiece infers by longest match, unigram segments by
@@ -9828,50 +10319,7 @@ object TdpQueries {
     QueryDef(
       "tdp_unigram_lm",
       (s, dir) => {
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
-        val words = bpeVocab(s, dir).select("word", "freq")
-          .filter(length(col("word")) <= UniMaxWordLen)
-        val rawPieces = words
-          .select(col("freq"), explode(expr(
-            s"""flatten(transform(sequence(1, length(word)), i ->
-               |  transform(sequence(1, least($UniMaxPieceLen,
-               |    length(word) - i + 1)), l -> substring(word, i, l))))"""
-              .stripMargin)).as("piece"))
-          .groupBy("piece").agg(sum("freq").as("cnt"))
-          .filter(col("cnt") >= UniMinPieceCnt || length(col("piece")) === 1)
-        val tot = rawPieces.agg(sum("cnt").as("tot"))
-        val pieces = rawPieces.crossJoin(broadcast(tot))
-          .withColumn("score", expr(
-            "CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))" +
-              " * 1000000) AS BIGINT)"))
-          .select("piece", "score")
-        val pieceB = broadcast(pieces)
-        var states = cut(words.select(col("word"), col("freq"),
-          lit(0).as("pos"), lit(0L).as("ll"), lit("").as("seg")))
-        for (i <- 1 to UniMaxWordLen) {
-          val cand = states
-            .filter(col("pos") >= i - UniMaxPieceLen && col("pos") <= i - 1
-              && length(col("word")) >= i)
-            .withColumn("pc", expr(s"substring(word, pos + 1, $i - pos)"))
-            .join(pieceB, col("pc") === col("piece"))
-            .withColumn("nll", col("ll") + col("score"))
-          val wW = Window.partitionBy("word")
-            .orderBy(desc("nll"), col("pos").asc)
-          val next = cand.withColumn("rk", row_number().over(wW))
-            .filter(col("rk") === 1)
-            .select(col("word"), col("freq"), lit(i).as("pos"),
-              col("nll").as("ll"),
-              when(col("seg") === "", col("pc"))
-                .otherwise(concat(col("seg"), lit(" "), col("pc")))
-                .as("seg"))
-          states = cut(states.union(next))
-        }
-        val fin = states.filter(col("pos") === length(col("word")))
-        val usage = fin
-          .select(col("freq"), explode(split(col("seg"), " ")).as("piece"))
-          .groupBy("piece").agg(sum("freq").as("usage"))
+        val usage = uniUsage(uniFin1(s, dir))
         val totU = usage.agg(sum("usage").as("tu"))
         usage.orderBy(desc("usage"), col("piece")).limit(20)
           .withColumn("rank", row_number().over(
@@ -9881,61 +10329,110 @@ object TdpQueries {
           .select(col("rank"), col("piece"), col("usage"),
             expr("usage * 1000 div tu").as("share_permille"))
       },
-      Some {
-        val rounds = (1 to UniMaxWordLen).map { i =>
-          val branches = (math.max(0, i - UniMaxPieceLen) until i).map { j =>
-            s"""SELECT s.word, s.freq, $j AS pos, s.ll + p.score AS nll,
-               |  CASE WHEN s.seg = '' THEN s.pc
-               |    ELSE s.seg || ' ' || s.pc END AS nseg
-               |FROM (SELECT *, substr(word, $j + 1, ${i - j}) AS pc
-               |      FROM ust$j WHERE length(word) >= $i) s
-               |JOIN upsc p ON p.piece = s.pc""".stripMargin
-          }.mkString("\nUNION ALL\n")
-          s"""ust$i AS MATERIALIZED (
-             |  SELECT word, freq, $i AS pos, nll AS ll, nseg AS seg FROM (
-             |    SELECT *, row_number() OVER (
-             |      PARTITION BY word ORDER BY nll DESC, pos ASC) AS rk
-             |    FROM ($branches)) WHERE rk = 1)""".stripMargin
-        }.mkString(",\n")
-        val finUnion = (1 to UniMaxWordLen)
-          .map(i => s"SELECT * FROM ust$i WHERE pos = length(word)")
-          .mkString(" UNION ALL ")
-        s"""WITH uwt AS (SELECT unnest($toksSql) AS word FROM documents),
-           |uw AS MATERIALIZED (
-           |  SELECT word, CAST(count(*) AS BIGINT) AS freq
-           |  FROM uwt GROUP BY 1 HAVING length(word) <= $UniMaxWordLen),
-           |upc AS MATERIALIZED (
-           |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT w.freq,
-           |      substr(w.word, CAST(t.i AS INT), CAST(u.l AS INT)) AS piece
-           |    FROM uw w,
-           |      unnest(range(1, length(w.word) + 1)) AS t(i),
-           |      unnest(range(1, least($UniMaxPieceLen,
-           |        length(w.word) - t.i + 1) + 1)) AS u(l))
-           |  GROUP BY 1
-           |  HAVING sum(freq) >= $UniMinPieceCnt OR length(piece) = 1),
-           |utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM upc),
-           |upsc AS MATERIALIZED (
-           |  SELECT piece,
-           |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
-           |      * 1000000) AS BIGINT) AS score
-           |  FROM upc, utot),
-           |ust0 AS MATERIALIZED (
-           |  SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS ll,
-           |    '' AS seg FROM uw),
-           |$rounds,
-           |ufin AS MATERIALIZED ($finUnion),
-           |uuse AS MATERIALIZED (
-           |  SELECT piece, CAST(sum(freq) AS BIGINT) AS usage FROM (
-           |    SELECT freq, unnest(string_split(seg, ' ')) AS piece
-           |    FROM ufin)
-           |  GROUP BY 1),
+      Some(
+        s"""WITH $uniBaseSql,
+           |${uniDpSql("u", "upsc")},
            |utu AS (SELECT CAST(sum(usage) AS BIGINT) AS tu FROM uuse)
            |SELECT CAST(row_number() OVER (ORDER BY usage DESC, piece)
            |    AS BIGINT) AS rank,
            |  piece, usage, usage * 1000 // tu AS share_permille
-           |FROM uuse, utu ORDER BY rank LIMIT 20""".stripMargin
-      }),
+           |FROM uuse, utu ORDER BY rank LIMIT 20""".stripMargin)),
+
+    // UNIGRAM-LM EM PRUNE ROUND — the vocabulary-SELECTION half of
+    // Kudo 2018 that tdp_unigram_lm's E/M half-steps feed: rank the
+    // multi-char pieces by their pass-1 Viterbi usage (the M-step
+    // recount), DROP the bottom 20% (single chars protected so every
+    // word stays segmentable), re-normalize scores over the pruned
+    // inventory, and re-run the SAME Viterbi DP once against it. The
+    // output is the operating table pruning publishes: top-20 pieces by
+    // post-prune usage with their pre- and post-prune corpus shares —
+    // the probability mass the dropped tail redistributes onto the
+    // survivors. Cost at 100 TB: the corpus-sized work (word counts,
+    // pass-1 DP) is memoized and shared with tdp_unigram_lm; this query
+    // adds inventory-sized ranking (the rank window rides a constant
+    // partition over the BOUNDED piece inventory — at most
+    // sum_{l<=4} alphabet^l pieces survive the count floor, never
+    // corpus-sized) plus one more <= 12-round DP over distinct-word
+    // frames — rounds are the honest driver-latency limit, stated at
+    // tdp_unigram_lm. The oracle replays both DPs as unrolled CTEs via
+    // the SAME generator, so the two engines cannot drift.
+    QueryDef(
+      "tdp_unigram_prune",
+      (s, dir) => {
+        val usage1 = uniUsage(uniFin1(s, dir))
+        val wMeta = uniPieceCnt(s, dir).join(usage1, Seq("piece"), "left")
+          .withColumn("usage", coalesce(col("usage"), lit(0L)))
+        val wOne = Window.partitionBy(lit(0))
+        val keepMulti = wMeta.filter(length(col("piece")) > 1)
+          .withColumn("rk", row_number()
+            .over(wOne.orderBy(col("usage").asc, col("piece")))
+            .cast(LongType))
+          .withColumn("nm", count(lit(1)).over(wOne))
+          .filter(col("rk") * 5 > col("nm")) // drop floor(nm/5) least-used
+          .select("piece", "cnt")
+        val pruned = wMeta.filter(length(col("piece")) === 1)
+          .select("piece", "cnt").union(keepMulti)
+        val usage2 = uniUsage(uniViterbi(s, uniWords(s, dir),
+          uniScores(pruned)))
+        val tu1 = usage1.agg(sum("usage").as("tu1"))
+        val tu2 = usage2.agg(sum("usage").as("tu2"))
+        usage2.orderBy(desc("usage"), col("piece")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(pmod(col("usage"), lit(1L)))
+              .orderBy(desc("usage"), col("piece"))).cast(LongType))
+          .withColumnRenamed("usage", "usage_post")
+          .join(usage1.withColumnRenamed("usage", "usage_pre0"),
+            Seq("piece"), "left")
+          .withColumn("usage_pre", coalesce(col("usage_pre0"), lit(0L)))
+          .crossJoin(broadcast(tu1)).crossJoin(broadcast(tu2))
+          .select(col("rank"), col("piece"), col("usage_pre"),
+            col("usage_post"),
+            expr("usage_pre * 1000 div tu1").as("share_pre_permille"),
+            expr("usage_post * 1000 div tu2").as("share_post_permille"))
+          .orderBy("rank")
+      },
+      Some(
+        s"""WITH $uniBaseSql,
+           |${uniDpSql("u", "upsc")},
+           |pmeta AS MATERIALIZED (
+           |  SELECT p.piece, p.cnt,
+           |    CAST(coalesce(u.usage, 0) AS BIGINT) AS usage
+           |  FROM upc p LEFT JOIN uuse u USING (piece)),
+           |pmulti AS MATERIALIZED (
+           |  SELECT piece, cnt,
+           |    CAST(row_number() OVER (ORDER BY usage ASC, piece)
+           |      AS BIGINT) AS rk,
+           |    CAST(count(*) OVER () AS BIGINT) AS nm
+           |  FROM pmeta WHERE length(piece) > 1),
+           |pinv AS MATERIALIZED (
+           |  SELECT piece, cnt FROM pmeta WHERE length(piece) = 1
+           |  UNION ALL
+           |  SELECT piece, cnt FROM pmulti WHERE rk * 5 > nm),
+           |ptot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM pinv),
+           |ppsc AS MATERIALIZED (
+           |  SELECT piece,
+           |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+           |      * 1000000) AS BIGINT) AS score
+           |  FROM pinv, ptot),
+           |${uniDpSql("p", "ppsc")},
+           |ptu1 AS (SELECT CAST(sum(usage) AS BIGINT) AS tu1 FROM uuse),
+           |ptu2 AS (SELECT CAST(sum(usage) AS BIGINT) AS tu2 FROM puse),
+           |ptop AS MATERIALIZED (
+           |  SELECT CAST(row_number() OVER (ORDER BY usage DESC, piece)
+           |      AS BIGINT) AS rank,
+           |    piece, usage AS usage_post
+           |  FROM puse ORDER BY usage DESC, piece LIMIT 20)
+           |SELECT t.rank, t.piece,
+           |  CAST(coalesce(u.usage, 0) AS BIGINT) AS usage_pre,
+           |  t.usage_post,
+           |  CAST(coalesce(u.usage, 0) * 1000 // tu1 AS BIGINT)
+           |    AS share_pre_permille,
+           |  CAST(t.usage_post * 1000 // tu2 AS BIGINT)
+           |    AS share_post_permille
+           |FROM ptop t
+           |LEFT JOIN uuse u ON u.piece = t.piece
+           |CROSS JOIN ptu1 CROSS JOIN ptu2
+           |ORDER BY t.rank""".stripMargin)),
 
     // AUC-ROC of a single surface feature as a ranker for the quality
     // label — the threshold-free counterpart of tdp_classifier_

@@ -452,6 +452,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("dbscan nprobe: one verify pass, sweep fans out broadcast, no cartesian") {
+    val df = Registry.queries("tdp_dbscan_nprobe")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The 3-point sweep must ride ONE candidate join + ONE epsilon-verify
+    // (filters over the shared pair frame); the nprobe fan-out is a
+    // 3-row broadcast, so a CartesianProduct anywhere means a sweep
+    // point degenerated to its own all-pairs pass.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("unigram prune: piece joins stay broadcast, no cartesian") {
+    val df = Registry.queries("tdp_unigram_prune")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Both DPs join word states to the (bounded) piece inventory via
+    // broadcast hash joins; the only nested loops are the 1-row
+    // total-usage attaches.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("skipgram cooc: no self-join — window leads only, TakeOrdered head") {
     val df = Registry.queries("tdp_skipgram_cooc")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -2203,6 +2203,66 @@ class TdpSpec extends SparkSpec {
       (3L, "x", 2L, 133L), (4L, "y", 2L, 133L)), got)
   }
 
+  test("unigram prune: dropped least-used piece forces single-char resegment") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_uniprune").toString
+    // Five 2-char words, freqs 6/5/4/3/3: every whole-word piece clears
+    // the cnt>=3 floor and wins its Viterbi (1 log beats 2), so ALL five
+    // multi-char pieces are used -> the bottom-20% prune (floor(5/5)=1)
+    // must drop a USED piece: 'gh' (usage 3, ties 'ij', piece-asc). The
+    // re-segmentation sends 'gh' to singles g+h, and the shares
+    // renormalize from tu=21 to tu=24.
+    Seq((1L, "ab ab ab ab ab ab cd cd cd cd cd ef ef ef ef gh gh gh ij ij ij"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_unigram_prune")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("piece"),
+        r.getAs[Long]("usage_pre"), r.getAs[Long]("usage_post"),
+        r.getAs[Long]("share_pre_permille"),
+        r.getAs[Long]("share_post_permille"))).toSeq
+    assert(got == Seq(
+      (1L, "ab", 6L, 6L, 285L, 250L), (2L, "cd", 5L, 5L, 238L, 208L),
+      (3L, "ef", 4L, 4L, 190L, 166L), (4L, "g", 0L, 3L, 0L, 125L),
+      (5L, "h", 0L, 3L, 0L, 125L), (6L, "ij", 3L, 3L, 142L, 125L)), got)
+  }
+
+  test("dbscan nprobe: np=2 row reproduces tdp_dbscan's census; sweep monotone") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_dbscan_np").toString
+    def e0(x: Float): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(0) = x; v.toSeq
+    }
+    val rows =
+      Seq(10L -> 1.0f, 11L -> 1.5f, 12L -> 2.0f, 13L -> 2.5f,
+        14L -> 3.0f).map { case (id, x) => (id, e0(x), 1) } ++
+      (0 until 5).map(k => (20L + k, e0(-5.0f - k * 0.01f), 2)) ++
+      Seq((30L, e0(10.0f), 3))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val census = Registry.queries("tdp_dbscan")(spark, dir).collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("n_nbrs")))
+    val sweep = Registry.queries("tdp_dbscan_nprobe")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_edges"), r.getAs[Long]("n_core"),
+        r.getAs[Long]("n_border"), r.getAs[Long]("n_noise")))
+    assert(sweep.map(_._1).toSeq == Seq(1L, 2L, 4L), sweep.toSeq)
+    // The nprobe=2 row IS tdp_dbscan's candidate contract: the role
+    // census and the half-sum-of-degrees edge count must agree exactly.
+    val np2 = sweep(1)
+    assert(np2._4 == census.count(_._1 == "core").toLong, (np2, census.toSeq))
+    assert(np2._5 == census.count(_._1 == "border").toLong, np2)
+    assert(np2._6 == census.count(_._1 == "noise").toLong, np2)
+    assert(2L * np2._3 == census.map(_._2).sum, (np2, census.toSeq))
+    // Widening the probe scope only ADDS candidates/edges/cores and can
+    // only shrink noise — the monotone operating curve the sweep sells.
+    assert(sweep.map(_._2).toSeq == sweep.map(_._2).sorted.toSeq, sweep.toSeq)
+    assert(sweep.map(_._3).toSeq == sweep.map(_._3).sorted.toSeq, sweep.toSeq)
+    assert(sweep.map(_._4).toSeq == sweep.map(_._4).sorted.toSeq, sweep.toSeq)
+    assert(sweep.map(_._6).toSeq ==
+      sweep.map(_._6).sorted.reverse.toSeq, sweep.toSeq)
+  }
+
   test("mmr: equal-relevance near-copy loses to the diverse candidate") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tdp_mmr").toString
