@@ -1441,5 +1441,162 @@ object CoreQueries {
              |    WHEN s_stat < 0 THEN 'falling'
              |    ELSE 'flat' END AS trend
              |FROM mks""".stripMargin)),
+
+    // THEIL-SEN SLOPE per event type: the robust trend ESTIMATOR paired
+    // with q46's Mann-Kendall trend TEST — the lower median over all
+    // ordered day pairs of (cnt_j - cnt_i) / (day_j - day_i), immune to
+    // outlier days a least-squares fit would chase. Same scale device
+    // as q46: daily counts pack into base-2^36 BIGINTs (count
+    // saturated), the only data-sized stage is the map-side-combined
+    // daily count, and the O(days^2) pairwise slopes materialize inside
+    // one codegen'd higher-order expression over a CALENDAR-bounded
+    // list (~435 slopes for a 30-day window; a decade of retention is
+    // ~6.6M 8-byte slopes per type — beyond that, window the calendar
+    // or pair-sample). Slopes are exact integer micro-units via the
+    // sign-explicit truncated division both engines agree on; days are
+    // distinct after the group-by so every denominator is >= 1, and
+    // |dc|*1e6 < 2^36 * 1e6 < 2^56 cannot overflow. The median is the
+    // ascending sort's element (n_pairs + 1) div 2 — the LOWER median,
+    // deterministic in both engines with no float interpolation.
+    QueryDef(
+      "q47_theil_sen",
+      (s, dir) => {
+        val daily = eventsWithSec(s, dir)
+          .select(col("event_type"), expr("sec div 86400").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        daily.groupBy("event_type")
+          .agg(sort_array(collect_list(
+            expr("day * 68719476736 + least(cnt, 68719476735)")))
+            .as("arr"))
+          .select(col("event_type"),
+            size(col("arr")).cast(LongType).as("n_days"),
+            expr("CAST(size(arr) AS BIGINT) * (size(arr) - 1) div 2")
+              .as("n_pairs"),
+            expr("""CASE WHEN size(arr) < 2 THEN 0L ELSE
+                   |  element_at(
+                   |    array_sort(flatten(
+                   |      transform(sequence(2, size(arr)), j ->
+                   |        transform(slice(arr, 1, j - 1), v -> CASE
+                   |          WHEN element_at(arr, j) % 68719476736
+                   |             >= v % 68719476736
+                   |          THEN ((element_at(arr, j) % 68719476736
+                   |                 - v % 68719476736) * 1000000)
+                   |            div (element_at(arr, j) div 68719476736
+                   |                 - v div 68719476736)
+                   |          ELSE -(((v % 68719476736
+                   |                 - element_at(arr, j) % 68719476736)
+                   |                * 1000000)
+                   |            div (element_at(arr, j) div 68719476736
+                   |                 - v div 68719476736)) END)))),
+                   |    CAST((size(arr) * (size(arr) - 1) div 2 + 1) div 2
+                   |      AS INT)) END""".stripMargin)
+              .as("slope_micro"))
+      },
+      Some("""WITH thd AS (
+             |  SELECT event_type,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |tha AS (
+             |  SELECT event_type,
+             |    list_sort(list(day * 68719476736
+             |      + least(cnt, 68719476735))) AS arr
+             |  FROM thd GROUP BY 1)
+             |SELECT event_type, CAST(len(arr) AS BIGINT) AS n_days,
+             |  CAST(len(arr) AS BIGINT) * (len(arr) - 1) // 2 AS n_pairs,
+             |  CAST(CASE WHEN len(arr) < 2 THEN 0 ELSE
+             |    list_extract(list_sort(flatten(
+             |      list_transform(range(2, len(arr) + 1), jj ->
+             |        list_transform(list_slice(arr, 1, jj - 1), vv ->
+             |          CAST(CASE
+             |            WHEN arr[jj] % 68719476736 >= vv % 68719476736
+             |            THEN ((arr[jj] % 68719476736
+             |                   - vv % 68719476736) * 1000000)
+             |              // (arr[jj] // 68719476736
+             |                   - vv // 68719476736)
+             |            ELSE -(((vv % 68719476736
+             |                   - arr[jj] % 68719476736) * 1000000)
+             |              // (arr[jj] // 68719476736
+             |                   - vv // 68719476736)) END
+             |            AS BIGINT))))),
+             |      (len(arr) * (len(arr) - 1) // 2 + 1) // 2)
+             |    END AS BIGINT) AS slope_micro
+             |FROM tha""".stripMargin)),
+
+    // CHANGE-POINT SCAN per event type: the split day k maximizing the
+    // scaled cumulative deviation |N*S_k - k*T| (S_k = events through
+    // day k, T = total, N = n_days) — the exact integer form of the
+    // CUSUM / binary-segmentation first-split statistic, the "WHEN did
+    // this metric shift?" companion to q46's "IS it drifting?". One
+    // map-side-combined daily count, then three window passes over the
+    // per-type day series (running sum + per-partition totals + the
+    // argmax row_number), all partitioned by event_type — no self-join,
+    // no data-sized driver state, and the window rows are
+    // CALENDAR-bounded per type regardless of corpus size. N*S_k <=
+    // n_days * total keeps BIGINT exact through ~10^14 events per type
+    // on a decade calendar (beyond that, widen to DECIMAL(38,0) as
+    // tdp_t_closeness does). Ties break (stat DESC, day ASC) via
+    // row_number in BOTH engines; single-day types have no interior
+    // split and are dropped by k <= N-1 in both engines. The split
+    // means are exact micro-units (counts are non-negative, plain div).
+    QueryDef(
+      "q48_changepoint",
+      (s, dir) => {
+        val daily = eventsWithSec(s, dir)
+          .select(col("event_type"), expr("sec div 86400").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        val wRun = Window.partitionBy("event_type").orderBy("day")
+        val wAll = Window.partitionBy("event_type")
+        val scanned = daily
+          .withColumn("k", row_number().over(wRun).cast(LongType))
+          .withColumn("s_k", sum("cnt").over(
+            wRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n_days", count(lit(1)).over(wAll))
+          .withColumn("total", sum("cnt").over(wAll))
+          .filter(col("k") <= col("n_days") - 1)
+          .withColumn("stat",
+            abs(col("n_days") * col("s_k") - col("k") * col("total")))
+        val wBest = Window.partitionBy("event_type")
+          .orderBy(desc("stat"), col("day"))
+        scanned.withColumn("rk", row_number().over(wBest))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("n_days"), col("total"),
+            col("day").as("split_day"), col("stat").as("cusum_stat"),
+            expr("s_k * 1000000 div k").as("left_mean_micro"),
+            expr("(total - s_k) * 1000000 div (n_days - k)")
+              .as("right_mean_micro"))
+      },
+      Some("""WITH cpd AS (
+             |  SELECT event_type,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |cps AS (
+             |  SELECT event_type, day,
+             |    CAST(row_number() OVER w AS BIGINT) AS k,
+             |    sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS s_k,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+             |      AS n_days,
+             |    sum(cnt) OVER (PARTITION BY event_type) AS total
+             |  FROM cpd
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+             |cpt AS (
+             |  SELECT event_type, day, k,
+             |    CAST(s_k AS BIGINT) AS s_k, n_days,
+             |    CAST(total AS BIGINT) AS total,
+             |    abs(n_days * CAST(s_k AS BIGINT)
+             |      - k * CAST(total AS BIGINT)) AS stat
+             |  FROM cps WHERE k <= n_days - 1),
+             |cpr AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_type
+             |    ORDER BY stat DESC, day) AS rk
+             |  FROM cpt)
+             |SELECT event_type, n_days, total, day AS split_day,
+             |  stat AS cusum_stat,
+             |  s_k * 1000000 // k AS left_mean_micro,
+             |  (total - s_k) * 1000000 // (n_days - k)
+             |    AS right_mean_micro
+             |FROM cpr WHERE rk = 1""".stripMargin)),
   )
 }

@@ -10908,5 +10908,175 @@ object TdpQueries {
            |  c.cover AS cover_r2_micro2
            |FROM ($ranks) k, kcover c""".stripMargin
       }),
+
+    // 2-CORE PEELING TRACE over the LSH near-dup graph: iteratively
+    // strip vertices of degree < 2 until only the 2-core (every vertex
+    // in >= 2 surviving edges — the cyclic "hard kernel" of the dup
+    // graph a cluster-splitting pass should prioritize) remains,
+    // reporting (n_nodes, n_edges) after every peel round. Pendant
+    // chains — LSH stars' leaves — vanish layer by layer, so the trace
+    // IS the pendant-depth profile of the graph. Each round is ONE
+    // map-side-combined degree count plus two semi-joins keyed on
+    // vertex id against the survivor set; rounds are a fixed R=6 in
+    // BOTH engines, so grading is exact regardless of convergence, and
+    // the kcore fixpoint spec proves rounds 5 and 6 agree on the real
+    // sf graph (peel depth <= 5). Each round ends in the same lineage
+    // cut minLabelCC uses (checkpoint / localCheckpoint) — the
+    // iterated frame references itself THREE times per round (degree
+    // count + two semi-joins), so without the cut the logical plan
+    // compounds 3^R-fold and Catalyst analysis, not execution, becomes
+    // the bottleneck. At 100 TB the near-dup graph is the vanishing
+    // dup fraction of the corpus (the dupClusters argument); every
+    // census row is a 1-row aggregate, so nothing data-sized crosses
+    // union or driver.
+    QueryDef(
+      "tdp_kcore",
+      (s, dir) => {
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
+        val pairs = lshPairs(s, dir)
+        var cur = cut(pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .repartition(col("src")))
+        def census(r: Int, g: DataFrame): DataFrame = g
+          .agg(countDistinct(col("src")).as("n_nodes"),
+            count(lit(1)).as("n_sym"))
+          .select(lit(r.toLong).as("rnd"), col("n_nodes"),
+            expr("n_sym div 2").as("n_edges"))
+        var out = census(0, cur)
+        for (r <- 1 to 6) {
+          val keep = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 2).select("src")
+          cur = cut(cur.join(keep, Seq("src"), "left_semi")
+            .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+            .select("src", "dst"))
+          out = out.union(census(r, cur))
+        }
+        out.orderBy("rnd")
+      },
+      Some {
+        val rounds = (1 to 6).map { r =>
+          s"""kv$r AS MATERIALIZED (
+             |  SELECT src FROM ked${r - 1} GROUP BY src
+             |  HAVING count(*) >= 2),
+             |ked$r AS MATERIALIZED (
+             |  SELECT e.src, e.dst FROM ked${r - 1} e
+             |  WHERE e.src IN (SELECT src FROM kv$r)
+             |    AND e.dst IN (SELECT src FROM kv$r))""".stripMargin
+        }.mkString(",\n")
+        val trace = (0 to 6).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rnd, " +
+            s"CAST(count(DISTINCT src) AS BIGINT) AS n_nodes, " +
+            s"CAST(count(*) // 2 AS BIGINT) AS n_edges FROM ked$r")
+          .mkString(" UNION ALL ")
+        s"""WITH $lshPairsSqlCtes,
+           |ked0 AS MATERIALIZED (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |$rounds
+           |SELECT * FROM ($trace) ORDER BY rnd""".stripMargin
+      }),
+
+    // TEXTRANK KEYWORDS: damped PageRank over the undirected token
+    // co-occurrence graph (Mihalcea-Tarau 2004) — the keyword-extraction
+    // completion of the graph family: tdp_pagerank ranks users,
+    // tdp_hits ranks event types, this ranks VOCABULARY by structural
+    // centrality rather than raw frequency (tdp_vocab_topk) or tf-idf
+    // (tdp_tfidf_topterms). Edges reuse the tdp_skipgram_cooc device —
+    // three LEAD columns bound the +-3 window at CONSTANT per-token
+    // cost (never a positional self-join), ramp weights 3/2/1 — then
+    // symmetrize and re-aggregate so w(a,b) = w(b,a). Two power rounds
+    // in integer micro-units: score'(b) = 150000 + 85% * sum over
+    // in-neighbors of (w_ab * score_a) div strength_a, every division
+    // the truncating kind both engines spell out identically. All
+    // stages are keyed aggregations over the (vocab-sized) edge list,
+    // map-side combined; the head is a TakeOrdered(20) under
+    // (score DESC, token). 100 TB: edge count <= 3x corpus tokens
+    // pre-combine, vocab^2-bounded after — the same envelope the
+    // skipgram counter already carries.
+    QueryDef(
+      "tdp_textrank",
+      (s, dir) => {
+        val t = table(s, dir, "documents")
+          .select(col("doc_id"), expr(toksExpr).as("toks"))
+          .select(col("doc_id"), posexplode(col("toks"))
+            .as(Seq("pos", "tok")))
+        val wD = Window.partitionBy("doc_id").orderBy("pos")
+        val fwd = t.select(col("tok").as("wa"),
+          lead("tok", 1).over(wD).as("l1"),
+          lead("tok", 2).over(wD).as("l2"),
+          lead("tok", 3).over(wD).as("l3"))
+          .select(col("wa"), explode(expr(
+            """filter(array(
+              |  named_struct('wb', l1, 'wgt', 3L),
+              |  named_struct('wb', l2, 'wgt', 2L),
+              |  named_struct('wb', l3, 'wgt', 1L)),
+              |  p -> p.wb IS NOT NULL)""".stripMargin)).as("p"))
+          .select(col("wa"), col("p.wb").as("wb"), col("p.wgt").as("wgt"))
+        val edges = fwd
+          .union(fwd.select(col("wb").as("wa"), col("wa").as("wb"),
+            col("wgt")))
+          .groupBy("wa", "wb").agg(sum("wgt").as("w"))
+        val strength = edges.groupBy("wa").agg(sum("w").as("str"))
+        var score = strength.select(col("wa").as("tok"),
+          lit(1000000L).as("sc"))
+        for (_ <- 1 to 2) {
+          val contrib = edges
+            .join(strength, "wa")
+            .join(score.select(col("tok").as("wa"), col("sc")), "wa")
+            .select(col("wb"),
+              expr("(w * sc) div str").as("c"))
+          score = contrib.groupBy(col("wb").as("tok"))
+            .agg(expr("150000L + (85 * sum(c)) div 100").as("sc"))
+        }
+        score.join(strength.select(col("wa").as("tok"),
+            col("str").as("strength")), "tok")
+          .select(col("tok"), col("strength"), col("sc").as("score_micro"))
+          .orderBy(desc("score_micro"), col("tok"))
+          .limit(20)
+      },
+      Some(s"""WITH trd AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |trt AS (
+              |  SELECT doc_id, unnest(toks) AS tok,
+              |    CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos
+              |  FROM trd),
+              |trl AS (
+              |  SELECT tok AS wa,
+              |    lead(tok, 1) OVER w AS l1,
+              |    lead(tok, 2) OVER w AS l2,
+              |    lead(tok, 3) OVER w AS l3
+              |  FROM trt
+              |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |trf AS (
+              |  SELECT wa, wb, wgt FROM (
+              |    SELECT wa, l1 AS wb, CAST(3 AS BIGINT) AS wgt FROM trl
+              |    UNION ALL SELECT wa, l2, CAST(2 AS BIGINT) FROM trl
+              |    UNION ALL SELECT wa, l3, CAST(1 AS BIGINT) FROM trl)
+              |  WHERE wb IS NOT NULL),
+              |tre AS MATERIALIZED (
+              |  SELECT wa, wb, CAST(sum(wgt) AS BIGINT) AS w FROM (
+              |    SELECT wa, wb, wgt FROM trf
+              |    UNION ALL SELECT wb, wa, wgt FROM trf)
+              |  GROUP BY 1, 2),
+              |trs AS MATERIALIZED (
+              |  SELECT wa, CAST(sum(w) AS BIGINT) AS str
+              |  FROM tre GROUP BY 1),
+              |trp1 AS MATERIALIZED (
+              |  SELECT e.wb AS tok, CAST(150000 + (85 * sum(
+              |      (e.w * 1000000) // s.str)) // 100 AS BIGINT) AS sc
+              |  FROM tre e JOIN trs s ON s.wa = e.wa
+              |  GROUP BY 1),
+              |trp2 AS (
+              |  SELECT e.wb AS tok, CAST(150000 + (85 * sum(
+              |      (e.w * p.sc) // s.str)) // 100 AS BIGINT) AS sc
+              |  FROM tre e JOIN trs s ON s.wa = e.wa
+              |  JOIN trp1 p ON p.tok = e.wa
+              |  GROUP BY 1)
+              |SELECT p.tok, s.str AS strength, p.sc AS score_micro
+              |FROM trp2 p JOIN trs s ON s.wa = p.tok
+              |ORDER BY score_micro DESC, tok LIMIT 20""".stripMargin)),
   )
 }

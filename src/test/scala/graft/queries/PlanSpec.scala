@@ -519,6 +519,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("theil-sen/changepoint: per-type windows only, no join, no global sort") {
+    for (q <- Seq("q47_theil_sen", "q48_changepoint")) {
+      val plan = Registry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      // Everything after the daily count is calendar-bounded per
+      // event_type: a join or an unpartitioned window anywhere means the
+      // pairwise stage escaped the packed-list device.
+      assert(!plan.contains("Join"), s"$q: ${plan.take(2000)}")
+      assert(!plan.contains("No Partition Defined"),
+        s"$q: data-sized window")
+    }
+  }
+
+  test("kcore: peel trace is seven 1-row censuses, no cartesian") {
+    val df = Registry.queries("tdp_kcore")(spark, dir)
+    // The rounds run at build time behind lineage cuts; what remains
+    // must be the union of 1-row censuses (7 rows), with no cartesian
+    // anywhere in the residual plan.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(df.count() == 7)
+  }
+
+  test("textrank: TakeOrdered head over keyed rounds, no cartesian") {
+    val df = Registry.queries("tdp_textrank")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Power rounds are equi-joins on token keys; the head must be a
+    // TakeOrdered(20), never a global sort of the vocabulary.
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("pca power: one distributed moment pass, D^2-bounded driver state") {
     val df = Registry.queries("tdp_pca_power")(spark, dir)
     // The returned frame is the driver-built component table: 64 rows.

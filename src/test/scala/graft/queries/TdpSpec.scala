@@ -2451,4 +2451,94 @@ class TdpSpec extends SparkSpec {
       (3L, 3L, 1000000000000L, 0L), (4L, 4L, 250000000000L, 0L),
       (5L, 1L, 10000000000L, 0L)), got)
   }
+
+  test("theil-sen: lower median of pairwise slopes, outlier-immune") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q47_ts").toString
+    def day(d: Long, i: Long): Long = (d * 86400L + i) * 1000000000L
+    def burst(base: Long, d: Long, n: Long, t: String) =
+      (0L until n).map(i => (base + i, day(d, i), 1L, t))
+    // up: counts 1/2/3 on days 0/1/2 -> all slopes 1e6, median 1e6.
+    // curve: counts 1/5/2 on days 0/1/3 -> slopes 4e6, 333333 (1*1e6
+    //   div 3 truncated), -1500000 -> lower median 333333.
+    // one: single day -> 0 pairs, slope 0.
+    val ev = burst(100, 0, 1, "up") ++ burst(110, 1, 2, "up") ++
+      burst(120, 2, 3, "up") ++
+      burst(200, 0, 1, "curve") ++ burst(210, 1, 5, "curve") ++
+      burst(220, 3, 2, "curve") ++
+      burst(300, 0, 1, "one")
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("q47_theil_sen")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("slope_micro"))).toMap
+    assert(got("up") == ((3L, 3L, 1000000L)), got)
+    assert(got("curve") == ((3L, 3L, 333333L)), got)
+    assert(got("one") == ((1L, 0L, 0L)), got)
+  }
+
+  test("changepoint: argmax of |N*S_k - k*T| with deterministic ties") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("q48_cp").toString
+    def day(d: Long, i: Long): Long = (d * 86400L + i) * 1000000000L
+    def burst(base: Long, d: Long, n: Long, t: String) =
+      (0L until n).map(i => (base + i, day(d, i), 1L, t))
+    // s: counts 1/1/5/5 on days 0..3 -> stats 8/16/8, split after day 1,
+    //   left mean 1e6, right mean 5e6.
+    // t: 2/2 on days 0/1 -> single interior split, stat 0.
+    // x: one day -> no interior split, type dropped.
+    val ev = burst(100, 0, 1, "s") ++ burst(110, 1, 1, "s") ++
+      burst(120, 2, 5, "s") ++ burst(130, 3, 5, "s") ++
+      burst(200, 0, 2, "t") ++ burst(210, 1, 2, "t") ++
+      burst(300, 0, 3, "x")
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("q48_changepoint")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("total"),
+          r.getAs[Long]("split_day"), r.getAs[Long]("cusum_stat"),
+          r.getAs[Long]("left_mean_micro"),
+          r.getAs[Long]("right_mean_micro"))).toMap
+    assert(got("s") == ((4L, 12L, 1L, 16L, 1000000L, 5000000L)), got)
+    assert(got("t") == ((2L, 4L, 0L, 0L, 2000000L, 2000000L)), got)
+    assert(!got.contains("x"), got)
+  }
+
+  test("kcore: pendant pair peels in round 1, triangle survives") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_kcore").toString
+    // Three clones of A -> LSH triangle (2-core); two clones of B ->
+    // one pendant edge (peeled: both endpoints have degree 1); C is
+    // isolated (never enters the pair graph).
+    val a = "alpha beta gamma delta epsilon"
+    val b = "zeta eta theta iota kappa"
+    val c = "unique solitary text with no duplicate partner here"
+    val docs = Seq(
+      (1L, a), (2L, a), (3L, a), (4L, b), (5L, b), (6L, c))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_kcore")(spark, dir).collect()
+      .map(r => r.getAs[Long]("rnd") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))).toMap
+    assert(got(0L) == ((5L, 4L)), got)
+    assert((1L to 6L).forall(r => got(r) == ((3L, 3L))), got)
+  }
+
+  test("textrank: two damped power rounds replay by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_tr").toString
+    // 'a b a': symmetric weights w(a,b)=6, w(a,a)=4; strengths a=10,
+    // b=6. Round 1: sc(a)=150000+85%*(1e6+400000)=1340000, sc(b)=
+    // 150000+85%*600000=660000. Round 2: sc(a)=150000+85%*(660000+
+    // 536000)=1166600, sc(b)=150000+85%*804000=833400.
+    Seq((1L, "a b a")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_textrank")(spark, dir).collect()
+      .map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("strength"), r.getAs[Long]("score_micro"))).toMap
+    assert(got == Map(
+      "a" -> ((10L, 1166600L)), "b" -> ((6L, 833400L))), got)
+  }
 }
