@@ -11078,5 +11078,292 @@ object TdpQueries {
               |SELECT p.tok, s.str AS strength, p.sc AS score_micro
               |FROM trp2 p JOIN trs s ON s.wa = p.tok
               |ORDER BY score_micro DESC, tok LIMIT 20""".stripMargin)),
+
+    // QUANTILE NORMALIZATION of quality scores across sources: map each
+    // doc's within-source rank onto the GLOBAL score distribution, so
+    // every source's score column becomes comparable before mixing /
+    // thresholding (a per-source quality cutoff otherwise
+    // over-penalizes sources whose scorer runs cold — the
+    // cross-source calibration step a curation mix wants before
+    // tdp_temperature_mix / tdp_quality_buckets consume scores).
+    // Mechanics: permille-quantized scores live on a DOMAIN-BOUNDED
+    // grid (<= 1001 values), so the global inverse CDF is a <= 1001-row
+    // histogram — cumulated on the constant-partition window device and
+    // carried to every row as ONE broadcast array of (cum, v) structs;
+    // the per-doc probe is a codegen'd filter-first over that array,
+    // never a join. Within-source ranks are per-source windows (the one
+    // corpus-sized shuffle; at 100 TB a skewed mega-source range-sorts
+    // within its partition set — rank semantics unchanged). Target
+    // position p = 1 + ((r-1)(N-1)) div (n_s-1) in exact BIGINTs
+    // (singleton sources take the global lower-median position);
+    // norm = min grid value with cum >= p, identical to the oracle's
+    // correlated min. Output is per-source calibration evidence:
+    // bounds, exact DECIMAL-summed totals, and a rank-weighted checksum
+    // that pins every per-doc mapping.
+    QueryDef(
+      "tdp_quantile_norm",
+      (s, dir) => {
+        val q = table(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("source"),
+            least(lit(1000L), greatest(lit(0L),
+              floor(qualityScore * 1000).cast(LongType))).as("permille"))
+        val wSrc = Window.partitionBy("source")
+        val ranked = q
+          .withColumn("r", row_number()
+            .over(wSrc.orderBy("permille", "doc_id")).cast(LongType))
+          .withColumn("n_s", count(lit(1)).over(wSrc))
+        val nTot = q.agg(count(lit(1)).as("n"))
+        val harr = q.groupBy("permille").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(
+            Window.partitionBy(lit(0)).orderBy("permille")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .agg(sort_array(collect_list(
+            struct(col("cum"), col("permille").as("v")))).as("harr"))
+        ranked.crossJoin(broadcast(nTot)).crossJoin(broadcast(harr))
+          .withColumn("p", expr(
+            "CASE WHEN n_s = 1 THEN (n + 1) div 2" +
+              " ELSE 1 + ((r - 1) * (n - 1)) div (n_s - 1) END"))
+          .withColumn("norm", expr("filter(harr, x -> x.cum >= p)[0].v"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            min("norm").as("min_norm"), max("norm").as("max_norm"),
+            expr("CAST(sum(CAST(norm AS DECIMAL(38,0))) AS BIGINT)")
+              .as("sum_norm"),
+            expr("CAST(sum(CAST(norm * r AS DECIMAL(38,0))) AS BIGINT)")
+              .as("rank_checksum"))
+      },
+      Some("""WITH qnp AS (
+             |  SELECT doc_id, source,
+             |    CAST(length(text) AS DOUBLE) AS n,
+             |    CAST(length(text) - length(replace(text, ' ', ''))
+             |      AS DOUBLE) AS ws,
+             |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |      AS DOUBLE) AS alpha,
+             |    CAST(CAST((length(text)
+             |      - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
+             |      AS DOUBLE) AS sw
+             |  FROM documents WHERE length(text) > 0),
+             |qnq AS MATERIALIZED (
+             |  SELECT doc_id, source,
+             |    CAST(least(1000, greatest(0, FLOOR(
+             |      ((alpha / n) * 0.6 + (1.0 - ws / n) * 0.3
+             |        + (sw * 5.0 / n) * 0.1) * 1000))) AS BIGINT)
+             |      AS permille
+             |  FROM qnp),
+             |qnr AS (
+             |  SELECT doc_id, source, permille,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY permille, doc_id) AS BIGINT) AS r,
+             |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+             |      AS n_s
+             |  FROM qnq),
+             |qnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qnq),
+             |qnc AS MATERIALIZED (
+             |  SELECT permille AS v,
+             |    CAST(sum(cnt) OVER (ORDER BY permille
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM (SELECT permille, CAST(count(*) AS BIGINT) AS cnt
+             |        FROM qnq GROUP BY 1)),
+             |qnm AS (
+             |  SELECT doc_id, source, r,
+             |    (SELECT min(v) FROM qnc WHERE cum >=
+             |      CASE WHEN q.n_s = 1 THEN (n.n + 1) // 2
+             |        ELSE 1 + ((q.r - 1) * (n.n - 1)) // (q.n_s - 1)
+             |        END) AS norm
+             |  FROM qnr q, qnn n)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(min(norm) AS BIGINT) AS min_norm,
+             |  CAST(max(norm) AS BIGINT) AS max_norm,
+             |  CAST(sum(norm) AS BIGINT) AS sum_norm,
+             |  CAST(sum(CAST(norm AS HUGEINT) * r) AS BIGINT)
+             |    AS rank_checksum
+             |FROM qnm GROUP BY 1""".stripMargin)),
+
+    // SESSION CO-VISITATION with lift: association rules over event
+    // types within one user session (30-min gap, q12's sessionization
+    // verbatim) — support n_ab, per-direction confidence, and lift =
+    // P(a,b) / (P(a)P(b)) in exact micro-units: the item-item
+    // co-occurrence counting under "users who did X also did Y", and
+    // the event-domain sibling of tdp_collocations' token PMI. Scale
+    // shape: sessions partition by user_id (one window pass), each
+    // session reduces to its SORTED DISTINCT type set — bounded by the
+    // event-type alphabet, not session length — and pair generation is
+    // a codegen'd HOF over that bounded array (the a < b filter rides
+    // the sort order), so the pair stream is alphabet²-bounded per
+    // session and the final group-by is map-side combined into an
+    // alphabet²-row result. Counts multiply as DECIMAL(38,0)/HUGEINT
+    // before the truncating divide, so a 10^12-session corpus cannot
+    // overflow the lift arithmetic.
+    QueryDef(
+      "tdp_covisit_lift",
+      (s, dir) => {
+        val ev = CoreQueries.eventsWithSec(s, dir)
+          .select(col("user_id"), col("event_id"), col("sec"),
+            col("event_type"))
+        val wOrd = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        val sess = ev
+          .withColumn("prev_sec", lag("sec", 1).over(wOrd))
+          .withColumn("new_sess",
+            when(col("prev_sec").isNull
+              || col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+          .withColumn("sess", sum("new_sess").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val sets = sess.groupBy("user_id", "sess")
+          .agg(sort_array(collect_set(col("event_type"))).as("arr"))
+        val nTot = sets.agg(count(lit(1)).as("n_sessions"))
+        val singles = sets.select(explode(col("arr")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("cnt"))
+        sets.select(explode(expr(
+            """filter(flatten(transform(sequence(1, size(arr)), i ->
+              |  transform(sequence(1, size(arr)), j ->
+              |    named_struct('a', element_at(arr, i),
+              |      'b', element_at(arr, j))))),
+              |  p -> p.a < p.b)""".stripMargin)).as("p"))
+          .select(col("p.a").as("type_a"), col("p.b").as("type_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+          .join(broadcast(singles.select(col("t").as("type_a"),
+            col("cnt").as("n_a"))), "type_a")
+          .join(broadcast(singles.select(col("t").as("type_b"),
+            col("cnt").as("n_b"))), "type_b")
+          .crossJoin(broadcast(nTot))
+          .select(col("type_a"), col("type_b"), col("n_ab"),
+            col("n_a"), col("n_b"),
+            expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_sessions" +
+              " * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b)" +
+              " AS BIGINT)").as("lift_micro"),
+            expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000)" +
+              " div n_a AS BIGINT)").as("conf_a_b"),
+            expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000)" +
+              " div n_b AS BIGINT)").as("conf_b_a"))
+      },
+      Some("""WITH cvv AS (
+             |  SELECT user_id, event_id,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_type
+             |  FROM events),
+             |cvp AS (
+             |  SELECT user_id, event_id, sec, event_type,
+             |    lag(sec) OVER (PARTITION BY user_id
+             |      ORDER BY sec, event_id) AS prev_sec
+             |  FROM cvv),
+             |cvs AS (
+             |  SELECT user_id, event_type,
+             |    sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+             |        THEN 1 ELSE 0 END) OVER (
+             |      PARTITION BY user_id ORDER BY sec, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM cvp),
+             |cvd AS MATERIALIZED (
+             |  SELECT DISTINCT user_id, sess, event_type FROM cvs),
+             |cvn AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_sessions
+             |  FROM (SELECT DISTINCT user_id, sess FROM cvd)),
+             |cv1 AS (
+             |  SELECT event_type AS t, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM cvd GROUP BY 1),
+             |cv2 AS (
+             |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+             |    CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM cvd x JOIN cvd y
+             |    ON x.user_id = y.user_id AND x.sess = y.sess
+             |    AND x.event_type < y.event_type
+             |  GROUP BY 1, 2)
+             |SELECT type_a, type_b, n_ab, a.cnt AS n_a, b.cnt AS n_b,
+             |  CAST((CAST(n_ab AS HUGEINT) * n.n_sessions * 1000000)
+             |    // (CAST(a.cnt AS HUGEINT) * b.cnt) AS BIGINT)
+             |    AS lift_micro,
+             |  CAST((CAST(n_ab AS HUGEINT) * 1000000) // a.cnt
+             |    AS BIGINT) AS conf_a_b,
+             |  CAST((CAST(n_ab AS HUGEINT) * 1000000) // b.cnt
+             |    AS BIGINT) AS conf_b_a
+             |FROM cv2 JOIN cv1 a ON a.t = type_a
+             |JOIN cv1 b ON b.t = type_b, cvn n""".stripMargin)),
+
+    // GREEDY MAX-COVERAGE SELECTION: pick K=5 documents maximizing
+    // marginal 3-gram SHINGLE coverage (the classic (1 - 1/e) greedy
+    // set cover) — the "which few docs teach the most distinct content"
+    // companion to tdp_kcenter's geometric coverage and
+    // tdp_mmr_select's relevance/diversity trade. The universe is the
+    // memoized shingle-hash space (16k+ elements at sf0.001), not the
+    // 31-word token vocabulary a single document saturates. Fully
+    // deterministic: each round adds the doc with the most
+    // NOT-YET-COVERED distinct shingles (ties to smallest doc_id). The
+    // covered set stays a DISTRIBUTED hash frame — each round is one
+    // anti-join + one map-side-combined count
+    // + one TakeOrdered(1) argmax (a 1-row driver hop, the kcenter/MMR
+    // device), and the covered frame grows behind the minLabelCC
+    // lineage cut so K rounds never compound the plan. Once a doc is
+    // picked its tokens are covered, so it vanishes from every later
+    // gains frame (no explicit exclusion list needed — identical logic
+    // in the oracle's unrolled CTE walk). Early exhaustion (coverage
+    // complete before K) ends the walk in BOTH engines: the gains
+    // frame is empty, so no further rows emit.
+    QueryDef(
+      "tdp_set_cover",
+      (s, dir) => {
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
+        val dt = docHashes(s, dir)
+          .select(col("doc_id"), explode(col("hashes")).as("tok"))
+          .distinct()
+        val universe = dt.select("tok").distinct().count()
+        var covered = dt.select("tok").limit(0)
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var done = false
+        for (r <- 1 to 5 if !done) {
+          val win = dt.join(covered, Seq("tok"), "left_anti")
+            .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+            .orderBy(desc("gain"), col("doc_id"))
+            .limit(1).collect().headOption
+          win match {
+            case None => done = true
+            case Some(w) =>
+              val id = w.getLong(0)
+              covered = cut(covered
+                .union(dt.filter(col("doc_id") === id).select("tok"))
+                .distinct())
+              rows += ((r.toLong, id, w.getLong(1), covered.count(),
+                universe))
+          }
+        }
+        s.createDataFrame(rows.toSeq)
+          .toDF("rnd", "doc_id", "gain", "covered_cum", "universe")
+          .orderBy("rnd")
+      },
+      Some {
+        val rounds = (2 to 5).map { r =>
+          s"""svw$r AS MATERIALIZED (
+             |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS gain
+             |  FROM svt s
+             |  WHERE s.tok NOT IN (SELECT tok FROM svc${r - 1})
+             |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+             |svc$r AS MATERIALIZED (
+             |  SELECT tok FROM svc${r - 1}
+             |  UNION SELECT tok FROM svt
+             |  WHERE doc_id IN (SELECT doc_id FROM svw$r))""".stripMargin
+        }.mkString(",\n")
+        val trace = (1 to 5).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rnd, w.doc_id, w.gain, " +
+            s"(SELECT CAST(count(*) AS BIGINT) FROM svc$r) AS covered_cum, " +
+            s"u.universe FROM svw$r w, svu u")
+          .mkString(" UNION ALL ")
+        s"""WITH $docsShinglesSql,
+           |svt AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id, unnest(hashes) AS tok
+           |  FROM doc_sh),
+           |svu AS (
+           |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS universe
+           |  FROM svt),
+           |svw1 AS MATERIALIZED (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+           |  FROM svt GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+           |svc1 AS MATERIALIZED (
+           |  SELECT DISTINCT tok FROM svt
+           |  WHERE doc_id IN (SELECT doc_id FROM svw1)),
+           |$rounds
+           |SELECT * FROM ($trace) ORDER BY rnd""".stripMargin
+      }),
   )
 }

@@ -551,6 +551,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("quantile norm: histogram probes via broadcast array, no SMJ") {
+    val df = Registry.queries("tdp_quantile_norm")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The inverse-CDF probe must be the broadcast (cum, v) array inside
+    // a codegen'd filter — a sort-merge join of docs against the
+    // histogram (or worse, a cartesian against corpus rows) means the
+    // domain-bounded device was lost.
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("covisit: alphabet-sized marginals broadcast, no cartesian") {
+    val df = Registry.queries("tdp_covisit_lift")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("set cover: K-row result, rounds behind lineage cuts") {
+    val df = Registry.queries("tdp_set_cover")(spark, dir)
+    // The greedy walk runs at build time (1-row argmax hops); the
+    // returned frame is the K-row trace.
+    assert(df.count() == 5)
+  }
+
   test("pca power: one distributed moment pass, D^2-bounded driver state") {
     val df = Registry.queries("tdp_pca_power")(spark, dir)
     // The returned frame is the driver-built component table: 64 rows.

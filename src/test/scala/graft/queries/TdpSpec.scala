@@ -2541,4 +2541,75 @@ class TdpSpec extends SparkSpec {
     assert(got == Map(
       "a" -> ((10L, 1166600L)), "b" -> ((6L, 833400L))), got)
   }
+
+  test("quantile norm: ranks map through the global inverse CDF") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_qn").toString
+    // 'abcd' -> permille 899 (0.6+0.3 in doubles floors under 900);
+    // 'ab..' -> 600 (0.3+0.3 rounds back to exactly 0.6 in IEEE
+    // doubles, in BOTH engines). Global hist: 600 x3, 899 x2 ->
+    // cum (3,600),(5,899).
+    // Sources A/B (2 docs): r=1 -> p=1 -> 600; r=2 -> p=5 -> 899.
+    // Singleton C: p=(5+1) div 2=3 -> 600.
+    val docs = Seq(
+      (1L, "abcd", "A"), (2L, "ab..", "A"),
+      (3L, "abcd", "B"), (4L, "ab..", "B"),
+      (5L, "ab..", "C"))
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_quantile_norm")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_norm"),
+          r.getAs[Long]("max_norm"), r.getAs[Long]("sum_norm"),
+          r.getAs[Long]("rank_checksum"))).toMap
+    assert(got("A") == ((2L, 600L, 899L, 1499L, 2398L)), got)
+    assert(got("B") == ((2L, 600L, 899L, 1499L, 2398L)), got)
+    assert(got("C") == ((1L, 600L, 600L, 600L, 600L)), got)
+  }
+
+  test("covisit lift: session type-set pairs replay by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_cv").toString
+    def ts(sec: Long): Long = sec * 1000000000L
+    // Sessions: u1 {A,B}; u2 {A} then (gap > 1800) {A,B}; u3 {B,C}.
+    // N=4, n_A=3, n_B=3, n_C=1; (A,B) in 2, (B,C) in 1.
+    val ev = Seq(
+      (1L, ts(0), 1L, "A"), (2L, ts(10), 1L, "B"),
+      (3L, ts(0), 2L, "A"),
+      (4L, ts(10000), 2L, "A"), (5L, ts(10010), 2L, "B"),
+      (6L, ts(0), 3L, "B"), (7L, ts(5), 3L, "C"))
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("tdp_covisit_lift")(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("lift_micro"), r.getAs[Long]("conf_a_b"),
+          r.getAs[Long]("conf_b_a"))).toMap
+    assert(got(("A", "B")) ==
+      ((2L, 3L, 3L, 888888L, 666666L, 666666L)), got)
+    assert(got(("B", "C")) ==
+      ((1L, 3L, 1L, 1333333L, 333333L, 1000000L)), got)
+    assert(got.size == 2, got)
+  }
+
+  test("set cover: greedy walk picks by marginal gain, stops when dry") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_sc").toString
+    // Shingles: d1 {abc,bcd}, d2 {abc}, d3 {xyz,yzw,zwv}; universe 5.
+    // Round 1: d3 (gain 3); round 2: d1 (gain 2, coverage complete);
+    // d2 contributes nothing -> walk ends at 2 rows.
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "x y z w v"))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_set_cover")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rnd"))
+      .map(r => (r.getAs[Long]("rnd"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain"), r.getAs[Long]("covered_cum"),
+        r.getAs[Long]("universe"))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 3L, 5L), (2L, 1L, 2L, 5L, 5L)), got)
+  }
 }
