@@ -11365,5 +11365,302 @@ object TdpQueries {
            |$rounds
            |SELECT * FROM ($trace) ORDER BY rnd""".stripMargin
       }),
+
+    // INTER-ARRIVAL BURSTINESS per event type: CV² and the Fano factor of
+    // the gap distribution (CV² = 1 is Poisson; > 1 bursty, the classic
+    // Goh-Barabási signal deciding whether rate-based sampling of an
+    // event feed is safe). Scale shape: a naive global lag would window
+    // on the LOW-cardinality event_type alone — the whole corpus in
+    // alphabet-many tasks — so gaps compute in two stitched pieces:
+    // within-(type, day) windows (high-cardinality partitioning,
+    // embarrassingly parallel) plus ONE boundary gap per consecutive
+    // present day from a days-sized min/max frame. The delta multiset is
+    // invariant to tie order (sorted secs are), so the stitch is exactly
+    // the global lag. Moments accumulate as DECIMAL(38,0)/HUGEINT cross
+    // products (exact while n_gaps·Σd²·10⁶ < 10^38 — beyond any real
+    // corpus; both engines share the ceiling) and the variance numerator
+    // n·Σd² − (Σd)² is non-negative by Cauchy-Schwarz, so the truncating
+    // divide needs no sign split.
+    QueryDef(
+      "tdp_burstiness",
+      (s, dir) => {
+        val ev = CoreQueries.eventsWithSec(s, dir)
+          .select(col("event_type"), col("event_id"), col("sec"))
+          .withColumn("day", expr("sec div 86400"))
+        val wIn = Window.partitionBy("event_type", "day")
+          .orderBy("sec", "event_id")
+        val inGaps = ev.withColumn("prev", lag("sec", 1).over(wIn))
+          .filter(col("prev").isNotNull)
+          .select(col("event_type"), (col("sec") - col("prev")).as("d"))
+        val wDay = Window.partitionBy("event_type").orderBy("day")
+        val bGaps = ev.groupBy("event_type", "day")
+          .agg(min("sec").as("first_sec"), max("sec").as("last_sec"))
+          .withColumn("prev_last", lag("last_sec", 1).over(wDay))
+          .filter(col("prev_last").isNotNull)
+          .select(col("event_type"),
+            (col("first_sec") - col("prev_last")).as("d"))
+        inGaps.union(bGaps)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("CAST(sum(CAST(d AS DECIMAL(38,0))) AS BIGINT)")
+              .as("sum_gap"),
+            expr("CAST(sum(CAST(d AS DECIMAL(38,0)) * d) AS BIGINT)")
+              .as("sum_sq"))
+          .select(col("event_type"), col("n_gaps"), col("sum_gap"),
+            expr("CAST((CAST(sum_gap AS DECIMAL(38,0)) * 1000000)" +
+              " div n_gaps AS BIGINT)").as("mean_gap_micro"),
+            expr("CASE WHEN sum_gap > 0 THEN CAST(((CAST(n_gaps AS" +
+              " DECIMAL(38,0)) * sum_sq - CAST(sum_gap AS DECIMAL(38,0))" +
+              " * sum_gap) * 1000000) div (CAST(n_gaps AS DECIMAL(38,0))" +
+              " * sum_gap) AS BIGINT) END").as("fano_micro"),
+            expr("CASE WHEN sum_gap > 0 THEN CAST(((CAST(n_gaps AS" +
+              " DECIMAL(38,0)) * sum_sq - CAST(sum_gap AS DECIMAL(38,0))" +
+              " * sum_gap) * 1000000) div (CAST(sum_gap AS DECIMAL(38,0))" +
+              " * sum_gap) AS BIGINT) END").as("cv2_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH bev AS (
+             |  SELECT event_type, event_id,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+             |  FROM events),
+             |bin AS (
+             |  SELECT event_type,
+             |    sec - lag(sec) OVER (PARTITION BY event_type, day
+             |      ORDER BY sec, event_id) AS d
+             |  FROM bev),
+             |bbd AS (
+             |  SELECT event_type,
+             |    first_sec - lag(last_sec) OVER (PARTITION BY event_type
+             |      ORDER BY day) AS d
+             |  FROM (SELECT event_type, day, min(sec) AS first_sec,
+             |          max(sec) AS last_sec
+             |        FROM bev GROUP BY 1, 2)),
+             |bga AS (
+             |  SELECT event_type, d FROM bin WHERE d IS NOT NULL
+             |  UNION ALL
+             |  SELECT event_type, d FROM bbd WHERE d IS NOT NULL),
+             |bag AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             |    sum(CAST(d AS HUGEINT)) AS sg,
+             |    sum(CAST(d AS HUGEINT) * d) AS ssq
+             |  FROM bga GROUP BY 1)
+             |SELECT event_type, n_gaps, CAST(sg AS BIGINT) AS sum_gap,
+             |  CAST((sg * 1000000) // n_gaps AS BIGINT) AS mean_gap_micro,
+             |  CASE WHEN sg > 0 THEN
+             |    CAST(((n_gaps * ssq - sg * sg) * 1000000)
+             |      // (n_gaps * sg) AS BIGINT) END AS fano_micro,
+             |  CASE WHEN sg > 0 THEN
+             |    CAST(((n_gaps * ssq - sg * sg) * 1000000)
+             |      // (sg * sg) AS BIGINT) END AS cv2_micro
+             |FROM bag ORDER BY event_type""".stripMargin)),
+
+    // MUTUAL INFORMATION between lang and source (the dependence
+    // MAGNITUDE beside tdp_chi_square's significance test): per-cell PMI
+    // in the collocations micro-nat floor device, plus the corpus MI
+    // total Σ p(x,y)·PMI(x,y). Scale shape: three map-side-combined
+    // counts over one scan; cells join their margins as BROADCASTS
+    // (alphabet-sized frames); the total attaches via a constant-
+    // partition window over the alphabet²-row cell frame (tiny BY
+    // CONSTRUCTION — lang × source, not data-sized). Contributions
+    // cross-multiply as DECIMAL(38,0)/HUGEINT, and the final divide is
+    // sign-explicit (floored PMI terms can leave a near-zero total
+    // negative; Spark div truncates where DuckDB // floors, so the sign
+    // split keeps the engines identical).
+    QueryDef(
+      "tdp_mutual_info",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select("lang", "source")
+        val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("c_xy"))
+        val mx = d.groupBy("lang").agg(count(lit(1)).as("c_x"))
+        val my = d.groupBy("source").agg(count(lit(1)).as("c_y"))
+        val n = d.agg(count(lit(1)).as("n"))
+        val wAll = Window.partitionBy(pmod(col("c_xy"), lit(1L)))
+        cells
+          .join(broadcast(mx), "lang")
+          .join(broadcast(my), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("pmi_micro", expr(
+            "CAST(floor(ln((CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE))" +
+              " / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))" +
+              " * 1000000) AS BIGINT)"))
+          .withColumn("contrib",
+            expr("CAST(c_xy AS DECIMAL(38,0)) * pmi_micro"))
+          .withColumn("tot", sum(col("contrib")).over(wAll))
+          .select(col("lang"), col("source"), col("c_xy"), col("c_x"),
+            col("c_y"), col("pmi_micro"),
+            expr("CASE WHEN tot >= 0 THEN CAST(tot div n AS BIGINT)" +
+              " ELSE -CAST((-tot) div n AS BIGINT) END")
+              .as("mi_total_micro"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH mid AS (
+             |  SELECT lang, source FROM documents WHERE length(text) > 0),
+             |mic AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c_xy
+             |  FROM mid GROUP BY 1, 2),
+             |mix AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS c_x
+             |  FROM mid GROUP BY 1),
+             |miy AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS c_y
+             |  FROM mid GROUP BY 1),
+             |min_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mid),
+             |mip AS (
+             |  SELECT c.lang, c.source, c.c_xy, x.c_x, y.c_y, n.n,
+             |    CAST(floor(ln((CAST(c.c_xy AS DOUBLE)
+             |        * CAST(n.n AS DOUBLE))
+             |      / (CAST(x.c_x AS DOUBLE) * CAST(y.c_y AS DOUBLE)))
+             |      * 1000000) AS BIGINT) AS pmi_micro
+             |  FROM mic c JOIN mix x USING (lang)
+             |  JOIN miy y USING (source), min_ n),
+             |mit AS (
+             |  SELECT sum(CAST(c_xy AS HUGEINT) * pmi_micro) AS tot
+             |  FROM mip)
+             |SELECT p.lang, p.source, p.c_xy, p.c_x, p.c_y, p.pmi_micro,
+             |  CASE WHEN t.tot >= 0 THEN CAST(t.tot // p.n AS BIGINT)
+             |    ELSE -CAST((-t.tot) // p.n AS BIGINT) END
+             |    AS mi_total_micro
+             |FROM mip p, mit t ORDER BY lang, source""".stripMargin)),
+
+    // EDIT-DISTANCE DEDUP VERIFY: character-level Levenshtein similarity
+    // over the LSH candidate pairs — the third verify modality beside
+    // shingle Jaccard and SimHash hamming (catches small in-place edits
+    // that shift every shingle but few characters). Scale shape: the
+    // O(L²) DP runs ONLY on candidate pairs (never all-pairs) and ONLY
+    // on the first 400 characters of each side — the boundedness
+    // contract, stated rather than hidden: a 1 MB document costs the
+    // same 400² cell sweep as a tweet, and prefix-truncated similarity
+    // is the standard production trade (both engines truncate
+    // identically, so the oracle replays the same contract). Text
+    // attaches to pairs by two doc_id equi-joins (the pair frame is
+    // dup-fraction-sized; the doc side is the pruned 2-column
+    // projection), and (max_len − lev) ≤ 400 keeps every product far
+    // inside BIGINT.
+    QueryDef(
+      "tdp_edit_dedup",
+      (s, dir) => {
+        val pre = table(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 400).as("pre"))
+        lshPairs(s, dir)
+          .join(pre.select(col("doc_id").as("doc_a"),
+            col("pre").as("pre_a")), "doc_a")
+          .join(pre.select(col("doc_id").as("doc_b"),
+            col("pre").as("pre_b")), "doc_b")
+          .withColumn("lev",
+            levenshtein(col("pre_a"), col("pre_b")).cast(LongType))
+          .withColumn("max_len",
+            greatest(length(col("pre_a")), length(col("pre_b")))
+              .cast(LongType))
+          .select(col("doc_a"), col("doc_b"), col("lev"), col("max_len"),
+            expr("CASE WHEN max_len > 0 THEN CAST(((max_len - lev)" +
+              " * 1000000) div max_len AS BIGINT)" +
+              " ELSE 1000000 END").as("sim_micro"))
+          .withColumn("is_dup", col("sim_micro") >= 800000)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+              |epre AS (SELECT doc_id, left(text, 400) AS pre
+              |         FROM documents),
+              |ejn AS (
+              |  SELECT p.doc_a, p.doc_b,
+              |    CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS lev,
+              |    CAST(greatest(length(a.pre), length(b.pre)) AS BIGINT)
+              |      AS max_len
+              |  FROM pairs p
+              |  JOIN epre a ON a.doc_id = p.doc_a
+              |  JOIN epre b ON b.doc_id = p.doc_b),
+              |esc AS (
+              |  SELECT doc_a, doc_b, lev, max_len,
+              |    CASE WHEN max_len > 0 THEN
+              |      CAST(((max_len - lev) * 1000000) // max_len AS BIGINT)
+              |      ELSE 1000000 END AS sim_micro
+              |  FROM ejn)
+              |SELECT doc_a, doc_b, lev, max_len, sim_micro,
+              |  sim_micro >= 800000 AS is_dup
+              |FROM esc ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // BFS REACH from the near-dup graph's max-degree vertex: frontier
+    // census per hop (how fast does the densest duplication neighborhood
+    // grow — the locality diagnostic beside tdp_kcore's density peel and
+    // the CC family's global labels). Scale shape: the seed is ONE
+    // TakeOrdered(1) argmax over the map-side-combined degree count;
+    // each of ≤4 hops is one edges→frontier equi-join (edge side
+    // hash-partitioned once + persisted, the LPA device) plus a
+    // left-anti against the visited frame, both behind per-hop lineage
+    // cuts; the driver sees one count per hop (bounded hops × 1 row).
+    // Frontier/visited frames are reach-sized (≤ the dup graph), never
+    // corpus-sized. Early exhaustion (empty frontier) ends the walk in
+    // BOTH engines — the oracle's recursive CTE simply stops producing
+    // deeper min-hops.
+    QueryDef(
+      "tdp_bfs_reach",
+      (s, dir) => {
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
+        import s.implicits._
+        val pairs = lshPairs(s, dir)
+        val edges = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"),
+            col("doc_a").as("dst")))
+          .repartition(col("src"))
+          .persist()
+        val seedOpt = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .orderBy(desc("deg"), col("src"))
+          .limit(1).collect().headOption.map(_.getLong(0))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long)]
+        seedOpt.foreach { seed =>
+          var visited = cut(Seq(seed).toDF("doc_id"))
+          var frontier = visited
+          var cum = 1L
+          out += ((0L, 1L, 1L))
+          var hop = 1
+          var live = true
+          while (hop <= 4 && live) {
+            frontier = cut(edges
+              .join(frontier.select(col("doc_id").as("src")), "src")
+              .select(col("dst").as("doc_id")).distinct()
+              .join(visited, Seq("doc_id"), "left_anti"))
+            val nf = frontier.count()
+            if (nf == 0) live = false
+            else {
+              cum += nf
+              out += ((hop.toLong, nf, cum))
+              // frontier is disjoint from visited by the anti-join
+              visited = cut(visited.union(frontier))
+              hop += 1
+            }
+          }
+        }
+        edges.unpersist(blocking = false)
+        out.toSeq.toDF("hop", "frontier_n", "cum_reached")
+      },
+      Some(s"""WITH RECURSIVE $lshPairsSqlCtes,
+              |bedges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |bseed AS (
+              |  SELECT src FROM (
+              |    SELECT src, count(*) AS deg FROM bedges GROUP BY 1)
+              |  ORDER BY deg DESC, src LIMIT 1),
+              |bfs(doc, hop) AS (
+              |  SELECT src, CAST(0 AS BIGINT) FROM bseed
+              |  UNION
+              |  SELECT e.dst, b.hop + 1
+              |  FROM bfs b JOIN bedges e ON e.src = b.doc
+              |  WHERE b.hop < 4),
+              |bmh AS (SELECT doc, min(hop) AS hop FROM bfs GROUP BY 1),
+              |bcen AS (
+              |  SELECT hop, CAST(count(*) AS BIGINT) AS frontier_n
+              |  FROM bmh GROUP BY 1)
+              |SELECT hop, frontier_n,
+              |  CAST(sum(frontier_n) OVER (ORDER BY hop
+              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reached
+              |FROM bcen ORDER BY hop""".stripMargin)),
   )
 }

@@ -569,6 +569,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("burstiness: stitched windows, partial aggregation, no cartesian") {
+    val df = Registry.queries("tdp_burstiness")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Gaps must come from (type, day)-keyed windows — high-cardinality
+    // partitioning — never a type-only global sort; the moment sums must
+    // map-side combine.
+    assert(plan.contains("partial"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("mutual info: margins broadcast, no cartesian") {
+    val df = Registry.queries("tdp_mutual_info")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("edit dedup: pair-keyed equi-joins only, no cartesian") {
+    val df = Registry.queries("tdp_edit_dedup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("bfs reach: bounded hop census rows") {
+    val df = Registry.queries("tdp_bfs_reach")(spark, dir)
+    // The walk runs at build time (1-row count hops); the returned frame
+    // is the <=5-row hop census.
+    assert(df.count() <= 5)
+  }
+
   test("set cover: K-row result, rounds behind lineage cuts") {
     val df = Registry.queries("tdp_set_cover")(spark, dir)
     // The greedy walk runs at build time (1-row argmax hops); the

@@ -2612,4 +2612,90 @@ class TdpSpec extends SparkSpec {
     assert(got == Seq(
       (1L, 3L, 3L, 3L, 5L), (2L, 1L, 2L, 5L, 5L)), got)
   }
+
+  test("burstiness: stitched day-bucket gaps equal the global lag") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_bu").toString
+    def ts(sec: Long): Long = sec * 1000000000L
+    // Type A: secs 0,10,30 (day 0) and 86500 (day 1) -> in-day gaps
+    // 10,20 plus the boundary gap 86470. n=3, sum=86500,
+    // ssq=100+400+86470^2=7477061400. Type B has one event: no gaps,
+    // absent from the output in both engines.
+    val ev = Seq(
+      (1L, ts(0), 1L, "A"), (2L, ts(10), 1L, "B"),
+      (3L, ts(10), 2L, "A"), (4L, ts(30), 3L, "A"),
+      (5L, ts(86500), 4L, "A"))
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("tdp_burstiness")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("sum_gap"),
+          r.getAs[Long]("mean_gap_micro"), r.getAs[Long]("fano_micro"),
+          r.getAs[Long]("cv2_micro"))).toMap
+    assert(got("A") ==
+      ((3L, 86500L, 28833333333L, 57606682851L, 1997919L)), got)
+    assert(!got.contains("B"), got)
+    assert(got.size == 1, got)
+  }
+
+  test("mutual info: PMI cells and the sign-split total replay by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_mi").toString
+    // Cells: (en,s1)x2, (en,s2)x1, (fr,s1)x1. N=4, c_en=3, c_fr=1,
+    // c_s1=3, c_s2=1. pmi(en,s1)=floor(ln(8/9)e6)=-117784;
+    // pmi(en,s2)=pmi(fr,s1)=floor(ln(4/3)e6)=287682.
+    // tot = 2*(-117784)+287682+287682 = 339796 -> mi_total = 84949.
+    val docs = Seq(
+      (1L, "aa", "en", "s1"), (2L, "bb", "en", "s1"),
+      (3L, "cc", "en", "s2"), (4L, "dd", "fr", "s1"))
+    docs.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_mutual_info")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"), r.getAs[Long]("c_y"),
+          r.getAs[Long]("pmi_micro"), r.getAs[Long]("mi_total_micro")))
+      .toMap
+    assert(got(("en", "s1")) == ((2L, 3L, 3L, -117784L, 84949L)), got)
+    assert(got(("en", "s2")) == ((1L, 3L, 1L, 287682L, 84949L)), got)
+    assert(got(("fr", "s1")) == ((1L, 1L, 3L, 287682L, 84949L)), got)
+    assert(got.size == 3, got)
+  }
+
+  test("edit dedup: Levenshtein verify over planted clone pair") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_ed").toString
+    // Docs 1,2 are exact clones (every band agrees -> LSH pair), doc 3
+    // shares no shingles. lev(clone)=0 -> sim 10^6, is_dup.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_edit_dedup")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("lev"), r.getAs[Long]("max_len"),
+          r.getAs[Long]("sim_micro"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(got((1L, 2L)) == ((0L, 9L, 1000000L, true)), got)
+    assert(got.size == 1, got)
+  }
+
+  test("bfs reach: hop census from the max-degree seed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_bf").toString
+    // Docs 1,2,3 identical -> a 3-clique in the LSH graph; doc 4
+    // isolated. Every vertex has degree 2; seed = min id = 1.
+    // hop 0: {1}; hop 1: {2,3}; hop 2 empty -> two rows.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"),
+      (4L, "x y z w v"))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_bfs_reach")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("hop"))
+      .map(r => (r.getAs[Long]("hop"), r.getAs[Long]("frontier_n"),
+        r.getAs[Long]("cum_reached"))).toSeq
+    assert(got == Seq((0L, 1L, 1L), (1L, 2L, 3L)), got)
+  }
 }
