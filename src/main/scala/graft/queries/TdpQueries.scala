@@ -11662,5 +11662,176 @@ object TdpQueries {
               |  CAST(sum(frontier_n) OVER (ORDER BY hop
               |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reached
               |FROM bcen ORDER BY hop""".stripMargin)),
+
+    // DEDUP THRESHOLD SWEEP: the duplication census (component count,
+    // docs in multi-clusters, largest cluster, removable-dup rate) at
+    // Jaccard cutoffs 0.2 / 0.5 / 0.8 — the sensitivity curve behind
+    // the single operating point tdp_dup_clusters ships, answering
+    // "how much MORE collapses if the dedup gets aggressive" before
+    // anyone reruns the pipeline. Scale shape: the expensive work — the
+    // prefix-filtered exact-Jaccard pair sweep — is the ONE memoized
+    // frame all thresholds share; each cutoff is a filter over it plus
+    // a min-label/pointer-jump CC fixpoint sized by ITS OWN edge set
+    // (monotonically shrinking with the threshold), log-diameter rounds
+    // behind lineage cuts. Census rows are 1-row aggregates; the final
+    // frame is 3 rows at any corpus size. Jaccard compares as the same
+    // IEEE double ratio in both engines (the fuzzy-decontaminate
+    // precedent). An empty cutoff yields a 0/0/0 census row, not a
+    // missing row, in both engines (coalesced aggregates).
+    QueryDef(
+      "tdp_threshold_sweep",
+      (s, dir) => {
+        val pairsJ = ngramJaccardPairs(s, dir)
+        val docsN = table(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"))
+        val rows = Seq(200000L, 500000L, 800000L).map { tMicro =>
+          val e = pairsJ
+            .filter(col("jaccard") >= lit(tMicro.toDouble / 1000000.0))
+            .select("doc_a", "doc_b")
+          val edges = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          val labels = minLabelCC(s, edges,
+            edges.select(col("src").as("vertex")).distinct())
+          labels.groupBy("lab").agg(count(lit(1)).as("sz"))
+            .agg(count(lit(1)).as("n_multi_clusters"),
+              coalesce(sum("sz"), lit(0L)).as("docs_in_multi"),
+              coalesce(max("sz"), lit(0L)).as("max_cluster"))
+            .crossJoin(broadcast(docsN))
+            .crossJoin(broadcast(e.agg(count(lit(1)).as("n_pairs"))))
+            .select(lit(tMicro).as("thresh_micro"), col("n_pairs"),
+              col("n_multi_clusters"), col("docs_in_multi"),
+              col("max_cluster"),
+              expr("CAST(((docs_in_multi - n_multi_clusters) * 1000000)" +
+                " div n_docs AS BIGINT)").as("dup_rate_micro"))
+        }
+        rows.reduce(_ unionAll _).orderBy("thresh_micro")
+      },
+      Some {
+        val blocks = Seq(200000L -> "0.2", 500000L -> "0.5",
+          800000L -> "0.8").zipWithIndex.map { case ((tMicro, t), i) =>
+          s"""tw${i}_e AS MATERIALIZED (
+             |  SELECT doc_a, doc_b FROM jp WHERE jaccard >= $t),
+             |tw${i}_ed AS MATERIALIZED (
+             |  SELECT doc_a AS src, doc_b AS dst FROM tw${i}_e
+             |  UNION ALL SELECT doc_b, doc_a FROM tw${i}_e),
+             |tw${i}_r AS (
+             |  SELECT src AS doc, src AS lab FROM tw${i}_ed
+             |  UNION
+             |  SELECT e.dst, r.lab
+             |  FROM tw${i}_r r JOIN tw${i}_ed e ON e.src = r.doc),
+             |tw${i}_cc AS (
+             |  SELECT doc, min(lab) AS lab FROM tw${i}_r GROUP BY 1),
+             |tw${i}_sz AS (
+             |  SELECT lab, CAST(count(*) AS BIGINT) AS sz
+             |  FROM tw${i}_cc GROUP BY 1),
+             |tw$i AS (
+             |  SELECT CAST($tMicro AS BIGINT) AS thresh_micro,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM tw${i}_e)
+             |      AS n_pairs,
+             |    CAST(count(*) AS BIGINT) AS n_multi_clusters,
+             |    CAST(coalesce(sum(sz), 0) AS BIGINT) AS docs_in_multi,
+             |    CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster
+             |  FROM tw${i}_sz)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH RECURSIVE $docsShinglesSql,
+           |$ngramPairsSqlCtes,
+           |$blocks
+           |SELECT thresh_micro, n_pairs, n_multi_clusters, docs_in_multi,
+           |  max_cluster,
+           |  CAST(((docs_in_multi - n_multi_clusters) * 1000000)
+           |    // n.n_docs AS BIGINT) AS dup_rate_micro
+           |FROM (SELECT * FROM tw0 UNION ALL SELECT * FROM tw1
+           |      UNION ALL SELECT * FROM tw2),
+           |  (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) n
+           |ORDER BY thresh_micro""".stripMargin
+      }),
+
+    // MARKOV STATIONARY DISTRIBUTION of the per-user event-type chain:
+    // the long-run event mix implied by q42's transition matrix (where
+    // does user behavior settle, vs the marginal mix the corpus shows
+    // today). Scale shape: the corpus pays ONE per-user lag window
+    // (high-cardinality partitioning) to count transitions; everything
+    // after lives on alphabet-sized frames — the transition matrix is
+    // alphabet² rows, the distribution vector alphabet rows, and each of
+    // the 6 fixed power rounds is one broadcast-sized equi-join +
+    // map-side-combined sum behind a lineage cut. Mass propagates as
+    // per-term truncating integer division ((x·n) div row_total in
+    // micro-units) — deterministic in both engines, no renormalization
+    // (the documented drift is ≤ alphabet² micro-units per round, and
+    // grading is exact regardless of convergence: rounds are fixed).
+    QueryDef(
+      "tdp_markov_stationary",
+      (s, dir) => {
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
+        val ev = CoreQueries.eventsWithSec(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("sec"))
+        val wU = Window.partitionBy("user_id")
+          .orderBy(col("sec"), col("event_id"))
+        val tr = ev
+          .withColumn("prev_type", lag("event_type", 1).over(wU))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val trP = tr
+          .join(tr.groupBy("prev_type").agg(sum("n").as("row_total")),
+            "prev_type")
+        val marg = ev.groupBy(col("event_type").as("t"))
+          .agg(count(lit(1)).as("c"))
+        var x = marg
+          .crossJoin(broadcast(marg.agg(sum("c").as("tot"))))
+          .select(col("t"),
+            expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000) div tot" +
+              " AS BIGINT)").as("x"))
+        for (_ <- 1 to 6) {
+          x = cut(trP
+            .join(x.select(col("t").as("prev_type"), col("x")),
+              "prev_type")
+            .select(col("next_type").as("t"),
+              expr("CAST((CAST(x AS DECIMAL(38,0)) * n) div row_total" +
+                " AS BIGINT)").as("xc"))
+            .groupBy("t").agg(sum("xc").as("x")))
+        }
+        x.select(col("t").as("event_type"), col("x").as("stationary_micro"))
+          .orderBy(desc("stationary_micro"), col("event_type"))
+      },
+      Some {
+        val rounds = (1 to 6).map { k =>
+          s"""msx$k AS (
+             |  SELECT r.next_type AS t,
+             |    CAST(sum((CAST(x.x AS HUGEINT) * r.n) // r.row_total)
+             |      AS BIGINT) AS x
+             |  FROM msr r JOIN msx${k - 1} x ON x.t = r.prev_type
+             |  GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH msv AS (
+           |  SELECT user_id, event_id, event_type,
+           |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+           |  FROM events),
+           |mst AS (
+           |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT event_type AS next_type,
+           |          lag(event_type) OVER (PARTITION BY user_id
+           |            ORDER BY sec, event_id) AS prev_type
+           |        FROM msv)
+           |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+           |msr AS (
+           |  SELECT prev_type, next_type, n,
+           |    CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+           |      AS row_total
+           |  FROM mst),
+           |msm AS (
+           |  SELECT event_type AS t, CAST(count(*) AS BIGINT) AS c
+           |  FROM msv GROUP BY 1),
+           |msx0 AS (
+           |  SELECT t, CAST((CAST(c AS HUGEINT) * 1000000)
+           |    // (SELECT CAST(sum(c) AS BIGINT) FROM msm) AS BIGINT) AS x
+           |  FROM msm),
+           |$rounds
+           |SELECT t AS event_type, x AS stationary_micro
+           |FROM msx6 ORDER BY stationary_micro DESC, event_type""".stripMargin
+      }),
   )
 }

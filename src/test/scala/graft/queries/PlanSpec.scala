@@ -599,6 +599,19 @@ class PlanSpec extends SparkSpec {
     assert(df.count() <= 5)
   }
 
+  test("threshold sweep: 3-row census, shared pair frame, no cartesian") {
+    val df = Registry.queries("tdp_threshold_sweep")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(df.count() == 3)
+  }
+
+  test("markov stationary: alphabet-sized rounds, no cartesian") {
+    val df = Registry.queries("tdp_markov_stationary")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("set cover: K-row result, rounds behind lineage cuts") {
     val df = Registry.queries("tdp_set_cover")(spark, dir)
     // The greedy walk runs at build time (1-row argmax hops); the

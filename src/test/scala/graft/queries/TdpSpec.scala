@@ -2698,4 +2698,48 @@ class TdpSpec extends SparkSpec {
         r.getAs[Long]("cum_reached"))).toSeq
     assert(got == Seq((0L, 1L, 1L), (1L, 2L, 3L)), got)
   }
+
+  test("threshold sweep: census per Jaccard cutoff replays by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_tw").toString
+    // Shingles: d1=d2={abc,bcd,cde}; d3={abc,bcx,cxy} -> J(1,3)=
+    // J(2,3)=1/5=0.2; d4 isolated. t=0.2: pairs {12,13,23}, one
+    // 3-doc component. t=0.5 and 0.8: only the clone pair.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c x y"),
+      (4L, "p q r s t"))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_threshold_sweep")(spark, dir).collect()
+      .map(r => r.getAs[Long]("thresh_micro") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_multi_clusters"),
+          r.getAs[Long]("docs_in_multi"), r.getAs[Long]("max_cluster"),
+          r.getAs[Long]("dup_rate_micro"))).toMap
+    assert(got(200000L) == ((3L, 1L, 3L, 3L, 500000L)), got)
+    assert(got(500000L) == ((1L, 1L, 2L, 2L, 250000L)), got)
+    assert(got(800000L) == ((1L, 1L, 2L, 2L, 250000L)), got)
+  }
+
+  test("markov stationary: power rounds settle on the chain fixpoint") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_ms").toString
+    def ts(sec: Long): Long = sec * 1000000000L
+    // u1: A,B,A,B; u2: B,B. Transitions: A->B x2 (rowtot A=2),
+    // B->A x1, B->B x1 (rowtot B=2). Marginals A=2,B=4 of 6 ->
+    // x0=(333333, 666666), which is already the integer fixpoint:
+    // x(A)=666666*1 div 2=333333; x(B)=333333*2 div 2+666666 div 2
+    // =666666.
+    val ev = Seq(
+      (1L, ts(0), 1L, "A"), (2L, ts(10), 1L, "B"),
+      (3L, ts(20), 1L, "A"), (4L, ts(30), 1L, "B"),
+      (5L, ts(0), 2L, "B"), (6L, ts(10), 2L, "B"))
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("tdp_markov_stationary")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("stationary_micro"))).toSeq
+    assert(got == Seq(("B", 666666L), ("A", 333333L)), got)
+  }
 }
