@@ -974,6 +974,33 @@ object TdpQueries {
         / ((col("c_raw") + lit(1.0)) / (col("n_raw") + lit(64))))
         * lit(1000000.0)).as("v"))
 
+    // tdp_mutual_info: ln((c_xy * N) / (c_x * c_y)) over the lang x
+    // source cells (the collocations form on the document-metadata
+    // contingency table).
+    val miD = table(s, dir, "documents")
+      .filter(length(col("text")) > 0).select("lang", "source")
+    val miC = miD.groupBy("lang", "source").agg(count(lit(1)).as("c_xy"))
+    val miX = miD.groupBy("lang").agg(count(lit(1)).as("c_x"))
+    val miY = miD.groupBy("source").agg(count(lit(1)).as("c_y"))
+    val miN = miD.agg(count(lit(1)).as("n"))
+    val miV = miC.join(broadcast(miX), "lang").join(broadcast(miY), "source")
+      .crossJoin(broadcast(miN))
+      .select((log((col("c_xy").cast(DoubleType) * col("n").cast(DoubleType))
+        / (col("c_x").cast(DoubleType) * col("c_y").cast(DoubleType)))
+        * lit(1000000.0)).as("v"))
+
+    // tdp_session_entropy: the floored value is the per-(user, type)
+    // PRODUCT (c_t/c_u) * ln(c_u/c_t) * 1e6 — audit the product over
+    // the distinct (c_t, c_u) pairs the corpus produces.
+    val seUt = CoreQueries.eventsWithSec(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c_t"))
+    val seV = seUt
+      .join(seUt.groupBy("user_id").agg(sum("c_t").as("c_u")), "user_id")
+      .select("c_t", "c_u").distinct()
+      .select(((col("c_t").cast(DoubleType) / col("c_u").cast(DoubleType))
+        * log(col("c_u").cast(DoubleType) / col("c_t").cast(DoubleType))
+        * lit(1000000.0)).as("v"))
+
     fam("bigram_logprob", bigramV)
       .unionAll(fam("heldout_perplexity", heldoutV))
       .unionAll(fam("kneser_ney", knV))
@@ -984,6 +1011,8 @@ object TdpQueries {
       .unionAll(fam("unigram_lm", uniV))
       .unionAll(fam("unigram_prune", uniPruneV))
       .unionAll(fam("importance_resample", dsirV))
+      .unionAll(fam("mutual_info_pmi", miV))
+      .unionAll(fam("session_entropy", seV))
   }
 
   /** Quality-score building blocks, ONE definition shared by
@@ -11833,5 +11862,160 @@ object TdpQueries {
            |SELECT t AS event_type, x AS stationary_micro
            |FROM msx6 ORDER BY stationary_micro DESC, event_type""".stripMargin
       }),
+
+    // VOCABULARY GROWTH CURVE (Heaps' law, the companion of
+    // tdp_zipf_fit's frequency shape): distinct-vocabulary and
+    // cumulative-token counts at each decile of the corpus in doc_id
+    // order, plus the per-decile new-vocabulary delta — the "is this
+    // corpus still teaching new words" number a data-mixing pass reads
+    // before adding another shard of the same source. Scale shape: doc
+    // ranks come from the range-partition offset device (range-partition
+    // on doc_id, P-sized offset collect, per-partition row_number — the
+    // quality-buckets device, never a single-partition window); token
+    // first-appearance is one map-side-combined min per token; each
+    // decile census is a broadcast theta-join against the 10-row
+    // checkpoint frame (≤10× fan over 2-column frames, map-side combined
+    // back to 10 rows). Output is 10 rows at any corpus size.
+    QueryDef(
+      "tdp_vocab_growth",
+      (s, dir) => {
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val dt = docToks(s, dir)
+        // The persist is LOAD-BEARING (the quality-ranged precedent):
+        // the per-pid counts and the rank join must observe the SAME
+        // spark_partition_id values, which only holds if both actions
+        // read one materialization of the range exchange.
+        val ranged = Registry.memo(s, dir, "tdp_vocab_ranged")(
+          dt.select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("ntoks"))
+            .repartitionByRange(nPart, col("doc_id"))
+            .withColumn("pid", spark_partition_id()))
+        ranged.count()
+        val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val total = counts.map(_._2).sum
+        var acc = 0L
+        val offsets = counts.map { case (p, c) =>
+          val o = acc; acc += c; (p, o)
+        }.toSeq
+        val offDf = s.createDataFrame(offsets).toDF("pid", "off")
+        val wPid = Window.partitionBy("pid").orderBy("doc_id")
+        val rankedDocs = ranged.join(broadcast(offDf), "pid")
+          .withColumn("rn",
+            row_number().over(wPid).cast(LongType) + col("off"))
+          .select("doc_id", "ntoks", "rn")
+        val firsts = dt
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(min("doc_id").as("first_doc"))
+          .join(rankedDocs.select(col("doc_id").as("first_doc"),
+            col("rn").as("first_rn")), "first_doc")
+        val cps = s.createDataFrame(
+          (1 to 10).map(d => (d.toLong, total * d / 10)))
+          .toDF("decile", "n_prefix")
+        val cumTok = rankedDocs
+          .join(broadcast(cps), col("rn") <= col("n_prefix"))
+          .groupBy("decile").agg(sum("ntoks").as("cum_tokens"))
+        val cumVoc = firsts
+          .join(broadcast(cps), col("first_rn") <= col("n_prefix"))
+          .groupBy("decile").agg(count(lit(1)).as("cum_vocab"))
+        val wOne = Window.partitionBy(pmod(col("decile"), lit(1L)))
+          .orderBy("decile")
+        cps
+          .join(cumTok, Seq("decile"), "left")
+          .join(cumVoc, Seq("decile"), "left")
+          .select(col("decile"), col("n_prefix").as("n_docs"),
+            coalesce(col("cum_tokens"), lit(0L)).as("cum_tokens"),
+            coalesce(col("cum_vocab"), lit(0L)).as("cum_vocab"))
+          .withColumn("new_vocab", col("cum_vocab")
+            - coalesce(lag("cum_vocab", 1).over(wOne), lit(0L)))
+          .orderBy("decile")
+      },
+      Some("""WITH vgt AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |vgr AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntoks,
+             |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+             |  FROM vgt),
+             |vgn AS (SELECT CAST(count(*) AS BIGINT) AS total FROM vgr),
+             |vgf AS (
+             |  SELECT tok, min(doc_id) AS first_doc
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM vgt)
+             |  GROUP BY 1),
+             |vgfr AS (
+             |  SELECT f.tok, r.rn AS first_rn
+             |  FROM vgf f JOIN vgr r ON r.doc_id = f.first_doc),
+             |vgc AS (
+             |  SELECT CAST(d AS BIGINT) AS decile,
+             |    (n.total * d) // 10 AS n_prefix
+             |  FROM (SELECT unnest(range(1, 11)) AS d), vgn n),
+             |vgtk AS (
+             |  SELECT c.decile,
+             |    CAST(coalesce(sum(r.ntoks), 0) AS BIGINT) AS cum_tokens
+             |  FROM vgc c LEFT JOIN vgr r ON r.rn <= c.n_prefix
+             |  GROUP BY 1),
+             |vgvc AS (
+             |  SELECT c.decile, CAST(count(f.tok) AS BIGINT) AS cum_vocab
+             |  FROM vgc c LEFT JOIN vgfr f ON f.first_rn <= c.n_prefix
+             |  GROUP BY 1)
+             |SELECT c.decile, c.n_prefix AS n_docs, t.cum_tokens,
+             |  v.cum_vocab,
+             |  v.cum_vocab - coalesce(lag(v.cum_vocab)
+             |    OVER (ORDER BY c.decile), 0) AS new_vocab
+             |FROM vgc c JOIN vgtk t USING (decile)
+             |JOIN vgvc v USING (decile)
+             |ORDER BY decile""".stripMargin)),
+
+    // PER-USER SESSION ENTROPY: Shannon entropy of each user's
+    // event-type distribution, reported as a banded histogram (0.25-nat
+    // bands) — the behavioral-diversity profile that separates
+    // single-purpose accounts (H=0) from broad/bot-like activity, the
+    // per-entity twin of tdp_token_entropy's corpus number. Scale shape:
+    // one map-side-combined (user, type) count, the per-user total lands
+    // on the same user_id hash partitioning (AQE-colocated join, no
+    // second corpus shuffle), per-term micro-nat floors (the
+    // collocations ln device, audited by TranscendentalMarginSpec's
+    // session_entropy family) sum to alphabet-bounded per-user terms,
+    // and the band histogram is a tiny final aggregate. Single-type
+    // users floor to exactly H=0 in both engines (ln(1) = +0.0 by IEEE).
+    QueryDef(
+      "tdp_session_entropy",
+      (s, dir) => {
+        val ut = CoreQueries.eventsWithSec(s, dir)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("c_t"))
+        val hU = ut
+          .join(ut.groupBy("user_id").agg(sum("c_t").as("c_u")), "user_id")
+          .select(col("user_id"), expr(
+            "CAST(floor((CAST(c_t AS DOUBLE) / CAST(c_u AS DOUBLE))" +
+              " * ln(CAST(c_u AS DOUBLE) / CAST(c_t AS DOUBLE))" +
+              " * 1000000) AS BIGINT)").as("term_micro"))
+          .groupBy("user_id").agg(sum("term_micro").as("h_micro"))
+        hU.withColumn("band", expr("h_micro div 250000"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_users"),
+            min("h_micro").as("min_h"), max("h_micro").as("max_h"))
+          .orderBy("band")
+      },
+      Some("""WITH sev AS (SELECT user_id, event_type FROM events),
+             |sut AS (
+             |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c_t
+             |  FROM sev GROUP BY 1, 2),
+             |suu AS (
+             |  SELECT user_id, CAST(sum(c_t) AS BIGINT) AS c_u
+             |  FROM sut GROUP BY 1),
+             |shh AS (
+             |  SELECT t.user_id,
+             |    CAST(sum(CAST(floor((CAST(t.c_t AS DOUBLE)
+             |        / CAST(u.c_u AS DOUBLE))
+             |      * ln(CAST(u.c_u AS DOUBLE) / CAST(t.c_t AS DOUBLE))
+             |      * 1000000) AS BIGINT)) AS BIGINT) AS h_micro
+             |  FROM sut t JOIN suu u USING (user_id) GROUP BY 1)
+             |SELECT h_micro // 250000 AS band,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(min(h_micro) AS BIGINT) AS min_h,
+             |  CAST(max(h_micro) AS BIGINT) AS max_h
+             |FROM shh GROUP BY 1 ORDER BY band""".stripMargin)),
   )
 }

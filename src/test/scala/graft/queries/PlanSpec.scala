@@ -612,6 +612,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("vocab growth: 10-row census, offset-device ranks, no cartesian") {
+    val df = Registry.queries("tdp_vocab_growth")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(df.count() == 10)
+  }
+
+  test("session entropy: partial aggregation, no cartesian") {
+    val df = Registry.queries("tdp_session_entropy")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("set cover: K-row result, rounds behind lineage cuts") {
     val df = Registry.queries("tdp_set_cover")(spark, dir)
     // The greedy walk runs at build time (1-row argmax hops); the

@@ -2742,4 +2742,53 @@ class TdpSpec extends SparkSpec {
         r.getAs[Long]("stationary_micro"))).toSeq
     assert(got == Seq(("B", 666666L), ("A", 333333L)), got)
   }
+
+  test("vocab growth: decile census replays by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_vg").toString
+    // Docs (by id order): 'a b', 'b c', '', 'a', 'd d'. N=5; prefixes
+    // at deciles 1..10 hold 0,1,1,2,2,3,3,4,4,5 docs; cumulative
+    // tokens 0,2,2,4,4,4,4,5,5,7; vocab 0,2,2,3,3,3,3,3,3,4.
+    val docs = Seq(
+      (1L, "a b"), (2L, "b c"), (3L, ""), (4L, "a"), (5L, "d d"))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_vocab_growth")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("cum_vocab"),
+        r.getAs[Long]("new_vocab"))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L, 0L), (2L, 1L, 2L, 2L, 2L), (3L, 1L, 2L, 2L, 0L),
+      (4L, 2L, 4L, 3L, 1L), (5L, 2L, 4L, 3L, 0L), (6L, 3L, 4L, 3L, 0L),
+      (7L, 3L, 4L, 3L, 0L), (8L, 4L, 5L, 3L, 0L), (9L, 4L, 5L, 3L, 0L),
+      (10L, 5L, 7L, 4L, 1L)), got)
+  }
+
+  test("session entropy: micro-nat bands replay by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_se").toString
+    def ts(sec: Long): Long = sec * 1000000000L
+    // u1: A,A,B,B -> H = 2*floor(0.5*ln(2)*1e6) = 693146 (band 2);
+    // u2: A -> H = 0 (band 0);
+    // u3: A,B,C,C -> 2*floor(0.25*ln(4)*1e6) + floor(0.5*ln(2)*1e6)
+    //   = 2*346573 + 346573 = 1039719 (band 4).
+    val ev = Seq(
+      (1L, ts(0), 1L, "A"), (2L, ts(1), 1L, "A"),
+      (3L, ts(2), 1L, "B"), (4L, ts(3), 1L, "B"),
+      (5L, ts(0), 2L, "A"),
+      (6L, ts(0), 3L, "A"), (7L, ts(1), 3L, "B"),
+      (8L, ts(2), 3L, "C"), (9L, ts(3), 3L, "C"))
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("tdp_session_entropy")(spark, dir).collect()
+      .map(r => r.getAs[Long]("band") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("min_h"),
+          r.getAs[Long]("max_h"))).toMap
+    assert(got(0L) == ((1L, 0L, 0L)), got)
+    assert(got(2L) == ((1L, 693146L, 693146L)), got)
+    assert(got(4L) == ((1L, 1039719L, 1039719L)), got)
+    assert(got.size == 3, got)
+  }
 }
