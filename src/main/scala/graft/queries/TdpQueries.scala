@@ -12017,5 +12017,171 @@ object TdpQueries {
              |  CAST(min(h_micro) AS BIGINT) AS min_h,
              |  CAST(max(h_micro) AS BIGINT) AS max_h
              |FROM shh GROUP BY 1 ORDER BY band""".stripMargin)),
+
+    // CURRICULUM INTERLEAVE: the head of a deterministic training order
+    // that serves sources at their temperature-mix rates while feeding
+    // each source its own docs best-quality-first — weighted round-robin
+    // by virtual time (the deficit-round-robin device schedulers use):
+    // doc k of source s is served at vtime = rank_s·10⁹ div w_s, so a
+    // source with half the weight appears half as often, smoothly, with
+    // no RNG. Scale shape: ranks are ONE per-source window over a pruned
+    // 3-column frame (quality DESC, doc_id — the within-source
+    // curriculum); weights are the memoized temperature aggregates
+    // (alphabet-sized, broadcast); the published head is TakeOrdered(24)
+    // — the full schedule is never materialized, a consumer reads it
+    // lazily by vtime range. vtime stays in BIGINT while rank·10⁹ <
+    // 9.2·10^18, i.e. ≤ 9.2·10^9 docs per source — beyond that the
+    // stated fallback is DECIMAL(38,0) vtime (t-closeness precedent).
+    QueryDef(
+      "tdp_curriculum_interleave",
+      (s, dir) => {
+        val src = table(s, dir, "documents").select("doc_id", "source")
+        val q = qualityScored(s, dir).select("doc_id", "quality")
+          .join(src, "doc_id")
+        val wSrc = Window.partitionBy("source")
+          .orderBy(desc("quality"), col("doc_id"))
+        val ranked = q.withColumn("rnk",
+          row_number().over(wSrc).cast(LongType))
+        val toks = docToks(s, dir)
+          .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+        val per = src.join(toks, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(sum(coalesce(col("n_toks"), lit(0L))).as("n_tokens"))
+        val tot = per.agg(sum("n_tokens").as("tot_tokens"))
+        val w = per.crossJoin(broadcast(tot))
+          .withColumn("w_micro",
+            floor(sqrt(col("n_tokens").cast(DoubleType)
+              / col("tot_tokens").cast(DoubleType)) * lit(1000000.0))
+              .cast(LongType))
+          // a zero-token source has zero weight: it gets no service (and
+          // its vtime would divide by zero) — drop it in BOTH engines
+          .filter(col("w_micro") > 0)
+          .select("source", "w_micro")
+        val head = ranked.join(broadcast(w), "source")
+          .select(col("source"), col("doc_id"), col("rnk"),
+            expr("CAST((CAST(rnk AS DECIMAL(38,0)) * 1000000000)" +
+              " div w_micro AS BIGINT)").as("vtime"))
+          .orderBy(col("vtime"), col("source"), col("doc_id"))
+          .limit(24)
+        head.withColumn("pos", row_number().over(
+          Window.partitionBy(pmod(col("vtime"), lit(1L)))
+            .orderBy(col("vtime"), col("source"), col("doc_id")))
+          .cast(LongType))
+          .select("pos", "source", "doc_id", "rnk", "vtime")
+          .orderBy("pos")
+      },
+      Some(s"""WITH cuq AS (
+              |  SELECT s.doc_id, d.source, $qualitySql AS quality
+              |  FROM ($qualityPartsSql) s
+              |  JOIN documents d ON d.doc_id = s.doc_id),
+              |cur AS (
+              |  SELECT doc_id, source,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rnk
+              |  FROM cuq),
+              |cup AS (
+              |  SELECT source,
+              |    CAST(coalesce(sum(len($toksSql)), 0) AS BIGINT)
+              |      AS n_tokens
+              |  FROM documents GROUP BY 1),
+              |cut AS (
+              |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+              |  FROM cup),
+              |cuw AS (
+              |  SELECT source,
+              |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+              |      / CAST(t.tot_tokens AS DOUBLE)) * 1000000.0)
+              |      AS BIGINT) AS w_micro
+              |  FROM cup, cut t),
+              |cuh AS (
+              |  SELECT r.source, r.doc_id, r.rnk,
+              |    CAST((CAST(r.rnk AS HUGEINT) * 1000000000)
+              |      // w.w_micro AS BIGINT) AS vtime
+              |  FROM cur r JOIN cuw w USING (source)
+              |  WHERE w.w_micro > 0
+              |  ORDER BY vtime, source, doc_id LIMIT 24)
+              |SELECT CAST(row_number() OVER (ORDER BY vtime, source,
+              |    doc_id) AS BIGINT) AS pos,
+              |  source, doc_id, rnk, vtime
+              |FROM cuh ORDER BY pos""".stripMargin)),
+
+    // TOKEN-BUDGET EPOCH PLAN: can the temperature-mix target be
+    // satisfied from a half-corpus token budget without repeating any
+    // source more than 4 epochs (the Muennighoff repeated-data ceiling)?
+    // Per source: desired tokens = budget·w_s/Z, the epoch multiplier
+    // that demand implies, the 4-epoch-capped grant, and the starvation
+    // flag — the feasibility audit a mixing pass runs BEFORE launching a
+    // run, beside tdp_temperature_mix's rates and tdp_budget_select's
+    // greedy fill. Scale shape: everything after the one shared
+    // tokenize scan lives on alphabet-sized frames; all arithmetic is
+    // DECIMAL(38,0)/HUGEINT cross products with truncating division
+    // (values non-negative, no sign split needed); a zero-token source
+    // yields NULL multipliers identically in both engines (guarded
+    // CASE).
+    QueryDef(
+      "tdp_epoch_plan",
+      (s, dir) => {
+        val toks = docToks(s, dir)
+          .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+        val per = table(s, dir, "documents").select("doc_id", "source")
+          .join(toks, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(sum(coalesce(col("n_toks"), lit(0L))).as("n_tokens"))
+        val tot = per.agg(sum("n_tokens").as("tot_tokens"))
+        val w = per.crossJoin(broadcast(tot))
+          .withColumn("w_micro",
+            floor(sqrt(col("n_tokens").cast(DoubleType)
+              / col("tot_tokens").cast(DoubleType)) * lit(1000000.0))
+              .cast(LongType))
+        val z = w.agg(sum("w_micro").as("z_micro"))
+        w.crossJoin(broadcast(z))
+          .withColumn("desired_tokens", expr(
+            "CAST((CAST(tot_tokens div 2 AS DECIMAL(38,0)) * w_micro)" +
+              " div z_micro AS BIGINT)"))
+          .withColumn("repeats_micro", expr(
+            "CASE WHEN n_tokens > 0 THEN" +
+              " CAST((CAST(desired_tokens AS DECIMAL(38,0)) * 1000000)" +
+              " div n_tokens AS BIGINT) END"))
+          .select(col("source"), col("n_tokens"), col("w_micro"),
+            col("desired_tokens"),
+            col("repeats_micro"),
+            least(col("repeats_micro"), lit(4000000L))
+              .as("granted_repeats_micro"),
+            least(col("desired_tokens"), col("n_tokens") * 4)
+              .as("granted_tokens"),
+            (col("desired_tokens") > col("n_tokens") * 4).as("starved"))
+          .orderBy("source")
+      },
+      Some(s"""WITH epp AS (
+              |  SELECT source,
+              |    CAST(coalesce(sum(len($toksSql)), 0) AS BIGINT)
+              |      AS n_tokens
+              |  FROM documents GROUP BY 1),
+              |ept AS (
+              |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+              |  FROM epp),
+              |epw AS (
+              |  SELECT source, n_tokens, tot_tokens,
+              |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+              |      / CAST(tot_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+              |      AS w_micro
+              |  FROM epp, ept),
+              |epz AS (SELECT CAST(sum(w_micro) AS BIGINT) AS z_micro
+              |        FROM epw),
+              |epd AS (
+              |  SELECT source, n_tokens, w_micro,
+              |    CAST((CAST(tot_tokens // 2 AS HUGEINT) * w_micro)
+              |      // z.z_micro AS BIGINT) AS desired_tokens,
+              |    CASE WHEN n_tokens > 0 THEN
+              |      CAST((CAST((CAST(tot_tokens // 2 AS HUGEINT) * w_micro)
+              |        // z.z_micro AS HUGEINT) * 1000000) // n_tokens
+              |        AS BIGINT) END AS repeats_micro
+              |  FROM epw, epz z)
+              |SELECT source, n_tokens, w_micro, desired_tokens,
+              |  repeats_micro,
+              |  least(repeats_micro, 4000000) AS granted_repeats_micro,
+              |  least(desired_tokens, n_tokens * 4) AS granted_tokens,
+              |  desired_tokens > n_tokens * 4 AS starved
+              |FROM epd ORDER BY source""".stripMargin)),
   )
 }

@@ -626,6 +626,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("curriculum: broadcast weights, TakeOrdered head, no cartesian") {
+    val df = Registry.queries("tdp_curriculum_interleave")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(df.count() <= 24)
+  }
+
+  test("epoch plan: alphabet-sized output, no cartesian") {
+    val df = Registry.queries("tdp_epoch_plan")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("set cover: K-row result, rounds behind lineage cuts") {
     val df = Registry.queries("tdp_set_cover")(spark, dir)
     // The greedy walk runs at build time (1-row argmax hops); the

@@ -2791,4 +2791,52 @@ class TdpSpec extends SparkSpec {
     assert(got(4L) == ((1L, 1039719L, 1039719L)), got)
     assert(got.size == 3, got)
   }
+
+  test("curriculum interleave: weighted round-robin vtime replays") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_cu").toString
+    // A has 12 of 15 tokens (w=894427), B 3 (w=447213); equal quality
+    // everywhere so within-source rank = doc_id order. vtimes:
+    // A: 1118, 2236, 3354, 4472; B: 2236 — the A2/B1 tie breaks on
+    // source name.
+    val docs = Seq(
+      (1L, "z z z", "A"), (2L, "y y y", "A"), (3L, "x x x", "A"),
+      (4L, "w w w", "A"), (5L, "v v v", "B"))
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_curriculum_interleave")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("pos"))
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("source"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vtime"))).toSeq
+    assert(got == Seq(
+      (1L, "A", 1L, 1L, 1118L), (2L, "A", 2L, 2L, 2236L),
+      (3L, "B", 5L, 1L, 2236L), (4L, "A", 3L, 3L, 3354L),
+      (5L, "A", 4L, 4L, 4472L)), got)
+  }
+
+  test("epoch plan: budget split, repeat cap and starvation replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_ep").toString
+    // Same corpus: tot=15, budget=7, z=1341640. desired A=4, B=2;
+    // repeats A=333333, B=666666 micro-epochs; nothing starved.
+    val docs = Seq(
+      (1L, "z z z", "A"), (2L, "y y y", "A"), (3L, "x x x", "A"),
+      (4L, "w w w", "A"), (5L, "v v v", "B"))
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_epoch_plan")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("w_micro"),
+          r.getAs[Long]("desired_tokens"), r.getAs[Long]("repeats_micro"),
+          r.getAs[Long]("granted_repeats_micro"),
+          r.getAs[Long]("granted_tokens"),
+          r.getAs[Boolean]("starved"))).toMap
+    assert(got("A") ==
+      ((12L, 894427L, 4L, 333333L, 333333L, 4L, false)), got)
+    assert(got("B") ==
+      ((3L, 447213L, 2L, 666666L, 666666L, 2L, false)), got)
+  }
 }
