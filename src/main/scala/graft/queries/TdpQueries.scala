@@ -12183,5 +12183,136 @@ object TdpQueries {
               |  least(desired_tokens, n_tokens * 4) AS granted_tokens,
               |  desired_tokens > n_tokens * 4 AS starved
               |FROM epd ORDER BY source""".stripMargin)),
+
+    // DEGREE ASSORTATIVITY of the near-dup graph: does duplication
+    // cluster hub-to-hub (templates copying templates) or hub-to-leaf
+    // (one source fanned into many one-off copies)? Newman's r over the
+    // symmetrized edge list — and by edge symmetry Σx = Σy and
+    // Σx² = Σy², so the usually-irrational Pearson denominator
+    // COLLAPSES: r = (mΣxy − (Σx)²) / (mΣx² − (Σx)²), a pure rational
+    // in integer moments — no sqrt, no float, exact in both engines.
+    // Scale shape: degrees are one map-side-combined count off the
+    // memoized EXACT pair frame (deterministic J >= 0.2 contract, not
+    // the probabilistic LSH bands); the two degree attaches are
+    // vertex-keyed equi-joins; the moments reduce to ONE row as
+    // DECIMAL(38,0)/HUGEINT sums. The numerator can be negative —
+    // sign-explicit truncating divide keeps Spark div and DuckDB //
+    // identical. A regular graph (zero denominator) yields NULL in both
+    // engines (guarded CASE).
+    QueryDef(
+      "tdp_assortativity",
+      (s, dir) => {
+        val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+        val sym = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"),
+            col("doc_a").as("dst")))
+        val deg = sym.groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("deg"))
+        sym
+          .join(deg.select(col("v").as("src"), col("deg").as("dx")), "src")
+          .join(deg.select(col("v").as("dst"), col("deg").as("dy")), "dst")
+          .agg(count(lit(1)).as("m"),
+            expr("CAST(sum(CAST(dx AS DECIMAL(38,0))) AS BIGINT)")
+              .as("sum_x"),
+            expr("CAST(sum(CAST(dx AS DECIMAL(38,0)) * dx) AS BIGINT)")
+              .as("sum_x2"),
+            expr("CAST(sum(CAST(dx AS DECIMAL(38,0)) * dy) AS BIGINT)")
+              .as("sum_xy"))
+          .select(col("m"), col("sum_x"), col("sum_x2"), col("sum_xy"),
+            expr("CASE WHEN CAST(m AS DECIMAL(38,0)) * sum_x2" +
+              " - CAST(sum_x AS DECIMAL(38,0)) * sum_x = 0 THEN NULL" +
+              " WHEN CAST(m AS DECIMAL(38,0)) * sum_xy" +
+              " - CAST(sum_x AS DECIMAL(38,0)) * sum_x >= 0 THEN" +
+              " CAST(((CAST(m AS DECIMAL(38,0)) * sum_xy" +
+              " - CAST(sum_x AS DECIMAL(38,0)) * sum_x) * 1000000)" +
+              " div (CAST(m AS DECIMAL(38,0)) * sum_x2" +
+              " - CAST(sum_x AS DECIMAL(38,0)) * sum_x) AS BIGINT)" +
+              " ELSE -CAST((-(CAST(m AS DECIMAL(38,0)) * sum_xy" +
+              " - CAST(sum_x AS DECIMAL(38,0)) * sum_x) * 1000000)" +
+              " div (CAST(m AS DECIMAL(38,0)) * sum_x2" +
+              " - CAST(sum_x AS DECIMAL(38,0)) * sum_x) AS BIGINT)" +
+              " END").as("assort_micro"))
+      },
+      Some(s"""WITH $docsShinglesSql,
+              |$ngramPairsSqlCtes,
+              |ased AS MATERIALIZED (
+              |  SELECT doc_a AS src, doc_b AS dst FROM jp
+              |  UNION ALL SELECT doc_b, doc_a FROM jp),
+              |asdg AS (
+              |  SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+              |  FROM ased GROUP BY 1),
+              |asm AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS m,
+              |    sum(CAST(a.deg AS HUGEINT)) AS sum_x,
+              |    sum(CAST(a.deg AS HUGEINT) * a.deg) AS sum_x2,
+              |    sum(CAST(a.deg AS HUGEINT) * b.deg) AS sum_xy
+              |  FROM ased e
+              |  JOIN asdg a ON a.v = e.src
+              |  JOIN asdg b ON b.v = e.dst)
+              |SELECT m, CAST(sum_x AS BIGINT) AS sum_x,
+              |  CAST(sum_x2 AS BIGINT) AS sum_x2,
+              |  CAST(sum_xy AS BIGINT) AS sum_xy,
+              |  CASE WHEN m * sum_x2 - sum_x * sum_x = 0 THEN NULL
+              |    WHEN m * sum_xy - sum_x * sum_x >= 0 THEN
+              |      CAST(((m * sum_xy - sum_x * sum_x) * 1000000)
+              |        // (m * sum_x2 - sum_x * sum_x) AS BIGINT)
+              |    ELSE -CAST((-(m * sum_xy - sum_x * sum_x) * 1000000)
+              |        // (m * sum_x2 - sum_x * sum_x) AS BIGINT)
+              |  END AS assort_micro
+              |FROM asm""".stripMargin)),
+
+    // AUDIENCE OVERLAP between event types: user-level Jaccard and
+    // overlap coefficient per type pair — "do the people who do X also
+    // do Y at all", the user-identity companion of tdp_covisit_lift's
+    // within-session association (a pair can co-occur in sessions yet
+    // have disjoint heavy audiences, and vice versa). Scale shape: the
+    // corpus reduces to the DISTINCT (user, type) frame in one
+    // map-side-combined pass; pair generation self-joins that frame on
+    // user_id, bounded alphabet² per user; marginals attach as
+    // broadcasts; Jaccard/overlap are exact integer micro-units via
+    // DECIMAL cross products (denominators ≥ 1 by construction).
+    QueryDef(
+      "tdp_audience_overlap",
+      (s, dir) => {
+        val ut = CoreQueries.eventsWithSec(s, dir)
+          .select("user_id", "event_type").distinct()
+        val nT = ut.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        ut.select(col("user_id"), col("event_type").as("type_a"))
+          .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+            "user_id")
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+          .join(broadcast(nT.select(col("event_type").as("type_a"),
+            col("cnt").as("n_a"))), "type_a")
+          .join(broadcast(nT.select(col("event_type").as("type_b"),
+            col("cnt").as("n_b"))), "type_b")
+          .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+            col("n_b"),
+            expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000)" +
+              " div (n_a + n_b - n_ab) AS BIGINT)").as("jaccard_micro"),
+            expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000)" +
+              " div least(n_a, n_b) AS BIGINT)").as("overlap_micro"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH aut AS (
+             |  SELECT DISTINCT user_id, event_type FROM events),
+             |aun AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM aut GROUP BY 1),
+             |aup AS (
+             |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+             |    CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM aut x JOIN aut y ON x.user_id = y.user_id
+             |    AND x.event_type < y.event_type
+             |  GROUP BY 1, 2)
+             |SELECT type_a, type_b, n_ab, a.cnt AS n_a, b.cnt AS n_b,
+             |  CAST((CAST(n_ab AS HUGEINT) * 1000000)
+             |    // (a.cnt + b.cnt - n_ab) AS BIGINT) AS jaccard_micro,
+             |  CAST((CAST(n_ab AS HUGEINT) * 1000000)
+             |    // least(a.cnt, b.cnt) AS BIGINT) AS overlap_micro
+             |FROM aup JOIN aun a ON a.event_type = type_a
+             |JOIN aun b ON b.event_type = type_b
+             |ORDER BY type_a, type_b""".stripMargin)),
   )
 }

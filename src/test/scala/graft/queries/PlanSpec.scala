@@ -640,6 +640,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("assortativity: 1-row moments, vertex-keyed joins, no cartesian") {
+    val df = Registry.queries("tdp_assortativity")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(df.count() == 1)
+  }
+
+  test("audience overlap: broadcast marginals, no cartesian") {
+    val df = Registry.queries("tdp_audience_overlap")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("set cover: K-row result, rounds behind lineage cuts") {
     val df = Registry.queries("tdp_set_cover")(spark, dir)
     // The greedy walk runs at build time (1-row argmax hops); the

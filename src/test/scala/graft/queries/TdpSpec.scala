@@ -2839,4 +2839,50 @@ class TdpSpec extends SparkSpec {
     assert(got("B") ==
       ((3L, 447213L, 2L, 666666L, 666666L, 2L, false)), got)
   }
+
+  test("assortativity: path graph is exactly -1 in rational micro") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_as").toString
+    // J(1,2)=J(1,3)=0.2 (one shared shingle of 5), J(2,3)=0 -> the
+    // path 2-1-3. Degrees 2,1,1; m=4, sum_x=6, sum_x2=10, sum_xy=8;
+    // r = (32-36)/(40-36) = -1.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c p q"), (3L, "c d e r s"),
+      (4L, "x y z w v"))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_assortativity")(spark, dir).collect()
+    assert(got.length == 1, got.toSeq)
+    val r = got(0)
+    assert((r.getAs[Long]("m"), r.getAs[Long]("sum_x"),
+      r.getAs[Long]("sum_x2"), r.getAs[Long]("sum_xy"),
+      r.getAs[Long]("assort_micro")) ==
+      ((4L, 6L, 10L, 8L, -1000000L)), r)
+  }
+
+  test("audience overlap: user-level type Jaccard replays by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_ao").toString
+    def ts(sec: Long): Long = sec * 1000000000L
+    // Audiences: A={u1,u2,u3}, B={u1,u4}, C={u3,u4}. Duplicate events
+    // within a user collapse via the distinct frame.
+    val ev = Seq(
+      (1L, ts(0), 1L, "A"), (2L, ts(1), 1L, "B"), (3L, ts(2), 1L, "A"),
+      (4L, ts(0), 2L, "A"),
+      (5L, ts(0), 3L, "A"), (6L, ts(1), 3L, "C"),
+      (7L, ts(0), 4L, "B"), (8L, ts(1), 4L, "C"))
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("tdp_audience_overlap")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("jaccard_micro"), r.getAs[Long]("overlap_micro")))
+      .toMap
+    assert(got(("A", "B")) == ((1L, 3L, 2L, 250000L, 500000L)), got)
+    assert(got(("A", "C")) == ((1L, 3L, 2L, 250000L, 500000L)), got)
+    assert(got(("B", "C")) == ((1L, 2L, 2L, 333333L, 500000L)), got)
+    assert(got.size == 3, got)
+  }
 }
