@@ -12314,5 +12314,139 @@ object TdpQueries {
              |FROM aup JOIN aun a ON a.event_type = type_a
              |JOIN aun b ON b.event_type = type_b
              |ORDER BY type_a, type_b""".stripMargin)),
+
+    // GLOBAL TRANSITIVITY of the near-dup graph: 3·triangles / wedges —
+    // the over-merge risk number for CC-based dedup clustering. An open
+    // wedge (A~B~C with A≁C) is exactly the chain that makes a connected
+    // component larger than any pairwise-similar set; a transitivity
+    // near 1 says components ≈ cliques (safe to collapse), near 0 says
+    // chaining dominates and the keeper policy needs within-cluster
+    // verification (tdp_cluster_keep_best). Scale shape: the wedge count
+    // needs NO join — it is Σ C(deg,2), one DECIMAL moment off the
+    // degree frame; triangles use the degree-ordered orientation (the
+    // tdp_triangle_count device: every out-neighborhood O(√m), wedge
+    // fan-out O(m^1.5) worst case regardless of skew, closing check a
+    // semi-join) over the EXACT pair frame. Output is one row.
+    QueryDef(
+      "tdp_transitivity",
+      (s, dir) => {
+        val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+        val sym = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"),
+            col("doc_a").as("dst")))
+        val deg = sym.groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("deg"))
+        val wedges = deg.agg(expr(
+          "CAST(sum((CAST(deg AS DECIMAL(38,0)) * (deg - 1)) div 2)" +
+            " AS BIGINT)").as("n_wedges"))
+        val pd2 = pairs
+          .join(deg.select(col("v").as("doc_a"), col("deg").as("da")),
+            "doc_a")
+          .join(deg.select(col("v").as("doc_b"), col("deg").as("db")),
+            "doc_b")
+        val fwd = col("da") < col("db") ||
+          (col("da") === col("db") && col("doc_a") < col("doc_b"))
+        val oriented = pd2.select(
+          when(fwd, col("doc_a")).otherwise(col("doc_b")).as("src"),
+          when(fwd, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+          when(fwd, col("db")).otherwise(col("da")).as("ddst"))
+        val tri = oriented.as("a")
+          .join(oriented.as("b"), col("a.src") === col("b.src") &&
+            (col("a.ddst") < col("b.ddst") ||
+              (col("a.ddst") === col("b.ddst")
+                && col("a.dst") < col("b.dst"))))
+          .select(col("a.dst").as("v"), col("b.dst").as("w"))
+          .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+            Seq("v", "w"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
+        nEdges.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+          .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+            expr("CASE WHEN n_wedges > 0 THEN" +
+              " CAST((CAST(n_triangles AS DECIMAL(38,0)) * 3 * 1000000)" +
+              " div n_wedges AS BIGINT) END").as("transitivity_micro"),
+            (col("n_wedges") - col("n_triangles") * 3).as("open_wedges"))
+      },
+      Some(s"""WITH $docsShinglesSql,
+              |$ngramPairsSqlCtes,
+              |tred AS MATERIALIZED (
+              |  SELECT doc_a AS src, doc_b AS dst FROM jp
+              |  UNION ALL SELECT doc_b, doc_a FROM jp),
+              |trdg AS MATERIALIZED (
+              |  SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+              |  FROM tred GROUP BY 1),
+              |trwg AS (
+              |  SELECT CAST(sum((CAST(deg AS HUGEINT) * (deg - 1)) // 2)
+              |    AS BIGINT) AS n_wedges
+              |  FROM trdg),
+              |tror AS MATERIALIZED (
+              |  SELECT CASE WHEN da.deg < db.deg
+              |      OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+              |    THEN p.doc_a ELSE p.doc_b END AS src,
+              |    CASE WHEN da.deg < db.deg
+              |      OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+              |    THEN p.doc_b ELSE p.doc_a END AS dst,
+              |    CASE WHEN da.deg < db.deg
+              |      OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+              |    THEN db.deg ELSE da.deg END AS ddst
+              |  FROM jp p
+              |  JOIN trdg da ON da.v = p.doc_a
+              |  JOIN trdg db ON db.v = p.doc_b),
+              |trtr AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              |  FROM (
+              |    SELECT a.dst AS v, b.dst AS w
+              |    FROM tror a JOIN tror b ON a.src = b.src
+              |      AND (a.ddst < b.ddst
+              |        OR (a.ddst = b.ddst AND a.dst < b.dst))) wdg
+              |  WHERE EXISTS (SELECT 1 FROM tror o
+              |    WHERE o.src = wdg.v AND o.dst = wdg.w)),
+              |tren AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM jp)
+              |SELECT e.n_edges, w.n_wedges, t.n_triangles,
+              |  CASE WHEN w.n_wedges > 0 THEN
+              |    CAST((CAST(t.n_triangles AS HUGEINT) * 3 * 1000000)
+              |      // w.n_wedges AS BIGINT) END AS transitivity_micro,
+              |  w.n_wedges - t.n_triangles * 3 AS open_wedges
+              |FROM tren e, trwg w, trtr t""".stripMargin)),
+
+    // EMBEDDING ASSIGNMENT-QUALITY HISTOGRAM: permille bands of every
+    // vector's best-centroid cosine — the "how well does the coarse
+    // index hold the space" profile whose low tail IS the outlier set
+    // (vectors far from every centroid: candidates for new clusters, or
+    // junk). Scale shape: rides the memoized top-2 IVF assignment (no
+    // new centroid pass); the banding is floor(sim·1000) — multiply and
+    // floor are EXACT IEEE ops on bit-identical sims (left-fold dots,
+    // correctly-rounded sqrt/div), so unlike the ln families there is no
+    // cross-engine boundary risk; the histogram is a ≤2001-row
+    // aggregate with broadcast total attach.
+    QueryDef(
+      "tdp_emb_outliers",
+      (s, dir) => {
+        val a1 = ivfAssign2(s, dir).filter(col("probe") === 1)
+        val tot = a1.agg(count(lit(1)).as("n_total"))
+        a1.withColumn("band", expr("CAST(floor(sim * 1000) AS BIGINT)"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_vecs"),
+            min("sim").as("min_sim"), max("sim").as("max_sim"))
+          .crossJoin(broadcast(tot))
+          .select(col("band"), col("n_vecs"),
+            expr("CAST((CAST(n_vecs AS DECIMAL(38,0)) * 1000000)" +
+              " div n_total AS BIGINT)").as("share_micro"),
+            col("min_sim"), col("max_sim"))
+          .orderBy("band")
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |eo1 AS (
+              |  SELECT CAST(floor(sim * 1000) AS BIGINT) AS band, sim
+              |  FROM assigned2 WHERE probe = 1),
+              |eot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM eo1)
+              |SELECT band, CAST(count(*) AS BIGINT) AS n_vecs,
+              |  CAST((CAST(count(*) AS HUGEINT) * 1000000) // t.n_total
+              |    AS BIGINT) AS share_micro,
+              |  min(sim) AS min_sim, max(sim) AS max_sim
+              |FROM eo1, eot t GROUP BY band, t.n_total
+              |ORDER BY band""".stripMargin)),
   )
 }

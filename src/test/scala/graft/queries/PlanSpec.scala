@@ -654,6 +654,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("transitivity: 1-row result, joinless wedge moment, no cartesian") {
+    val df = Registry.queries("tdp_transitivity")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(df.count() == 1)
+  }
+
+  test("emb outliers: memoized assignment, bounded histogram") {
+    val df = Registry.queries("tdp_emb_outliers")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(df.count() <= 2001)
+  }
+
   test("set cover: K-row result, rounds behind lineage cuts") {
     val df = Registry.queries("tdp_set_cover")(spark, dir)
     // The greedy walk runs at build time (1-row argmax hops); the

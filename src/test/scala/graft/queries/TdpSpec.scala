@@ -2885,4 +2885,43 @@ class TdpSpec extends SparkSpec {
     assert(got(("B", "C")) == ((1L, 2L, 2L, 333333L, 500000L)), got)
     assert(got.size == 3, got)
   }
+
+  test("transitivity: wedge moments and oriented triangles replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_tr").toString
+    // Exact-Jaccard edges: 12 (0.5), 13 (0.5), 23 (0.2), 14 (0.2),
+    // 34 (0.2) -> degrees 3,2,3,2; wedges sum C(deg,2) = 3+1+3+1 = 8;
+    // triangles {1,2,3} and {1,3,4} -> transitivity 6/8, open 2.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d q"), (3L, "b c d e f"),
+      (4L, "c d e r s"))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_transitivity")(spark, dir).collect()
+    assert(got.length == 1, got.toSeq)
+    val r = got(0)
+    assert((r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"), r.getAs[Long]("transitivity_micro"),
+      r.getAs[Long]("open_wedges")) == ((5L, 8L, 2L, 750000L, 2L)), r)
+  }
+
+  test("emb outliers: bands partition the corpus and shares sum") {
+    // Consistency on the real sf0.001 embeddings: every vector lands in
+    // exactly one band, shares approach 10^6 (truncating divide loses
+    // < 1 micro per band), and band bounds hold min/max sims.
+    val dir = "/root/testdata/sf0.001"
+    val rows = Registry.queries("tdp_emb_outliers")(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    val nEmb = Registry.table(spark, dir, "embeddings").count()
+    assert(total == nEmb, (total, nEmb))
+    val shares = rows.map(_.getAs[Long]("share_micro")).sum
+    assert(shares <= 1000000L && shares > 1000000L - rows.length,
+      (shares, rows.length))
+    rows.foreach { r =>
+      val b = r.getAs[Long]("band")
+      assert(math.floor(r.getAs[Double]("min_sim") * 1000).toLong == b, r)
+      assert(math.floor(r.getAs[Double]("max_sim") * 1000).toLong == b, r)
+    }
+  }
 }
