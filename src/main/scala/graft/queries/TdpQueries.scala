@@ -12448,5 +12448,171 @@ object TdpQueries {
               |  min(sim) AS min_sim, max(sim) AS max_sim
               |FROM eo1, eot t GROUP BY band, t.n_total
               |ORDER BY band""".stripMargin)),
+
+    // CONVERSION LATENCY between the two dominant event types: of the
+    // users who ever did A (the most frequent type), how many later did
+    // B (the second), and how long did it take — q34_funnel's ordered
+    // steps turned into the rate + latency-band table a growth team
+    // reads. The A/B pick is deterministic (count DESC, name ASC) and
+    // stays IN-PLAN as a 2-row broadcast (the bm25 qterms device — a
+    // constant-partition window over the alphabet-sized count frame, no
+    // driver hop). Scale shape: two user-keyed min-reductions (map-side
+    // combined) and one user-keyed join; "later" is strictly sec >
+    // first_a, ties broken by the strict inequality identically in both
+    // engines; latency bands are a CASE ladder (no global sort, no
+    // quantile machinery); the output is ≤4 band rows with the
+    // conversion summary attached via broadcast 1-row aggregates.
+    QueryDef(
+      "tdp_conversion_latency",
+      (s, dir) => {
+        val ev = CoreQueries.eventsWithSec(s, dir)
+          .select("user_id", "event_type", "sec")
+        val cnt = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        val wRk = Window.partitionBy(pmod(col("cnt"), lit(1L)))
+          .orderBy(desc("cnt"), col("event_type"))
+        val top2 = cnt.withColumn("rk", row_number().over(wRk))
+          .filter(col("rk") <= 2).select("event_type", "rk")
+        val firstA = ev
+          .join(broadcast(top2.filter(col("rk") === 1)
+            .select("event_type")), "event_type")
+          .groupBy("user_id").agg(min("sec").as("ta"))
+        val firstB = ev
+          .join(broadcast(top2.filter(col("rk") === 2)
+            .select("event_type")), "event_type")
+          .join(firstA, "user_id")
+          .filter(col("sec") > col("ta"))
+          .groupBy("user_id").agg(min("sec").as("tb"), min("ta").as("ta"))
+        val nExp = firstA.agg(count(lit(1)).as("n_exposed"))
+        val nConv = firstB.agg(count(lit(1)).as("n_converted"))
+        firstB
+          .withColumn("band", expr(
+            "CASE WHEN tb - ta < 3600 THEN 'lt_1h'" +
+              " WHEN tb - ta < 86400 THEN 'lt_1d'" +
+              " WHEN tb - ta < 604800 THEN 'lt_7d'" +
+              " ELSE 'ge_7d' END"))
+          .groupBy("band").agg(count(lit(1)).as("n_users"))
+          .crossJoin(broadcast(nExp)).crossJoin(broadcast(nConv))
+          .select(col("band"), col("n_users"), col("n_exposed"),
+            col("n_converted"),
+            expr("CAST((CAST(n_converted AS DECIMAL(38,0)) * 1000000)" +
+              " div n_exposed AS BIGINT)").as("conv_micro"))
+          .orderBy("band")
+      },
+      Some("""WITH cle AS (
+             |  SELECT user_id, event_type,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |clc AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             |    row_number() OVER (ORDER BY count(*) DESC, event_type)
+             |      AS rk
+             |  FROM cle GROUP BY 1),
+             |cla AS (
+             |  SELECT user_id, min(sec) AS ta FROM cle
+             |  WHERE event_type = (SELECT event_type FROM clc WHERE rk = 1)
+             |  GROUP BY 1),
+             |clb AS (
+             |  SELECT e.user_id, min(e.sec) AS tb, min(a.ta) AS ta
+             |  FROM cle e JOIN cla a USING (user_id)
+             |  WHERE e.event_type =
+             |    (SELECT event_type FROM clc WHERE rk = 2)
+             |    AND e.sec > a.ta
+             |  GROUP BY 1),
+             |cln AS (SELECT CAST(count(*) AS BIGINT) AS n_exposed
+             |        FROM cla),
+             |clv AS (SELECT CAST(count(*) AS BIGINT) AS n_converted
+             |        FROM clb)
+             |SELECT CASE WHEN tb - ta < 3600 THEN 'lt_1h'
+             |    WHEN tb - ta < 86400 THEN 'lt_1d'
+             |    WHEN tb - ta < 604800 THEN 'lt_7d'
+             |    ELSE 'ge_7d' END AS band,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  n.n_exposed, v.n_converted,
+             |  CAST((CAST(v.n_converted AS HUGEINT) * 1000000)
+             |    // n.n_exposed AS BIGINT) AS conv_micro
+             |FROM clb, cln n, clv v
+             |GROUP BY 1, n.n_exposed, v.n_converted
+             |ORDER BY band""".stripMargin)),
+
+    // QUALITY DRIFT BY INGESTION DECILE: per doc_id-order decile (the
+    // ingestion-time proxy), scored-doc counts and exact integer-micro
+    // quality moments — "is the data getting worse as the crawl ages",
+    // read next to tdp_vocab_growth's novelty curve. Scale shape: ranks
+    // reuse the SAME memoized range-partitioned frame as vocab_growth
+    // (one materialization serves both queries; P-sized offset collect);
+    // per-doc quality floors to micro-units (multiply+floor are exact
+    // IEEE on the bit-identical quality doubles, no ln risk) and sums as
+    // DECIMAL(38,0); the decile census is a 10-row aggregate.
+    QueryDef(
+      "tdp_quality_by_decile",
+      (s, dir) => {
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val ranged = Registry.memo(s, dir, "tdp_vocab_ranged")(
+          docToks(s, dir)
+            .select(col("doc_id"),
+              size(col("toks")).cast(LongType).as("ntoks"))
+            .repartitionByRange(nPart, col("doc_id"))
+            .withColumn("pid", spark_partition_id()))
+        ranged.count()
+        val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val total = counts.map(_._2).sum
+        var acc = 0L
+        val offsets = counts.map { case (p, c) =>
+          val o = acc; acc += c; (p, o)
+        }.toSeq
+        val offDf = s.createDataFrame(offsets).toDF("pid", "off")
+        val wPid = Window.partitionBy("pid").orderBy("doc_id")
+        val ranks = ranged.join(broadcast(offDf), "pid")
+          .withColumn("rn",
+            row_number().over(wPid).cast(LongType) + col("off"))
+          .withColumn("decile",
+            expr(s"((rn - 1) * 10) div ${math.max(total, 1L)} + 1"))
+          .select("doc_id", "decile")
+        val q = qualityScored(s, dir)
+          .select(col("doc_id"),
+            expr("CAST(floor(quality * 1000000) AS BIGINT)")
+              .as("q_micro"))
+        ranks.join(q, Seq("doc_id"), "left")
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("q_micro")).as("n_scored"),
+            expr("CAST(sum(CAST(q_micro AS DECIMAL(38,0))) AS BIGINT)")
+              .as("sum_q_micro"),
+            min("q_micro").as("min_q_micro"),
+            max("q_micro").as("max_q_micro"))
+          .select(col("decile"), col("n_docs"), col("n_scored"),
+            col("sum_q_micro"), col("min_q_micro"), col("max_q_micro"),
+            expr("CASE WHEN n_scored > 0 THEN" +
+              " CAST(CAST(sum_q_micro AS DECIMAL(38,0)) div n_scored" +
+              " AS BIGINT) END").as("mean_q_micro"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH qdt AS (
+              |  SELECT doc_id,
+              |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+              |      AS rn,
+              |    CAST(count(*) OVER () AS BIGINT) AS total
+              |  FROM documents),
+              |qdd AS (
+              |  SELECT doc_id,
+              |    ((rn - 1) * 10) // greatest(total, 1) + 1 AS decile
+              |  FROM qdt),
+              |qdq AS (
+              |  SELECT doc_id,
+              |    CAST(floor(($qualitySql) * 1000000) AS BIGINT)
+              |      AS q_micro
+              |  FROM ($qualityPartsSql))
+              |SELECT d.decile, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(q.q_micro) AS BIGINT) AS n_scored,
+              |  CAST(sum(CAST(q.q_micro AS HUGEINT)) AS BIGINT)
+              |    AS sum_q_micro,
+              |  CAST(min(q.q_micro) AS BIGINT) AS min_q_micro,
+              |  CAST(max(q.q_micro) AS BIGINT) AS max_q_micro,
+              |  CASE WHEN count(q.q_micro) > 0 THEN
+              |    CAST(CAST(sum(CAST(q.q_micro AS HUGEINT)) AS HUGEINT)
+              |      // count(q.q_micro) AS BIGINT) END AS mean_q_micro
+              |FROM qdd d LEFT JOIN qdq q USING (doc_id)
+              |GROUP BY 1 ORDER BY decile""".stripMargin)),
   )
 }

@@ -668,6 +668,21 @@ class PlanSpec extends SparkSpec {
     assert(df.count() <= 2001)
   }
 
+  test("conversion latency: in-plan top-2 broadcast, no cartesian") {
+    val df = Registry.queries("tdp_conversion_latency")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(df.count() <= 4)
+  }
+
+  test("quality by decile: 10-row census off the shared ranked memo") {
+    val df = Registry.queries("tdp_quality_by_decile")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(df.count() <= 10)
+  }
+
   test("set cover: K-row result, rounds behind lineage cuts") {
     val df = Registry.queries("tdp_set_cover")(spark, dir)
     // The greedy walk runs at build time (1-row argmax hops); the

@@ -2924,4 +2924,54 @@ class TdpSpec extends SparkSpec {
       assert(math.floor(r.getAs[Double]("max_sim") * 1000).toLong == b, r)
     }
   }
+
+  test("conversion latency: strict-after funnel with banded lag") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_cl").toString
+    def ts(sec: Long): Long = sec * 1000000000L
+    // X and Y tie at 4 events -> X wins the name tiebreak. u1 converts
+    // in 100 s (lt_1h), u2 in 5000 s (lt_1d), u3 exposed-only, u4 did
+    // Y BEFORE X (not converted), u5 never did X (not exposed).
+    val ev = Seq(
+      (1L, ts(0), 1L, "X"), (2L, ts(100), 1L, "Y"),
+      (3L, ts(0), 2L, "X"), (4L, ts(5000), 2L, "Y"),
+      (5L, ts(0), 3L, "X"),
+      (6L, ts(0), 4L, "Y"), (7L, ts(10), 4L, "X"),
+      (8L, ts(0), 5L, "Y"))
+    ev.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Registry.queries("tdp_conversion_latency")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("band") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_exposed"),
+          r.getAs[Long]("n_converted"), r.getAs[Long]("conv_micro")))
+      .toMap
+    assert(got("lt_1h") == ((1L, 4L, 2L, 500000L)), got)
+    assert(got("lt_1d") == ((1L, 4L, 2L, 500000L)), got)
+    assert(got.size == 2, got)
+  }
+
+  test("quality by decile: micro-floored moments replay, gaps stay null") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_qd").toString
+    // 5 docs -> deciles 1,3,5,7,9. 'abcd' floors to 899999, 'ab..' to
+    // 600000; the empty doc (decile 5) is unscored: null moments.
+    val docs = Seq(
+      (1L, "abcd"), (2L, "ab.."), (3L, ""), (4L, "abcd"), (5L, "ab.."))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_quality_by_decile")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_scored"),
+          Option(r.getAs[java.lang.Long]("sum_q_micro")),
+          Option(r.getAs[java.lang.Long]("mean_q_micro")))).toMap
+    assert(got(1L) == ((1L, 1L, Some(899999L), Some(899999L))), got)
+    assert(got(3L) == ((1L, 1L, Some(600000L), Some(600000L))), got)
+    assert(got(5L) == ((1L, 0L, None, None)), got)
+    assert(got(7L) == ((1L, 1L, Some(899999L), Some(899999L))), got)
+    assert(got(9L) == ((1L, 1L, Some(600000L), Some(600000L))), got)
+    assert(got.size == 5, got)
+  }
 }
