@@ -12614,5 +12614,82 @@ object TdpQueries {
               |      // count(q.q_micro) AS BIGINT) END AS mean_q_micro
               |FROM qdd d LEFT JOIN qdq q USING (doc_id)
               |GROUP BY 1 ORDER BY decile""".stripMargin)),
+
+    // DEDUP SAVINGS CENSUS: what the min-id keeper policy actually
+    // deletes — dropped docs, dropped characters, dropped tokens, and
+    // their corpus shares — the headline number on a dedup dashboard,
+    // read beside tdp_dup_rate (cluster counts) and
+    // tdp_quality_dup_profile (did we keep the good copy). Scale shape:
+    // rides the memoized duplicate-cluster frame (is_kept is already
+    // materialized there); one doc-keyed join to the pruned
+    // (n_chars, ntoks) projection; ONE map-side-combined 1-row reduce
+    // with DECIMAL(38,0)/HUGEINT sums; shares are truncating micro
+    // divides over non-negative integers.
+    QueryDef(
+      "tdp_dedup_savings",
+      (s, dir) => {
+        val sizes = table(s, dir, "documents").select("doc_id", "n_chars")
+          .join(docToks(s, dir).select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("ntoks")), "doc_id")
+        dupClusters(s, dir).select("doc_id", "is_kept")
+          .join(sizes, "doc_id")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END)" +
+              " AS BIGINT)").as("n_dropped"),
+            expr("CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT)")
+              .as("total_chars"),
+            expr("CAST(sum(CASE WHEN is_kept THEN CAST(0 AS" +
+              " DECIMAL(38,0)) ELSE CAST(n_chars AS DECIMAL(38,0)) END)" +
+              " AS BIGINT)").as("dropped_chars"),
+            expr("CAST(sum(CAST(ntoks AS DECIMAL(38,0))) AS BIGINT)")
+              .as("total_tokens"),
+            expr("CAST(sum(CASE WHEN is_kept THEN CAST(0 AS" +
+              " DECIMAL(38,0)) ELSE CAST(ntoks AS DECIMAL(38,0)) END)" +
+              " AS BIGINT)").as("dropped_tokens"))
+          .select(col("n_docs"), col("n_dropped"), col("total_chars"),
+            col("dropped_chars"), col("total_tokens"),
+            col("dropped_tokens"),
+            expr("CAST((CAST(n_dropped AS DECIMAL(38,0)) * 1000000)" +
+              " div n_docs AS BIGINT)").as("doc_save_micro"),
+            expr("CASE WHEN total_chars > 0 THEN" +
+              " CAST((CAST(dropped_chars AS DECIMAL(38,0)) * 1000000)" +
+              " div total_chars AS BIGINT) END").as("char_save_micro"),
+            expr("CASE WHEN total_tokens > 0 THEN" +
+              " CAST((CAST(dropped_tokens AS DECIMAL(38,0)) * 1000000)" +
+              " div total_tokens AS BIGINT) END").as("token_save_micro"))
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |dsk AS (
+              |  SELECT d.doc_id, d.n_chars,
+              |    CAST(len(list_filter(regexp_split_to_array(d.text,
+              |      '\\s+'), x -> x <> '')) AS BIGINT) AS ntoks,
+              |    (d.doc_id = c.cluster_id) AS is_kept
+              |  FROM documents d JOIN cc c USING (doc_id)),
+              |dsa AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END)
+              |      AS BIGINT) AS n_dropped,
+              |    CAST(sum(CAST(n_chars AS HUGEINT)) AS BIGINT)
+              |      AS total_chars,
+              |    CAST(sum(CASE WHEN is_kept THEN 0
+              |      ELSE CAST(n_chars AS HUGEINT) END) AS BIGINT)
+              |      AS dropped_chars,
+              |    CAST(sum(CAST(ntoks AS HUGEINT)) AS BIGINT)
+              |      AS total_tokens,
+              |    CAST(sum(CASE WHEN is_kept THEN 0
+              |      ELSE CAST(ntoks AS HUGEINT) END) AS BIGINT)
+              |      AS dropped_tokens
+              |  FROM dsk)
+              |SELECT n_docs, n_dropped, total_chars, dropped_chars,
+              |  total_tokens, dropped_tokens,
+              |  CAST((CAST(n_dropped AS HUGEINT) * 1000000) // n_docs
+              |    AS BIGINT) AS doc_save_micro,
+              |  CASE WHEN total_chars > 0 THEN
+              |    CAST((CAST(dropped_chars AS HUGEINT) * 1000000)
+              |      // total_chars AS BIGINT) END AS char_save_micro,
+              |  CASE WHEN total_tokens > 0 THEN
+              |    CAST((CAST(dropped_tokens AS HUGEINT) * 1000000)
+              |      // total_tokens AS BIGINT) END AS token_save_micro
+              |FROM dsa""".stripMargin)),
   )
 }

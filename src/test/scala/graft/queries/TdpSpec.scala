@@ -2974,4 +2974,25 @@ class TdpSpec extends SparkSpec {
     assert(got(9L) == ((1L, 1L, Some(600000L), Some(600000L))), got)
     assert(got.size == 5, got)
   }
+
+  test("dedup savings: dropped docs/chars/tokens replay by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_dv").toString
+    // Docs 1,2 clones (keeper 1), doc 3 singleton. Dropped: doc 2 =
+    // 9 chars, 5 tokens of totals 27/15 -> every share 333333.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_dedup_savings")(spark, dir).collect()
+    assert(got.length == 1, got.toSeq)
+    val r = got(0)
+    assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"),
+      r.getAs[Long]("total_chars"), r.getAs[Long]("dropped_chars"),
+      r.getAs[Long]("total_tokens"), r.getAs[Long]("dropped_tokens"),
+      r.getAs[Long]("doc_save_micro"), r.getAs[Long]("char_save_micro"),
+      r.getAs[Long]("token_save_micro")) ==
+      ((3L, 1L, 27L, 9L, 15L, 5L, 333333L, 333333L, 333333L)), r)
+  }
 }
