@@ -1120,6 +1120,50 @@ object TdpQueries {
     * pre-partitioned once on the vote key so every round shuffles only
     * the small labels frame.
     */
+  /** Markov stationary power iteration at a caller-chosen round count —
+    * the tdp_markov_stationary body, parameterized so
+    * MarkovFixpointSpec can publish the rounds-6 vs rounds-7 drift on
+    * the real corpus (the LpaConvergenceSpec pattern: fixed-round
+    * choices demonstrated slack, not argued).
+    */
+  private[queries] def markovStationary(
+      s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val ev = CoreQueries.eventsWithSec(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("sec"))
+    val wU = Window.partitionBy("user_id")
+      .orderBy(col("sec"), col("event_id"))
+    val tr = ev
+      .withColumn("prev_type", lag("event_type", 1).over(wU))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val trP = tr
+      .join(tr.groupBy("prev_type").agg(sum("n").as("row_total")),
+        "prev_type")
+    val marg = ev.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("c"))
+    var x = marg
+      .crossJoin(broadcast(marg.agg(sum("c").as("tot"))))
+      .select(col("t"),
+        expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000) div tot" +
+          " AS BIGINT)").as("x"))
+    for (_ <- 1 to rounds) {
+      x = cut(trP
+        .join(x.select(col("t").as("prev_type"), col("x")),
+          "prev_type")
+        .select(col("next_type").as("t"),
+          expr("CAST((CAST(x AS DECIMAL(38,0)) * n) div row_total" +
+            " AS BIGINT)").as("xc"))
+        .groupBy("t").agg(sum("xc").as("x")))
+    }
+    x.select(col("t").as("event_type"), col("x").as("stationary_micro"))
+      .orderBy(desc("stationary_micro"), col("event_type"))
+  }
+
   private[queries] def lpaLabels(
       s: SparkSession, dir: String, rounds: Int): DataFrame = {
     val pairs = lshPairs(s, dir)
@@ -11790,42 +11834,7 @@ object TdpQueries {
     // grading is exact regardless of convergence: rounds are fixed).
     QueryDef(
       "tdp_markov_stationary",
-      (s, dir) => {
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
-        val ev = CoreQueries.eventsWithSec(s, dir)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            col("sec"))
-        val wU = Window.partitionBy("user_id")
-          .orderBy(col("sec"), col("event_id"))
-        val tr = ev
-          .withColumn("prev_type", lag("event_type", 1).over(wU))
-          .filter(col("prev_type").isNotNull)
-          .groupBy(col("prev_type"), col("event_type").as("next_type"))
-          .agg(count(lit(1)).as("n"))
-        val trP = tr
-          .join(tr.groupBy("prev_type").agg(sum("n").as("row_total")),
-            "prev_type")
-        val marg = ev.groupBy(col("event_type").as("t"))
-          .agg(count(lit(1)).as("c"))
-        var x = marg
-          .crossJoin(broadcast(marg.agg(sum("c").as("tot"))))
-          .select(col("t"),
-            expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000) div tot" +
-              " AS BIGINT)").as("x"))
-        for (_ <- 1 to 6) {
-          x = cut(trP
-            .join(x.select(col("t").as("prev_type"), col("x")),
-              "prev_type")
-            .select(col("next_type").as("t"),
-              expr("CAST((CAST(x AS DECIMAL(38,0)) * n) div row_total" +
-                " AS BIGINT)").as("xc"))
-            .groupBy("t").agg(sum("xc").as("x")))
-        }
-        x.select(col("t").as("event_type"), col("x").as("stationary_micro"))
-          .orderBy(desc("stationary_micro"), col("event_type"))
-      },
+      (s, dir) => markovStationary(s, dir, rounds = 6),
       Some {
         val rounds = (1 to 6).map { k =>
           s"""msx$k AS (
