@@ -12700,5 +12700,54 @@ object TdpQueries {
               |    CAST((CAST(dropped_tokens AS HUGEINT) * 1000000)
               |      // total_tokens AS BIGINT) END AS token_save_micro
               |FROM dsa""".stripMargin)),
+
+    // IVF INDEX BALANCE: cell-population skew of the coarse quantizer —
+    // the index-health number an ANN deployment watches, because one
+    // hot cell sets the probe latency floor (a probe scans its whole
+    // cell) and empty cells are wasted list heads. Reports populated /
+    // empty cell counts, min/max/mean population, and the imbalance
+    // factor max/mean in exact micro-units (max·n_cells·10⁶ div n_vecs
+    // — no float mean). Scale shape: rides the memoized probe-1
+    // assignment (no new centroid pass); one map-side-combined
+    // per-cell count; a 1-row reduce. The nlist constant is compiled
+    // into both engines' plans.
+    QueryDef(
+      "tdp_ivf_balance",
+      (s, dir) => {
+        val cells = ivfAssign2(s, dir).filter(col("probe") === 1)
+          .groupBy("cluster").agg(count(lit(1)).as("csz"))
+        cells.agg(count(lit(1)).as("n_cells"),
+          expr("CAST(sum(CAST(csz AS DECIMAL(38,0))) AS BIGINT)")
+            .as("n_vecs"),
+          min("csz").as("min_cell"), max("csz").as("max_cell"))
+          .select(col("n_cells"),
+            (lit(IvfNlist.toLong) - col("n_cells")).as("n_empty_cells"),
+            col("n_vecs"), col("min_cell"), col("max_cell"),
+            expr("CAST(CAST(n_vecs AS DECIMAL(38,0)) div n_cells" +
+              " AS BIGINT)").as("mean_cell"),
+            expr("CASE WHEN n_vecs > 0 THEN" +
+              " CAST((CAST(max_cell AS DECIMAL(38,0)) * n_cells" +
+              " * 1000000) div n_vecs AS BIGINT) END")
+              .as("imbalance_micro"))
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |ibc AS (
+              |  SELECT cluster, CAST(count(*) AS BIGINT) AS csz
+              |  FROM assigned GROUP BY 1),
+              |iba AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+              |    CAST(sum(CAST(csz AS HUGEINT)) AS BIGINT) AS n_vecs,
+              |    CAST(min(csz) AS BIGINT) AS min_cell,
+              |    CAST(max(csz) AS BIGINT) AS max_cell
+              |  FROM ibc)
+              |SELECT n_cells, $IvfNlist - n_cells AS n_empty_cells,
+              |  n_vecs, min_cell, max_cell,
+              |  CAST(CAST(n_vecs AS HUGEINT) // n_cells AS BIGINT)
+              |    AS mean_cell,
+              |  CASE WHEN n_vecs > 0 THEN
+              |    CAST((CAST(max_cell AS HUGEINT) * n_cells * 1000000)
+              |      // n_vecs AS BIGINT) END AS imbalance_micro
+              |FROM iba""".stripMargin)),
   )
 }

@@ -690,6 +690,13 @@ class PlanSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("ivf balance: 1-row reduce off the memoized assignment") {
+    val df = Registry.queries("tdp_ivf_balance")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(df.count() == 1)
+  }
+
   test("set cover: K-row result, rounds behind lineage cuts") {
     val df = Registry.queries("tdp_set_cover")(spark, dir)
     // The greedy walk runs at build time (1-row argmax hops); the

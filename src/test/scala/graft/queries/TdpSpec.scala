@@ -2995,4 +2995,21 @@ class TdpSpec extends SparkSpec {
       r.getAs[Long]("token_save_micro")) ==
       ((3L, 1L, 27L, 9L, 15L, 5L, 333333L, 333333L, 333333L)), r)
   }
+
+  test("ivf balance: cells partition the corpus, imbalance >= 1") {
+    // Consistency on the real sf0.001 embeddings: populated + empty
+    // cells account for the nlist heads, every vector sits in exactly
+    // one cell, and max*n_cells >= n_vecs forces imbalance >= 10^6.
+    val dir = "/root/testdata/sf0.001"
+    val got = Registry.queries("tdp_ivf_balance")(spark, dir).collect()
+    assert(got.length == 1, got.toSeq)
+    val r = got(0)
+    val nEmb = Registry.table(spark, dir, "embeddings").count()
+    assert(r.getAs[Long]("n_vecs") == nEmb, r)
+    assert(r.getAs[Long]("n_cells") + r.getAs[Long]("n_empty_cells")
+      == 64L, r)
+    assert(r.getAs[Long]("min_cell") <= r.getAs[Long]("mean_cell")
+      && r.getAs[Long]("mean_cell") <= r.getAs[Long]("max_cell"), r)
+    assert(r.getAs[Long]("imbalance_micro") >= 1000000L, r)
+  }
 }
