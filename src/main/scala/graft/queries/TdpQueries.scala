@@ -12749,5 +12749,141 @@ object TdpQueries {
               |    CAST((CAST(max_cell AS HUGEINT) * n_cells * 1000000)
               |      // n_vecs AS BIGINT) END AS imbalance_micro
               |FROM iba""".stripMargin)),
+
+    // DUP-CLUSTER LANGUAGE PURITY: are near-dup clusters language-pure?
+    // A mixed-language cluster is either a translated template (real
+    // near-dup, keep one per lang?) or a hash-collision artifact — both
+    // need eyes before the keeper policy deletes across languages. One
+    // summary row: multi-clusters split pure/mixed, docs in each, and
+    // the mean majority-language share in exact micro-units. Scale
+    // shape: rides the memoized cluster frame; two map-side-combined
+    // counts ((cluster, lang) then cluster); the summary is a 1-row
+    // DECIMAL reduce. Cluster-count-sized frames only — the dup
+    // fraction, never the corpus.
+    QueryDef(
+      "tdp_cluster_purity",
+      (s, dir) => {
+        val multi = dupClusters(s, dir)
+          .filter(col("cluster_n") >= 2).select("doc_id", "cluster_id")
+          .join(table(s, dir, "documents").select("doc_id", "lang"),
+            "doc_id")
+        val perLang = multi.groupBy("cluster_id", "lang")
+          .agg(count(lit(1)).as("c"))
+        val perCluster = perLang.groupBy("cluster_id")
+          .agg(sum("c").as("n_members"), count(lit(1)).as("n_langs"),
+            max("c").as("maj"))
+          .withColumn("maj_share_micro", expr(
+            "CAST((CAST(maj AS DECIMAL(38,0)) * 1000000)" +
+              " div n_members AS BIGINT)"))
+        perCluster.agg(
+          count(lit(1)).as("n_multi_clusters"),
+          expr("CAST(sum(CASE WHEN n_langs = 1 THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as("pure_clusters"),
+          expr("CAST(sum(CASE WHEN n_langs = 1 THEN n_members ELSE 0" +
+            " END) AS BIGINT)").as("docs_in_pure"),
+          expr("CAST(sum(CASE WHEN n_langs > 1 THEN n_members ELSE 0" +
+            " END) AS BIGINT)").as("docs_in_mixed"),
+          expr("CASE WHEN count(1) > 0 THEN" +
+            " CAST(CAST(sum(CAST(maj_share_micro AS DECIMAL(38,0)))" +
+            " AS DECIMAL(38,0)) div count(1) AS BIGINT) END")
+            .as("mean_maj_share_micro"))
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |cpm AS (
+              |  SELECT c.cluster_id, d.lang
+              |  FROM cc c JOIN documents d USING (doc_id)
+              |  WHERE c.cluster_id IN (
+              |    SELECT cluster_id FROM cc
+              |    GROUP BY 1 HAVING count(*) >= 2)),
+              |cpl AS (
+              |  SELECT cluster_id, lang, CAST(count(*) AS BIGINT) AS c
+              |  FROM cpm GROUP BY 1, 2),
+              |cpc AS (
+              |  SELECT cluster_id, CAST(sum(c) AS BIGINT) AS n_members,
+              |    CAST(count(*) AS BIGINT) AS n_langs,
+              |    CAST(max(c) AS BIGINT) AS maj
+              |  FROM cpl GROUP BY 1),
+              |cps AS (
+              |  SELECT *, CAST((CAST(maj AS HUGEINT) * 1000000)
+              |    // n_members AS BIGINT) AS maj_share_micro
+              |  FROM cpc)
+              |SELECT CAST(count(*) AS BIGINT) AS n_multi_clusters,
+              |  CAST(sum(CASE WHEN n_langs = 1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS pure_clusters,
+              |  CAST(sum(CASE WHEN n_langs = 1 THEN n_members ELSE 0 END)
+              |    AS BIGINT) AS docs_in_pure,
+              |  CAST(sum(CASE WHEN n_langs > 1 THEN n_members ELSE 0 END)
+              |    AS BIGINT) AS docs_in_mixed,
+              |  CASE WHEN count(*) > 0 THEN
+              |    CAST(sum(CAST(maj_share_micro AS HUGEINT)) // count(*)
+              |      AS BIGINT) END AS mean_maj_share_micro
+              |FROM cps""".stripMargin)),
+
+    // HAPAX SHARE per source: what fraction of a source's token
+    // occurrences — and of its vocabulary — are corpus-wide hapax
+    // legomena (frequency exactly 1)? High hapax share means noisy or
+    // genuinely novel text (OCR junk and fresh domains look alike
+    // here); read beside tdp_vocab_growth's novelty curve and the Zipf
+    // tail. Scale shape: one (source, token) count off the shared
+    // tokenize scan; corpus frequencies are its token-keyed re-reduce;
+    // a frequency-1 token has by definition EXACTLY ONE (source, token)
+    // row, so the hapax attach is one vocab-bounded equi-join; output
+    // is alphabet-sized.
+    QueryDef(
+      "tdp_hapax_share",
+      (s, dir) => {
+        val ex = table(s, dir, "documents").select("doc_id", "source")
+          .join(docToks(s, dir)
+            .select(col("doc_id"), explode(col("toks")).as("tok")),
+            "doc_id")
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val hapax = ex.groupBy("tok").agg(sum("c").as("freq"))
+          .filter(col("freq") === 1).select("tok")
+        val per = ex.groupBy("source")
+          .agg(expr("CAST(sum(CAST(c AS DECIMAL(38,0))) AS BIGINT)")
+            .as("n_tokens"),
+            count(lit(1)).as("vocab_size"))
+        val hp = ex.join(hapax, "tok")
+          .groupBy("source").agg(count(lit(1)).as("n_hapax"))
+        per.join(hp, Seq("source"), "left")
+          .select(col("source"), col("n_tokens"), col("vocab_size"),
+            coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+          .select(col("source"), col("n_tokens"), col("vocab_size"),
+            col("n_hapax"),
+            expr("CASE WHEN n_tokens > 0 THEN" +
+              " CAST((CAST(n_hapax AS DECIMAL(38,0)) * 1000000)" +
+              " div n_tokens AS BIGINT) END").as("hapax_occ_micro"),
+            expr("CASE WHEN vocab_size > 0 THEN" +
+              " CAST((CAST(n_hapax AS DECIMAL(38,0)) * 1000000)" +
+              " div vocab_size AS BIGINT) END").as("hapax_vocab_micro"))
+          .orderBy("source")
+      },
+      Some(s"""WITH hpx AS (
+              |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+              |  FROM (SELECT source, unnest($toksSql) AS tok
+              |        FROM documents)
+              |  GROUP BY 1, 2),
+              |hpf AS (
+              |  SELECT tok FROM (
+              |    SELECT tok, CAST(sum(c) AS BIGINT) AS freq
+              |    FROM hpx GROUP BY 1)
+              |  WHERE freq = 1),
+              |hpp AS (
+              |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |    CAST(count(*) AS BIGINT) AS vocab_size
+              |  FROM hpx GROUP BY 1),
+              |hph AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS n_hapax
+              |  FROM hpx JOIN hpf USING (tok) GROUP BY 1)
+              |SELECT p.source, p.n_tokens, p.vocab_size,
+              |  CAST(coalesce(h.n_hapax, 0) AS BIGINT) AS n_hapax,
+              |  CASE WHEN p.n_tokens > 0 THEN
+              |    CAST((CAST(coalesce(h.n_hapax, 0) AS HUGEINT) * 1000000)
+              |      // p.n_tokens AS BIGINT) END AS hapax_occ_micro,
+              |  CASE WHEN p.vocab_size > 0 THEN
+              |    CAST((CAST(coalesce(h.n_hapax, 0) AS HUGEINT) * 1000000)
+              |      // p.vocab_size AS BIGINT) END AS hapax_vocab_micro
+              |FROM hpp p LEFT JOIN hph h USING (source)
+              |ORDER BY source""".stripMargin)),
   )
 }

@@ -697,6 +697,20 @@ class PlanSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("cluster purity: 1-row summary off the memoized cluster frame") {
+    val df = Registry.queries("tdp_cluster_purity")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(df.count() == 1)
+  }
+
+  test("hapax share: vocab-bounded joins, partial aggregation") {
+    val df = Registry.queries("tdp_hapax_share")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("set cover: K-row result, rounds behind lineage cuts") {
     val df = Registry.queries("tdp_set_cover")(spark, dir)
     // The greedy walk runs at build time (1-row argmax hops); the

@@ -3012,4 +3012,44 @@ class TdpSpec extends SparkSpec {
       && r.getAs[Long]("mean_cell") <= r.getAs[Long]("max_cell"), r)
     assert(r.getAs[Long]("imbalance_micro") >= 1000000L, r)
   }
+
+  test("cluster purity: mixed-language cluster replays by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_cp").toString
+    // Cluster {1,2,3}: en,en,fr -> mixed, majority 2/3. Cluster {4,5}:
+    // both en -> pure. mean majority = (666666 + 1000000) div 2.
+    val docs = Seq(
+      (1L, "a b c d e", "en"), (2L, "a b c d e", "en"),
+      (3L, "a b c d e", "fr"),
+      (4L, "x y z w v", "en"), (5L, "x y z w v", "en"))
+    docs.map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_cluster_purity")(spark, dir).collect()
+    assert(got.length == 1, got.toSeq)
+    val r = got(0)
+    assert((r.getAs[Long]("n_multi_clusters"),
+      r.getAs[Long]("pure_clusters"), r.getAs[Long]("docs_in_pure"),
+      r.getAs[Long]("docs_in_mixed"),
+      r.getAs[Long]("mean_maj_share_micro")) ==
+      ((2L, 1L, 2L, 3L, 833333L)), r)
+  }
+
+  test("hapax share: corpus-frequency-1 tokens attribute to sources") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_hx").toString
+    // s1: 'a b a' (freqs a=2 local). s2: 'b c'. Corpus freq a=2, b=2,
+    // c=1 -> hapax {c}, owned by s2.
+    val docs = Seq((1L, "a b a", "s1"), (2L, "b c", "s2"))
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_hapax_share")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab_size"),
+          r.getAs[Long]("n_hapax"), r.getAs[Long]("hapax_occ_micro"),
+          r.getAs[Long]("hapax_vocab_micro"))).toMap
+    assert(got("s1") == ((3L, 2L, 0L, 0L, 0L)), got)
+    assert(got("s2") == ((2L, 2L, 1L, 500000L, 500000L)), got)
+  }
 }
