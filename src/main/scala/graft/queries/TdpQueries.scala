@@ -12885,5 +12885,71 @@ object TdpQueries {
               |      // p.vocab_size AS BIGINT) END AS hapax_vocab_micro
               |FROM hpp p LEFT JOIN hph h USING (source)
               |ORDER BY source""".stripMargin)),
+
+    // LENGTH→QUALITY REGRESSION SLOPE: does quality rise or fall with
+    // document length? The least-squares slope of micro-quality on
+    // token count is a pure RATIONAL in integer moments —
+    // (nΣxy − ΣxΣy)·10⁶ div (nΣx² − (Σx)²) — so unlike Pearson r (whose
+    // denominator needs a sqrt) it grades exactly. The filter-design
+    // signal behind every "minimum length" curation rule: a negative
+    // slope says long docs trend WORSE and the Gopher-style length
+    // floor needs a ceiling too. Scale shape: one map-side-combined
+    // 1-row DECIMAL(38,0)/HUGEINT moment reduce over the joined
+    // (ntoks, q_micro) projection; sign-explicit truncating divide
+    // (slope and covariance can be negative); a constant-length corpus
+    // (zero denominator) yields NULL identically in both engines.
+    QueryDef(
+      "tdp_len_quality_slope",
+      (s, dir) => {
+        val pts = docToks(s, dir)
+          .select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("x"))
+          .join(qualityScored(s, dir).select(col("doc_id"),
+            expr("CAST(floor(quality * 1000000) AS BIGINT)").as("y")),
+            "doc_id")
+        pts.agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(x AS DECIMAL(38,0))) AS BIGINT)").as("sx"),
+          expr("CAST(sum(CAST(y AS DECIMAL(38,0))) AS BIGINT)").as("sy"),
+          expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS BIGINT)")
+            .as("sxx"),
+          expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS BIGINT)")
+            .as("sxy"))
+          .select(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+            expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx" +
+              " - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN NULL" +
+              " WHEN CAST(n AS DECIMAL(38,0)) * sxy" +
+              " - CAST(sx AS DECIMAL(38,0)) * sy >= 0 THEN" +
+              " CAST(((CAST(n AS DECIMAL(38,0)) * sxy" +
+              " - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000)" +
+              " div (CAST(n AS DECIMAL(38,0)) * sxx" +
+              " - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)" +
+              " ELSE -CAST((-(CAST(n AS DECIMAL(38,0)) * sxy" +
+              " - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000)" +
+              " div (CAST(n AS DECIMAL(38,0)) * sxx" +
+              " - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT) END")
+              .as("slope_micro_per_token"))
+      },
+      Some(s"""WITH lqp AS (
+              |  SELECT CAST(len($toksSql) AS BIGINT) AS x,
+              |    CAST(floor(($qualitySql) * 1000000) AS BIGINT) AS y
+              |  FROM ($qualityPartsSql)),
+              |lqa AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    sum(CAST(x AS HUGEINT)) AS sx,
+              |    sum(CAST(y AS HUGEINT)) AS sy,
+              |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+              |    sum(CAST(x AS HUGEINT) * y) AS sxy
+              |  FROM lqp)
+              |SELECT n, CAST(sx AS BIGINT) AS sx,
+              |  CAST(sy AS BIGINT) AS sy, CAST(sxx AS BIGINT) AS sxx,
+              |  CAST(sxy AS BIGINT) AS sxy,
+              |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              |    WHEN n * sxy - sx * sy >= 0 THEN
+              |      CAST(((n * sxy - sx * sy) * 1000000)
+              |        // (n * sxx - sx * sx) AS BIGINT)
+              |    ELSE -CAST((-(n * sxy - sx * sy) * 1000000)
+              |        // (n * sxx - sx * sx) AS BIGINT)
+              |  END AS slope_micro_per_token
+              |FROM lqa""".stripMargin)),
   )
 }

@@ -3052,4 +3052,24 @@ class TdpSpec extends SparkSpec {
     assert(got("s1") == ((3L, 2L, 0L, 0L, 0L)), got)
     assert(got("s2") == ((2L, 2L, 1L, 500000L, 500000L)), got)
   }
+
+  test("length-quality slope: rational least squares replays by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_lq").toString
+    // Points (tokens, micro-quality): (1, 899999), (2, 720000),
+    // (3, 540000) -> num = 3*3959999 - 6*2159999 = -1079997, den = 6,
+    // sign-split slope = -179999500000.
+    val docs = Seq((1L, "abcd"), (2L, "ab cd"), (3L, "a b c"))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_len_quality_slope")(spark, dir)
+      .collect()
+    assert(got.length == 1, got.toSeq)
+    val r = got(0)
+    assert((r.getAs[Long]("n"), r.getAs[Long]("sx"), r.getAs[Long]("sy"),
+      r.getAs[Long]("sxx"), r.getAs[Long]("sxy"),
+      r.getAs[Long]("slope_micro_per_token")) ==
+      ((3L, 6L, 2159999L, 14L, 3959999L, -179999500000L)), r)
+  }
 }
