@@ -1066,36 +1066,19 @@ object CoreQueries {
     QueryDef(
       "q41_null_semantics",
       (s, dir) => {
-        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val ranged = Registry.memo(s, dir, "q41_null_ranged")(
+        RangeRank.rankedBy(s, dir, "q41_null_ranged",
           table(s, dir, "customer").select(col("c_custkey"),
             expr("CASE WHEN c_custkey % 3 = 0 THEN NULL" +
               " ELSE c_custkey % 7 END").as("a"),
             expr("CASE WHEN c_custkey % 5 = 0 THEN NULL" +
-              " ELSE c_custkey % 7 END").as("b"))
-            .repartitionByRange(
-              nPart, col("a").asc_nulls_first, col("c_custkey"))
-            .withColumn("pid", spark_partition_id()))
-        // Persist is load-bearing: the offset collect and the rank join
-        // must observe one materialization of the range exchange (same
-        // contract as tdp_quality_buckets).
-        ranged.count()
-        val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        var acc = 0L
-        val offsets = counts.map { case (p, c) =>
-          val o = acc; acc += c; (p, o)
-        }.toSeq
-        val offDf = s.createDataFrame(offsets).toDF("pid", "off")
-        val wPid = Window.partitionBy("pid")
-          .orderBy(col("a").asc_nulls_first, col("c_custkey"))
-        ranged.join(broadcast(offDf), "pid")
+              " ELSE c_custkey % 7 END").as("b")),
+          Nil, Seq(col("a").asc_nulls_first, col("c_custkey")),
+          "rn_nulls_first").df
           .select(col("c_custkey"), col("a"), col("b"),
             expr("a <=> b").as("null_safe_eq"),
             coalesce(col("a"), col("b"), lit(-1L)).as("first_non_null"),
             expr("nullif(a, b)").as("null_if_equal"),
-            (row_number().over(wPid).cast(LongType) + col("off"))
-              .as("rn_nulls_first"))
+            col("rn_nulls_first"))
       },
       Some("""WITH d AS (
              |  SELECT c_custkey,

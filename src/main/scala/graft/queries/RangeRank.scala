@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The range-partition + P-sized-offset rank device, shared by every
+  * query that needs an EXACT global (or per-group) `row_number` /
+  * running sum without funneling a data-sized frame through one
+  * `WindowExec` task.
+  *
+  * Why not `Window.partitionBy(groupKeys).orderBy(...)` directly: Spark's
+  * `WindowExec` holds ALL rows of a window partition in a single task, so
+  * a window partitioned by a low-cardinality key (or by nothing) puts a
+  * data-sized frame on one core — the canonical 100 TB scale-killer.
+  * This device instead:
+  *
+  *   1. `repartitionByRange(P, groupKeys ++ orderCols)` — the one
+  *      corpus-sized exchange; every task then holds ~n/P rows and the
+  *      range boundaries respect the (group, order) lexicographic order,
+  *      so all rows of one group with smaller order keys land in
+  *      partitions <= those with larger (ties share a partition: the
+  *      range partitioner is a pure function of the sort key).
+  *   2. Persist + force the ranged frame (LOAD-BEARING: the offset
+  *      collect below and the rank join must observe the SAME
+  *      `spark_partition_id` values, which only holds if both actions
+  *      read one materialization of the range exchange).
+  *   3. Collect per-(partition, group) subtotals — at most P + |groups|
+  *      rows, because range partitioning keeps each group contiguous:
+  *      a P-sized driver hop, never data-sized.
+  *   4. Broadcast cumulative offsets back and rank with a window
+  *      partitioned by (physical partition id, group): each window
+  *      partition is a SLICE of one range partition, bounded by ~n/P
+  *      regardless of group skew — a mega-source spreads over many
+  *      tasks instead of serializing on one.
+  *
+  * Group key columns must be non-null (the offset join is an equi-join
+  * on them); order columns may carry any `SortOrder` including
+  * `asc_nulls_first`/`desc`.
+  */
+object RangeRank {
+
+  /** A ranked/prefix-summed frame plus its total (row count for ranks,
+    * weight sum for prefix sums) — already computed from the P-sized
+    * offset collect, so callers never pay a second pass for it.
+    */
+  final case class Ranked(df: DataFrame, total: Long)
+
+  /** Exact 1-based `row_number` over `orderCols`, per `partKeys` group
+    * (global when `partKeys` is empty), appended as `rankName`. All of
+    * `df`'s columns are preserved.
+    */
+  def rankedBy(
+      s: SparkSession,
+      dir: String,
+      memoKey: String,
+      df: DataFrame,
+      partKeys: Seq[String],
+      orderCols: Seq[Column],
+      rankName: String): Ranked =
+    device(s, dir, memoKey, df, partKeys, orderCols,
+      count(lit(1)).cast(LongType), rankName) { (w, off) =>
+      row_number().over(w).cast(LongType) + off
+    }
+
+  /** Exact EXCLUSIVE running sum of `weight` over `orderCols`, per
+    * `partKeys` group (global when empty), appended as `sumName`:
+    * row k gets sum(weight) over rows 1..k-1 in order (0 for the first).
+    */
+  def prefixSum(
+      s: SparkSession,
+      dir: String,
+      memoKey: String,
+      df: DataFrame,
+      partKeys: Seq[String],
+      orderCols: Seq[Column],
+      weight: Column,
+      sumName: String): Ranked =
+    device(s, dir, memoKey, df, partKeys, orderCols,
+      sum(weight).cast(LongType), sumName) { (w, off) =>
+      coalesce(
+        sum(weight).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + off
+    }
+
+  private def device(
+      s: SparkSession,
+      dir: String,
+      memoKey: String,
+      df: DataFrame,
+      partKeys: Seq[String],
+      orderCols: Seq[Column],
+      perPidAgg: Column,
+      outName: String)(
+      mk: (org.apache.spark.sql.expressions.WindowSpec, Column) => Column)
+      : Ranked = {
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val rangeCols = partKeys.map(col) ++ orderCols
+    val ranged = Registry.memo(s, dir, memoKey)(
+      df.repartitionByRange(nPart, rangeCols: _*)
+        .withColumn("gr_pid", spark_partition_id()))
+    ranged.count() // load-bearing: pin partition ids (see object doc)
+    val grpCols = col("gr_pid") +: partKeys.map(col)
+    val counted = ranged.groupBy(grpCols: _*).agg(perPidAgg.as("gr_c"))
+    val rows = counted.collect()
+    val kIdx = 1 to partKeys.size
+    val cIdx = partKeys.size + 1
+    var total = 0L
+    // per-group cumulative offsets in partition-id order; range
+    // partitioning keeps each group contiguous, so |rows| <= P + groups.
+    val offRows = rows
+      .groupBy(r => kIdx.map(r.get).toList).toSeq
+      .flatMap { case (_, rs) =>
+        var acc = 0L
+        rs.sortBy(_.getInt(0)).map { r =>
+          val c = if (r.isNullAt(cIdx)) 0L else r.getLong(cIdx)
+          val o = acc
+          acc += c
+          total += c
+          Row.fromSeq(r.getInt(0) +: kIdx.map(r.get) :+ o)
+        }
+      }
+    val offSchema = StructType(
+      StructField("gr_pid", IntegerType, nullable = false) +:
+        partKeys.map(k => counted.schema(k)) :+
+        StructField("gr_off", LongType, nullable = false))
+    val offDf = s.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava, offSchema)
+    val w = Window
+      .partitionBy(grpCols: _*)
+      .orderBy(orderCols: _*)
+    val out = ranged
+      .join(broadcast(offDf), "gr_pid" +: partKeys)
+      .withColumn(outName, mk(w, col("gr_off")))
+      .drop("gr_pid", "gr_off")
+    Ranked(out, total)
+  }
+}

@@ -925,7 +925,8 @@ object TdpQueries {
     val freqZ = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
     val zipfRankV = freqZ
       .withColumn("rn", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(desc("freq"), col("tok")))
+        Window.partitionBy(pmod(col("freq"), lit(1L)))
+          .orderBy(desc("freq"), col("tok")))
         .cast(LongType))
       .select((log(col("rn").cast(DoubleType)) * lit(1000000.0)).as("v"))
     val zipfFreqV = freqZ.select("freq").distinct()
@@ -942,7 +943,7 @@ object TdpQueries {
     val usage1 = uniUsage(uniFin1(s, dir))
     val wMeta = inv1.join(usage1, Seq("piece"), "left")
       .withColumn("usage", coalesce(col("usage"), lit(0L)))
-    val wOne = Window.partitionBy(lit(0))
+    val wOne = Window.partitionBy(pmod(col("usage"), lit(1L)))
     val keepMulti = wMeta.filter(length(col("piece")) > 1)
       .withColumn("rk", row_number()
         .over(wOne.orderBy(col("usage").asc, col("piece"))).cast(LongType))
@@ -3911,33 +3912,11 @@ object TdpQueries {
     QueryDef(
       "tdp_quality_buckets",
       (s, dir) => {
-        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val ranged = Registry.memo(s, dir, "tdp_quality_ranged")(
-          qualityScored(s, dir)
-            .select("doc_id", "quality")
-            .repartitionByRange(nPart, desc("quality"), col("doc_id"))
-            .withColumn("pid", spark_partition_id()))
-        // The persist above is LOAD-BEARING for correctness, not just a
-        // perf memo: the per-pid counts collected below and the later
-        // rank join must observe the SAME spark_partition_id values, which
-        // only holds if both actions read one materialization of the range
-        // exchange. Force it before the first collect so a future
-        // cache-policy change can't silently split the two scans.
-        ranged.count()
-        // P rows of (partition id, row count) -> cumulative rank offsets.
-        val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        val total = counts.map(_._2).sum
-        var acc = 0L
-        val offsets = counts.map { case (p, c) =>
-          val o = acc; acc += c; (p, o)
-        }.toSeq
-        val offDf = s.createDataFrame(offsets).toDF("pid", "off")
-        val wPid =
-          Window.partitionBy("pid").orderBy(desc("quality"), col("doc_id"))
-        ranged.join(broadcast(offDf), "pid")
-          .withColumn("rn",
-            row_number().over(wPid).cast(LongType) + col("off"))
+        val rk = RangeRank.rankedBy(s, dir, "tdp_quality_ranged",
+          qualityScored(s, dir).select("doc_id", "quality"),
+          Nil, Seq(desc("quality"), col("doc_id")), "rn")
+        val total = rk.total
+        rk.df
           .withColumn("bucket",
             when(col("rn") * 3 <= total, "head")
               .when(col("rn") * 3 <= total * 2, "middle")
@@ -4607,27 +4586,10 @@ object TdpQueries {
       "tdp_seq_packing",
       (s, dir) => {
         val W = 64L
-        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val ranged = Registry.memo(s, dir, "tdp_pack_ranged")(
+        RangeRank.prefixSum(s, dir, "tdp_pack_ranged",
           docToks(s, dir)
-            .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
-            .repartitionByRange(nPart, col("doc_id"))
-            .withColumn("pid", spark_partition_id()))
-        // LOAD-BEARING materialization (same contract as the quality-rank
-        // frame): the per-pid subtotals collected below and the window
-        // pass must observe one materialization of the range exchange.
-        ranged.count()
-        val sub = ranged.groupBy("pid")
-          .agg(sum("n_toks").as("t")).collect()
-          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        var acc = 0L
-        val offsets = sub.map { case (p, t) => val o = acc; acc += t; (p, o) }
-        val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
-        val wPid = Window.partitionBy("pid").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        ranged.join(broadcast(offDf), "pid")
-          .withColumn("start",
-            coalesce(sum("n_toks").over(wPid), lit(0L)) + col("off"))
+            .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks")),
+          Nil, Seq(col("doc_id")), col("n_toks"), "start").df
           .withColumn("split",
             col("n_toks") > 0L &&
               expr(s"start div $W") =!= expr(s"(start + n_toks - 1) div $W"))
@@ -4837,26 +4799,9 @@ object TdpQueries {
         val freq = docToks(s, dir)
           .select(explode(col("toks")).as("token"))
           .groupBy("token").agg(count(lit(1)).as("freq"))
-        val ranged = Registry.memo(s, dir, "tdp_zipf_ranged")(
-          freq.repartitionByRange(nPart, desc("freq"), col("token"))
-            .withColumn("pid", spark_partition_id()))
-        // Load-bearing materialization, exactly as in tdp_quality_buckets:
-        // the per-pid counts and the rank join must read ONE instance of
-        // the range exchange or partition ids could disagree.
-        ranged.count()
-        val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        var acc = 0L
-        val offsets = counts.map { case (p, c) =>
-          val o = acc; acc += c; (p, o)
-        }.toSeq
-        val offDf = s.createDataFrame(offsets).toDF("pid", "off")
-        val wPid =
-          Window.partitionBy("pid").orderBy(desc("freq"), col("token"))
         val dec = DecimalType(38, 0)
-        val xy = ranged.join(broadcast(offDf), "pid")
-          .withColumn("rn",
-            row_number().over(wPid).cast(LongType) + col("off"))
+        val xy = RangeRank.rankedBy(s, dir, "tdp_zipf_ranged", freq,
+          Nil, Seq(desc("freq"), col("token")), "rn").df
           .select(
             floor(log(col("rn").cast(DoubleType)) * lit(1000000.0))
               .cast(LongType).as("x"),
@@ -5014,30 +4959,15 @@ object TdpQueries {
     QueryDef(
       "tdp_budget_select",
       (s, dir) => {
-        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
         val toks = docToks(s, dir)
           .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
-        val ranged = Registry.memo(s, dir, "tdp_budget_ranged")(
+        val rk = RangeRank.prefixSum(s, dir, "tdp_budget_ranged",
           qualityScored(s, dir).select("doc_id", "quality")
-            .join(toks, "doc_id")
-            .repartitionByRange(nPart, desc("quality"), col("doc_id"))
-            .withColumn("pid", spark_partition_id()))
-        // LOAD-BEARING materialization: subtotal collect + window pass
-        // must read ONE materialization of the range exchange.
-        ranged.count()
-        val sub = ranged.groupBy("pid").agg(sum("n_toks").as("t")).collect()
-          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        val total = sub.map(_._2).sum
+            .join(toks, "doc_id"),
+          Nil, Seq(desc("quality"), col("doc_id")), col("n_toks"), "cum")
+        val total = rk.total
         val budget = total / 2
-        var acc = 0L
-        val offsets = sub.map { case (p, t) => val o = acc; acc += t; (p, o) }
-        val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
-        val wPid = Window.partitionBy("pid")
-          .orderBy(desc("quality"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        ranged.join(broadcast(offDf), "pid")
-          .withColumn("cum",
-            coalesce(sum("n_toks").over(wPid), lit(0L)) + col("off"))
+        rk.df
           .filter(col("cum") < budget)
           .agg(count(lit(1)).as("n_selected"),
             sum("n_toks").as("tokens_selected"),
@@ -5193,22 +5123,10 @@ object TdpQueries {
         val tk = docToks(s, dir)
           .select(col("doc_id"), size(col("toks")).cast(LongType).as("v"))
         def nearestRankMedian(df: DataFrame, key: String): DataFrame = {
-          val ranged = Registry.memo(s, dir, key)(
-            df.repartitionByRange(nPart, col("v"), col("doc_id"))
-              .withColumn("pid", spark_partition_id()))
-          ranged.count() // load-bearing: counts + rank join share one exchange
-          val cnts = ranged.groupBy("pid").agg(count(lit(1)).as("c")).collect()
-            .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-          val n = cnts.map(_._2).sum
-          val k = (n * 50 + 99) / 100 // q23's nearest-rank p50
-          var acc = 0L
-          val offs = cnts.map { case (p, c) => val o = acc; acc += c; (p, o) }
-          val offDf = s.createDataFrame(offs.toSeq).toDF("pid", "off")
-          val w = Window.partitionBy("pid").orderBy(col("v"), col("doc_id"))
-          ranged.join(broadcast(offDf), "pid")
-            .withColumn("rn", row_number().over(w).cast(LongType) + col("off"))
-            .filter(col("rn") === k)
-            .select(col("v").as("m"))
+          val rk = RangeRank.rankedBy(s, dir, key, df,
+            Nil, Seq(col("v"), col("doc_id")), "rn")
+          val k = (rk.total * 50 + 99) / 100 // q23's nearest-rank p50
+          rk.df.filter(col("rn") === k).select(col("v").as("m"))
         }
         val medDf = nearestRankMedian(tk, "tdp_len_ranged")
           .select(col("m").as("median_toks"))
@@ -6802,28 +6720,13 @@ object TdpQueries {
     QueryDef(
       "tdp_compaction_plan",
       (s, dir) => {
-        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val ranged = Registry.memo(s, dir, "tdp_compact_ranged")(
+        val rk = RangeRank.prefixSum(s, dir, "tdp_compact_ranged",
           table(s, dir, "documents")
             .select(expr("doc_id div 50").as("file_id"), col("n_chars"))
-            .groupBy("file_id").agg(sum("n_chars").as("bytes"))
-            .repartitionByRange(nPart, col("file_id"))
-            .withColumn("pid", spark_partition_id()))
-        // LOAD-BEARING materialization: subtotal collect + window pass
-        // must read ONE materialization of the range exchange.
-        ranged.count()
-        val sub = ranged.groupBy("pid").agg(sum("bytes").as("b")).collect()
-          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        val total = sub.map(_._2).sum
-        val target = math.max(total / 8, 1L)
-        var acc = 0L
-        val offsets = sub.map { case (p, b) => val o = acc; acc += b; (p, o) }
-        val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
-        val wPid = Window.partitionBy("pid").orderBy("file_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        ranged.join(broadcast(offDf), "pid")
-          .withColumn("cumb",
-            coalesce(sum("bytes").over(wPid), lit(0L)) + col("off"))
+            .groupBy("file_id").agg(sum("n_chars").as("bytes")),
+          Nil, Seq(col("file_id")), col("bytes"), "cumb")
+        val target = math.max(rk.total / 8, 1L)
+        rk.df
           .withColumn("bin", expr(s"cumb div ${target}L"))
           .groupBy("bin")
           .agg(count(lit(1)).as("n_files"), sum("bytes").as("bytes_total"))
@@ -10435,7 +10338,7 @@ object TdpQueries {
         val usage1 = uniUsage(uniFin1(s, dir))
         val wMeta = uniPieceCnt(s, dir).join(usage1, Seq("piece"), "left")
           .withColumn("usage", coalesce(col("usage"), lit(0L)))
-        val wOne = Window.partitionBy(lit(0))
+        val wOne = Window.partitionBy(pmod(col("usage"), lit(1L)))
         val keepMulti = wMeta.filter(length(col("piece")) > 1)
           .withColumn("rk", row_number()
             .over(wOne.orderBy(col("usage").asc, col("piece")))
@@ -11164,9 +11067,13 @@ object TdpQueries {
     // histogram — cumulated on the constant-partition window device and
     // carried to every row as ONE broadcast array of (cum, v) structs;
     // the per-doc probe is a codegen'd filter-first over that array,
-    // never a join. Within-source ranks are per-source windows (the one
-    // corpus-sized shuffle; at 100 TB a skewed mega-source range-sorts
-    // within its partition set — rank semantics unchanged). Target
+    // never a join. Within-source ranks come from the shared
+    // RangeRank device with source as the group key (range-partition
+    // on (source, permille, doc_id), P-sized offset collect,
+    // per-(partition, source) windows): every task ranks ~n/P rows, so
+    // a skewed mega-source spreads over many tasks instead of
+    // serializing through one WindowExec task the way a bare
+    // partitionBy("source") window would. Target
     // position p = 1 + ((r-1)(N-1)) div (n_s-1) in exact BIGINTs
     // (singleton sources take the global lower-median position);
     // norm = min grid value with cum >= p, identical to the oracle's
@@ -11181,19 +11088,21 @@ object TdpQueries {
           .select(col("doc_id"), col("source"),
             least(lit(1000L), greatest(lit(0L),
               floor(qualityScore * 1000).cast(LongType))).as("permille"))
-        val wSrc = Window.partitionBy("source")
-        val ranked = q
-          .withColumn("r", row_number()
-            .over(wSrc.orderBy("permille", "doc_id")).cast(LongType))
-          .withColumn("n_s", count(lit(1)).over(wSrc))
-        val nTot = q.agg(count(lit(1)).as("n"))
+        val rk = RangeRank.rankedBy(s, dir, "tdp_qnorm_ranged", q,
+          Seq("source"), Seq(col("permille"), col("doc_id")), "r")
+        // per-source sizes are alphabet-sized: aggregate the memoized
+        // ranged frame once and attach via broadcast, never a window.
+        val sizes = rk.df.groupBy("source").agg(count(lit(1)).as("n_s"))
+        val ranked = rk.df.join(broadcast(sizes), "source")
+          .withColumn("n", lit(rk.total))
         val harr = q.groupBy("permille").agg(count(lit(1)).as("c"))
           .withColumn("cum", sum("c").over(
-            Window.partitionBy(lit(0)).orderBy("permille")
+            Window.partitionBy(pmod(col("permille"), lit(1L)))
+              .orderBy("permille")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .agg(sort_array(collect_list(
             struct(col("cum"), col("permille").as("v")))).as("harr"))
-        ranked.crossJoin(broadcast(nTot)).crossJoin(broadcast(harr))
+        ranked.crossJoin(broadcast(harr))
           .withColumn("p", expr(
             "CASE WHEN n_s = 1 THEN (n + 1) div 2" +
               " ELSE 1 + ((r - 1) * (n - 1)) div (n_s - 1) END"))
@@ -11888,31 +11797,13 @@ object TdpQueries {
     QueryDef(
       "tdp_vocab_growth",
       (s, dir) => {
-        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
         val dt = docToks(s, dir)
-        // The persist is LOAD-BEARING (the quality-ranged precedent):
-        // the per-pid counts and the rank join must observe the SAME
-        // spark_partition_id values, which only holds if both actions
-        // read one materialization of the range exchange.
-        val ranged = Registry.memo(s, dir, "tdp_vocab_ranged")(
+        val rk = RangeRank.rankedBy(s, dir, "tdp_vocab_ranged",
           dt.select(col("doc_id"),
-            size(col("toks")).cast(LongType).as("ntoks"))
-            .repartitionByRange(nPart, col("doc_id"))
-            .withColumn("pid", spark_partition_id()))
-        ranged.count()
-        val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        val total = counts.map(_._2).sum
-        var acc = 0L
-        val offsets = counts.map { case (p, c) =>
-          val o = acc; acc += c; (p, o)
-        }.toSeq
-        val offDf = s.createDataFrame(offsets).toDF("pid", "off")
-        val wPid = Window.partitionBy("pid").orderBy("doc_id")
-        val rankedDocs = ranged.join(broadcast(offDf), "pid")
-          .withColumn("rn",
-            row_number().over(wPid).cast(LongType) + col("off"))
-          .select("doc_id", "ntoks", "rn")
+            size(col("toks")).cast(LongType).as("ntoks")),
+          Nil, Seq(col("doc_id")), "rn")
+        val total = rk.total
+        val rankedDocs = rk.df.select("doc_id", "ntoks", "rn")
         val firsts = dt
           .select(col("doc_id"), explode(col("toks")).as("tok"))
           .groupBy("tok").agg(min("doc_id").as("first_doc"))
@@ -12033,9 +11924,12 @@ object TdpQueries {
     // by virtual time (the deficit-round-robin device schedulers use):
     // doc k of source s is served at vtime = rank_s·10⁹ div w_s, so a
     // source with half the weight appears half as often, smoothly, with
-    // no RNG. Scale shape: ranks are ONE per-source window over a pruned
-    // 3-column frame (quality DESC, doc_id — the within-source
-    // curriculum); weights are the memoized temperature aggregates
+    // no RNG. Scale shape: within-source ranks come from the shared
+    // RangeRank device over a pruned 3-column frame (range-partition on
+    // (source, quality DESC, doc_id), P-sized offset collect,
+    // per-(partition, source) windows — never a bare per-source window,
+    // which would serialize a mega-source through one WindowExec
+    // task); weights are the memoized temperature aggregates
     // (alphabet-sized, broadcast); the published head is TakeOrdered(24)
     // — the full schedule is never materialized, a consumer reads it
     // lazily by vtime range. vtime stays in BIGINT while rank·10⁹ <
@@ -12047,10 +11941,8 @@ object TdpQueries {
         val src = table(s, dir, "documents").select("doc_id", "source")
         val q = qualityScored(s, dir).select("doc_id", "quality")
           .join(src, "doc_id")
-        val wSrc = Window.partitionBy("source")
-          .orderBy(desc("quality"), col("doc_id"))
-        val ranked = q.withColumn("rnk",
-          row_number().over(wSrc).cast(LongType))
+        val ranked = RangeRank.rankedBy(s, dir, "tdp_curr_ranged", q,
+          Seq("source"), Seq(desc("quality"), col("doc_id")), "rnk").df
         val toks = docToks(s, dir)
           .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
         val per = src.join(toks, Seq("doc_id"), "left")
@@ -12555,26 +12447,16 @@ object TdpQueries {
     QueryDef(
       "tdp_quality_by_decile",
       (s, dir) => {
-        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val ranged = Registry.memo(s, dir, "tdp_vocab_ranged")(
+        // Shares the memoized ranged frame with tdp_vocab_growth: the
+        // rankedBy call is identical (same memo key, same spec), so one
+        // materialization serves both queries.
+        val rk = RangeRank.rankedBy(s, dir, "tdp_vocab_ranged",
           docToks(s, dir)
             .select(col("doc_id"),
-              size(col("toks")).cast(LongType).as("ntoks"))
-            .repartitionByRange(nPart, col("doc_id"))
-            .withColumn("pid", spark_partition_id()))
-        ranged.count()
-        val counts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        val total = counts.map(_._2).sum
-        var acc = 0L
-        val offsets = counts.map { case (p, c) =>
-          val o = acc; acc += c; (p, o)
-        }.toSeq
-        val offDf = s.createDataFrame(offsets).toDF("pid", "off")
-        val wPid = Window.partitionBy("pid").orderBy("doc_id")
-        val ranks = ranged.join(broadcast(offDf), "pid")
-          .withColumn("rn",
-            row_number().over(wPid).cast(LongType) + col("off"))
+              size(col("toks")).cast(LongType).as("ntoks")),
+          Nil, Seq(col("doc_id")), "rn")
+        val total = rk.total
+        val ranks = rk.df
           .withColumn("decile",
             expr(s"((rn - 1) * 10) div ${math.max(total, 1L)} + 1"))
           .select("doc_id", "decile")

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Registry-wide window-plan lint: no query may plan a `Window` whose
+  * partitionSpec is empty or all-foldable — Spark's `WindowExec` then
+  * funnels the ENTIRE frame through one task (the "No Partition Defined"
+  * warning), the canonical 100 TB scale-killer. Bounded-frame global
+  * windows must ride the non-foldable constant-partition device
+  * (`pmod(col, lit(1L))`), and data-sized ranks must use the shared
+  * [[RangeRank]] range-partition + offset device. Nothing is whitelisted:
+  * a new query that trips this lint either bounds its frame through the
+  * pmod device (and documents WHY the frame is bounded) or ranks through
+  * RangeRank.
+  */
+class WindowLintSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def singleTaskWindows(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.collect {
+      case w: LogicalWindow if w.partitionSpec.forall(_.foldable) => w
+    }
+
+  test("lint control: a foldable constant partition key reads as single-task") {
+    import spark.implicits._
+    val bad = Seq(1, 2, 3).toDF("x").withColumn("rn",
+      row_number().over(Window.partitionBy(lit(0)).orderBy("x")))
+    assert(singleTaskWindows(bad.queryExecution.optimizedPlan).nonEmpty,
+      "control: lint failed to flag Window.partitionBy(lit(0))")
+    val good = Seq(1, 2, 3).toDF("x").withColumn("rn",
+      row_number().over(
+        Window.partitionBy(pmod(col("x"), lit(1L))).orderBy("x")))
+    assert(singleTaskWindows(good.queryExecution.optimizedPlan).isEmpty,
+      "control: lint wrongly flags the pmod constant-partition device")
+  }
+
+  test("no registered query plans a single-task window") {
+    val offenders = Registry.all.flatMap { q =>
+      val df =
+        try q.fn(spark, dir)
+        catch {
+          case e: Throwable => fail(s"${q.name}: build failed: $e")
+        }
+      if (singleTaskWindows(df.queryExecution.optimizedPlan).nonEmpty)
+        Seq(q.name)
+      else Nil
+    }
+    assert(offenders.isEmpty,
+      s"single-task (empty/foldable partitionSpec) windows in: " +
+        offenders.mkString(", "))
+  }
+
+  test("per-source ranks never ride a bare low-cardinality source window") {
+    // The r11 scale funnel: row_number over Window.partitionBy("source")
+    // puts every row of a mega-source through ONE WindowExec task. Both
+    // fixed queries must rank through RangeRank's (partition-id, source)
+    // windows instead — no Window in their lineage may be partitioned by
+    // the source key alone.
+    for (q <- Seq("tdp_quantile_norm", "tdp_curriculum_interleave")) {
+      val plan = Registry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      val bare = plan.collect {
+        case w: LogicalWindow
+            if w.partitionSpec.size == 1 &&
+              w.partitionSpec.head.references.map(_.name).toSet ==
+              Set("source") =>
+          w
+      }
+      assert(bare.isEmpty, s"$q: window partitioned by bare source key")
+    }
+  }
+}
