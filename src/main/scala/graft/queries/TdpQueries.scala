@@ -411,6 +411,124 @@ object TdpQueries {
         .select("q_id", "c_id", "rank", "sim")
     }
 
+  /** Directed k-NN graph (k=8) over the corpus for the HNSW-style
+    * layer-0 beam search: candidate pairs share at least one of each
+    * vector's TOP-2 probe buckets (the memoized [[ivfAssign2]] frame) —
+    * probe-2 overlap is what connects neighboring clusters, so the
+    * graph does not decompose into per-cluster islands the way a
+    * probe-1-only graph would (a beam from a global entry point could
+    * then never leave the entry's cluster). Candidate volume is
+    * Σ cell² over the doubled assignment, the family's standard bound;
+    * pairs dedupe BEFORE scoring so a pair sharing both buckets cannot
+    * occupy two of a vector's k slots.
+    */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_knn_graph") {
+      val e = embWithNorm(s, dir)
+      val wc2 = ivfAssign2(s, dir).select("vec_id", "cluster")
+      val cand = wc2.select(col("vec_id").as("src"), col("cluster"))
+        .join(wc2.select(col("vec_id").as("dst"), col("cluster")), Seq("cluster"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val w = Window.partitionBy("src").orderBy(desc("sim"), col("dst"))
+      cand
+        .join(e.select(col("vec_id").as("src"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm")), "src")
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("c_emb"),
+          col("norm").as("c_norm")), "dst")
+        .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .select("src", "dst")
+    }
+
+  /** The tdp_ann_beam oracle: the SAME generator that drives the Spark
+    * rounds unrolls the 3 beam hops as CTEs (the unigram-prune
+    * precedent), so the two engines cannot drift — graph, entry, pool
+    * union, top-4 rank and the per-hop census all replay verbatim.
+    */
+  private def annBeamOracle: String = {
+    val rounds = (1 to 3).map { h =>
+      s"""beam$h AS MATERIALIZED (
+         |  SELECT q_id, c_id, sim, rn FROM (
+         |    SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, c_id) AS rn FROM pool${h - 1})
+         |  WHERE rn <= 4),
+         |exp$h AS (
+         |  SELECT DISTINCT b.q_id, g.dst AS c_id
+         |  FROM beam$h b JOIN edges g ON g.src = b.c_id
+         |  WHERE g.dst <> b.q_id),
+         |sc$h AS (
+         |  SELECT x.q_id, x.c_id, ($dotSql) / (q.norm * c.norm) AS sim
+         |  FROM exp$h x JOIN qs q ON q.q_id = x.q_id
+         |  JOIN emb c ON c.vec_id = x.c_id),
+         |pool$h AS MATERIALIZED (
+         |  SELECT q_id, c_id, max(sim) AS sim FROM (
+         |    SELECT q_id, c_id, sim FROM pool${h - 1}
+         |    UNION ALL SELECT q_id, c_id, sim FROM sc$h)
+         |  GROUP BY 1, 2),""".stripMargin
+    }.mkString("\n")
+    val mets = (1 to 3).map { h =>
+      s"""met$h AS (
+         |  SELECT CAST($h AS BIGINT) AS hop,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM top$h) AS n_beam,
+         |    CAST((SELECT coalesce(sum(c_id), 0) FROM top$h)
+         |      AS BIGINT) AS beam_checksum,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_exact,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM top$h b
+         |     JOIN truth t ON t.q_id = b.q_id AND t.c_id = b.c_id
+         |     WHERE b.rn <= 3) AS n_hit),""".stripMargin
+    }.mkString("\n")
+    val tops = (1 to 3).map { h =>
+      s"""top$h AS MATERIALIZED (
+         |  SELECT q_id, c_id, sim, rn FROM (
+         |    SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, c_id) AS rn FROM pool$h)
+         |  WHERE rn <= 4),""".stripMargin
+    }.mkString("\n")
+    s"""WITH $embNormSql,
+       |$ivfSqlCtes,
+       |qs AS (
+       |  SELECT vec_id AS q_id, embedding, norm FROM emb
+       |  WHERE vec_id % 50 = 0),
+       |wc2 AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, a.cluster
+       |  FROM emb e JOIN assigned2 a ON e.vec_id = a.vec_id),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM wc2 a JOIN wc2 b
+       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT x.src, x.dst, row_number() OVER (PARTITION BY x.src
+       |      ORDER BY ($dotSql) / (q.norm * c.norm) DESC, x.dst) AS rn
+       |    FROM cand x JOIN emb q ON q.vec_id = x.src
+       |    JOIN emb c ON c.vec_id = x.dst)
+       |  WHERE rn <= 8),
+       |truth AS MATERIALIZED (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id) AS rank
+       |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id % 50 = 0)
+       |  WHERE rank <= 3),
+       |pool0 AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id AS c_id,
+       |    ($dotSql) / (q.norm * c.norm) AS sim
+       |  FROM qs q JOIN assigned2 a ON a.vec_id = q.q_id
+       |  JOIN emb c ON c.vec_id = a.cluster AND c.vec_id <> q.q_id),
+       |$rounds
+       |$tops
+       |$mets
+       |mall AS (
+       |  SELECT * FROM met1 UNION ALL SELECT * FROM met2
+       |  UNION ALL SELECT * FROM met3)
+       |SELECT hop, n_beam, beam_checksum, n_exact, n_hit,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+       |FROM mall ORDER BY hop""".stripMargin
+  }
+
   /** DuckDB CTE chain ending in `ivf(q_id, c_id, cluster, rank, sim)` —
     * the SQL twin of [[ivfTop3]] (expects `emb` in scope), shared by the
     * tdp_ann_ivf and tdp_ann_recall oracles so the searched index can
@@ -12833,5 +12951,190 @@ object TdpQueries {
               |        // (n * sxx - sx * sx) AS BIGINT)
               |  END AS slope_micro_per_token
               |FROM lqa""".stripMargin)),
+
+    // HNSW-STYLE LAYER-0 BEAM SEARCH: the graph/beam operating point the
+    // quantized ANN family (IVF/PQ/SQ8/IVFPQ/multi-probe/truncdim) lacks
+    // — a greedy beam of width 4 walks the memoized k-NN graph, 3
+    // bounded hops, and reports per-hop recall vs the memoized exact
+    // top-3 plus a beam-membership checksum that pins every per-query
+    // beam. Entry points per query = the query's OWN top-2
+    // coarse-quantizer centroids (the memoized IVF assignment playing
+    // HNSW's upper layers; centroids are themselves corpus vectors),
+    // so the beam starts inside the right neighborhood instead of
+    // walking the graph's diameter from one global entry. Scale shape: graph
+    // construction is the
+    // family's Σ cell² bucketed candidate join (probe-2 overlap keeps
+    // clusters connected, see knnGraph); each hop is ONE equi-join of
+    // the (queries × ≤4)-row frontier against the edge list keyed on
+    // source vertex — the tdp_bfs_reach iterated-frontier shape, never
+    // all-pairs — plus a (q_id)-keyed dedup and a per-query top-4
+    // window over a ≤(1+4·4·h)-row pool (high-cardinality key, bounded
+    // frame). Queries broadcast to the scoring join (2% of the corpus);
+    // sims are the family's left-fold doubles, bit-identical across
+    // engines; the oracle replays the identical 3 unrolled rounds.
+    QueryDef(
+      "tdp_ann_beam",
+      (s, dir) => {
+        val beamW = 4
+        val e = embWithNorm(s, dir)
+        val qs = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"))
+        val edges = knnGraph(s, dir)
+        val truth = exactTop5(s, dir).filter(col("rank") <= 3)
+          .select("q_id", "c_id")
+        val cSide = e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("norm").as("c_norm"))
+        def topB(pool: DataFrame): DataFrame =
+          pool.withColumn("rk", row_number().over(
+            Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
+            .filter(col("rk") <= beamW)
+        // entry per query: its TOP-2 probe centroid vectors (cent_id
+        // IS a vec_id) — the coarse quantizer as HNSW's upper-layer
+        // descent, with the second probe as a diversity entry.
+        var pool = qs
+          .join(ivfAssign2(s, dir).select(col("vec_id").as("q_id"),
+            col("cluster").as("c_id")), "q_id")
+          .filter(col("c_id") =!= col("q_id"))
+          .join(cSide, "c_id")
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .select("q_id", "c_id", "sim").distinct()
+        val mets = (1 to 3).map { h =>
+          val frontier = topB(pool)
+          val exp = frontier.join(edges, frontier("c_id") === edges("src"))
+            .select(col("q_id"), col("dst").as("c_id"))
+            .filter(col("c_id") =!= col("q_id")).distinct()
+          val scored = exp.join(cSide, "c_id").join(broadcast(qs), "q_id")
+            .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+            .select("q_id", "c_id", "sim")
+          // (q,c) sims are functionally determined, so the dedup agg is
+          // a max over identical doubles — pure set union.
+          pool = pool.union(scored)
+            .groupBy("q_id", "c_id").agg(max("sim").as("sim"))
+          val bh = topB(pool)
+          val nb = bh.agg(count(lit(1)).as("n_beam"),
+            coalesce(sum("c_id"), lit(0L)).as("beam_checksum"))
+          val nh = bh.filter(col("rk") <= 3)
+            .join(truth, Seq("q_id", "c_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+          val ne = truth.agg(count(lit(1)).as("n_exact"))
+          nb.crossJoin(broadcast(nh)).crossJoin(broadcast(ne))
+            .select(lit(h.toLong).as("hop"), col("n_beam"),
+              col("beam_checksum"), col("n_exact"), col("n_hit"),
+              (col("n_hit").cast(DoubleType)
+                / col("n_exact").cast(DoubleType)).as("recall"))
+        }
+        mets.reduce(_ union _).orderBy("hop")
+      },
+      Some(annBeamOracle)),
+
+    // END-TO-END DEDUP PIPELINE: chains the per-stage operators the way
+    // a production sweep runs them — exact content-hash dedup, then
+    // near-dup cluster excision with a min-id keeper over the exact
+    // survivors — and certifies the END-STATE invariants the per-stage
+    // rows cannot express, in ONE row: the final corpus is exact-dup
+    // free (distinct content hashes == survivors), near-dup free (ZERO
+    // LSH candidate pairs have both endpoints surviving), and the
+    // two-stage result coincides with the single-stage CC representative
+    // set (final_equals_clusters) — provable because exact duplicates
+    // share identical shingles hence a cluster, so each cluster's min-id
+    // member always survives the exact stage; the drop counts therefore
+    // reconcile with tdp_dup_rate / tdp_dedup_savings by construction,
+    // and the hash-matched oracle certifies it. Scale shape: everything
+    // rides the memoized cluster + pair frames plus one hash groupBy
+    // (the tdp_exact_dedup shuffle); the residual-pair audit is two
+    // semi-joins of the pair frame against the keeper set; all censuses
+    // are 1-row map-side-combined reduces attached via broadcast;
+    // DECIMAL(38,0)/HUGEINT char sums, truncating micro shares.
+    QueryDef(
+      "tdp_dedup_pipeline",
+      (s, dir) => {
+        val px = table(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"),
+            col("n_chars").cast(LongType).as("n_chars"))
+        val s1 = px.groupBy("h").agg(min("doc_id").as("doc_id"))
+        val s1c = s1
+          .join(dupClusters(s, dir).select("doc_id", "cluster_id"), "doc_id")
+        val fin = s1c.groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
+        val rp = lshPairs(s, dir)
+          .join(fin.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+            "left_semi")
+          .join(fin.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+            "left_semi")
+          .agg(count(lit(1)).as("n_residual_pairs"))
+        val nd = px.agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT)")
+            .as("total_chars"))
+        val ne = s1.agg(count(lit(1)).as("n_after_exact"))
+        val nc = dupClusters(s, dir)
+          .agg(countDistinct("cluster_id").as("n_clusters"))
+        val fx = fin.join(px, "doc_id")
+          .agg(count(lit(1)).as("n_final"),
+            countDistinct("h").as("n_final_hashes"),
+            expr("CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT)")
+              .as("kept_chars"))
+        nd.crossJoin(broadcast(ne)).crossJoin(broadcast(nc))
+          .crossJoin(broadcast(fx)).crossJoin(broadcast(rp))
+          .select(col("n_docs"), col("n_after_exact"), col("n_clusters"),
+            col("n_final"),
+            (col("n_docs") - col("n_after_exact")).as("n_dropped_exact"),
+            (col("n_after_exact") - col("n_final")).as("n_dropped_neardup"),
+            (col("n_final_hashes") === col("n_final")).as("exact_dup_free"),
+            col("n_residual_pairs"),
+            (col("n_residual_pairs") === 0L).as("near_dup_free"),
+            (col("n_final") === col("n_clusters")).as("final_equals_clusters"),
+            col("total_chars"),
+            (col("total_chars") - col("kept_chars")).as("dropped_chars"),
+            expr("CASE WHEN total_chars > 0 THEN" +
+              " CAST(((CAST(total_chars AS DECIMAL(38,0)) - kept_chars)" +
+              " * 1000000) div total_chars AS BIGINT) END")
+              .as("char_save_micro"))
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |ppx AS MATERIALIZED (
+              |  SELECT doc_id, md5(text) AS h,
+              |    CAST(n_chars AS BIGINT) AS n_chars
+              |  FROM documents),
+              |ps1 AS MATERIALIZED (
+              |  SELECT h, min(doc_id) AS doc_id FROM ppx GROUP BY 1),
+              |pfin AS MATERIALIZED (
+              |  SELECT c.cluster_id, min(s.doc_id) AS doc_id
+              |  FROM ps1 s JOIN cc c ON c.doc_id = s.doc_id
+              |  GROUP BY 1),
+              |prp AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_residual_pairs
+              |  FROM pairs p
+              |  JOIN pfin a ON a.doc_id = p.doc_a
+              |  JOIN pfin b ON b.doc_id = p.doc_b),
+              |pnd AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(CAST(n_chars AS HUGEINT)) AS BIGINT)
+              |      AS total_chars
+              |  FROM ppx),
+              |pne AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_after_exact FROM ps1),
+              |pnc AS (
+              |  SELECT CAST(count(DISTINCT cluster_id) AS BIGINT)
+              |    AS n_clusters FROM cc),
+              |pfx AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_final,
+              |    CAST(count(DISTINCT x.h) AS BIGINT) AS n_final_hashes,
+              |    CAST(sum(CAST(x.n_chars AS HUGEINT)) AS BIGINT)
+              |      AS kept_chars
+              |  FROM pfin f JOIN ppx x ON x.doc_id = f.doc_id)
+              |SELECT n_docs, n_after_exact, n_clusters, n_final,
+              |  n_docs - n_after_exact AS n_dropped_exact,
+              |  n_after_exact - n_final AS n_dropped_neardup,
+              |  n_final_hashes = n_final AS exact_dup_free,
+              |  n_residual_pairs,
+              |  n_residual_pairs = 0 AS near_dup_free,
+              |  n_final = n_clusters AS final_equals_clusters,
+              |  total_chars,
+              |  total_chars - kept_chars AS dropped_chars,
+              |  CASE WHEN total_chars > 0 THEN
+              |    CAST((CAST(total_chars - kept_chars AS HUGEINT)
+              |      * 1000000) // total_chars AS BIGINT)
+              |  END AS char_save_micro
+              |FROM pnd, pne, pnc, pfx, prp""".stripMargin)),
   )
 }

@@ -742,4 +742,25 @@ class PlanSpec extends SparkSpec {
     assert(mplan.contains("HashAggregate") &&
       mplan.contains("partial"), mplan.take(3000))
   }
+
+  test("ann beam: hops equi-keyed, queries broadcast, no cartesian") {
+    val df = Registry.queries("tdp_ann_beam")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Each hop joins the bounded frontier to the edge list on the source
+    // vertex and broadcasts the 2% query side to the scoring join; the
+    // only nested loops allowed are the 1-row census attaches — a
+    // cartesian anywhere means a hop degenerated to all-pairs.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("dedup pipeline: residual audit is semi-joins, censuses broadcast") {
+    val df = Registry.queries("tdp_dedup_pipeline")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The no-surviving-pair certificate must probe the pair frame with
+    // two LeftSemi joins against the keeper set; the five 1-row censuses
+    // attach broadcast; nothing may go cartesian.
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }

@@ -3072,4 +3072,43 @@ class TdpSpec extends SparkSpec {
       r.getAs[Long]("slope_micro_per_token")) ==
       ((3L, 6L, 2159999L, 14L, 3959999L, -179999500000L)), r)
   }
+
+  test("dedup pipeline: stage attribution, invariants, savings reconcile") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_pipe").toString
+    // Exact dups (ids 0,1: identical text) land in the SAME near-dup
+    // cluster as the whitespace near-dup (id 2: same token/shingle set,
+    // different md5 — trailing space), so the exact stage drops 1 and
+    // the near-dup stage drops 2 more; ids 10/11 are a pure near-dup
+    // pair (no exact dup); 20 is unique. Final keepers: 0, 10, 20.
+    val xa = "alpha beta gamma delta epsilon zeta eta theta"
+    val ya = "one two three four five six seven eight nine"
+    val docs = Seq(
+      (0L, xa), (1L, xa), (2L, xa + " "),
+      (10L, ya), (11L, ya + " "), (20L, "lone unique document here"))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Registry.queries("tdp_dedup_pipeline")(spark, dir)
+      .collect().head
+    assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_after_exact"),
+      r.getAs[Long]("n_clusters"), r.getAs[Long]("n_final"),
+      r.getAs[Long]("n_dropped_exact"),
+      r.getAs[Long]("n_dropped_neardup")) ==
+      ((6L, 5L, 3L, 3L, 1L, 2L)), r)
+    assert(r.getAs[Boolean]("exact_dup_free")
+      && r.getAs[Boolean]("near_dup_free")
+      && r.getAs[Long]("n_residual_pairs") == 0L
+      && r.getAs[Boolean]("final_equals_clusters"), r)
+    // End-state reconciles with the standalone per-stage operators on
+    // the same corpus: total dropped == tdp_dedup_savings' n_dropped,
+    // cluster census == tdp_dup_rate's.
+    val sv = Registry.queries("tdp_dedup_savings")(spark, dir)
+      .collect().head
+    assert(sv.getAs[Long]("n_dropped") ==
+      r.getAs[Long]("n_dropped_exact") + r.getAs[Long]("n_dropped_neardup"),
+      sv)
+    val dr = Registry.queries("tdp_dup_rate")(spark, dir).collect().head
+    assert(dr.getLong(1) == r.getAs[Long]("n_clusters"), dr)
+  }
 }
