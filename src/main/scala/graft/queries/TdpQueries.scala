@@ -13136,5 +13136,170 @@ object TdpQueries {
               |      * 1000000) // total_chars AS BIGINT)
               |  END AS char_save_micro
               |FROM pnd, pne, pnc, pfx, prp""".stripMargin)),
+
+    // EXACT PER-SOURCE PERCENTILES (p50/p90/p99 token length): the
+    // per-source length profile a curation pass reads before setting
+    // per-source length floors/ceilings (a global percentile hides that
+    // one source's p99 is another's p50). Nearest-rank order statistics
+    // are EXACT, and the ranks come from the shared RangeRank device in
+    // GROUP mode (range-partition on (source, v, doc_id), P-sized offset
+    // collect, per-(partition, source) windows) — the k-th order
+    // statistic of a mega-source never funnels through one WindowExec
+    // task the way a bare per-source window would. Per-source sizes are
+    // alphabet-sized broadcast attaches; the three ranks select via
+    // integer ceil-division (n·p + 99) div 100; ties don't matter (the
+    // k-th order statistic VALUE is tie-invariant).
+    QueryDef(
+      "tdp_source_percentiles",
+      (s, dir) => {
+        val v = table(s, dir, "documents").select("doc_id", "source")
+          .join(docToks(s, dir).select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("v")), "doc_id")
+        val rk = RangeRank.rankedBy(s, dir, "tdp_srcpct_ranged", v,
+          Seq("source"), Seq(col("v"), col("doc_id")), "rn")
+        val sizes = rk.df.groupBy("source").agg(count(lit(1)).as("n_s"))
+        rk.df.join(broadcast(sizes), "source")
+          .withColumn("k50", expr("(n_s * 50 + 99) div 100"))
+          .withColumn("k90", expr("(n_s * 90 + 99) div 100"))
+          .withColumn("k99", expr("(n_s * 99 + 99) div 100"))
+          .filter(col("rn") === col("k50") || col("rn") === col("k90")
+            || col("rn") === col("k99"))
+          .groupBy("source")
+          .agg(max("n_s").as("n_docs"),
+            max(when(col("rn") === col("k50"), col("v"))).as("p50_toks"),
+            max(when(col("rn") === col("k90"), col("v"))).as("p90_toks"),
+            max(when(col("rn") === col("k99"), col("v"))).as("p99_toks"))
+          .orderBy("source")
+      },
+      Some(s"""WITH spv AS (
+              |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS v
+              |  FROM documents),
+              |spr AS (
+              |  SELECT source, v,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY v, doc_id) AS BIGINT) AS rn,
+              |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+              |      AS n_s
+              |  FROM spv)
+              |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+              |  CAST(max(CASE WHEN rn = (n_s * 50 + 99) // 100 THEN v END)
+              |    AS BIGINT) AS p50_toks,
+              |  CAST(max(CASE WHEN rn = (n_s * 90 + 99) // 100 THEN v END)
+              |    AS BIGINT) AS p90_toks,
+              |  CAST(max(CASE WHEN rn = (n_s * 99 + 99) // 100 THEN v END)
+              |    AS BIGINT) AS p99_toks
+              |FROM spr
+              |WHERE rn = (n_s * 50 + 99) // 100
+              |   OR rn = (n_s * 90 + 99) // 100
+              |   OR rn = (n_s * 99 + 99) // 100
+              |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // CONTENT-DEFINED CHUNKING (CDC, the Rabin/LBFS device storage dedup
+    // uses): a chunk boundary opens wherever a token's rolling hash ≡ 0
+    // (mod 64), so boundaries are CONTENT-anchored — an insertion early
+    // in a document shifts byte offsets but not downstream chunk
+    // identities, which is exactly why chunk-level dedup survives edits
+    // that defeat whole-document hashing. Per (doc, chunk): an
+    // order-pinned hash fold over the chunk's token hashes; the census
+    // reports chunk counts, distinct-chunk counts, the duplicated
+    // instances and their token mass — the storage-style savings a
+    // sub-document dedup pass would bank beside tdp_dedup_savings' doc
+    // level. Scale shape: one tokenize scan + one posexplode (the
+    // textrank/skipgram corpus-positions precedent); chunk assignment is
+    // a per-DOC running count (high-cardinality window key); the fold is
+    // one (doc, chunk)-keyed aggregate; the dup census shuffles chunk
+    // HASHES (never text); final reduce is 1 row. All arithmetic is the
+    // shared mod-P integer hash — bit-identical across engines.
+    QueryDef(
+      "tdp_content_chunks",
+      (s, dir) => {
+        val pos = docToks(s, dir)
+          .select(col("doc_id"), posexplode(col("toks")))
+          .withColumnRenamed("col", "tok")
+          .withColumn("th", expr(polyHashExpr("tok")))
+        val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val chunks = pos
+          .withColumn("chunk", coalesce(
+            sum(when(col("th") % 64 === 0, 1L).otherwise(0L)).over(wDoc),
+            lit(0L)))
+          .groupBy("doc_id", "chunk")
+          .agg(count(lit(1)).as("c_toks"),
+            expr("aggregate(transform(sort_array(collect_list(" +
+              "struct(pos, th))), x -> x.th), CAST(0 AS BIGINT)," +
+              s" (acc, h) -> (acc * 31 + h) % $P)").as("c_hash"))
+        val perHash = chunks.groupBy("c_hash")
+          .agg(count(lit(1)).as("n_inst"),
+            expr("CAST(sum(CAST(c_toks AS DECIMAL(38,0))) AS BIGINT)")
+              .as("toks_sum"),
+            min("c_toks").as("toks_keep"))
+        perHash.agg(
+          expr("CAST(sum(n_inst) AS BIGINT)").as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          expr("CAST(sum((n_inst - 1)) AS BIGINT)").as("n_dup_instances"),
+          expr("CAST(sum(CAST(toks_sum AS DECIMAL(38,0))) AS BIGINT)")
+            .as("chunk_tokens_total"),
+          expr("CAST(sum(CAST(toks_sum AS DECIMAL(38,0)) - toks_keep)" +
+            " AS BIGINT)").as("dup_tokens"))
+          .select(col("n_chunks"), col("n_distinct_chunks"),
+            col("n_dup_instances"), col("chunk_tokens_total"),
+            col("dup_tokens"),
+            expr("CASE WHEN n_chunks > 0 THEN" +
+              " CAST((CAST(chunk_tokens_total AS DECIMAL(38,0))" +
+              " * 1000000) div n_chunks AS BIGINT) END")
+              .as("mean_chunk_toks_micro"),
+            expr("CASE WHEN chunk_tokens_total > 0 THEN" +
+              " CAST((CAST(dup_tokens AS DECIMAL(38,0)) * 1000000)" +
+              " div chunk_tokens_total AS BIGINT) END")
+              .as("chunk_save_micro"))
+      },
+      Some(s"""WITH cct AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |cch AS (
+              |  SELECT doc_id,
+              |    list_transform(toks, t -> ${polyHashSql("t")}) AS hs
+              |  FROM cct),
+              |ccp AS MATERIALIZED (
+              |  SELECT doc_id, CAST(generate_subscripts(hs, 1) AS BIGINT)
+              |      AS pos,
+              |    unnest(hs) AS th
+              |  FROM cch),
+              |ccc AS (
+              |  SELECT doc_id, pos, th,
+              |    CAST(coalesce(sum(CASE WHEN th % 64 = 0 THEN 1 ELSE 0
+              |      END) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS chunk
+              |  FROM ccp),
+              |cck AS MATERIALIZED (
+              |  SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS c_toks,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list(th ORDER BY pos)),
+              |      (acc, h) -> (acc * 31 + h) % $P) AS c_hash
+              |  FROM ccc GROUP BY 1, 2),
+              |cci AS (
+              |  SELECT c_hash, CAST(count(*) AS BIGINT) AS n_inst,
+              |    CAST(sum(CAST(c_toks AS HUGEINT)) AS BIGINT) AS toks_sum,
+              |    CAST(min(c_toks) AS BIGINT) AS toks_keep
+              |  FROM cck GROUP BY 1),
+              |cca AS (
+              |  SELECT CAST(sum(n_inst) AS BIGINT) AS n_chunks,
+              |    CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+              |    CAST(sum(n_inst - 1) AS BIGINT) AS n_dup_instances,
+              |    CAST(sum(CAST(toks_sum AS HUGEINT)) AS BIGINT)
+              |      AS chunk_tokens_total,
+              |    CAST(sum(CAST(toks_sum AS HUGEINT) - toks_keep)
+              |      AS BIGINT) AS dup_tokens
+              |  FROM cci)
+              |SELECT n_chunks, n_distinct_chunks, n_dup_instances,
+              |  chunk_tokens_total, dup_tokens,
+              |  CASE WHEN n_chunks > 0 THEN
+              |    CAST((CAST(chunk_tokens_total AS HUGEINT) * 1000000)
+              |      // n_chunks AS BIGINT) END AS mean_chunk_toks_micro,
+              |  CASE WHEN chunk_tokens_total > 0 THEN
+              |    CAST((CAST(dup_tokens AS HUGEINT) * 1000000)
+              |      // chunk_tokens_total AS BIGINT) END
+              |    AS chunk_save_micro
+              |FROM cca""".stripMargin)),
   )
 }

@@ -3111,4 +3111,49 @@ class TdpSpec extends SparkSpec {
     val dr = Registry.queries("tdp_dup_rate")(spark, dir).collect().head
     assert(dr.getLong(1) == r.getAs[Long]("n_clusters"), dr)
   }
+
+  test("source percentiles: nearest-rank order statistics replay by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_spct").toString
+    // Source A: 10 docs of 1..10 tokens -> k50=5, k90=9, k99=10 ->
+    // p50=5, p90=9, p99=10. Source B: lengths (5,5,7) -> k50=2 -> 5,
+    // k90=k99=3 -> 7.
+    val docs =
+      (1 to 10).map(n => (n.toLong, Seq.fill(n)("w").mkString(" "), "A")) ++
+        Seq((21L, "a b c d e", "B"), (22L, "f g h i j", "B"),
+          (23L, "k l m n o p q", "B"))
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_source_percentiles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("A", 10L, 5L, 9L, 10L), ("B", 3L, 5L, 7L, 7L)), got)
+  }
+
+  test("content chunks: CDC boundaries and cross-doc chunk dedup by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_cdc").toString
+    // polyhash("bb") = 3136 ≡ 0 (mod 64): 'bb' is the one boundary
+    // token. Chunk index counts boundaries strictly BEFORE the
+    // position, so the boundary token CLOSES its chunk and the next
+    // token opens one: doc1 "aa bb cat dog" -> [aa bb][cat dog],
+    // doc2 "cat dog bb cat dog" -> [cat dog bb][cat dog]. The
+    // [cat dog] chunk recurs in doc 2 under a DIFFERENT prefix --
+    // the content-anchored dedup CDC exists for (5 chunks, 4
+    // distinct, 1 dup instance of 2 tokens over 10 total).
+    val docs = Seq((1L, "aa bb cat dog"), (2L, "cat dog bb cat dog"),
+      (3L, "aa"))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Registry.queries("tdp_content_chunks")(spark, dir)
+      .collect().head
+    assert((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_distinct_chunks"),
+      r.getAs[Long]("n_dup_instances"),
+      r.getAs[Long]("chunk_tokens_total"), r.getAs[Long]("dup_tokens"),
+      r.getAs[Long]("mean_chunk_toks_micro"),
+      r.getAs[Long]("chunk_save_micro")) ==
+      ((5L, 4L, 1L, 10L, 2L, 2000000L, 200000L)), r)
+  }
 }
