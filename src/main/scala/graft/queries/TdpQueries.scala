@@ -13301,5 +13301,120 @@ object TdpQueries {
               |      // chunk_tokens_total AS BIGINT) END
               |    AS chunk_save_micro
               |FROM cca""".stripMargin)),
+
+    // SHINGLE CONTAINMENT over the LSH candidate pairs: C(A|B) =
+    // |A∩B| / |A| per direction — the asymmetric overlap that catches
+    // INCLUSION (a doc quoted inside a larger one), which symmetric
+    // Jaccard under-scores (a small doc fully inside a big one has low
+    // Jaccard but containment 1.0). The near_contained flag (either
+    // direction ≥ 0.9) is the quote/boilerplate-envelope signal a
+    // curation pass reads next to exact_jaccard. Honest limit, stated:
+    // candidates come from the Jaccard-tuned LSH bands, so extreme
+    // size-skew inclusions whose Jaccard dives below the band threshold
+    // can be absent from the candidate set — a production containment
+    // sweep adds a size-stratified banding; the operator grades the
+    // containment arithmetic and the candidates it has. Scale shape:
+    // rides the memoized pair + shingle frames; one pair-keyed join of
+    // bounded-cardinality hash ARRAYS (never text); integer-micro
+    // divides over per-doc distinct shingle counts.
+    QueryDef(
+      "tdp_shingle_containment",
+      (s, dir) => {
+        val d = docHashes(s, dir).filter(col("n_sh") > 0)
+        val a = d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
+          col("n_sh").cast(LongType).as("n_sh_a"))
+        val b = d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
+          col("n_sh").cast(LongType).as("n_sh_b"))
+        lshPairs(s, dir).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+          .withColumn("inter",
+            size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+          .select(col("doc_a"), col("doc_b"), col("n_sh_a"), col("n_sh_b"),
+            col("inter"),
+            expr("CAST((CAST(inter AS DECIMAL(38,0)) * 1000000)" +
+              " div n_sh_a AS BIGINT)").as("cont_a_micro"),
+            expr("CAST((CAST(inter AS DECIMAL(38,0)) * 1000000)" +
+              " div n_sh_b AS BIGINT)").as("cont_b_micro"))
+          .withColumn("near_contained",
+            greatest(col("cont_a_micro"), col("cont_b_micro")) >= 900000L)
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+              |shc AS (
+              |  SELECT doc_id, hashes, CAST(len(hashes) AS BIGINT) AS n_sh
+              |  FROM doc_sh WHERE len(hashes) > 0),
+              |shp AS (
+              |  SELECT p.doc_a, p.doc_b, a.n_sh AS n_sh_a,
+              |    b.n_sh AS n_sh_b,
+              |    CAST(len(list_intersect(a.hashes, b.hashes)) AS BIGINT)
+              |      AS inter
+              |  FROM pairs p
+              |  JOIN shc a ON p.doc_a = a.doc_id
+              |  JOIN shc b ON p.doc_b = b.doc_id)
+              |SELECT doc_a, doc_b, n_sh_a, n_sh_b, inter,
+              |  CAST((CAST(inter AS HUGEINT) * 1000000) // n_sh_a
+              |    AS BIGINT) AS cont_a_micro,
+              |  CAST((CAST(inter AS HUGEINT) * 1000000) // n_sh_b
+              |    AS BIGINT) AS cont_b_micro,
+              |  greatest(
+              |    CAST((CAST(inter AS HUGEINT) * 1000000) // n_sh_a
+              |      AS BIGINT),
+              |    CAST((CAST(inter AS HUGEINT) * 1000000) // n_sh_b
+              |      AS BIGINT)) >= 900000 AS near_contained
+              |FROM shp""".stripMargin)),
+
+    // HARD-NEGATIVE MINING: contrastive training wants, per query, the
+    // most-similar candidates that are NOT near-duplicates — a
+    // near-dup scored as a negative is a FALSE negative that poisons
+    // the loss (the standard in-batch-negatives failure). Composition
+    // of two memoized families: IVF-bucket candidates (the ANN scale
+    // path: candidates share the query's coarse bucket, Σ cell² never
+    // corpus²) anti-filtered by the near-dup CLUSTER id (vec_id aligns
+    // with doc_id in the testdata contract) — same-cluster candidates,
+    // including the query itself, are excluded by one integer
+    // inequality. Top-3 per query via a per-query window (bucket-
+    // bounded frame, high-cardinality key); sims are the family's
+    // left-fold doubles.
+    QueryDef(
+      "tdp_nondup_negatives",
+      (s, dir) => {
+        val clusters = dupClusters(s, dir)
+          .select(col("doc_id").as("vec_id"), col("cluster_id").as("dupc"))
+        val wcl = embWithNorm(s, dir).join(ivfAssign(s, dir), "vec_id")
+          .join(clusters, "vec_id")
+        val q = wcl.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"), col("cluster"),
+            col("dupc").as("q_dupc"))
+        val c = wcl.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("norm").as("c_norm"),
+          col("cluster"), col("dupc").as("c_dupc"))
+        val wTop = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+        q.join(c, Seq("cluster"))
+          .filter(col("q_dupc") =!= col("c_dupc"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3)
+          .select("q_id", "c_id", "rank", "sim")
+      },
+      Some(s"""WITH RECURSIVE $embNormSql,
+              |$ivfSqlCtes,
+              |$dupClustersSqlCtes,
+              |hnq AS (
+              |  SELECT w.vec_id AS q_id, w.embedding, w.norm,
+              |    w.cluster AS ivfc, k.cluster_id AS dupc
+              |  FROM wc w JOIN cc k ON k.doc_id = w.vec_id
+              |  WHERE w.vec_id % 50 = 0),
+              |hnc AS (
+              |  SELECT w.vec_id AS c_id, w.embedding, w.norm,
+              |    w.cluster AS ivfc, k.cluster_id AS dupc
+              |  FROM wc w JOIN cc k ON k.doc_id = w.vec_id)
+              |SELECT q_id, c_id, rank, sim FROM (
+              |  SELECT q.q_id, c.c_id,
+              |    ($dotSql) / (q.norm * c.norm) AS sim,
+              |    row_number() OVER (PARTITION BY q.q_id
+              |      ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.c_id)
+              |      AS rank
+              |  FROM hnq q JOIN hnc c ON q.ivfc = c.ivfc
+              |  WHERE q.dupc <> c.dupc)
+              |WHERE rank <= 3""".stripMargin)),
   )
 }

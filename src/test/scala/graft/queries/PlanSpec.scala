@@ -763,4 +763,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("containment and hard negatives stay pair/bucket equi-keyed") {
+    for (q <- Seq("tdp_shingle_containment", "tdp_nondup_negatives")) {
+      val plan = Registry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      // Containment joins hash arrays onto the memoized pair frame by
+      // doc id; hard negatives joins candidates by IVF bucket — a
+      // cartesian anywhere means an all-pairs pass escaped.
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(2000)}")
+    }
+  }
 }

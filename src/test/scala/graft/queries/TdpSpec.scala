@@ -3156,4 +3156,46 @@ class TdpSpec extends SparkSpec {
       r.getAs[Long]("chunk_save_micro")) ==
       ((5L, 4L, 1L, 10L, 2L, 2000000L, 200000L)), r)
   }
+
+  test("shingle containment: prefix inclusion scores asymmetrically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_cont").toString
+    // Doc 2 = doc 1 plus one trailing token: doc 1's 7 shingles are a
+    // SUBSET of doc 2's 8 -> containment(1|2) = 1.0 exactly while
+    // Jaccard is only 7/8 — the inclusion signal the symmetric score
+    // under-reports. (J = 0.875 keeps the pair inside the LSH bands.)
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val docs = Seq((1L, a), (2L, a + " z9"))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("tdp_shingle_containment")(spark, dir)
+      .collect()
+    assert(got.length == 1, got.toSeq)
+    val r = got.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("n_sh_a"), r.getAs[Long]("n_sh_b"),
+      r.getAs[Long]("inter"), r.getAs[Long]("cont_a_micro"),
+      r.getAs[Long]("cont_b_micro"), r.getAs[Boolean]("near_contained")) ==
+      ((1L, 2L, 7L, 8L, 7L, 1000000L, 875000L, true)), r)
+  }
+
+  test("nondup negatives: no returned pair shares a near-dup cluster") {
+    val dir = sf
+    val hn = Registry.queries("tdp_nondup_negatives")(spark, dir)
+      .select("q_id", "c_id")
+    val cl = Registry.queries("tdp_dup_clusters")(spark, dir)
+      .select("doc_id", "cluster_id")
+    val offenders = hn
+      .join(cl.withColumnRenamed("doc_id", "q_id")
+        .withColumnRenamed("cluster_id", "qc"), "q_id")
+      .join(cl.withColumnRenamed("doc_id", "c_id")
+        .withColumnRenamed("cluster_id", "cc2"), "c_id")
+      .filter(col("qc") === col("cc2"))
+      .count()
+    assert(offenders == 0L, s"$offenders mined negatives are near-dups")
+    // every query with a non-empty bucket mines at most 3
+    val over = hn.groupBy("q_id").count().filter(col("count") > 3).count()
+    assert(over == 0L)
+  }
 }

@@ -40,6 +40,16 @@ class WindowLintSpec extends SparkSpec {
       "control: lint wrongly flags the pmod constant-partition device")
   }
 
+  test("registry names are unique — a duplicate silently shadows a query") {
+    // Registry.queries/oracles are Maps built from Registry.all: a
+    // second QueryDef with an existing name replaces the first one's fn
+    // AND oracle without any error, so the shadowed operator silently
+    // loses its correctness row.
+    val dups = Registry.all.map(_.name)
+      .groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
   test("no registered query plans a single-task window") {
     val offenders = Registry.all.flatMap { q =>
       val df =
