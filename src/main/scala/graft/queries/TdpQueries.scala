@@ -926,6 +926,37 @@ object TdpQueries {
        |  GROUP BY 1)""".stripMargin
   }
 
+  /** BM25 (k1 = 1.2, b = 0.75, Lucene's always-positive idf) per
+    * (doc, query-term) PRE-FLOOR micro score, shared by the
+    * tdp_bm25_topk query and its ln-margin audit family so the audited
+    * doubles are exactly the floored ones. The whole arithmetic is ONE
+    * expression string parsed by BOTH engines (identical literals,
+    * identical association), so +,-,*,/ are bit-identical
+    * correctly-rounded IEEE and ln is the only libm call — the audited
+    * transcendental. Query terms are the corpus top-8 by document
+    * frequency (deterministic TakeOrdered, alphabet-bounded broadcast).
+    */
+  private val bm25TermExpr: String =
+    "ln(((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) + 1.0)" +
+      " * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *" +
+      " (dl / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))))" +
+      " * 1000000"
+
+  private def bm25TermScores(s: SparkSession, dir: String): DataFrame = {
+    val dt = docToks(s, dir)
+    val dl = dt.select(col("doc_id"),
+      size(col("toks")).cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("CAST(sum(dl) AS BIGINT)").as("tot"))
+    val tf0 = dt.select(col("doc_id"), explode(col("toks")).as("term"))
+    val dfT = tf0.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = dfT.orderBy(desc("df"), col("term")).limit(8)
+    tf0.join(broadcast(qterms), "term")
+      .groupBy("doc_id", "term", "df").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("v", expr(bm25TermExpr))
+  }
+
   /** Micro-unit boundary-margin audit for every ln()-floored oracle
     * family — the named SCALING.md "transcendental boundary" remedy
     * made executable: the cross-engine floor(f(x)*1e6) contract is safe
@@ -942,7 +973,7 @@ object TdpQueries {
     * (full interpolated p), token_entropy (the p*ln(1/p) product),
     * collocations PMI, zipf (both ln(rank) and ln(freq) axes),
     * unigram_lm pass-1 scores, unigram_prune post-prune scores,
-    * importance_resample bucket log-ratios.
+    * importance_resample bucket log-ratios, bm25 per-(doc, term) scores.
     */
   private[queries] def lnBoundaryMargins(
       s: SparkSession, dir: String): DataFrame = {
@@ -1132,6 +1163,7 @@ object TdpQueries {
       .unionAll(fam("importance_resample", dsirV))
       .unionAll(fam("mutual_info_pmi", miV))
       .unionAll(fam("session_entropy", seV))
+      .unionAll(fam("bm25", bm25TermScores(s, dir).select("v")))
   }
 
   /** Quality-score building blocks, ONE definition shared by
@@ -13416,5 +13448,59 @@ object TdpQueries {
               |  FROM hnq q JOIN hnc c ON q.ivfc = c.ivfc
               |  WHERE q.dupc <> c.dupc)
               |WHERE rank <= 3""".stripMargin)),
+
+    // BM25 TOP-K RETRIEVAL (k1 = 1.2, b = 0.75, Lucene idf): the lexical
+    // ranking function behind every retrieval-filtered curation pass
+    // (and the baseline an embedding retriever is graded against),
+    // missing from the tfidf family because tf-idf has no length
+    // normalization or tf saturation. Query = the corpus top-8
+    // DF terms (deterministic TakeOrdered; at 100 TB a user-supplied
+    // term list broadcasts identically). Float discipline: each
+    // (doc, term) score evaluates ONE shared expression string in both
+    // engines (bit-identical IEEE arithmetic; ln audited by the bm25
+    // margin family), floors to integer micro PER TERM, and the
+    // per-doc total is an INTEGER sum — so the cross-engine contract
+    // never depends on float summation order. Scale shape: tf is a
+    // (doc, term)-keyed count of the broadcast-semi-joined token
+    // stream; df/avgdl are alphabet/1-row broadcasts; the head is
+    // TakeOrdered(10), never a global sort.
+    QueryDef(
+      "tdp_bm25_topk",
+      (s, dir) => {
+        bm25TermScores(s, dir)
+          .select(col("doc_id"),
+            expr("CAST(floor(v) AS BIGINT)").as("ts_micro"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms_hit"),
+            expr("CAST(sum(ts_micro) AS BIGINT)").as("score_micro"))
+          .orderBy(desc("score_micro"), col("doc_id")).limit(10)
+      },
+      Some(s"""WITH bmt AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |bmdl AS MATERIALIZED (
+              |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM bmt),
+              |bmst AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(dl) AS BIGINT) AS tot FROM bmdl),
+              |bmtf0 AS MATERIALIZED (
+              |  SELECT doc_id, unnest(toks) AS term FROM bmt),
+              |bmdf AS (
+              |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              |  FROM bmtf0 GROUP BY 1),
+              |bmq AS (
+              |  SELECT term, df FROM bmdf ORDER BY df DESC, term LIMIT 8),
+              |bmtf AS (
+              |  SELECT t.doc_id, t.term, q.df, CAST(count(*) AS BIGINT)
+              |      AS tf
+              |  FROM bmtf0 t JOIN bmq q USING (term) GROUP BY 1, 2, 3),
+              |bms AS (
+              |  SELECT f.doc_id, CAST(floor($bm25TermExpr) AS BIGINT)
+              |      AS ts_micro
+              |  FROM (SELECT x.*, l.dl, s.n_docs, s.tot
+              |        FROM bmtf x JOIN bmdl l USING (doc_id), bmst s) f)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+              |  CAST(sum(ts_micro) AS BIGINT) AS score_micro
+              |FROM bms GROUP BY 1
+              |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
   )
 }
