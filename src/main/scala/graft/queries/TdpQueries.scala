@@ -13502,5 +13502,232 @@ object TdpQueries {
               |  CAST(sum(ts_micro) AS BIGINT) AS score_micro
               |FROM bms GROUP BY 1
               |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // CHAO1 VOCABULARY RICHNESS (bias-corrected) per source: the
+    // species-richness estimator Chao1-bc = V + n1(n1−1)/(2(n2+1)) over
+    // within-source token frequencies — "how much vocabulary has this
+    // source NOT shown yet", the capture-recapture read on corpus
+    // growth that tdp_vocab_growth's novelty curve eyeballs. The
+    // bias-corrected form is defined at n2 = 0 (no doubletons), so no
+    // guard divide; everything is EXACT integer arithmetic (n1(n1−1)
+    // ≤ vocab², DECIMAL(38,0)/HUGEINT safe past 10^15 types). Scale
+    // shape: one (source, token) count off the shared tokenize scan
+    // (vocab-bounded), one alphabet-sized reduce, integer-micro divides.
+    QueryDef(
+      "tdp_chao1_richness",
+      (s, dir) => {
+        val st = table(s, dir, "documents").select("doc_id", "source")
+          .join(docToks(s, dir), "doc_id")
+          .select(col("source"), explode(col("toks")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+        st.groupBy("source")
+          .agg(count(lit(1)).as("vocab"),
+            sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("f") === 2L, 1L).otherwise(0L)).as("n2"))
+          .select(col("source"), col("vocab"), col("n1"), col("n2"),
+            expr("CAST(vocab AS BIGINT) * 1000000" +
+              " + CAST((CAST(n1 AS DECIMAL(38,0)) * (n1 - 1) * 1000000)" +
+              " div (2 * (n2 + 1)) AS BIGINT)").as("chao1_micro"))
+          .withColumn("unseen_micro",
+            expr("CASE WHEN chao1_micro > 0 THEN" +
+              " CAST(((chao1_micro - CAST(vocab AS DECIMAL(38,0))" +
+              " * 1000000) * 1000000) div chao1_micro AS BIGINT) END"))
+          .orderBy("source")
+      },
+      Some(s"""WITH chs AS (
+              |  SELECT source, tok, CAST(count(*) AS BIGINT) AS f
+              |  FROM (SELECT source, unnest($toksSql) AS tok
+              |        FROM documents)
+              |  GROUP BY 1, 2),
+              |cha AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+              |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n1,
+              |    CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n2
+              |  FROM chs GROUP BY 1),
+              |chb AS (
+              |  SELECT source, vocab, n1, n2,
+              |    vocab * 1000000 + CAST((CAST(n1 AS HUGEINT) * (n1 - 1)
+              |      * 1000000) // (2 * (n2 + 1)) AS BIGINT) AS chao1_micro
+              |  FROM cha)
+              |SELECT source, vocab, n1, n2, chao1_micro,
+              |  CASE WHEN chao1_micro > 0 THEN
+              |    CAST(((chao1_micro - CAST(vocab AS HUGEINT) * 1000000)
+              |      * 1000000) // chao1_micro AS BIGINT) END AS unseen_micro
+              |FROM chb ORDER BY source""".stripMargin)),
+
+    // SOURCE CONCENTRATION GINI: the Lorenz-curve Gini of token (and
+    // doc) mass across sources — "is the mix one mega-source plus
+    // crumbs?", the single scalar behind the temperature-mix decision
+    // (G = 0 uniform mix, G → 1 one source owns the corpus). Exact
+    // rational: with per-source masses x_i sorted ascending,
+    // G = Σ(2i−n−1)x_i / (n Σx) — integers throughout, DECIMAL/HUGEINT
+    // cross products, truncating micro divide (numerator is provably
+    // ≥ 0 on the ascending sort). Scale shape: everything after the one
+    // tokenize scan lives on the alphabet-sized source frame; the sort
+    // rank is a window over that bounded frame on the non-foldable
+    // constant-partition device.
+    QueryDef(
+      "tdp_source_gini",
+      (s, dir) => {
+        val per = table(s, dir, "documents").select("doc_id", "source")
+          .join(docToks(s, dir).select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("ntoks")), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ntoks").as("n_tokens"))
+        def gini(x: String, rankName: String): Column = {
+          expr(s"CAST((CAST(sum((2 * $rankName - n_src - 1)" +
+            s" * CAST($x AS DECIMAL(38,0))) AS DECIMAL(38,0)) * 1000000)" +
+            s" div (CAST(n_src AS DECIMAL(38,0)) * sum(CAST($x" +
+            s" AS DECIMAL(38,0)))) AS BIGINT)")
+        }
+        val ranked = per
+          .withColumn("rt", row_number().over(
+            Window.partitionBy(pmod(col("n_tokens"), lit(1L)))
+              .orderBy(col("n_tokens"), col("source"))).cast(LongType))
+          .withColumn("rd", row_number().over(
+            Window.partitionBy(pmod(col("n_docs"), lit(1L)))
+              .orderBy(col("n_docs"), col("source"))).cast(LongType))
+          .withColumn("n_src", count(lit(1)).over(
+            Window.partitionBy(pmod(col("n_docs"), lit(1L)))))
+        ranked.groupBy("n_src")
+          .agg(gini("n_tokens", "rt").as("token_gini_micro"),
+            gini("n_docs", "rd").as("doc_gini_micro"))
+          .select(col("n_src").as("n_sources"), col("token_gini_micro"),
+            col("doc_gini_micro"))
+      },
+      Some(s"""WITH sgp AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY 1),
+              |sgr AS (
+              |  SELECT source, n_docs, n_tokens,
+              |    CAST(row_number() OVER (ORDER BY n_tokens, source)
+              |      AS BIGINT) AS rt,
+              |    CAST(row_number() OVER (ORDER BY n_docs, source)
+              |      AS BIGINT) AS rd,
+              |    CAST(count(*) OVER () AS BIGINT) AS n_src
+              |  FROM sgp)
+              |SELECT max(n_src) AS n_sources,
+              |  CAST((CAST(sum((2 * rt - n_src - 1)
+              |    * CAST(n_tokens AS HUGEINT)) AS HUGEINT) * 1000000)
+              |    // (CAST(max(n_src) AS HUGEINT)
+              |    * sum(CAST(n_tokens AS HUGEINT))) AS BIGINT)
+              |    AS token_gini_micro,
+              |  CAST((CAST(sum((2 * rd - n_src - 1)
+              |    * CAST(n_docs AS HUGEINT)) AS HUGEINT) * 1000000)
+              |    // (CAST(max(n_src) AS HUGEINT)
+              |    * sum(CAST(n_docs AS HUGEINT))) AS BIGINT)
+              |    AS doc_gini_micro
+              |FROM sgr""".stripMargin)),
+
+    // MINHASH CONTAINMENT ESTIMATOR vs EXACT: containment from the
+    // 8-permutation signature alone — Ĵ = agree/8, Ĉ(A|B) =
+    // Ĵ(|A|+|B|) / ((1+Ĵ)|A|) = agree·(|A|+|B|) / ((8+agree)·|A|) —
+    // graded against tdp_shingle_containment's exact intersection, the
+    // estimator-error operating point (like tdp_lsh_pr for the bands):
+    // how much containment accuracy does sketch-only screening buy
+    // before paying the exact array intersection. All EXACT integer
+    // arithmetic (agree ∈ 0..8 is a rational with denominator 8, micro
+    // divides truncate identically); one row of count / mean-abs /
+    // max-abs error per direction. Rides the memoized signature + pair
+    // + shingle frames; errors reduce map-side to 1 row.
+    QueryDef(
+      "tdp_containment_est",
+      (s, dir) => {
+        val d = docHashes(s, dir).filter(col("n_sh") > 0)
+        val sig = minhashSigDf(s, dir)
+        val agree = (0 until 8).map(j =>
+          when(col(s"a_mh$j") === col(s"b_mh$j"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        val aS = sig.select(Seq(col("doc_id").as("doc_a")) ++
+          (0 until 8).map(j => col(s"mh$j").as(s"a_mh$j")): _*)
+        val bS = sig.select(Seq(col("doc_id").as("doc_b")) ++
+          (0 until 8).map(j => col(s"mh$j").as(s"b_mh$j")): _*)
+        val ha = d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
+          col("n_sh").cast(LongType).as("na"))
+        val hb = d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
+          col("n_sh").cast(LongType).as("nb"))
+        lshPairs(s, dir)
+          .join(aS, Seq("doc_a")).join(bS, Seq("doc_b"))
+          .join(ha, Seq("doc_a")).join(hb, Seq("doc_b"))
+          .withColumn("agree", agree)
+          .withColumn("inter",
+            size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+          .select(
+            expr("CAST((CAST(agree AS DECIMAL(38,0)) * (na + nb)" +
+              " * 1000000) div ((8 + agree) * na) AS BIGINT)").as("est_a"),
+            expr("CAST((CAST(agree AS DECIMAL(38,0)) * (na + nb)" +
+              " * 1000000) div ((8 + agree) * nb) AS BIGINT)").as("est_b"),
+            expr("CAST((CAST(inter AS DECIMAL(38,0)) * 1000000)" +
+              " div na AS BIGINT)").as("ex_a"),
+            expr("CAST((CAST(inter AS DECIMAL(38,0)) * 1000000)" +
+              " div nb AS BIGINT)").as("ex_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("CAST(sum(CAST(abs(est_a - ex_a) AS DECIMAL(38,0)))" +
+              " AS BIGINT)").as("sae_a"),
+            expr("CAST(sum(CAST(abs(est_b - ex_b) AS DECIMAL(38,0)))" +
+              " AS BIGINT)").as("sae_b"),
+            max(expr("abs(est_a - ex_a)")).as("max_err_a"),
+            max(expr("abs(est_b - ex_b)")).as("max_err_b"))
+          .select(col("n_pairs"),
+            expr("CASE WHEN n_pairs > 0 THEN CAST(CAST(sae_a" +
+              " AS DECIMAL(38,0)) div n_pairs AS BIGINT) END")
+              .as("mae_a_micro"),
+            expr("CASE WHEN n_pairs > 0 THEN CAST(CAST(sae_b" +
+              " AS DECIMAL(38,0)) div n_pairs AS BIGINT) END")
+              .as("mae_b_micro"),
+            col("max_err_a"), col("max_err_b"))
+      },
+      Some {
+        val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(hashes, h -> (h * $a + $b) % $P)) AS mh$j"
+        }.mkString(",\n  ")
+        val agree = (0 until 8).map(j =>
+          s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH $lshPairsSqlCtes,
+           |ces AS (
+           |  SELECT doc_id, hashes, CAST(len(hashes) AS BIGINT) AS n_sh,
+           |    $sigs
+           |  FROM doc_sh WHERE len(hashes) > 0),
+           |cee AS (
+           |  SELECT CAST($agree AS BIGINT) AS agree,
+           |    CAST(len(list_intersect(a.hashes, b.hashes)) AS BIGINT)
+           |      AS inter,
+           |    a.n_sh AS na, b.n_sh AS nb
+           |  FROM pairs p
+           |  JOIN ces a ON p.doc_a = a.doc_id
+           |  JOIN ces b ON p.doc_b = b.doc_id),
+           |cem AS (
+           |  SELECT
+           |    CAST((CAST(agree AS HUGEINT) * (na + nb) * 1000000)
+           |      // ((8 + agree) * na) AS BIGINT) AS est_a,
+           |    CAST((CAST(agree AS HUGEINT) * (na + nb) * 1000000)
+           |      // ((8 + agree) * nb) AS BIGINT) AS est_b,
+           |    CAST((CAST(inter AS HUGEINT) * 1000000) // na AS BIGINT)
+           |      AS ex_a,
+           |    CAST((CAST(inter AS HUGEINT) * 1000000) // nb AS BIGINT)
+           |      AS ex_b
+           |  FROM cee),
+           |cea AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(CAST(abs(est_a - ex_a) AS HUGEINT)) AS BIGINT)
+           |      AS sae_a,
+           |    CAST(sum(CAST(abs(est_b - ex_b) AS HUGEINT)) AS BIGINT)
+           |      AS sae_b,
+           |    CAST(max(abs(est_a - ex_a)) AS BIGINT) AS max_err_a,
+           |    CAST(max(abs(est_b - ex_b)) AS BIGINT) AS max_err_b
+           |  FROM cem)
+           |SELECT n_pairs,
+           |  CASE WHEN n_pairs > 0 THEN
+           |    CAST(CAST(sae_a AS HUGEINT) // n_pairs AS BIGINT) END
+           |    AS mae_a_micro,
+           |  CASE WHEN n_pairs > 0 THEN
+           |    CAST(CAST(sae_b AS HUGEINT) // n_pairs AS BIGINT) END
+           |    AS mae_b_micro,
+           |  max_err_a, max_err_b
+           |FROM cea""".stripMargin
+      }),
   )
 }

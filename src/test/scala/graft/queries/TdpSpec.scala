@@ -3198,4 +3198,51 @@ class TdpSpec extends SparkSpec {
     val over = hn.groupBy("q_id").count().filter(col("count") > 3).count()
     assert(over == 0L)
   }
+
+  test("chao1 richness: bias-corrected estimator replays by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_chao").toString
+    // One source, token freqs a:2 b:1 c:2 d:1 -> V=4, n1=2, n2=2,
+    // chao1 = 4e6 + (2*1*1e6) div (2*3) = 4333333,
+    // unseen = (333333 * 1e6) div 4333333 = 76923.
+    Seq((1L, "a a b c", "en", "s1", 7L), (2L, "c d", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Registry.queries("tdp_chao1_richness")(spark, dir)
+      .collect().head
+    assert((r.getAs[String]("source"), r.getAs[Long]("vocab"),
+      r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("chao1_micro"), r.getAs[Long]("unseen_micro")) ==
+      (("s1", 4L, 2L, 2L, 4333333L, 76923L)), r)
+  }
+
+  test("source gini: Lorenz concentration replays by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_gini").toString
+    // Source A: 1 token / 1 doc; source B: 3 tokens / 1 doc.
+    // Token Gini = ((-1)*1 + (1)*3) / (2*4) = 0.25; doc Gini = 0.
+    Seq((1L, "x", "en", "A", 1L), (2L, "y y y", "en", "B", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Registry.queries("tdp_source_gini")(spark, dir).collect().head
+    assert((r.getAs[Long]("n_sources"), r.getAs[Long]("token_gini_micro"),
+      r.getAs[Long]("doc_gini_micro")) == ((2L, 250000L, 0L)), r)
+  }
+
+  test("containment estimator: exact clones estimate with zero error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_cest").toString
+    // Identical shingle sets -> all 8 signatures agree -> est = 8·2n·1e6
+    // div (16·n) = 1e6 both ways, exact containment = 1e6 -> MAE 0.
+    val t = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    Seq((1L, t), (2L, t + " "))
+      .map { case (id, x) => (id, x, "en", "s", x.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Registry.queries("tdp_containment_est")(spark, dir)
+      .collect().head
+    assert((r.getAs[Long]("n_pairs"), r.getAs[Long]("mae_a_micro"),
+      r.getAs[Long]("mae_b_micro"), r.getAs[Long]("max_err_a"),
+      r.getAs[Long]("max_err_b")) == ((1L, 0L, 0L, 0L, 0L)), r)
+  }
 }
