@@ -50,20 +50,33 @@ class WindowLintSpec extends SparkSpec {
     assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
   }
 
-  test("no registered query plans a single-task window") {
-    val offenders = Registry.all.flatMap { q =>
+  test("no registered query plans a single-task window or a cartesian") {
+    // One pass over EVERY registered query: (a) no Window with an
+    // empty/all-foldable partitionSpec (the single-task funnel), and
+    // (b) no CartesianProduct in the physical plan — 1-row/keyspace
+    // scalar attaches must arrive as broadcast() hints (they then plan
+    // as BroadcastNestedLoopJoin, which is allowed), so a shuffled
+    // cartesian anywhere is an unbounded all-pairs bug. Nothing is
+    // whitelisted.
+    val windowOffenders = Seq.newBuilder[String]
+    val cartesianOffenders = Seq.newBuilder[String]
+    Registry.all.foreach { q =>
       val df =
         try q.fn(spark, dir)
         catch {
           case e: Throwable => fail(s"${q.name}: build failed: $e")
         }
       if (singleTaskWindows(df.queryExecution.optimizedPlan).nonEmpty)
-        Seq(q.name)
-      else Nil
+        windowOffenders += q.name
+      if (df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+        cartesianOffenders += q.name
     }
-    assert(offenders.isEmpty,
+    val w = windowOffenders.result()
+    val c = cartesianOffenders.result()
+    assert(w.isEmpty,
       s"single-task (empty/foldable partitionSpec) windows in: " +
-        offenders.mkString(", "))
+        w.mkString(", "))
+    assert(c.isEmpty, s"CartesianProduct in: ${c.mkString(", ")}")
   }
 
   test("per-source ranks never ride a bare low-cardinality source window") {
