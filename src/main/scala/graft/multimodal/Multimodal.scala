@@ -763,6 +763,56 @@ object Multimodal {
     }
   }
 
+  final case class SceneCuts(
+      media_id: Long, n_frames: Int, n_cuts: Long, first_cut_frame: Long)
+
+  /** Scene-change detection over the synthesized MJPEG-AVI: decode EVERY
+    * frame (not just frame 0), compute each frame's mean luma from the
+    * decoded pixels, and flag a cut wherever the frame-to-frame delta
+    * exceeds 100 — the standard luma-delta shot detector. The synth's
+    * gray ramp g = (id + fi·17) mod 256 makes consecutive deltas either
+    * +17 (no cut) or −239 (the mod wrap = the planted scene cut), so the
+    * 100 threshold is robust to MJPEG's ±few-LSB solid-frame decode
+    * error while the oracle predicts every cut as pure id arithmetic —
+    * a mis-decoded frame, a dropped chunk or a broken mean fails the
+    * hash. Decode stays at the per-partition codec boundary.
+    */
+  def aviSceneCuts(ids: Dataset[Long]): Dataset[SceneCuts] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      imageIoInMemory
+      it.map { id =>
+        val avi = parseAvi(synthAvi(id))
+        val means = avi.frames.map { fb =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(fb))
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            i += 1
+          }
+          sum.toDouble / (3.0 * px.length)
+        }
+        var nCuts = 0L
+        var firstCut = -1L
+        var fi = 1
+        while (fi < means.length) {
+          if (math.abs(means(fi) - means(fi - 1)) > 100.0) {
+            nCuts += 1
+            if (firstCut < 0) firstCut = fi.toLong
+          }
+          fi += 1
+        }
+        SceneCuts(id, avi.frames.length, nCuts, firstCut)
+      }
+    }
+  }
+
   /** Metadata-only operators are pure Column expressions — no decode needed,
     * so Catalyst prunes `content` out of the scan entirely.
     */

@@ -13729,5 +13729,48 @@ object TdpQueries {
            |  max_err_a, max_err_b
            |FROM cea""".stripMargin
       }),
+
+    // VIDEO SCENE-CHANGE DETECTION over the real MJPEG-AVI round trip:
+    // decode EVERY frame (the first all-frames decode in the multimodal
+    // tier — tdp_video_meta stops at frame 0), mean-luma each decoded
+    // frame, threshold the temporal delta at 100 — the standard
+    // luma-delta shot detector a frame-sampling pipeline runs before
+    // picking representative frames. The synth's per-frame gray ramp
+    // wraps mod 256, so every planted cut is id arithmetic the oracle
+    // predicts WITHOUT touching a byte, while the Spark side earns the
+    // row only by actually decoding all frames (deltas are +17 or −239;
+    // the threshold is immune to MJPEG's solid-frame decode error).
+    // Scale shape: the id spread is the tdp_video_meta explicit-N
+    // repartition (8 bytes/row shuffle, 32× decode parallelism); decode
+    // is mapPartitions at the genuine codec boundary; output is 4 ints
+    // per video, no pixel ever enters a shuffle.
+    QueryDef(
+      "tdp_video_scene_cuts",
+      (s, dir) => {
+        import s.implicits._
+        graft.multimodal.Multimodal
+          .aviSceneCuts(table(s, dir, "documents")
+            .select(col("doc_id"))
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .as[Long])
+          .toDF()
+      },
+      Some("""WITH vsf AS (
+             |  SELECT doc_id,
+             |    CAST(1 + (doc_id * 3) % 8 AS INTEGER) AS n_frames
+             |  FROM documents),
+             |vsd AS (
+             |  SELECT v.doc_id, t.fi,
+             |    CASE WHEN (v.doc_id + (t.fi - 1) * 17) % 256 >= 239
+             |      THEN 1 ELSE 0 END AS is_cut
+             |  FROM vsf v, unnest(range(1, v.n_frames)) AS t(fi)),
+             |vsc AS (
+             |  SELECT doc_id, CAST(sum(is_cut) AS BIGINT) AS n_cuts,
+             |    min(CASE WHEN is_cut = 1 THEN fi END) AS first_cut
+             |  FROM vsd GROUP BY 1)
+             |SELECT v.doc_id AS media_id, v.n_frames,
+             |  CAST(coalesce(c.n_cuts, 0) AS BIGINT) AS n_cuts,
+             |  CAST(coalesce(c.first_cut, -1) AS BIGINT) AS first_cut_frame
+             |FROM vsf v LEFT JOIN vsc c USING (doc_id)""".stripMargin)),
   )
 }

@@ -57,6 +57,26 @@ class MultimodalSpec extends SparkSpec {
     assert(metas.forall(m => m.duration_ms == m.n_frames.toLong * 1000 / m.fps))
   }
 
+  test("aviSceneCuts: decoded luma deltas match the planted mod-256 wraps") {
+    val s = spark
+    import s.implicits._
+    val cuts = aviSceneCuts(s.range(0, 200).as[Long])
+      .collect().sortBy(_.media_id)
+    assert(cuts.length == 200)
+    cuts.foreach { c =>
+      val n = 1 + ((c.media_id * 3) % 8).toInt
+      assert(c.n_frames == n, c)
+      // planted cut at frame fi iff the gray ramp wraps: prev gray >= 239
+      val planted = (1 until n)
+        .filter(fi => (c.media_id + (fi - 1) * 17) % 256 >= 239)
+      assert(c.n_cuts == planted.length.toLong, s"$c planted=$planted")
+      assert(c.first_cut_frame ==
+        planted.headOption.map(_.toLong).getOrElse(-1L), c)
+    }
+    // the corpus actually contains cuts (the detector isn't vacuous)
+    assert(cuts.exists(_.n_cuts > 0))
+  }
+
   test("ImageIoDecoder decodes a real embedded PNG: true dims + histogram") {
     val s = spark
     import s.implicits._
