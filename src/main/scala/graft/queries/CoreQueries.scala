@@ -1581,5 +1581,49 @@ object CoreQueries {
              |  (total - s_k) * 1000000 // (n_days - k)
              |    AS right_mean_micro
              |FROM cpr WHERE rk = 1""".stripMargin)),
+
+    // IGNORE NULLS window navigation: first_value / last_value /
+    // nth_value with null skipping — the gap-fill idiom behind
+    // "carry the last known reading forward" analytics, and a
+    // cross-engine semantics trap (frame defaults differ: last_value
+    // needs the full-frame override or it degenerates to the current
+    // row). Nulls are planted by the q41 modulus pattern; windows
+    // partition by c_custkey div 20 — BOUNDED ≤20-row frames on a
+    // high-cardinality key, so the operator scales as a plain keyed
+    // window (no data-sized partition anywhere).
+    QueryDef(
+      "q49_ignore_nulls",
+      (s, dir) => {
+        val base = table(s, dir, "customer").select(col("c_custkey"),
+          expr("c_custkey div 20").as("grp"),
+          expr("CASE WHEN c_custkey % 3 = 0 THEN NULL" +
+            " ELSE c_custkey % 7 END").as("a"))
+        val wRun = Window.partitionBy("grp").orderBy("c_custkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("grp").orderBy("c_custkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        base
+          .withColumn("fv_nn", first(col("a"), ignoreNulls = true).over(wRun))
+          .withColumn("lv_nn", last(col("a"), ignoreNulls = true).over(wAll))
+          .withColumn("nv2_nn",
+            nth_value(col("a"), 2, ignoreNulls = true).over(wRun))
+          .withColumn("carry", last(col("a"), ignoreNulls = true).over(wRun))
+      },
+      Some("""SELECT c_custkey, c_custkey // 20 AS grp,
+             |  CASE WHEN c_custkey % 3 = 0 THEN NULL
+             |    ELSE c_custkey % 7 END AS a,
+             |  first_value(a IGNORE NULLS) OVER wr AS fv_nn,
+             |  last_value(a IGNORE NULLS) OVER (
+             |    PARTITION BY c_custkey // 20 ORDER BY c_custkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |    AS lv_nn,
+             |  nth_value(a, 2 IGNORE NULLS) OVER wr AS nv2_nn,
+             |  last_value(a IGNORE NULLS) OVER wr AS carry
+             |FROM (SELECT c_custkey,
+             |        CASE WHEN c_custkey % 3 = 0 THEN NULL
+             |          ELSE c_custkey % 7 END AS a
+             |      FROM customer)
+             |WINDOW wr AS (PARTITION BY c_custkey // 20 ORDER BY c_custkey
+             |  ROWS UNBOUNDED PRECEDING)""".stripMargin)),
   )
 }
