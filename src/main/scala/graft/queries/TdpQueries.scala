@@ -447,46 +447,13 @@ object TdpQueries {
     * precedent), so the two engines cannot drift — graph, entry, pool
     * union, top-4 rank and the per-hop census all replay verbatim.
     */
-  private def annBeamOracle: String = {
-    val rounds = (1 to 3).map { h =>
-      s"""beam$h AS MATERIALIZED (
-         |  SELECT q_id, c_id, sim, rn FROM (
-         |    SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY sim DESC, c_id) AS rn FROM pool${h - 1})
-         |  WHERE rn <= 4),
-         |exp$h AS (
-         |  SELECT DISTINCT b.q_id, g.dst AS c_id
-         |  FROM beam$h b JOIN edges g ON g.src = b.c_id
-         |  WHERE g.dst <> b.q_id),
-         |sc$h AS (
-         |  SELECT x.q_id, x.c_id, ($dotSql) / (q.norm * c.norm) AS sim
-         |  FROM exp$h x JOIN qs q ON q.q_id = x.q_id
-         |  JOIN emb c ON c.vec_id = x.c_id),
-         |pool$h AS MATERIALIZED (
-         |  SELECT q_id, c_id, max(sim) AS sim FROM (
-         |    SELECT q_id, c_id, sim FROM pool${h - 1}
-         |    UNION ALL SELECT q_id, c_id, sim FROM sc$h)
-         |  GROUP BY 1, 2),""".stripMargin
-    }.mkString("\n")
-    val mets = (1 to 3).map { h =>
-      s"""met$h AS (
-         |  SELECT CAST($h AS BIGINT) AS hop,
-         |    (SELECT CAST(count(*) AS BIGINT) FROM top$h) AS n_beam,
-         |    CAST((SELECT coalesce(sum(c_id), 0) FROM top$h)
-         |      AS BIGINT) AS beam_checksum,
-         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_exact,
-         |    (SELECT CAST(count(*) AS BIGINT) FROM top$h b
-         |     JOIN truth t ON t.q_id = b.q_id AND t.c_id = b.c_id
-         |     WHERE b.rn <= 3) AS n_hit),""".stripMargin
-    }.mkString("\n")
-    val tops = (1 to 3).map { h =>
-      s"""top$h AS MATERIALIZED (
-         |  SELECT q_id, c_id, sim, rn FROM (
-         |    SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY sim DESC, c_id) AS rn FROM pool$h)
-         |  WHERE rn <= 4),""".stripMargin
-    }.mkString("\n")
-    s"""WITH $embNormSql,
+  /** Shared CTE base for the beam-search oracles: graph, truth, query
+    * set and the dual-probe-centroid entry pool — identical in the
+    * per-hop query and the width sweep so the two operating tables can
+    * never drift.
+    */
+  private def annBeamBaseSql: String =
+    s"""$embNormSql,
        |$ivfSqlCtes,
        |qs AS (
        |  SELECT vec_id AS q_id, embedding, norm FROM emb
@@ -517,8 +484,55 @@ object TdpQueries {
        |  SELECT DISTINCT q.q_id, c.vec_id AS c_id,
        |    ($dotSql) / (q.norm * c.norm) AS sim
        |  FROM qs q JOIN assigned2 a ON a.vec_id = q.q_id
-       |  JOIN emb c ON c.vec_id = a.cluster AND c.vec_id <> q.q_id),
-       |$rounds
+       |  JOIN emb c ON c.vec_id = a.cluster AND c.vec_id <> q.q_id)""".stripMargin
+
+  /** Unrolled beam rounds under prefix `p` and beam width `b` — the
+    * h=1 round reads `${p}pool0` (alias it to pool0 for prefixed
+    * widths).
+    */
+  private def annBeamRoundsSql(p: String, b: Int): String =
+    (1 to 3).map { h =>
+      s"""${p}beam$h AS MATERIALIZED (
+         |  SELECT q_id, c_id, sim, rn FROM (
+         |    SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, c_id) AS rn FROM ${p}pool${h - 1})
+         |  WHERE rn <= $b),
+         |${p}exp$h AS (
+         |  SELECT DISTINCT b.q_id, g.dst AS c_id
+         |  FROM ${p}beam$h b JOIN edges g ON g.src = b.c_id
+         |  WHERE g.dst <> b.q_id),
+         |${p}sc$h AS (
+         |  SELECT x.q_id, x.c_id, ($dotSql) / (q.norm * c.norm) AS sim
+         |  FROM ${p}exp$h x JOIN qs q ON q.q_id = x.q_id
+         |  JOIN emb c ON c.vec_id = x.c_id),
+         |${p}pool$h AS MATERIALIZED (
+         |  SELECT q_id, c_id, max(sim) AS sim FROM (
+         |    SELECT q_id, c_id, sim FROM ${p}pool${h - 1}
+         |    UNION ALL SELECT q_id, c_id, sim FROM ${p}sc$h)
+         |  GROUP BY 1, 2),""".stripMargin
+    }.mkString("\n")
+
+  private def annBeamOracle: String = {
+    val mets = (1 to 3).map { h =>
+      s"""met$h AS (
+         |  SELECT CAST($h AS BIGINT) AS hop,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM top$h) AS n_beam,
+         |    CAST((SELECT coalesce(sum(c_id), 0) FROM top$h)
+         |      AS BIGINT) AS beam_checksum,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_exact,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM top$h b
+         |     JOIN truth t ON t.q_id = b.q_id AND t.c_id = b.c_id
+         |     WHERE b.rn <= 3) AS n_hit),""".stripMargin
+    }.mkString("\n")
+    val tops = (1 to 3).map { h =>
+      s"""top$h AS MATERIALIZED (
+         |  SELECT q_id, c_id, sim, rn FROM (
+         |    SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, c_id) AS rn FROM pool$h)
+         |  WHERE rn <= 4),""".stripMargin
+    }.mkString("\n")
+    s"""WITH $annBeamBaseSql,
+       |${annBeamRoundsSql("", 4)}
        |$tops
        |$mets
        |mall AS (
@@ -527,6 +541,40 @@ object TdpQueries {
        |SELECT hop, n_beam, beam_checksum, n_exact, n_hit,
        |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
        |FROM mall ORDER BY hop""".stripMargin
+  }
+
+  /** The tdp_ann_beam_width oracle: the SAME base + the SAME unrolled
+    * rounds at widths 2/4/8, one hop-3 census row per width.
+    */
+  private def annBeamWidthOracle: String = {
+    val widths = Seq(2, 4, 8)
+    val perWidth = widths.map { b =>
+      val p = s"w${b}x"
+      s"""${p}pool0 AS (SELECT q_id, c_id, sim FROM pool0),
+         |${annBeamRoundsSql(p, b)}
+         |${p}top AS MATERIALIZED (
+         |  SELECT q_id, c_id, sim, rn FROM (
+         |    SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, c_id) AS rn FROM ${p}pool3)
+         |  WHERE rn <= $b),
+         |${p}met AS (
+         |  SELECT CAST($b AS BIGINT) AS beam_width,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ${p}top) AS n_beam,
+         |    CAST((SELECT coalesce(sum(c_id), 0) FROM ${p}top)
+         |      AS BIGINT) AS beam_checksum,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_exact,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ${p}top b
+         |     JOIN truth t ON t.q_id = b.q_id AND t.c_id = b.c_id
+         |     WHERE b.rn <= 3) AS n_hit),""".stripMargin
+    }.mkString("\n")
+    val unions = widths.map(b => s"SELECT * FROM w${b}xmet")
+      .mkString(" UNION ALL ")
+    s"""WITH $annBeamBaseSql,
+       |$perWidth
+       |mall AS ($unions)
+       |SELECT beam_width, n_beam, beam_checksum, n_exact, n_hit,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+       |FROM mall ORDER BY beam_width""".stripMargin
   }
 
   /** DuckDB CTE chain ending in `ivf(q_id, c_id, cluster, rank, sim)` —
@@ -957,6 +1005,29 @@ object TdpQueries {
       .withColumn("v", expr(bm25TermExpr))
   }
 
+  /** Per-(source, w1, w2) conditional-entropy terms
+    * (c12/N_s)·ln(c1/c12)·1e6 (c1 = bigram-context count, so
+    * Σ_w2 p(w2|w1) = 1 within a context), shared by tdp_cond_entropy
+    * and its margin-audit family so the audited doubles are exactly the
+    * floored ones. c12 = c1 gives ln(1) = +0.0 — the benign boundary the
+    * audit's v ≠ 0 filter already exempts (IEEE pins log(1.0) = +0.0 in
+    * both engines).
+    */
+  private def condEntropyTerms(s: SparkSession, dir: String): DataFrame = {
+    val bs = table(s, dir, "documents").select("doc_id", "source")
+      .join(docBigrams(s, dir), "doc_id")
+      .select("source", "w1", "w2")
+    val c12 = bs.groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bs.groupBy("source", "w1").agg(count(lit(1)).as("c1"))
+    val ns = bs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    c12.join(c1, Seq("source", "w1")).join(broadcast(ns), "source")
+      .withColumn("v",
+        (col("c12").cast(DoubleType) / col("n_s").cast(DoubleType))
+          * log(col("c1").cast(DoubleType) / col("c12").cast(DoubleType))
+          * lit(1000000.0))
+      .withColumn("h_micro", floor(col("v")).cast(LongType))
+  }
+
   /** Micro-unit boundary-margin audit for every ln()-floored oracle
     * family — the named SCALING.md "transcendental boundary" remedy
     * made executable: the cross-engine floor(f(x)*1e6) contract is safe
@@ -1164,6 +1235,7 @@ object TdpQueries {
       .unionAll(fam("mutual_info_pmi", miV))
       .unionAll(fam("session_entropy", seV))
       .unionAll(fam("bm25", bm25TermScores(s, dir).select("v")))
+      .unionAll(fam("cond_entropy", condEntropyTerms(s, dir).select("v")))
   }
 
   /** Quality-score building blocks, ONE definition shared by
@@ -13772,5 +13844,123 @@ object TdpQueries {
              |  CAST(coalesce(c.n_cuts, 0) AS BIGINT) AS n_cuts,
              |  CAST(coalesce(c.first_cut, -1) AS BIGINT) AS first_cut_frame
              |FROM vsf v LEFT JOIN vsc c USING (doc_id)""".stripMargin)),
+
+    // PER-SOURCE CONDITIONAL BIGRAM ENTROPY H(w2|w1) — the
+    // compressibility / templatedness signal: a low-entropy source is
+    // boilerplate (each context forces its next word), a high-entropy
+    // one is diverse text; read beside tdp_repetition and the Gopher
+    // battery when setting per-source curation pressure. Discipline is
+    // the token_entropy precedent: each (source, w1, w2) term
+    // (c12/N_s)·ln(c1/c12) floors to micro INDIVIDUALLY (pre-floor
+    // doubles audited by the cond_entropy margin family; c1 is the
+    // CONTEXT total so the conditional normalizes exactly) and the
+    // per-source total is an INTEGER sum — no float summation order in
+    // the contract. Scale shape: two vocab²-bounded counts + one
+    // alphabet-sized broadcast off the shared bigram stream; the reduce
+    // map-side combines to alphabet rows.
+    QueryDef(
+      "tdp_cond_entropy",
+      (s, dir) => {
+        condEntropyTerms(s, dir)
+          .groupBy("source")
+          .agg(max("n_s").as("n_bigrams"),
+            countDistinct("w1").as("n_contexts"),
+            count(lit(1)).as("n_pairs"),
+            expr("CAST(sum(h_micro) AS BIGINT)").as("entropy_micro"))
+          .orderBy("source")
+      },
+      Some(s"""WITH cet AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |ceb AS MATERIALIZED (
+              |  SELECT d.source, toks[i] AS w1, toks[i + 1] AS w2
+              |  FROM (SELECT doc_id, toks,
+              |          unnest(range(1, len(toks))) AS i FROM cet) t
+              |  JOIN documents d ON d.doc_id = t.doc_id),
+              |ce12 AS (
+              |  SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c12
+              |  FROM ceb GROUP BY 1, 2, 3),
+              |ce1 AS (
+              |  SELECT source, w1, CAST(count(*) AS BIGINT) AS c1
+              |  FROM ceb GROUP BY 1, 2),
+              |cen AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS n_s
+              |  FROM ceb GROUP BY 1),
+              |ceh AS (
+              |  SELECT a.source, a.w1,
+              |    CAST(floor((CAST(a.c12 AS DOUBLE) / CAST(n.n_s AS DOUBLE))
+              |      * ln(CAST(b.c1 AS DOUBLE) / CAST(a.c12 AS DOUBLE))
+              |      * 1000000.0) AS BIGINT) AS h_micro
+              |  FROM ce12 a
+              |  JOIN ce1 b ON b.source = a.source AND b.w1 = a.w1
+              |  JOIN cen n ON n.source = a.source)
+              |SELECT h.source, max(n.n_s) AS n_bigrams,
+              |  CAST(count(DISTINCT h.w1) AS BIGINT) AS n_contexts,
+              |  CAST(count(*) AS BIGINT) AS n_pairs,
+              |  CAST(sum(h.h_micro) AS BIGINT) AS entropy_micro
+              |FROM ceh h JOIN cen n ON n.source = h.source
+              |GROUP BY 1 ORDER BY h.source""".stripMargin)),
+
+    // BEAM-WIDTH SWEEP: recall@hop-3 for widths 2/4/8 over the SAME
+    // graph, entries and truth as tdp_ann_beam — the width-vs-recall
+    // operating table a graph index publishes next to its per-hop curve
+    // (pick the width where the curve flattens; width is the search-time
+    // cost knob, hop count the latency knob). Same bounded-frontier
+    // shape per width (pool ≤ 1 + b·8·h rows/query, equi-joins only);
+    // the three sweeps share the memoized graph/entry/truth frames and
+    // the oracle unrolls the IDENTICAL rounds from the same generator
+    // as tdp_ann_beam, so the two tables cannot drift.
+    QueryDef(
+      "tdp_ann_beam_width",
+      (s, dir) => {
+        val e = embWithNorm(s, dir)
+        val qs = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"))
+        val edges = knnGraph(s, dir)
+        val truth = exactTop5(s, dir).filter(col("rank") <= 3)
+          .select("q_id", "c_id")
+        val cSide = e.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("norm").as("c_norm"))
+        val pool0 = qs
+          .join(ivfAssign2(s, dir).select(col("vec_id").as("q_id"),
+            col("cluster").as("c_id")), "q_id")
+          .filter(col("c_id") =!= col("q_id"))
+          .join(cSide, "c_id")
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .select("q_id", "c_id", "sim").distinct()
+        val rows = Seq(2, 4, 8).map { b =>
+          def topB(pool: DataFrame): DataFrame =
+            pool.withColumn("rk", row_number().over(
+              Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
+              .filter(col("rk") <= b)
+          var pool = pool0
+          for (_ <- 1 to 3) {
+            val frontier = topB(pool)
+            val exp = frontier.join(edges, frontier("c_id") === edges("src"))
+              .select(col("q_id"), col("dst").as("c_id"))
+              .filter(col("c_id") =!= col("q_id")).distinct()
+            val scored = exp.join(cSide, "c_id").join(broadcast(qs), "q_id")
+              .withColumn("sim",
+                expr(dotExpr) / (col("q_norm") * col("c_norm")))
+              .select("q_id", "c_id", "sim")
+            pool = pool.union(scored)
+              .groupBy("q_id", "c_id").agg(max("sim").as("sim"))
+          }
+          val bh = topB(pool)
+          val nb = bh.agg(count(lit(1)).as("n_beam"),
+            coalesce(sum("c_id"), lit(0L)).as("beam_checksum"))
+          val nh = bh.filter(col("rk") <= 3)
+            .join(truth, Seq("q_id", "c_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+          val ne = truth.agg(count(lit(1)).as("n_exact"))
+          nb.crossJoin(broadcast(nh)).crossJoin(broadcast(ne))
+            .select(lit(b.toLong).as("beam_width"), col("n_beam"),
+              col("beam_checksum"), col("n_exact"), col("n_hit"),
+              (col("n_hit").cast(DoubleType)
+                / col("n_exact").cast(DoubleType)).as("recall"))
+        }
+        rows.reduce(_ union _).orderBy("beam_width")
+      },
+      Some(annBeamWidthOracle)),
   )
 }

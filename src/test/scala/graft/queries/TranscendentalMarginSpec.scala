@@ -23,7 +23,8 @@ class TranscendentalMarginSpec extends SparkSpec {
       "bigram_logprob", "heldout_perplexity", "kneser_ney",
       "token_entropy", "collocations_pmi", "zipf_rank", "zipf_freq",
       "unigram_lm", "unigram_prune", "importance_resample",
-      "mutual_info_pmi", "session_entropy", "bm25"), families)
+      "mutual_info_pmi", "session_entropy", "bm25", "cond_entropy"),
+      families)
     rows.foreach { r =>
       val fam = r.getAs[String]("family")
       val n = r.getAs[Long]("n_inputs")
