@@ -165,6 +165,57 @@ object DocsStream {
     * emitted sketch, with CMS's no-undercount guarantee intact. State is
     * O(D x W) counters regardless of stream length or vocabulary.
     */
+  final case class BucketState(counts: Map[Long, Long])
+  final case class BucketRow(source: String, i: Long, n: Long)
+
+  /** Streaming per-source log-bucket quantile histogram — the
+    * incremental twin of the batch `tdp_quantile_sketch` device (values
+    * < 16 exact, else 16 sub-buckets per power of two from bit-length +
+    * shift: pure integer arithmetic, no libm, so stream and batch land
+    * every value in the same bucket). State per source is the
+    * bucket→count map — bounded by the VALUE range (≤ 16·log2(max)
+    * entries), never by stream length — and the fold is counter
+    * addition: commutative and associative, so the stream's
+    * batch-by-batch fold equals the batch shuffle's partial-aggregation
+    * merge EXACTLY (the same mergeability argument, different execution
+    * model). Emits the full per-source state each micro-batch (Update
+    * mode); the last emit per (source, bucket) is the sketch of
+    * everything seen, which StreamingParitySpec hash-compares against
+    * the batch histogram on the same feed.
+    */
+  def lengthSketch(docs: DataFrame): Dataset[BucketRow] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val li = docs
+      .withColumn("x", size(expr(toksExpr)).cast("long"))
+      .withColumn("i",
+        expr("""CASE WHEN x < 16 THEN x ELSE
+               |  (length(bin(x)) - 1 - 4) * 16
+               |    + shiftright(x, CAST(length(bin(x)) - 1 - 4 AS INT))
+               |END""".stripMargin))
+      .select(col("source").as("src"), col("i"))
+      .as[(String, Long)]
+
+    def update(
+        src: String,
+        rows: Iterator[(String, Long)],
+        state: GroupState[BucketState]): Iterator[BucketRow] = {
+      val cur = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+      val add = rows.foldLeft(Map.empty[Long, Long]) { case (m, (_, i)) =>
+        m.updated(i, m.getOrElse(i, 0L) + 1L)
+      }
+      val merged = (cur.keySet ++ add.keySet).iterator
+        .map(k => k -> (cur.getOrElse(k, 0L) + add.getOrElse(k, 0L))).toMap
+      state.update(BucketState(merged))
+      merged.toSeq.sortBy(_._1)
+        .map { case (i, n) => BucketRow(src, i, n) }.iterator
+    }
+
+    li.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   def tokenSketch(docs: DataFrame, width: Int = 512): DataFrame = {
     val s = docs.sparkSession
     graft.expressions.GraftExtensions.registerAll(s)

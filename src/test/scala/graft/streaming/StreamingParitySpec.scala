@@ -313,6 +313,45 @@ class StreamingParitySpec extends SparkSpec {
     dir
   }
 
+  test("lengthSketch parity: streamed bucket state == batch histogram") {
+    val s = spark
+    import graft.queries.TdpQueries.toksExpr
+    // Stage WITH source (stageDocs drops it) and split into two files so
+    // the state provably merges across micro-batches, not just within one.
+    val dir = Files.createTempDirectory("graft-parity-lens").toString
+    val base = s.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    base.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/f1.parquet")
+    base.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/f2.parquet")
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+    runToMemory(DocsStream.lengthSketch(stream).toDF(), "par_lens",
+      "update") {
+      // counts are monotone per (source, bucket): the LAST emit is the
+      // MAX — compare it against the batch histogram on the same feed.
+      val got = s.sql(
+        "SELECT source, i, max(n) FROM par_lens GROUP BY 1, 2").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = base
+        .withColumn("x", size(expr(toksExpr)).cast("long"))
+        .withColumn("i",
+          expr("""CASE WHEN x < 16 THEN x ELSE
+                 |  (length(bin(x)) - 1 - 4) * 16
+                 |    + shiftright(x, CAST(length(bin(x)) - 1 - 4 AS INT))
+                 |END""".stripMargin))
+        .groupBy("source", "i").count().collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want,
+        s"stream/batch bucket mismatch: ${(got.toSet diff want.toSet).take(5)}")
+    }
+  }
+
   test("nearDupBands parity: stream verdicts == batch bucket-min construction") {
     val s = spark
     graft.expressions.GraftExtensions.registerAll(s)
