@@ -13962,5 +13962,169 @@ object TdpQueries {
         rows.reduce(_ union _).orderBy("beam_width")
       },
       Some(annBeamWidthOracle)),
+
+    // SEQUENCE-PACKING WINDOW SWEEP: the tdp_seq_packing census at
+    // context sizes 64/512/2048 in ONE pass — padding waste falls with
+    // W while the cross-boundary split fraction rises, and this table is
+    // the trade a training run reads before fixing its context length.
+    // The start offsets are W-INDEPENDENT (one shared RangeRank prefix
+    // sum — the same memoized frame tdp_seq_packing reads), so the
+    // sweep is three conditional aggregates over one materialization:
+    // no second exchange, no per-W pass.
+    QueryDef(
+      "tdp_packing_sweep",
+      (s, dir) => {
+        val cs = RangeRank.prefixSum(s, dir, "tdp_pack_ranged",
+          docToks(s, dir)
+            .select(col("doc_id"),
+              size(col("toks")).cast(LongType).as("n_toks")),
+          Nil, Seq(col("doc_id")), col("n_toks"), "start").df
+        val rows = Seq(64L, 512L, 2048L).map { w =>
+          cs.withColumn("split",
+            col("n_toks") > 0L &&
+              expr(s"start div $w") =!= expr(s"(start + n_toks - 1) div $w"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum("n_toks").as("n_tokens"),
+              expr(s"(sum(n_toks) + ${w - 1}) div $w").as("n_chunks"),
+              sum(when(col("split"), 1L).otherwise(0L)).as("n_split_docs"))
+            .select(lit(w).as("window_toks"), col("n_docs"),
+              col("n_tokens"), col("n_chunks"),
+              (col("n_chunks") * lit(w) - col("n_tokens"))
+                .as("tail_pad_tokens"),
+              col("n_split_docs"),
+              expr("CAST((CAST(n_split_docs AS DECIMAL(38,0)) * 1000000)" +
+                " div n_docs AS BIGINT)").as("split_micro"))
+        }
+        rows.reduce(_ union _).orderBy("window_toks")
+      },
+      Some {
+        val perW = Seq(64L, 512L, 2048L).map { w =>
+          s"""SELECT CAST($w AS BIGINT) AS window_toks,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             |  CAST((sum(n_toks) + ${w - 1}) // $w AS BIGINT) AS n_chunks,
+             |  CAST((sum(n_toks) + ${w - 1}) // $w * $w - sum(n_toks)
+             |    AS BIGINT) AS tail_pad_tokens,
+             |  CAST(sum(CASE WHEN n_toks > 0
+             |      AND start // $w <> (start + n_toks - 1) // $w
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+             |  CAST((CAST(sum(CASE WHEN n_toks > 0
+             |      AND start // $w <> (start + n_toks - 1) // $w
+             |    THEN 1 ELSE 0 END) AS HUGEINT) * 1000000) // count(*)
+             |    AS BIGINT) AS split_micro
+             |FROM pscs""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH pstk AS (
+           |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |pscs AS MATERIALIZED (
+           |  SELECT doc_id, n_toks,
+           |    coalesce(sum(n_toks) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS start
+           |  FROM pstk)
+           |SELECT * FROM ($perW) ORDER BY window_toks""".stripMargin
+      }),
+
+    // MINHASH SIGNATURE-LENGTH SWEEP: Jaccard-estimator error at k =
+    // 2/4/8 permutations (prefixes of the SAME 8-permutation signature)
+    // against the exact shingle Jaccard — measured ON THE LSH CANDIDATE
+    // PAIRS, i.e. the error a banded pipeline actually sees, selection
+    // bias included: candidates were selected BECAUSE bands (built from
+    // these same permutations) collided, so the k-prefix estimate is
+    // conditionally inflated and MAE need NOT fall as k grows (at
+    // sf0.001 it rises 28k→55k micro) — the honest operating read is
+    // "what does trusting the sketch on survivors cost", not the
+    // unconditional Var[Ĵ] = J(1−J)/k textbook curve, which only holds
+    // on independently sampled pairs. EXACT integer arithmetic:
+    // Ĵ_k = agree_k·1e6 div k,
+    // J = inter·1e6 div union, signed bias and absolute error reduce
+    // map-side to one row per k; rides the memoized signature + pair +
+    // shingle frames, fanned by a 3-row broadcast.
+    QueryDef(
+      "tdp_minhash_k_sweep",
+      (s, dir) => {
+        val d = docHashes(s, dir).filter(col("n_sh") > 0)
+        val sig = minhashSigDf(s, dir)
+        val aS = sig.select(Seq(col("doc_id").as("doc_a")) ++
+          (0 until 8).map(j => col(s"mh$j").as(s"a_mh$j")): _*)
+        val bS = sig.select(Seq(col("doc_id").as("doc_b")) ++
+          (0 until 8).map(j => col(s"mh$j").as(s"b_mh$j")): _*)
+        val ha = d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
+          col("n_sh").cast(LongType).as("na"))
+        val hb = d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
+          col("n_sh").cast(LongType).as("nb"))
+        val base = lshPairs(s, dir)
+          .join(aS, Seq("doc_a")).join(bS, Seq("doc_b"))
+          .join(ha, Seq("doc_a")).join(hb, Seq("doc_b"))
+          .withColumn("inter",
+            size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+          .withColumn("exact",
+            expr("CAST((CAST(inter AS DECIMAL(38,0)) * 1000000)" +
+              " div (na + nb - inter) AS BIGINT)"))
+        val rows = Seq(2, 4, 8).map { k =>
+          val agreeK = (0 until k).map(j =>
+            when(col(s"a_mh$j") === col(s"b_mh$j"), 1L).otherwise(0L))
+            .reduce(_ + _)
+          base.withColumn("agree_k", agreeK)
+            .withColumn("est",
+              expr(s"CAST((CAST(agree_k AS DECIMAL(38,0)) * 1000000)" +
+                s" div $k AS BIGINT)"))
+            .agg(count(lit(1)).as("n_pairs"),
+              expr("CAST(sum(CAST(abs(est - exact) AS DECIMAL(38,0)))" +
+                " AS BIGINT)").as("sae"),
+              expr("CAST(sum(CAST(est - exact AS DECIMAL(38,0)))" +
+                " AS BIGINT)").as("sse"),
+              max(expr("abs(est - exact)")).as("max_err"))
+            .select(lit(k.toLong).as("k_perms"), col("n_pairs"),
+              expr("CASE WHEN n_pairs > 0 THEN CAST(CAST(sae" +
+                " AS DECIMAL(38,0)) div n_pairs AS BIGINT) END")
+                .as("mae_micro"),
+              expr("CASE WHEN n_pairs > 0 THEN CAST(CASE WHEN sse >= 0" +
+                " THEN CAST(sse AS DECIMAL(38,0)) div n_pairs" +
+                " ELSE -((-CAST(sse AS DECIMAL(38,0))) div n_pairs) END" +
+                " AS BIGINT) END").as("bias_micro"),
+              col("max_err"))
+        }
+        rows.reduce(_ union _).orderBy("k_perms")
+      },
+      Some {
+        val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(hashes, h -> (h * $a + $b) % $P)) AS mh$j"
+        }.mkString(",\n  ")
+        val perK = Seq(2, 4, 8).map { k =>
+          val agree = (0 until k).map(j =>
+            s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)")
+            .mkString(" + ")
+          s"""SELECT CAST($k AS BIGINT) AS k_perms, est, exact FROM (
+             |  SELECT CAST((CAST(($agree) AS HUGEINT) * 1000000) // $k
+             |      AS BIGINT) AS est,
+             |    CAST((CAST(len(list_intersect(a.hashes, b.hashes))
+             |        AS HUGEINT) * 1000000)
+             |      // (a.n_sh + b.n_sh
+             |        - len(list_intersect(a.hashes, b.hashes)))
+             |      AS BIGINT) AS exact
+             |  FROM pairs p
+             |  JOIN mks a ON p.doc_a = a.doc_id
+             |  JOIN mks b ON p.doc_b = b.doc_id)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $lshPairsSqlCtes,
+           |mks AS (
+           |  SELECT doc_id, hashes, CAST(len(hashes) AS BIGINT) AS n_sh,
+           |    $sigs
+           |  FROM doc_sh WHERE len(hashes) > 0),
+           |mke AS ($perK)
+           |SELECT k_perms, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CASE WHEN count(*) > 0 THEN
+           |    CAST(CAST(sum(CAST(abs(est - exact) AS HUGEINT)) AS HUGEINT)
+           |      // count(*) AS BIGINT) END AS mae_micro,
+           |  CASE WHEN count(*) > 0 THEN
+           |    CAST(CASE WHEN sum(CAST(est - exact AS HUGEINT)) >= 0 THEN
+           |      sum(CAST(est - exact AS HUGEINT)) // count(*)
+           |    ELSE -((-sum(CAST(est - exact AS HUGEINT))) // count(*))
+           |    END AS BIGINT) END AS bias_micro,
+           |  CAST(max(abs(est - exact)) AS BIGINT) AS max_err
+           |FROM mke GROUP BY 1 ORDER BY k_perms""".stripMargin
+      }),
   )
 }
