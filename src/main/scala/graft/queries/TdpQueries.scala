@@ -14126,5 +14126,110 @@ object TdpQueries {
            |  CAST(max(abs(est - exact)) AS BIGINT) AS max_err
            |FROM mke GROUP BY 1 ORDER BY k_perms""".stripMargin
       }),
+
+    // QUALITY-KEEPER PIPELINE (tdp_dedup_pipeline's policy variant):
+    // exact dedup, then keep the BEST-QUALITY member per near-dup
+    // cluster instead of the min-id — and certify the cross-policy
+    // reconciliation: the pipeline's total quality gain over the min-id
+    // policy EQUALS tdp_cluster_keep_best's per-cluster gain sum.
+    // That equality is provable, not incidental: exact duplicates have
+    // identical text hence identical quality scores, so the best
+    // quality among exact-stage SURVIVORS equals the best among ALL
+    // members, and the min-id root always survives the exact stage
+    // (tdp_dedup_pipeline's theorem) — the oracle recomputes both sums
+    // and the row carries the equality flag. Scale shape: rides the
+    // memoized cluster + quality frames plus the one md5 groupBy; the
+    // keeper argmax is a per-cluster window over cluster-sized groups
+    // (the keep_best precedent); censuses reduce map-side to 1 row.
+    QueryDef(
+      "tdp_pipeline_keep_best",
+      (s, dir) => {
+        val px = table(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
+        val s1 = px.groupBy("h").agg(min("doc_id").as("doc_id"))
+        val surv = s1
+          .join(dupClusters(s, dir).select("doc_id", "cluster_id"), "doc_id")
+          .join(qualityScored(s, dir).select("doc_id", "quality"),
+            Seq("doc_id"), "left")
+          .withColumn("qv", coalesce(col("quality"), lit(-1.0)))
+          .withColumn("q_micro",
+            floor(col("qv") * lit(1000000.0)).cast(LongType))
+        val wBest = Window.partitionBy("cluster_id")
+          .orderBy(desc("qv"), col("doc_id"))
+        val best = surv.withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("doc_id").as("keep_doc"),
+            col("q_micro").as("bq_micro"))
+        val root = surv.filter(col("doc_id") === col("cluster_id"))
+          .select(col("cluster_id"), col("q_micro").as("rq_micro"))
+        val agg = best.join(root, "cluster_id")
+          .agg(count(lit(1)).as("n_final"),
+            sum(when(col("keep_doc") =!= col("cluster_id"), 1L)
+              .otherwise(0L)).as("n_keeper_changed"),
+            expr("CAST(sum(CAST(bq_micro - rq_micro AS DECIMAL(38,0)))" +
+              " AS BIGINT)").as("gain_total_micro"))
+        val kb = Registry.queries("tdp_cluster_keep_best")(s, dir)
+          .agg(coalesce(
+            expr("CAST(sum(CAST(gain_micro AS DECIMAL(38,0))) AS BIGINT)"),
+            lit(0L)).as("kb_gain_micro"))
+        agg.crossJoin(broadcast(kb))
+          .select(col("n_final"), col("n_keeper_changed"),
+            col("gain_total_micro"), col("kb_gain_micro"),
+            (col("gain_total_micro") === col("kb_gain_micro"))
+              .as("gain_matches_keep_best"))
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |pkq AS (
+              |  SELECT doc_id, $qualitySql AS quality
+              |  FROM ($qualityPartsSql)),
+              |pkx AS (
+              |  SELECT doc_id, md5(text) AS h FROM documents),
+              |pks AS MATERIALIZED (
+              |  SELECT s.doc_id, c.cluster_id,
+              |    CAST(floor(coalesce(q.quality, -1.0) * 1000000.0)
+              |      AS BIGINT) AS q_micro,
+              |    coalesce(q.quality, -1.0) AS qv
+              |  FROM (SELECT h, min(doc_id) AS doc_id FROM pkx GROUP BY 1) s
+              |  JOIN cc c ON c.doc_id = s.doc_id
+              |  LEFT JOIN pkq q ON q.doc_id = s.doc_id),
+              |pkb AS (
+              |  SELECT cluster_id, doc_id AS keep_doc, q_micro AS bq_micro
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+              |      ORDER BY qv DESC, doc_id) AS rn FROM pks)
+              |  WHERE rn = 1),
+              |pkr AS (
+              |  SELECT cluster_id, q_micro AS rq_micro FROM pks
+              |  WHERE doc_id = cluster_id),
+              |pka AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_final,
+              |    CAST(sum(CASE WHEN b.keep_doc <> b.cluster_id THEN 1
+              |      ELSE 0 END) AS BIGINT) AS n_keeper_changed,
+              |    CAST(sum(CAST(b.bq_micro - r.rq_micro AS HUGEINT))
+              |      AS BIGINT) AS gain_total_micro
+              |  FROM pkb b JOIN pkr r USING (cluster_id)),
+              |pkm AS (
+              |  SELECT doc_id, cluster_id,
+              |    count(*) OVER (PARTITION BY cluster_id) AS n,
+              |    CAST(floor(coalesce(q.quality, -1.0) * 1000000.0)
+              |      AS BIGINT) AS q_micro,
+              |    coalesce(q.quality, -1.0) AS qv
+              |  FROM cc LEFT JOIN pkq q USING (doc_id)),
+              |pkkb AS (
+              |  SELECT CAST(coalesce(sum(gain), 0) AS BIGINT)
+              |      AS kb_gain_micro
+              |  FROM (
+              |    SELECT b.bq - r.q_micro AS gain FROM (
+              |      SELECT cluster_id, q_micro AS bq
+              |      FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY cluster_id ORDER BY qv DESC, doc_id)
+              |          AS rn FROM pkm WHERE n > 1)
+              |      WHERE rn = 1) b
+              |    JOIN (SELECT cluster_id, q_micro FROM pkm
+              |          WHERE doc_id = cluster_id AND n > 1) r
+              |      USING (cluster_id)))
+              |SELECT n_final, n_keeper_changed, gain_total_micro,
+              |  kb_gain_micro,
+              |  gain_total_micro = kb_gain_micro AS gain_matches_keep_best
+              |FROM pka, pkkb""".stripMargin)),
   )
 }

@@ -3110,6 +3110,12 @@ class TdpSpec extends SparkSpec {
       sv)
     val dr = Registry.queries("tdp_dup_rate")(spark, dir).collect().head
     assert(dr.getLong(1) == r.getAs[Long]("n_clusters"), dr)
+    // The quality-keeper variant keeps one doc per cluster too, and its
+    // total gain reconciles with the standalone keep-best rows.
+    val kb = Registry.queries("tdp_pipeline_keep_best")(spark, dir)
+      .collect().head
+    assert(kb.getAs[Long]("n_final") == 3L, kb)
+    assert(kb.getAs[Boolean]("gain_matches_keep_best"), kb)
   }
 
   test("source percentiles: nearest-rank order statistics replay by hand") {
