@@ -13115,6 +13115,11 @@ object TdpQueries {
           // a max over identical doubles — pure set union.
           pool = pool.union(scored)
             .groupBy("q_id", "c_id").agg(max("sim").as("sim"))
+            // lineage cut (the kcore/iterated-frame precedent): the pool
+            // is tiny (queries x <= 1+8b*h rows) but lazy - without the
+            // cut every later hop and census re-executes ALL earlier
+            // hops' expansion joins.
+            .localCheckpoint()
           val bh = topB(pool)
           val nb = bh.agg(count(lit(1)).as("n_beam"),
             coalesce(sum("c_id"), lit(0L)).as("beam_checksum"))
@@ -13945,6 +13950,11 @@ object TdpQueries {
               .select("q_id", "c_id", "sim")
             pool = pool.union(scored)
               .groupBy("q_id", "c_id").agg(max("sim").as("sim"))
+              // lineage cut (the kcore/iterated-frame precedent): the pool
+              // is tiny (queries x <= 1+8b*h rows) but lazy - without the
+              // cut every later hop and census re-executes ALL earlier
+              // hops' expansion joins.
+              .localCheckpoint()
           }
           val bh = topB(pool)
           val nb = bh.agg(count(lit(1)).as("n_beam"),

@@ -743,15 +743,16 @@ class PlanSpec extends SparkSpec {
       mplan.contains("partial"), mplan.take(3000))
   }
 
-  test("ann beam: hops equi-keyed, queries broadcast, no cartesian") {
+  test("ann beam: residual census only, no cartesian, 3-hop trace") {
     val df = Registry.queries("tdp_ann_beam")(spark, dir)
+    // The hop expansions run at build time behind per-hop lineage cuts
+    // (the kcore pattern) — what remains is the per-hop census over the
+    // checkpointed pools; the only nested loops allowed are the 1-row
+    // census attaches, and a cartesian anywhere means a census
+    // degenerated to all-pairs.
     val plan = df.queryExecution.executedPlan.toString
-    // Each hop joins the bounded frontier to the edge list on the source
-    // vertex and broadcasts the 2% query side to the scoring join; the
-    // only nested loops allowed are the 1-row census attaches — a
-    // cartesian anywhere means a hop degenerated to all-pairs.
-    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(df.count() == 3)
   }
 
   test("dedup pipeline: residual audit is semi-joins, censuses broadcast") {
