@@ -1387,7 +1387,44 @@ object TdpQueries {
       .orderBy(desc("stationary_micro"), col("event_type"))
   }
 
+  /** The LPA oracle's shared CTE chain (expects `pairs` in scope):
+    * symmetric edges `lpe`, self-labels `lp0`, three unrolled
+    * most-frequent-label rounds ending in `lp3` — consumed by the
+    * community census AND the modularity oracle so the partition the
+    * quality score grades is the partition the census ships.
+    */
+  private val lpaSqlCtes: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""lpv$k AS MATERIALIZED (
+         |  SELECT doc_id, lab, count(*) AS v FROM (
+         |    SELECT e.dst AS doc_id, l.lab
+         |    FROM lpe e JOIN lp${k - 1} l ON l.doc_id = e.src
+         |    UNION ALL SELECT doc_id, lab FROM lp${k - 1})
+         |  GROUP BY 1, 2),
+         |lp$k AS MATERIALIZED (
+         |  SELECT doc_id, lab FROM (
+         |    SELECT doc_id, lab, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY v DESC, lab) AS rk
+         |    FROM lpv$k) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""lpe AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |lp0 AS (SELECT DISTINCT dst AS doc_id, dst AS lab FROM lpe),
+       |$rounds""".stripMargin
+  }
+
+  /** Memoized per rounds-count: tdp_label_propagation and
+    * tdp_modularity consume the SAME 3-round labels, so the join rounds
+    * run once per (session, SF); LpaConvergenceSpec's rounds=4 frame
+    * memoizes separately.
+    */
   private[queries] def lpaLabels(
+      s: SparkSession, dir: String, rounds: Int): DataFrame =
+    Registry.memo(s, dir, s"tdp_lpa_labels_$rounds")(
+      lpaLabelsUncached(s, dir, rounds))
+
+  private def lpaLabelsUncached(
       s: SparkSession, dir: String, rounds: Int): DataFrame = {
     val pairs = lshPairs(s, dir)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -9971,31 +10008,12 @@ object TdpQueries {
         .groupBy(col("lab").as("community"))
         .agg(count(lit(1)).as("community_size"),
           min("doc_id").as("min_member"), max("doc_id").as("max_member")),
-      Some {
-        val rounds = (1 to 3).map { k =>
-          s"""lpv$k AS MATERIALIZED (
-             |  SELECT doc_id, lab, count(*) AS v FROM (
-             |    SELECT e.dst AS doc_id, l.lab
-             |    FROM lpe e JOIN lp${k - 1} l ON l.doc_id = e.src
-             |    UNION ALL SELECT doc_id, lab FROM lp${k - 1})
-             |  GROUP BY 1, 2),
-             |lp$k AS MATERIALIZED (
-             |  SELECT doc_id, lab FROM (
-             |    SELECT doc_id, lab, row_number() OVER (
-             |      PARTITION BY doc_id ORDER BY v DESC, lab) AS rk
-             |    FROM lpv$k) WHERE rk = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $lshPairsSqlCtes,
-           |lpe AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |lp0 AS (SELECT DISTINCT dst AS doc_id, dst AS lab FROM lpe),
-           |$rounds
-           |SELECT lab AS community,
-           |  CAST(count(*) AS BIGINT) AS community_size,
-           |  min(doc_id) AS min_member, max(doc_id) AS max_member
-           |FROM lp3 GROUP BY 1""".stripMargin
-      }),
+      Some(s"""WITH $lshPairsSqlCtes,
+              |$lpaSqlCtes
+              |SELECT lab AS community,
+              |  CAST(count(*) AS BIGINT) AS community_size,
+              |  min(doc_id) AS min_member, max(doc_id) AS max_member
+              |FROM lp3 GROUP BY 1""".stripMargin)),
 
     // PCA TOP COMPONENT by the tall-skinny pattern: ONE distributed
     // pass folds the D^2 second moments and D first moments (micro-unit
@@ -14241,5 +14259,204 @@ object TdpQueries {
               |  kb_gain_micro,
               |  gain_total_micro = kb_gain_micro AS gain_matches_keep_best
               |FROM pka, pkkb""".stripMargin)),
+
+    // NEWMAN MODULARITY of the LPA partition: did the communities
+    // actually capture edge density? Q = Σ_c (e2_c/M − (d_c/M)²) over
+    // the symmetric edge list (M = 2m rows) — the quality score every
+    // community detector publishes beside its census, and the number
+    // that says whether tdp_label_propagation's split of a CC into
+    // communities cut real structure or noise. EXACT rational: Q·1e6 =
+    // (Σ_c e2_c·M − Σ_c d_c²)·1e6 div M² in DECIMAL(38,0)/HUGEINT
+    // (sign-split — Q can be negative); coverage = Σe2/M rides the same
+    // sums. Scale shape: label attach is two vertex-keyed equi-joins on
+    // the memoized 3-round LPA frame (shared with the census query via
+    // the lpaLabels memo); per-community sums are community-keyed
+    // map-side combines; the reduce is 1 row.
+    QueryDef(
+      "tdp_modularity",
+      (s, dir) => {
+        val pairs = lshPairs(s, dir)
+        val edges = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"),
+            col("doc_a").as("dst")))
+        val labels = lpaLabels(s, dir, rounds = 3)
+        val e2 = edges
+          .join(labels.select(col("doc_id").as("src"),
+            col("lab").as("lab_s")), "src")
+          .join(labels.select(col("doc_id").as("dst"),
+            col("lab").as("lab_d")), "dst")
+          .filter(col("lab_s") === col("lab_d"))
+          .groupBy(col("lab_s").as("lab")).agg(count(lit(1)).as("e2"))
+        val dC = edges
+          .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
+          .groupBy("lab").agg(count(lit(1)).as("d"))
+        val m2 = edges.agg(count(lit(1)).as("m2"))
+        dC.join(e2, Seq("lab"), "left")
+          .withColumn("e2", coalesce(col("e2"), lit(0L)))
+          .crossJoin(broadcast(m2))
+          .agg(count(lit(1)).as("n_communities"),
+            max("m2").as("m2x"),
+            expr("CAST(sum(CAST(e2 AS DECIMAL(38,0)) * m2) AS" +
+              " DECIMAL(38,0))").as("s_intra"),
+            expr("CAST(sum(CAST(d AS DECIMAL(38,0)) * d) AS" +
+              " DECIMAL(38,0))").as("s_dsq"))
+          .select(
+            expr("CAST(m2x div 2 AS BIGINT)").as("n_edges"),
+            col("n_communities"),
+            expr("CAST(CAST(s_intra div m2x AS DECIMAL(38,0))" +
+              " div 2 AS BIGINT)").as("n_intra_edges"),
+            expr("CAST((CAST(s_intra AS DECIMAL(38,0)) * 1000000)" +
+              " div (CAST(m2x AS DECIMAL(38,0)) * m2x) AS BIGINT)")
+              .as("coverage_micro"),
+            expr("CASE WHEN s_intra - s_dsq >= 0 THEN" +
+              " CAST(((CAST(s_intra AS DECIMAL(38,0)) - s_dsq) * 1000000)" +
+              " div (CAST(m2x AS DECIMAL(38,0)) * m2x) AS BIGINT)" +
+              " ELSE -CAST(((CAST(s_dsq AS DECIMAL(38,0)) - s_intra)" +
+              " * 1000000) div (CAST(m2x AS DECIMAL(38,0)) * m2x)" +
+              " AS BIGINT) END").as("modularity_micro"))
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+              |$lpaSqlCtes,
+              |mde AS (SELECT src, dst FROM lpe),
+              |mdl AS (SELECT doc_id, lab FROM lp3),
+              |mde2 AS (
+              |  SELECT a.lab, CAST(count(*) AS BIGINT) AS e2
+              |  FROM mde e
+              |  JOIN mdl a ON a.doc_id = e.src
+              |  JOIN mdl b ON b.doc_id = e.dst
+              |  WHERE a.lab = b.lab GROUP BY 1),
+              |mdd AS (
+              |  SELECT l.lab, CAST(count(*) AS BIGINT) AS d
+              |  FROM mde e JOIN mdl l ON l.doc_id = e.src GROUP BY 1),
+              |mdm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM mde),
+              |mda AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+              |    max(m.m2) AS m2x,
+              |    sum(CAST(coalesce(e.e2, 0) AS HUGEINT) * m.m2)
+              |      AS s_intra,
+              |    sum(CAST(d.d AS HUGEINT) * d.d) AS s_dsq
+              |  FROM mdd d LEFT JOIN mde2 e USING (lab), mdm m)
+              |SELECT CAST(m2x // 2 AS BIGINT) AS n_edges, n_communities,
+              |  CAST((s_intra // m2x) // 2 AS BIGINT) AS n_intra_edges,
+              |  CAST((s_intra * 1000000)
+              |    // (CAST(m2x AS HUGEINT) * m2x) AS BIGINT)
+              |    AS coverage_micro,
+              |  CASE WHEN s_intra - s_dsq >= 0 THEN
+              |    CAST(((s_intra - s_dsq) * 1000000)
+              |      // (CAST(m2x AS HUGEINT) * m2x) AS BIGINT)
+              |  ELSE -CAST(((s_dsq - s_intra) * 1000000)
+              |      // (CAST(m2x AS HUGEINT) * m2x) AS BIGINT)
+              |  END AS modularity_micro
+              |FROM mda""".stripMargin)),
+
+    // DOUBLE-SWEEP DIAMETER BOUND (Magnien-Latapy-Habib): BFS from the
+    // max-degree vertex, then a second BFS from the farthest vertex the
+    // first sweep found — the second eccentricity is the standard cheap
+    // diameter LOWER bound, read beside tdp_bfs_reach's frontier census
+    // ("how far apart can two near-dups transitively sit"). Both sweeps
+    // cap at 4 hops (the bfs_reach contract) and the row says so:
+    // `capped` = some vertex sat at the cap, i.e. the bound may be
+    // loose. Scale shape: two runs of the bfs_reach device (per-hop
+    // edges→frontier equi-joins + left-anti visited, lineage cuts, edge
+    // side hash-partitioned + persisted once); the only driver hops are
+    // the two 1-row argmaxes and one count per hop.
+    QueryDef(
+      "tdp_diameter_sweep",
+      (s, dir) => {
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
+        import s.implicits._
+        val pairs = lshPairs(s, dir)
+        val edges = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"),
+            col("doc_a").as("dst")))
+          .repartition(col("src"))
+          .persist()
+        // dist frame: (doc_id, d) min-hop distances from `seed`, ≤4 hops
+        def sweep(seed: Long): (DataFrame, Long, Boolean) = {
+          var visited = cut(Seq((seed, 0L)).toDF("doc_id", "d"))
+          var frontier = visited.select("doc_id")
+          var hop = 1L
+          var live = true
+          var capped = false
+          while (hop <= 4 && live) {
+            frontier = cut(edges
+              .join(frontier.select(col("doc_id").as("src")), "src")
+              .select(col("dst").as("doc_id")).distinct()
+              .join(visited.select("doc_id"), Seq("doc_id"), "left_anti"))
+            val nf = frontier.count()
+            if (nf == 0) live = false
+            else {
+              visited = cut(visited.union(
+                frontier.withColumn("d", lit(hop))))
+              if (hop == 4) capped = true
+              hop += 1
+            }
+          }
+          val ecc = visited.agg(max("d")).head().getLong(0)
+          (visited, ecc, capped)
+        }
+        val out = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .orderBy(desc("deg"), col("src"))
+          .limit(1).collect().headOption.map(_.getLong(0)) match {
+          case None =>
+            Seq.empty[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+          case Some(seed) =>
+            val (d1, ecc1, cap1) = sweep(seed)
+            // farthest vertex of sweep 1 (tie -> min id): 1-row argmax
+            val u = d1.orderBy(desc("d"), col("doc_id"))
+              .limit(1).head().getLong(0)
+            val (d2, ecc2, cap2) = sweep(u)
+            Seq((seed, ecc1, d1.count(), u, ecc2, d2.count(),
+              math.max(ecc1, ecc2), cap1 || cap2))
+        }
+        edges.unpersist(blocking = false)
+        out.toDF("seed", "ecc_seed", "n_reached_seed", "far_vertex",
+          "ecc_far", "n_reached_far", "diameter_lb", "capped")
+      },
+      Some(s"""WITH RECURSIVE $lshPairsSqlCtes,
+              |dse AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |dseed AS (
+              |  SELECT src FROM (
+              |    SELECT src, count(*) AS deg FROM dse GROUP BY 1)
+              |  ORDER BY deg DESC, src LIMIT 1),
+              |db1(doc, hop) AS (
+              |  SELECT src, CAST(0 AS BIGINT) FROM dseed
+              |  UNION
+              |  SELECT e.dst, b.hop + 1
+              |  FROM db1 b JOIN dse e ON e.src = b.doc
+              |  WHERE b.hop < 4),
+              |dd1 AS MATERIALIZED (
+              |  SELECT doc, CAST(min(hop) AS BIGINT) AS d
+              |  FROM db1 GROUP BY 1),
+              |dfar AS (
+              |  SELECT doc FROM dd1 ORDER BY d DESC, doc LIMIT 1),
+              |db2(doc, hop) AS (
+              |  SELECT doc, CAST(0 AS BIGINT) FROM dfar
+              |  UNION
+              |  SELECT e.dst, b.hop + 1
+              |  FROM db2 b JOIN dse e ON e.src = b.doc
+              |  WHERE b.hop < 4),
+              |dd2 AS MATERIALIZED (
+              |  SELECT doc, CAST(min(hop) AS BIGINT) AS d
+              |  FROM db2 GROUP BY 1)
+              |SELECT s.src AS seed,
+              |  (SELECT max(d) FROM dd1) AS ecc_seed,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM dd1)
+              |    AS n_reached_seed,
+              |  (SELECT doc FROM dfar) AS far_vertex,
+              |  (SELECT max(d) FROM dd2) AS ecc_far,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM dd2)
+              |    AS n_reached_far,
+              |  greatest((SELECT max(d) FROM dd1),
+              |    (SELECT max(d) FROM dd2)) AS diameter_lb,
+              |  (SELECT max(d) FROM dd1) = 4
+              |    OR (SELECT max(d) FROM dd2) = 4 AS capped
+              |FROM dseed s""".stripMargin)),
   )
 }

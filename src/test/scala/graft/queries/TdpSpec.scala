@@ -3205,6 +3205,33 @@ class TdpSpec extends SparkSpec {
     assert(over == 0L)
   }
 
+  test("modularity and diameter sweep: two planted pair-communities") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_mod").toString
+    // Two disjoint whitespace-clone pairs -> LSH edges (1,2) and
+    // (10,11); LPA gives each pair its own community. M = 4 symmetric
+    // rows, per community e2 = 2 and d = 2: s_intra = 16, s_dsq = 8 ->
+    // Q = 8/16 = 0.5, coverage = 1.0. Diameter: all degrees 1, seed =
+    // min id 1, both eccentricities 1, nothing capped.
+    val xa = "p q r s t u v w x"
+    val ya = "aa bb cc dd ee ff gg hh ii"
+    val docs = Seq((1L, xa), (2L, xa + " "), (10L, ya), (11L, ya + " "))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = Registry.queries("tdp_modularity")(spark, dir).collect().head
+    assert((m.getAs[Long]("n_edges"), m.getAs[Long]("n_communities"),
+      m.getAs[Long]("n_intra_edges"), m.getAs[Long]("coverage_micro"),
+      m.getAs[Long]("modularity_micro")) ==
+      ((2L, 2L, 2L, 1000000L, 500000L)), m)
+    val d = Registry.queries("tdp_diameter_sweep")(spark, dir)
+      .collect().head
+    assert((d.getAs[Long]("seed"), d.getAs[Long]("ecc_seed"),
+      d.getAs[Long]("n_reached_seed"), d.getAs[Long]("far_vertex"),
+      d.getAs[Long]("ecc_far"), d.getAs[Long]("diameter_lb"),
+      d.getAs[Boolean]("capped")) == ((1L, 1L, 2L, 2L, 1L, 1L, false)), d)
+  }
+
   test("chao1 richness: bias-corrected estimator replays by hand") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tdp_chao").toString
