@@ -85,7 +85,8 @@ class WindowLintSpec extends SparkSpec {
     // fixed queries must rank through RangeRank's (partition-id, source)
     // windows instead — no Window in their lineage may be partitioned by
     // the source key alone.
-    for (q <- Seq("tdp_quantile_norm", "tdp_curriculum_interleave")) {
+    for (q <- Seq("tdp_quantile_norm", "tdp_curriculum_interleave",
+      "tdp_source_percentiles")) {
       val plan = Registry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val bare = plan.collect {
         case w: LogicalWindow
