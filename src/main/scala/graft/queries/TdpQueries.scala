@@ -14458,5 +14458,91 @@ object TdpQueries {
               |  (SELECT max(d) FROM dd1) = 4
               |    OR (SELECT max(d) FROM dd2) = 4 AS capped
               |FROM dseed s""".stripMargin)),
+
+    // DEGREE DISTRIBUTION of the near-dup graph: log2-bucketed degree
+    // histogram + exact integer moments (max degree, mean in micro) —
+    // the third leg of this round's graph-health trio beside modularity
+    // (partition quality) and the diameter sweep (reach): a heavy
+    // degree tail is what the LSH hot-bucket star-cap and the triangle
+    // orientation bound defend against, and this is the census that
+    // says whether the tail exists. Scale shape: one map-side-combined
+    // degree count over the symmetric pair frame, a bit-length bucket
+    // (pure integer, the quantile-sketch device — no libm), an
+    // alphabet-of-buckets-sized reduce; DECIMAL/HUGEINT mean.
+    QueryDef(
+      "tdp_degree_dist",
+      (s, dir) => {
+        val pairs = lshPairs(s, dir)
+        val deg = pairs.select(col("doc_a").as("v"))
+          .union(pairs.select(col("doc_b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val tot = deg.agg(
+          count(lit(1)).as("n_vertices"),
+          expr("CAST(sum(CAST(deg AS DECIMAL(38,0))) AS BIGINT)")
+            .as("sum_deg"),
+          max("deg").as("max_deg"))
+        deg
+          .withColumn("bucket",
+            expr("CAST(length(bin(deg)) - 1 AS BIGINT)"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_vertices_in_bucket"),
+            min("deg").as("min_deg"), max("deg").as("max_deg_in"))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_vertices_in_bucket"),
+            col("min_deg"), col("max_deg_in"), col("n_vertices"),
+            col("max_deg"),
+            expr("CAST((CAST(sum_deg AS DECIMAL(38,0)) * 1000000)" +
+              " div n_vertices AS BIGINT)").as("mean_deg_micro"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+              |dgd AS (
+              |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+              |    SELECT doc_a AS v FROM pairs
+              |    UNION ALL SELECT doc_b FROM pairs)
+              |  GROUP BY 1),
+              |dgt AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+              |    CAST(sum(CAST(deg AS HUGEINT)) AS BIGINT) AS sum_deg,
+              |    CAST(max(deg) AS BIGINT) AS max_deg
+              |  FROM dgd)
+              |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+              |  CAST(count(*) AS BIGINT) AS n_vertices_in_bucket,
+              |  CAST(min(deg) AS BIGINT) AS min_deg,
+              |  CAST(max(deg) AS BIGINT) AS max_deg_in,
+              |  t.n_vertices, t.max_deg,
+              |  CAST((CAST(t.sum_deg AS HUGEINT) * 1000000)
+              |    // t.n_vertices AS BIGINT) AS mean_deg_micro
+              |FROM dgd, dgt t
+              |GROUP BY 1, t.n_vertices, t.max_deg, t.sum_deg
+              |ORDER BY bucket""".stripMargin)),
+
+    // DUP-CLUSTER SIZE HISTOGRAM: how many clusters of each size — the
+    // dedup dashboard's shape census beside tdp_dup_rate's totals
+    // (a few mega-clusters vs many pairs changes the keeper-policy
+    // risk completely, cf. tdp_cluster_purity). Rides the memoized
+    // cluster frame: one cluster-keyed count (cluster_n is already
+    // materialized there), one size-keyed reduce — output is bounded
+    // by the number of DISTINCT sizes, never the corpus.
+    QueryDef(
+      "tdp_cluster_sizes",
+      (s, dir) => {
+        dupClusters(s, dir)
+          .filter(col("is_kept"))
+          .groupBy(col("cluster_n").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .withColumn("n_docs",
+            expr("CAST(cluster_size * n_clusters AS BIGINT)"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |csz AS (
+              |  SELECT cluster_id, CAST(count(*) AS BIGINT)
+              |      AS cluster_size
+              |  FROM cc GROUP BY 1)
+              |SELECT cluster_size,
+              |  CAST(count(*) AS BIGINT) AS n_clusters,
+              |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+              |FROM csz GROUP BY 1 ORDER BY cluster_size""".stripMargin)),
   )
 }
