@@ -411,6 +411,50 @@ object TdpQueries {
         .select("q_id", "c_id", "rank", "sim")
     }
 
+  /** Cosine near-dup pairs over the hyperplane-bucketed embeddings,
+    * memoized — consumed by tdp_embedding_near_dup and the cross-modality
+    * dedup-agreement audit, one bucket join for both.
+    */
+  private def embNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_emb_neardup_pairs") {
+      val sig = (0 until 8).map(j =>
+        s"(CASE WHEN (${lshPlaneDotExpr(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      val e = embWithNorm(s, dir).withColumn("signature", expr(sig))
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy("signature")))
+        .filter(col("bucket_n") <= EmbBucketCap)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("q_emb"),
+        col("norm").as("na"), col("signature"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("c_emb"),
+        col("norm").as("nb"), col("signature"))
+      a.join(b, Seq("signature"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("sim", expr(dotExpr) / (col("na") * col("nb")))
+        .filter(col("sim") >= lit(NearDupCosine))
+        .select("vec_a", "vec_b", "sim")
+    }
+
+  /** SQL twin of [[embNearDupPairs]] (expects `emb` in scope), ending in
+    * `endp(vec_a, vec_b, sim)` — shared by the pair query and the
+    * agreement oracle.
+    */
+  private def embNearDupSqlCtes: String = {
+    val sig = (0 until 8).map(j =>
+      s"(CASE WHEN (${lshPlaneDotSql(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""sgn AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding, norm, $sig AS signature FROM emb)
+       |  QUALIFY count(*) OVER (PARTITION BY signature) <= $EmbBucketCap),
+       |endp AS MATERIALIZED (
+       |  SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+       |    ($dotSql) / (q.norm * c.norm) AS sim
+       |  FROM sgn q JOIN sgn c
+       |    ON q.signature = c.signature AND q.vec_id < c.vec_id
+       |  WHERE ($dotSql) / (q.norm * c.norm) >= $NearDupCosine)""".stripMargin
+  }
+
   /** Directed k-NN graph (k=8) over the corpus for the HNSW-style
     * layer-0 beam search: candidate pairs share at least one of each
     * vector's TOP-2 probe buckets (the memoized [[ivfAssign2]] frame) —
@@ -3330,39 +3374,10 @@ object TdpQueries {
     // per-bucket pair fan-out on dup-heavy corpora.
     QueryDef(
       "tdp_embedding_near_dup",
-      (s, dir) => {
-        val sig = (0 until 8).map(j =>
-          s"(CASE WHEN (${lshPlaneDotExpr(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
-        val e = embWithNorm(s, dir).withColumn("signature", expr(sig))
-          .withColumn("bucket_n",
-            count(lit(1)).over(Window.partitionBy("signature")))
-          .filter(col("bucket_n") <= EmbBucketCap)
-        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("q_emb"),
-          col("norm").as("na"), col("signature"))
-        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("c_emb"),
-          col("norm").as("nb"), col("signature"))
-        a.join(b, Seq("signature"))
-          .filter(col("vec_a") < col("vec_b"))
-          .withColumn("sim", expr(dotExpr) / (col("na") * col("nb")))
-          .filter(col("sim") >= lit(NearDupCosine))
-          .select("vec_a", "vec_b", "sim")
-      },
-      Some {
-        val sig = (0 until 8).map(j =>
-          s"(CASE WHEN (${lshPlaneDotSql(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH $embNormSql,
-           |sgn AS (
-           |  SELECT * FROM (
-           |    SELECT vec_id, embedding, norm, $sig AS signature FROM emb)
-           |  QUALIFY count(*) OVER (PARTITION BY signature) <= $EmbBucketCap)
-           |SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
-           |  ($dotSql) / (q.norm * c.norm) AS sim
-           |FROM sgn q JOIN sgn c
-           |  ON q.signature = c.signature AND q.vec_id < c.vec_id
-           |WHERE ($dotSql) / (q.norm * c.norm) >= $NearDupCosine""".stripMargin
-      }),
+      (s, dir) => embNearDupPairs(s, dir),
+      Some(s"""WITH $embNormSql,
+              |$embNearDupSqlCtes
+              |SELECT vec_a, vec_b, sim FROM endp""".stripMargin)),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup —
     // bucket the corpus by its k-means (here: IVF seed) cluster, compute
@@ -14544,5 +14559,149 @@ object TdpQueries {
               |  CAST(count(*) AS BIGINT) AS n_clusters,
               |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
               |FROM csz GROUP BY 1 ORDER BY cluster_size""".stripMargin)),
+
+    // CROSS-MODALITY DEDUP AGREEMENT: do the TEXT detector (MinHash-LSH
+    // shingle pairs) and the EMBEDDING detector (hyperplane-bucketed
+    // cosine pairs) flag the same pairs? vec_id aligns with doc_id, so
+    // the two pair sets meet in one full-outer key join: both / text-
+    // only / vector-only counts and the Jaccard agreement in micro —
+    // the detector-ensemble calibration read beside tdp_dedup_agreement
+    // (which votes per DOC; this audits per PAIR, where the detectors'
+    // different geometries actually disagree). On the synthetic testdata
+    // agreement is ~0 BY CONSTRUCTION — the embeddings are generated
+    // independently of the text, so the audit correctly reports that the
+    // two detectors fire on disjoint pairs; on a production corpus with
+    // text-derived embeddings this is the number that validates using
+    // the cheap detector as a prefilter for the expensive one. Scale
+    // shape: both pair frames are memoized and bucket-bounded; the audit
+    // is one pair-keyed full-outer join + a 1-row map-side reduce.
+    QueryDef(
+      "tdp_dedup_modality_agreement",
+      (s, dir) => {
+        val t = lshPairs(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"),
+            lit(1L).as("in_text"))
+        val v = embNearDupPairs(s, dir)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"),
+            lit(1L).as("in_vec"))
+        t.join(v, Seq("a", "b"), "full_outer")
+          .select(coalesce(col("in_text"), lit(0L)).as("it"),
+            coalesce(col("in_vec"), lit(0L)).as("iv"))
+          .agg(count(lit(1)).as("n_union"),
+            expr("CAST(sum(CASE WHEN it = 1 AND iv = 1 THEN 1 ELSE 0" +
+              " END) AS BIGINT)").as("n_both"),
+            expr("CAST(sum(CASE WHEN it = 1 AND iv = 0 THEN 1 ELSE 0" +
+              " END) AS BIGINT)").as("n_text_only"),
+            expr("CAST(sum(CASE WHEN it = 0 AND iv = 1 THEN 1 ELSE 0" +
+              " END) AS BIGINT)").as("n_vector_only"))
+          .select(col("n_union"), col("n_both"), col("n_text_only"),
+            col("n_vector_only"),
+            expr("CASE WHEN n_union > 0 THEN" +
+              " CAST((CAST(n_both AS DECIMAL(38,0)) * 1000000)" +
+              " div n_union AS BIGINT) END").as("agreement_micro"))
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+              |$embNormSql,
+              |$embNearDupSqlCtes,
+              |dmt AS (
+              |  SELECT doc_a AS a, doc_b AS b, 1 AS it FROM pairs),
+              |dmv AS (
+              |  SELECT vec_a AS a, vec_b AS b, 1 AS iv FROM endp),
+              |dmj AS (
+              |  SELECT coalesce(t.it, 0) AS it, coalesce(v.iv, 0) AS iv
+              |  FROM dmt t FULL OUTER JOIN dmv v USING (a, b)),
+              |dma AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_union,
+              |    CAST(sum(CASE WHEN it = 1 AND iv = 1 THEN 1 ELSE 0
+              |      END) AS BIGINT) AS n_both,
+              |    CAST(sum(CASE WHEN it = 1 AND iv = 0 THEN 1 ELSE 0
+              |      END) AS BIGINT) AS n_text_only,
+              |    CAST(sum(CASE WHEN it = 0 AND iv = 1 THEN 1 ELSE 0
+              |      END) AS BIGINT) AS n_vector_only
+              |  FROM dmj)
+              |SELECT n_union, n_both, n_text_only, n_vector_only,
+              |  CASE WHEN n_union > 0 THEN
+              |    CAST((CAST(n_both AS HUGEINT) * 1000000) // n_union
+              |      AS BIGINT) END AS agreement_micro
+              |FROM dma""".stripMargin)),
+
+    // SPLIT-HALF VOCABULARY RANK STABILITY: Spearman rank correlation of
+    // the top-20 token frequency ranks between the even-doc_id and
+    // odd-doc_id halves of the corpus — the internal-consistency audit
+    // behind "is this corpus homogeneous enough that frequency-based
+    // decisions (stopword cuts, BPE merges, DSIR buckets) transfer
+    // between shards". Spearman on ranks is an EXACT rational:
+    // ρ·1e6 = 1e6 − (6·Σd²·1e6) div (n(n²−1)) with d over tokens in
+    // BOTH halves' top-20 (sign possible — explicit split); tokens in
+    // only one top-20 are counted separately (the churn column). Scale
+    // shape: two map-side-combined half-counts off the shared tokenize
+    // scan, two TakeOrdered(20) heads, a 20-row join — everything after
+    // the token count is top-k-sized.
+    QueryDef(
+      "tdp_vocab_stability",
+      (s, dir) => {
+        val tk = table(s, dir, "documents").select("doc_id")
+          .join(docToks(s, dir), "doc_id")
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+        def half(p: Int): DataFrame = {
+          val w = Window.partitionBy(pmod(col("freq"), lit(1L)))
+            .orderBy(desc("freq"), col("tok"))
+          tk.filter(col("doc_id") % 2 === p)
+            .groupBy("tok").agg(count(lit(1)).as("freq"))
+            .orderBy(desc("freq"), col("tok")).limit(20)
+            .withColumn("rnk", row_number().over(w).cast(LongType))
+            .select(col("tok"), col("rnk"))
+        }
+        val a = half(0).withColumnRenamed("rnk", "ra")
+        val b = half(1).withColumnRenamed("rnk", "rb")
+        val j = a.join(b, Seq("tok"), "full_outer")
+        j.agg(
+          expr("CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL" +
+            " THEN 1 ELSE 0 END) AS BIGINT)").as("n_shared"),
+          expr("CAST(sum(CASE WHEN ra IS NULL OR rb IS NULL THEN 1" +
+            " ELSE 0 END) AS BIGINT)").as("n_churned"),
+          expr("CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL" +
+            " THEN CAST((ra - rb) * (ra - rb) AS DECIMAL(38,0))" +
+            " ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT)")
+            .as("sum_d2"))
+          .select(col("n_shared"), col("n_churned"), col("sum_d2"),
+            expr("CASE WHEN n_shared >= 2 THEN" +
+              " 1000000 - CAST((CAST(sum_d2 AS DECIMAL(38,0)) * 6" +
+              " * 1000000) div (CAST(n_shared AS DECIMAL(38,0))" +
+              " * (n_shared * n_shared - 1)) AS BIGINT) END")
+              .as("spearman_micro"))
+      },
+      Some(s"""WITH vst AS (
+              |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+              |vsa AS (
+              |  SELECT tok, CAST(row_number() OVER (ORDER BY freq DESC,
+              |      tok) AS BIGINT) AS ra
+              |  FROM (SELECT tok, count(*) AS freq FROM vst
+              |        WHERE doc_id % 2 = 0 GROUP BY 1
+              |        ORDER BY freq DESC, tok LIMIT 20)),
+              |vsb AS (
+              |  SELECT tok, CAST(row_number() OVER (ORDER BY freq DESC,
+              |      tok) AS BIGINT) AS rb
+              |  FROM (SELECT tok, count(*) AS freq FROM vst
+              |        WHERE doc_id % 2 = 1 GROUP BY 1
+              |        ORDER BY freq DESC, tok LIMIT 20)),
+              |vsj AS (
+              |  SELECT ra, rb FROM vsa FULL OUTER JOIN vsb USING (tok)),
+              |vsg AS (
+              |  SELECT CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT
+              |      NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+              |    CAST(sum(CASE WHEN ra IS NULL OR rb IS NULL THEN 1
+              |      ELSE 0 END) AS BIGINT) AS n_churned,
+              |    CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+              |      THEN CAST((ra - rb) * (ra - rb) AS HUGEINT)
+              |      ELSE 0 END) AS BIGINT) AS sum_d2
+              |  FROM vsj)
+              |SELECT n_shared, n_churned, sum_d2,
+              |  CASE WHEN n_shared >= 2 THEN
+              |    1000000 - CAST((CAST(sum_d2 AS HUGEINT) * 6 * 1000000)
+              |      // (CAST(n_shared AS HUGEINT)
+              |      * (n_shared * n_shared - 1)) AS BIGINT) END
+              |    AS spearman_micro
+              |FROM vsg""".stripMargin)),
   )
 }
