@@ -34,7 +34,13 @@ final case class BroadcastRangeJoinPlan(
     leftTime: String,
     rightKey: String,
     rightTime: String,
-    width: Long)
+    width: Long,
+    // True when this node was produced by RewriteRangeJoin, whose
+    // autoBroadcastJoinThreshold check already proved the build side's
+    // size statistic broadcastable — BroadcastLintSpec blesses such
+    // nodes and polices only DIRECT bandJoin() calls, which carry no
+    // size evidence.
+    viaSizeGuard: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -93,8 +99,9 @@ final case class BroadcastAsOfJoinPlan(
   */
 object RangeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case BroadcastRangeJoinPlan(l, r, lk, lt, rk, rt, w) =>
-      BroadcastRangeJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, w) :: Nil
+    case p: BroadcastRangeJoinPlan =>
+      BroadcastRangeJoinExec(planLater(p.left), planLater(p.right),
+        p.leftKey, p.leftTime, p.rightKey, p.rightTime, p.width) :: Nil
     case BroadcastAsOfJoinPlan(l, r, lk, lt, rk, rt) =>
       BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
     case _ => Nil

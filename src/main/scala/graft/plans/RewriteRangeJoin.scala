@@ -69,7 +69,7 @@ object RewriteRangeJoin extends Rule[LogicalPlan]
             val (lk, rk) = if (ka) (k1, k2) else (k2, k1)
             val (lt, rt) = if (ta) (t1, t2) else (t2, t1)
             val core: LogicalPlan = BroadcastRangeJoinPlan(l, r,
-              lk.name, lt.name, rk.name, rt.name, w)
+              lk.name, lt.name, rk.name, rt.name, w, viaSizeGuard = true)
             val rest = conjuncts.filterNot(c => c.eq(eqC) || c.eq(bandC))
             Some(rest.reduceOption(And)
               .map(org.apache.spark.sql.catalyst.plans.logical

@@ -815,7 +815,14 @@ object CoreQueries {
     QueryDef(
       "q34_star_join",
       (s, dir) => {
-        val dims = broadcast(
+        // nation/region are FIXED-size dims (25/5 rows at any SF) — hint
+        // them. supplier GROWS with the corpus, so its broadcast is left
+        // to the planner's size statistics (BroadcastHashJoin at the SFs
+        // where it fits, shuffled join when it doesn't — the same guard
+        // AQE re-checks at runtime); an unconditional broadcast() hint
+        // here would force a driver collect of a data-sized dim at
+        // 100 TB (BroadcastLintSpec polices exactly this).
+        val dims =
           table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
             .join(broadcast(table(s, dir, "nation")
               .select("n_nationkey", "n_regionkey", "n_name")),
@@ -823,7 +830,7 @@ object CoreQueries {
             .join(broadcast(table(s, dir, "region")
               .select("r_regionkey", "r_name")),
               col("n_regionkey") === col("r_regionkey"))
-            .select("s_suppkey", "n_name", "r_name"))
+            .select("s_suppkey", "n_name", "r_name")
         table(s, dir, "lineitem")
           .select("l_suppkey", "l_quantity")
           .join(dims, col("l_suppkey") === col("s_suppkey"))

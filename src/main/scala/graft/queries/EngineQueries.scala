@@ -167,15 +167,25 @@ object EngineQueries {
 
     // FUZZY AMOUNT MATCHING for Engine A's unmatched rows — the manual
     // step a reconciliation analyst performs next ("is this a penny/
-    // dollar-off keying error?") as a query, and a DOMAIN use of the
-    // native broadcast range operator: unmatched Relius rows (anti-join
-    // on the exact (plan, ssn, gross) triple) band-join candidate Matrix
-    // rows of the same participant within $1, keyed on plan|ssn with the
-    // amount in exact integer cents as the band axis. The adapter
-    // PLANTS these near-misses (every 41st Relius gross is off by
-    // exactly $1), so the report is non-vacuous at every scale; the
-    // oracle replays it as a plain theta join over the same cleaned
-    // CTEs.
+    // dollar-off keying error?") as a query: unmatched Relius rows
+    // (anti-join on the exact (plan, ssn, gross) triple) band-join
+    // candidate Matrix rows of the same participant within $1, keyed on
+    // plan|ssn with the amount in exact integer cents as the band axis.
+    // The join is spelled DECLARATIVELY (key equality + |band| <= w), so
+    // RewriteRangeJoin's autoBroadcastJoinThreshold guard decides the
+    // physical plan: when the distinct Matrix build side's size stat is
+    // broadcastable it lowers to the native binary-search broadcast
+    // operator; when it is not (the 100 TB case — the build side is
+    // DATA-SIZED, it grows with the Matrix corpus), Spark plans the
+    // shuffled equi-join on the high-cardinality plan|ssn key with the
+    // band as a post-join filter, which is safe at any scale because
+    // per-participant groups are tiny. (Until r13 this query called
+    // NativeRangeJoin.bandJoin directly, i.e. an UNCONDITIONAL
+    // driver-side collect of the corpus-sized build — the exact failure
+    // SCALING.md's applicability rule forbids.) The adapter PLANTS these
+    // near-misses (every 41st Relius gross is off by exactly $1), so the
+    // report is non-vacuous at every scale; the oracle replays it as a
+    // plain theta join over the same cleaned CTEs.
     QueryDef(
       "ea_fuzzy_match",
       (s, dir) => {
@@ -194,8 +204,8 @@ object EngineQueries {
           concat_ws("|", col("plan_id"), col("ssn")).as("match_key_m"),
           (col("gross_amt") * 100).cast("long").as("m_cents"))
           .distinct()
-        graft.plans.NativeRangeJoin.bandJoin(l, r,
-            "match_key", "r_cents", "match_key_m", "m_cents", 100L)
+        l.join(r, col("match_key") === col("match_key_m") &&
+            abs(col("r_cents") - col("m_cents")) <= lit(100L))
           .select(col("plan_id"), col("ssn"), col("r_cents"),
             col("m_cents"), (col("m_cents") - col("r_cents")).as("diff_cents"))
       },

@@ -9785,12 +9785,17 @@ object TdpQueries {
     // orphan children (FK with no parent) and childless parents — the
     // audit a pipeline runs before trusting joins, because an orphan
     // silently drops rows from every inner join downstream. Orphans are
-    // left-ANTI joins: parent key sets broadcast for the true dims
-    // (nation/region/part/supplier/customer); the one genuinely big
-    // parent (orders) anti-joins shuffled on the key, exactly as the
-    // reconcile does. Each relation reduces to a 1-row frame (the
-    // scalar-attach crossJoin shape), so the report is 7 rows no matter
-    // the corpus size.
+    // left-ANTI joins: parent key sets broadcast-HINTED only for the
+    // FIXED dims (nation/region — 25/5 rows at any SF); the growing
+    // parents (part/supplier/customer) get no hint, so the planner's
+    // size statistics pick broadcast while they fit and a shuffled
+    // anti-join when they don't (at 100 TB a customer dim is billions of
+    // rows — an unconditional hint would force a driver-sized collect;
+    // BroadcastLintSpec polices this). The one genuinely big parent
+    // (orders) anti-joins shuffled on the key, exactly as the reconcile
+    // does. Each relation reduces to a 1-row frame (the scalar-attach
+    // crossJoin shape), so the report is 7 rows no matter the corpus
+    // size.
     QueryDef(
       "tdp_fk_integrity",
       (s, dir) => {
@@ -9823,11 +9828,11 @@ object TdpQueries {
         rel("lineitem.orderkey->orders", li, "l_orderkey",
             ord, "o_orderkey", bcastParent = false)
           .unionAll(rel("lineitem.partkey->part", li, "l_partkey",
-            table(s, dir, "part"), "p_partkey", bcastParent = true))
+            table(s, dir, "part"), "p_partkey", bcastParent = false))
           .unionAll(rel("lineitem.suppkey->supplier", li, "l_suppkey",
-            table(s, dir, "supplier"), "s_suppkey", bcastParent = true))
+            table(s, dir, "supplier"), "s_suppkey", bcastParent = false))
           .unionAll(rel("orders.custkey->customer", ord, "o_custkey",
-            table(s, dir, "customer"), "c_custkey", bcastParent = true))
+            table(s, dir, "customer"), "c_custkey", bcastParent = false))
           .unionAll(rel("customer.nationkey->nation",
             table(s, dir, "customer"), "c_nationkey",
             table(s, dir, "nation"), "n_nationkey", bcastParent = true))

@@ -775,4 +775,36 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(2000)}")
     }
   }
+
+  test("fuzzy match: broadcast only under the size guard, shuffle fallback") {
+    // The r12 weak finding: ea_fuzzy_match fed the full distinct Matrix
+    // frame to BroadcastRangeJoinExec unconditionally — a driver-side
+    // collect of a corpus-sized build at 100 TB. The fix spells the band
+    // join declaratively, so RewriteRangeJoin's autoBroadcastJoinThreshold
+    // guard decides the plan. This test proves BOTH sides of that guard:
+    // with the default threshold the tiny sf0.001 build broadcasts to the
+    // native operator; with broadcast disabled the SAME query plans a
+    // shuffled equi-join on the plan|ssn key (band as post-join filter,
+    // per-participant groups are tiny) — and the two plans agree on the
+    // result, so the switch is semantics-free.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val broadcastPlan = Registry.queries("ea_fuzzy_match")(spark, dir)
+    val bStr = broadcastPlan.queryExecution.executedPlan.toString
+    assert(bStr.contains("BroadcastRangeJoin"), bStr.take(2000))
+    val expected = broadcastPlan.count()
+    try {
+      spark.conf.set(key, "-1")
+      val shuffled = Registry.queries("ea_fuzzy_match")(spark, dir)
+      val sStr = shuffled.queryExecution.executedPlan.toString
+      assert(!sStr.contains("BroadcastRangeJoin"),
+        s"size guard ignored broadcast disable: ${sStr.take(2000)}")
+      assert(!sStr.contains("BroadcastNestedLoopJoin") &&
+        !sStr.contains("CartesianProduct"), sStr.take(2000))
+      assert(sStr.contains("SortMergeJoin") ||
+        sStr.contains("ShuffledHashJoin"), sStr.take(2000))
+      assert(shuffled.count() == expected,
+        "broadcast and shuffle plans disagree")
+    } finally spark.conf.set(key, saved)
+  }
 }
