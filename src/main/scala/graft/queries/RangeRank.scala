@@ -47,6 +47,25 @@ object RangeRank {
     */
   final case class Ranked(df: DataFrame, total: Long)
 
+  /** The FULL device result is memoized per (session, dir, memoKey,
+    * outName), not just the ranged frame: queries that intentionally
+    * share a memo key (tdp_vocab_growth/tdp_quality_by_decile,
+    * tdp_seq_packing/tdp_packing_sweep) would otherwise re-pay the
+    * pin-count job and the P-sized offset collect on every invocation.
+    * The contract this relies on (same as Registry.memo's): one memoKey
+    * = one call signature — callers sharing a key pass IDENTICAL
+    * (df, partKeys, orderCols, agg); outName joins the cache key so the
+    * rank and prefix-sum variants of one frame can never collide.
+    * Evicted alongside the Registry caches via [[evictDriverState]].
+    */
+  private val rankedCache = scala.collection.concurrent.TrieMap
+    .empty[((String, String), String), Ranked]
+
+  private[queries] def evictDriverState(sessionId: String): Unit =
+    rankedCache.keys
+      .filter { case ((sid, _), _) => sid == sessionId }
+      .foreach(rankedCache.remove)
+
   /** Exact 1-based `row_number` over `orderCols`, per `partKeys` group
     * (global when `partKeys` is empty), appended as `rankName`. All of
     * `df`'s columns are preserved.
@@ -95,7 +114,8 @@ object RangeRank {
       perPidAgg: Column,
       outName: String)(
       mk: (org.apache.spark.sql.expressions.WindowSpec, Column) => Column)
-      : Ranked = {
+      : Ranked = rankedCache.getOrElseUpdate(
+      ((Registry.sessionId(s), dir), s"$memoKey#$outName"), {
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val rangeCols = partKeys.map(col) ++ orderCols
     val ranged = Registry.memo(s, dir, memoKey)(
@@ -106,6 +126,20 @@ object RangeRank {
     val counted = ranged.groupBy(grpCols: _*).agg(perPidAgg.as("gr_c"))
     val rows = counted.collect()
     val kIdx = 1 to partKeys.size
+    // The non-null group-key contract, CHECKED (not just documented): a
+    // null partKey would form a null-keyed group here, and the offset
+    // equi-join below would then silently DROP every such row from the
+    // result — fail loudly instead. Free: the offset rows are already on
+    // the driver.
+    rows.foreach { r =>
+      kIdx.foreach { i =>
+        require(!r.isNullAt(i),
+          s"RangeRank: null value in partition key '${partKeys(i - 1)}' — " +
+            "group keys must be non-null (null-keyed rows would be " +
+            "silently dropped by the offset equi-join); filter or " +
+            "coalesce the key upstream")
+      }
+    }
     val cIdx = partKeys.size + 1
     var total = 0L
     // per-group cumulative offsets in partition-id order; range
@@ -136,5 +170,5 @@ object RangeRank {
       .withColumn(outName, mk(w, col("gr_off")))
       .drop("gr_pid", "gr_off")
     Ranked(out, total)
-  }
+  })
 }

@@ -66,6 +66,7 @@ object Registry {
         memoCache.remove(k).foreach(_.unpersist(blocking = false))
       }
     TdpQueries.evictDriverState(id)
+    RangeRank.evictDriverState(id)
   }
 
   def all: Seq[QueryDef] =

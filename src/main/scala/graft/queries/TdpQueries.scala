@@ -13117,6 +13117,9 @@ object TdpQueries {
     QueryDef(
       "tdp_ann_beam",
       (s, dir) => {
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
         val beamW = 4
         val e = embWithNorm(s, dir)
         val qs = e.filter(col("vec_id") % 50 === 0)
@@ -13151,13 +13154,15 @@ object TdpQueries {
             .select("q_id", "c_id", "sim")
           // (q,c) sims are functionally determined, so the dedup agg is
           // a max over identical doubles — pure set union.
-          pool = pool.union(scored)
-            .groupBy("q_id", "c_id").agg(max("sim").as("sim"))
-            // lineage cut (the kcore/iterated-frame precedent): the pool
-            // is tiny (queries x <= 1+8b*h rows) but lazy - without the
-            // cut every later hop and census re-executes ALL earlier
-            // hops' expansion joins.
-            .localCheckpoint()
+          // lineage cut (the kcore/iterated-frame precedent): the pool
+          // is tiny (queries x <= 1+8b*h rows) but lazy - without the
+          // cut every later hop and census re-executes ALL earlier
+          // hops' expansion joins. Reliable checkpoint() when the
+          // session has a checkpoint dir (localCheckpoint blocks are
+          // lost forever on executor failure — the diameter-sweep cut
+          // contract); local fallback otherwise.
+          pool = cut(pool.union(scored)
+            .groupBy("q_id", "c_id").agg(max("sim").as("sim")))
           val bh = topB(pool)
           val nb = bh.agg(count(lit(1)).as("n_beam"),
             coalesce(sum("c_id"), lit(0L)).as("beam_checksum"))
@@ -13955,6 +13960,9 @@ object TdpQueries {
     QueryDef(
       "tdp_ann_beam_width",
       (s, dir) => {
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
         val e = embWithNorm(s, dir)
         val qs = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -13986,13 +13994,10 @@ object TdpQueries {
               .withColumn("sim",
                 expr(dotExpr) / (col("q_norm") * col("c_norm")))
               .select("q_id", "c_id", "sim")
-            pool = pool.union(scored)
-              .groupBy("q_id", "c_id").agg(max("sim").as("sim"))
-              // lineage cut (the kcore/iterated-frame precedent): the pool
-              // is tiny (queries x <= 1+8b*h rows) but lazy - without the
-              // cut every later hop and census re-executes ALL earlier
-              // hops' expansion joins.
-              .localCheckpoint()
+            // lineage cut; reliable checkpoint() preferred — see
+            // tdp_ann_beam's cut note.
+            pool = cut(pool.union(scored)
+              .groupBy("q_id", "c_id").agg(max("sim").as("sim")))
           }
           val bh = topB(pool)
           val nb = bh.agg(count(lit(1)).as("n_beam"),

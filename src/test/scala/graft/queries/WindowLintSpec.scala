@@ -79,6 +79,85 @@ class WindowLintSpec extends SparkSpec {
     assert(c.isEmpty, s"CartesianProduct in: ${c.mkString(", ")}")
   }
 
+  test("pmod-device windows hold BOUNDED frames — checked, not asserted") {
+    // The r12 ADVICE gap: the lint above treats any non-foldable
+    // partitionSpec as safe, so the pmod(col, lit(1L)) constant-partition
+    // device — which still funnels its whole frame through ONE WindowExec
+    // task at runtime — structurally bypasses it, and "the frame is
+    // bounded" lived only in comments. This test CHECKS the claim for
+    // every registered query: each window partitioned by the pmod device
+    // has its child frame counted at sf0.001 and sf0.01 (10x the data) —
+    // a bounded (value-domain / keyspace / P-sized) frame may not grow
+    // linearly. Threshold 3x + 64 rows of slack on a 10x data bump:
+    // vocab-like frames that grow with the corpus fail loudly and must
+    // move to RangeRank instead.
+    // In the OPTIMIZED plan the window's partition expression is
+    // extracted into a `_w0` projection below the Window node, so the
+    // partitionSpec itself is a bare AttributeReference — chase each
+    // such attribute into the child's aliases (by exprId) and match the
+    // aliased expression against the pmod(_, lit(1L)) device.
+    import org.apache.spark.sql.catalyst.expressions.{Alias,
+      AttributeReference, Literal, Pmod}
+    def isPmodDevice(
+        e: org.apache.spark.sql.catalyst.expressions.Expression,
+        child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = e match {
+      case Pmod(_, Literal(1L, org.apache.spark.sql.types.LongType), _) =>
+        true
+      case a: AttributeReference =>
+        child.collectFirst {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project
+              if p.projectList.exists {
+                case al: Alias if al.exprId == a.exprId =>
+                  al.child match {
+                    case Pmod(_, Literal(1L,
+                      org.apache.spark.sql.types.LongType), _) => true
+                    case _ => false
+                  }
+                case _ => false
+              } => true
+        }.getOrElse(false)
+      case _ => false
+    }
+    def pmodWindows(
+        plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      plan.collect {
+        case w: LogicalWindow
+            if w.partitionSpec.exists(isPmodDevice(_, w.child)) => w
+      }
+    val dirB = "/root/testdata/sf0.01"
+    val offenders = Seq.newBuilder[String]
+    var seen = 0
+    Registry.all.foreach { q =>
+      val winsA = pmodWindows(q.fn(spark, dir).queryExecution.optimizedPlan)
+      seen += winsA.size
+      if (winsA.nonEmpty) {
+        val winsB = pmodWindows(q.fn(spark, dirB).queryExecution.optimizedPlan)
+        if (winsA.size != winsB.size)
+          offenders += s"${q.name}: pmod window count differs across SFs " +
+            s"(${winsA.size} vs ${winsB.size})"
+        else winsA.zip(winsB).foreach { case (wa, wb) =>
+          val nA = org.apache.spark.sql.GraftPlanBridge
+            .ofRows(spark, wa.child).count()
+          val nB = org.apache.spark.sql.GraftPlanBridge
+            .ofRows(spark, wb.child).count()
+          if (nB > 3 * nA + 64)
+            offenders += s"${q.name}: pmod-device window frame grows " +
+              s"$nA -> $nB at 10x data — not bounded, use RangeRank"
+        }
+      }
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty,
+      s"unbounded single-task pmod windows:\n${bad.mkString("\n")}")
+    // Vacuity guard: the registry is known to use the pmod device in
+    // dozens of places — zero matches would mean the pattern above
+    // silently stopped recognizing it (e.g. a Pmod signature change),
+    // not that the device disappeared.
+    assert(seen >= 10, s"pmod-device pattern matched only $seen windows " +
+      "registry-wide — the lint has gone blind, fix the pattern")
+  }
+
   test("per-source ranks never ride a bare low-cardinality source window") {
     // The r11 scale funnel: row_number over Window.partitionBy("source")
     // puts every row of a mega-source through ONE WindowExec task. Both
