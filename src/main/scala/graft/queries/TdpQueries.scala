@@ -411,6 +411,36 @@ object TdpQueries {
         .select("q_id", "c_id", "rank", "sim")
     }
 
+  /** Reciprocal-rank fusion of the exact top-3 and IVF top-3 legs
+    * (k=60, integer-micro), memoized: consumed by tdp_rank_fusion AND
+    * tdp_retrieval_pipeline so the pipeline's fusion stage is
+    * arithmetically THE SAME frame the per-stage query publishes — the
+    * reconciliation is by construction, then hash-certified by both
+    * oracles. Unfiltered (all fused candidates, with fused_rank);
+    * consumers slice `fused_rank <= k`.
+    */
+  private def rrfFused(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_rrf_fused") {
+      val exact = exactTop5(s, dir).filter(col("rank") <= 3)
+        .select(col("q_id"), col("c_id"), col("rank").as("rank_exact"))
+      val ivf = ivfTop3(s, dir)
+        .select(col("q_id"), col("c_id"), col("rank").as("rank_ivf"))
+      val fused = exact.join(ivf, Seq("q_id", "c_id"), "full_outer")
+        .select(col("q_id"), col("c_id"),
+          coalesce(col("rank_exact"), lit(0)).cast(LongType)
+            .as("rank_exact"),
+          coalesce(col("rank_ivf"), lit(0)).cast(LongType).as("rank_ivf"))
+        .withColumn("rrf_micro",
+          expr("""CASE WHEN rank_exact > 0
+                 |  THEN 1000000 div (60 + rank_exact) ELSE 0 END
+                 |+ CASE WHEN rank_ivf > 0
+                 |  THEN 1000000 div (60 + rank_ivf) ELSE 0 END"""
+            .stripMargin))
+      val wF = Window.partitionBy("q_id")
+        .orderBy(desc("rrf_micro"), col("c_id"))
+      fused.withColumn("fused_rank", row_number().over(wF).cast(LongType))
+    }
+
   /** Cosine near-dup pairs over the hyperplane-bucketed embeddings,
     * memoized — consumed by tdp_embedding_near_dup and the cross-modality
     * dedup-agreement audit, one bucket join for both.
@@ -1493,6 +1523,151 @@ object TdpQueries {
     edges.unpersist(blocking = false)
     labels
   }
+
+  /** One SYNCHRONOUS Louvain local-move decision per vertex: every
+    * vertex simultaneously evaluates, against the CURRENT partition,
+    * the standard Louvain gain of joining each neighbor community c
+    * (or staying) — gain(i→c) ∝ m2·k_{i,c} − k_i·Σtot'_c, where
+    * Σtot'_c is the community's total degree with i's own degree
+    * removed when c is i's current community — and adopts the argmax
+    * (deterministic ties: staying wins, then smallest label). All
+    * integer arithmetic (DECIMAL(38,0) cross products, no division), so
+    * the decision is bit-identical across engines. Returns
+    * (doc_id, a = old label, new_lab). Exposed for the hand-graph spec.
+    */
+  private[queries] def louvainMoves(
+      edges: DataFrame, labels: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("k"))
+    val sigma = deg.join(labels, "doc_id")
+      .groupBy("lab").agg(expr("CAST(sum(k) AS BIGINT)").as("sigma"))
+    val m2 = edges.agg(count(lit(1)).as("m2"))
+    val kic = edges
+      .join(labels.select(col("doc_id").as("dst"), col("lab").as("c")),
+        "dst")
+      .groupBy(col("src").as("doc_id"), col("c"))
+      .agg(count(lit(1)).as("k_ic"))
+    // Candidate set = neighbor communities ∪ the vertex's own community
+    // (a zero-link row that merges away when a neighbor already covers
+    // it — max picks the real count).
+    val cand = kic.unionByName(
+        labels.select(col("doc_id"), col("lab").as("c"),
+          lit(0L).as("k_ic")))
+      .groupBy("doc_id", "c").agg(max("k_ic").as("k_ic"))
+    val scored = cand
+      .join(labels.select(col("doc_id"), col("lab").as("a")), "doc_id")
+      .join(deg, "doc_id")
+      .join(sigma.select(col("lab").as("c"), col("sigma")), "c")
+      .crossJoin(broadcast(m2))
+      .withColumn("sigma_adj",
+        col("sigma") - when(col("c") === col("a"), col("k"))
+          .otherwise(lit(0L)))
+      .withColumn("score",
+        expr("CAST(m2 AS DECIMAL(38,0)) * k_ic" +
+          " - CAST(k AS DECIMAL(38,0)) * sigma_adj"))
+    // Per-vertex argmax: a window over the vertex's <= (deg+1) candidate
+    // rows — high-cardinality doc_id key, degree-bounded frames.
+    val wV = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc,
+        (col("c") === col("a")).cast("int").desc, col("c"))
+    scored.withColumn("rk", row_number().over(wV))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("a"), col("c").as("new_lab"))
+  }
+
+  /** Newman modularity of `labels` over the directed-both-ways `edges`,
+    * as ONE exact sign-split rational row (q_micro), the same
+    * DECIMAL(38,0) arithmetic tdp_modularity publishes per-community —
+    * shared by tdp_louvain_round's before/after certificate and the
+    * hand-graph spec.
+    */
+  private[queries] def qMicro(
+      edges: DataFrame, labels: DataFrame): DataFrame = {
+    val intra = edges
+      .join(labels.select(col("doc_id").as("src"), col("lab").as("ls")),
+        "src")
+      .join(labels.select(col("doc_id").as("dst"), col("lab").as("ld")),
+        "dst")
+      .filter(col("ls") === col("ld"))
+      .agg(count(lit(1)).as("intra2"))
+    val dsq = edges
+      .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
+      .groupBy("lab").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_comm"),
+        expr("CAST(sum(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0))")
+          .as("s_dsq"))
+    val m2 = edges.agg(count(lit(1)).as("m2x"))
+    intra.crossJoin(broadcast(dsq)).crossJoin(broadcast(m2))
+      .withColumn("s_intra",
+        expr("CAST(CAST(intra2 AS DECIMAL(38,0)) * m2x AS DECIMAL(38,0))"))
+      .select(col("n_comm"),
+        expr("CASE WHEN s_intra - s_dsq >= 0 THEN" +
+          " CAST(((CAST(s_intra AS DECIMAL(38,0)) - s_dsq) * 1000000)" +
+          " div (CAST(m2x AS DECIMAL(38,0)) * m2x) AS BIGINT)" +
+          " ELSE -CAST(((CAST(s_dsq AS DECIMAL(38,0)) - s_intra)" +
+          " * 1000000) div (CAST(m2x AS DECIMAL(38,0)) * m2x)" +
+          " AS BIGINT) END").as("q_micro"))
+  }
+
+  /** One Louvain local-move leg of the tdp_louvain_round ORACLE
+    * (expects `lve` edges, `lvdeg` degrees, `lvm` m2 in scope): the
+    * same candidate/score/argmax chain [[louvainMoves]] runs, reading
+    * labels from `lblCte`, emitting `lvmv_<tag>` (doc_id, a, new_lab).
+    */
+  private def louvainLegSql(tag: String, lblCte: String): String =
+    s"""lvsig_$tag AS (
+       |  SELECT l.lab, CAST(sum(d.k) AS BIGINT) AS sigma
+       |  FROM lvdeg d JOIN $lblCte l USING (doc_id) GROUP BY 1),
+       |lvkic_$tag AS (
+       |  SELECT e.src AS doc_id, l.lab AS c,
+       |    CAST(count(*) AS BIGINT) AS k_ic
+       |  FROM lve e JOIN $lblCte l ON l.doc_id = e.dst GROUP BY 1, 2),
+       |lvcand_$tag AS (
+       |  SELECT doc_id, c, CAST(max(k_ic) AS BIGINT) AS k_ic
+       |  FROM (SELECT doc_id, c, k_ic FROM lvkic_$tag
+       |        UNION ALL
+       |        SELECT doc_id, lab AS c, 0 AS k_ic FROM $lblCte)
+       |  GROUP BY 1, 2),
+       |lvsc_$tag AS (
+       |  SELECT x.doc_id, x.c, a.lab AS a,
+       |    CAST(m.m2 AS HUGEINT) * x.k_ic - CAST(d.k AS HUGEINT)
+       |      * (g.sigma - CASE WHEN x.c = a.lab THEN d.k ELSE 0 END)
+       |      AS score
+       |  FROM lvcand_$tag x
+       |  JOIN $lblCte a USING (doc_id)
+       |  JOIN lvdeg d USING (doc_id)
+       |  JOIN lvsig_$tag g ON g.lab = x.c, lvm m),
+       |lvmv_$tag AS (
+       |  SELECT doc_id, a, c AS new_lab FROM (
+       |    SELECT doc_id, a, c, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY score DESC,
+       |      CAST(c = a AS INT) DESC, c) AS rk
+       |    FROM lvsc_$tag)
+       |  WHERE rk = 1)""".stripMargin
+
+  /** The [[qMicro]] modularity row as an oracle CTE named `alias`
+    * (n_comm, q_micro) over labels `lblCte` — expects `lve`/`lvm`.
+    */
+  private def qMicroSql(alias: String, lblCte: String): String =
+    s"""$alias AS (
+       |  SELECT d.n_comm,
+       |    CASE WHEN i.s_intra - d.s_dsq >= 0 THEN
+       |      CAST(((i.s_intra - d.s_dsq) * 1000000)
+       |        // (CAST(m.m2 AS HUGEINT) * m.m2) AS BIGINT)
+       |    ELSE -CAST(((d.s_dsq - i.s_intra) * 1000000)
+       |        // (CAST(m.m2 AS HUGEINT) * m.m2) AS BIGINT)
+       |    END AS q_micro
+       |  FROM (SELECT CAST(count(*) AS HUGEINT)
+       |          * (SELECT m2 FROM lvm) AS s_intra
+       |        FROM lve e JOIN $lblCte x ON x.doc_id = e.src
+       |        JOIN $lblCte y ON y.doc_id = e.dst
+       |        WHERE x.lab = y.lab) i,
+       |       (SELECT CAST(count(*) AS BIGINT) AS n_comm,
+       |          sum(CAST(d AS HUGEINT) * d) AS s_dsq
+       |        FROM (SELECT l.lab, CAST(count(*) AS BIGINT) AS d
+       |              FROM lve e JOIN $lblCte l ON l.doc_id = e.src
+       |              GROUP BY 1)) d,
+       |       lvm m)""".stripMargin
 
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_lsh_pairs") {
@@ -9426,29 +9601,11 @@ object TdpQueries {
     // bounded per query — plus one per-query window over <= 6 rows.
     QueryDef(
       "tdp_rank_fusion",
-      (s, dir) => {
-        val exact = exactTop5(s, dir).filter(col("rank") <= 3)
-          .select(col("q_id"), col("c_id"), col("rank").as("rank_exact"))
-        val ivf = ivfTop3(s, dir)
-          .select(col("q_id"), col("c_id"), col("rank").as("rank_ivf"))
-        val fused = exact.join(ivf, Seq("q_id", "c_id"), "full_outer")
-          .select(col("q_id"), col("c_id"),
-            coalesce(col("rank_exact"), lit(0)).cast(LongType)
-              .as("rank_exact"),
-            coalesce(col("rank_ivf"), lit(0)).cast(LongType).as("rank_ivf"))
-          .withColumn("rrf_micro",
-            expr("""CASE WHEN rank_exact > 0
-                   |  THEN 1000000 div (60 + rank_exact) ELSE 0 END
-                   |+ CASE WHEN rank_ivf > 0
-                   |  THEN 1000000 div (60 + rank_ivf) ELSE 0 END"""
-              .stripMargin))
-        val wF = Window.partitionBy("q_id")
-          .orderBy(desc("rrf_micro"), col("c_id"))
-        fused.withColumn("fused_rank", row_number().over(wF).cast(LongType))
+      (s, dir) =>
+        rrfFused(s, dir)
           .filter(col("fused_rank") <= 3)
           .select("q_id", "c_id", "rank_exact", "rank_ivf", "rrf_micro",
-            "fused_rank")
-      },
+            "fused_rank"),
       Some(s"""WITH $embNormSql,
               |$ivfSqlCtes,
               |rfex AS (
@@ -14713,5 +14870,281 @@ object TdpQueries {
               |      * (n_shared * n_shared - 1)) AS BIGINT) END
               |    AS spearman_micro
               |FROM vsg""".stripMargin)),
+
+    // END-TO-END RETRIEVAL PIPELINE: the dedup family got its
+    // integration certificate in r12 (tdp_dedup_pipeline); this is the
+    // retrieval family's — the hybrid lexical+vector stack the way a
+    // RAG data pipeline actually runs it, chained and reconciled in ONE
+    // row: (1) LEXICAL stage — the corpus BM25 per-doc scores (the
+    // exact frame tdp_bm25_topk publishes, same floored micro terms);
+    // (2) VECTOR+FUSE stage — the memoized RRF fusion of the exact and
+    // IVF top-3 legs (LITERALLY the frame tdp_rank_fusion publishes:
+    // one materialization serves both, so the stage counts reconcile by
+    // construction and the shared arithmetic is hash-certified by both
+    // oracles); (3) HYBRID RE-RANK — each fused candidate's RRF score
+    // is boosted by its lexical score (lex_micro div 100, the stated
+    // lexical-dominant operating point), and the final answer is the
+    // per-query hybrid top-1. The row carries the stage-reconciliation
+    // invariants the per-stage rows cannot express: n_fused = 3 x
+    // n_queries (the fusion emits exactly top-3 per query), n_final =
+    // n_queries (exactly one answer each), the BM25 top-10 checksum
+    // (ties the lexical stage to tdp_bm25_topk's head), how many fused
+    // candidates carried a lexical signal, and how many final answers
+    // the lexical stage CHANGED vs pure RRF — the measurable value of
+    // the hybrid stage. Scale shape: the lexical leg is the bm25 scan
+    // (8-term broadcast join + doc-keyed groupBy, TakeOrdered head);
+    // the fusion leg rides the memoized frames; the hybrid attach is a
+    // doc-keyed equi-join of a (queries x 3)-row frame against the
+    // lexical scores; windows are q_id-partitioned over <= 6-row
+    // frames; all censuses are 1-row aggregates attached via broadcast.
+    QueryDef(
+      "tdp_retrieval_pipeline",
+      (s, dir) => {
+        val fused = rrfFused(s, dir).filter(col("fused_rank") <= 3)
+        val lex = bm25TermScores(s, dir)
+          .select(col("doc_id"),
+            expr("CAST(floor(v) AS BIGINT)").as("ts_micro"))
+          .groupBy("doc_id")
+          .agg(expr("CAST(sum(ts_micro) AS BIGINT)").as("lex_micro"))
+        val hybrid = fused
+          .join(lex.select(col("doc_id").as("c_id"), col("lex_micro")),
+            Seq("c_id"), "left")
+          .withColumn("lex_micro", coalesce(col("lex_micro"), lit(0L)))
+          .withColumn("hybrid_micro",
+            col("rrf_micro") + expr("lex_micro div 100"))
+        val wH = Window.partitionBy("q_id")
+          .orderBy(desc("hybrid_micro"), col("c_id"))
+        val top1 = hybrid.withColumn("hrk", row_number().over(wH))
+          .filter(col("hrk") === 1)
+          .select(col("q_id"), col("c_id").as("final_c"))
+        val rrfTop1 = fused.filter(col("fused_rank") === 1)
+          .select(col("q_id"), col("c_id").as("rrf_c"))
+        val finals = top1.join(rrfTop1, "q_id")
+          .agg(count(lit(1)).as("n_final"),
+            expr("CAST(sum(CASE WHEN final_c <> rrf_c THEN 1 ELSE 0" +
+              " END) AS BIGINT)").as("n_top1_changed"),
+            expr("CAST(sum(q_id * 1000000 + final_c) AS BIGINT)")
+              .as("final_checksum"))
+        val fusedCensus = fused.agg(
+          countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_fused"))
+        val boostCensus = hybrid.agg(
+          expr("CAST(sum(CASE WHEN lex_micro > 0 THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as("n_boosted"))
+        val lexCensus = lex.agg(count(lit(1)).as("n_lex_scored"))
+        val lexHead = lex.orderBy(desc("lex_micro"), col("doc_id"))
+          .limit(10)
+          .agg(count(lit(1)).as("lex_top10_n"),
+            expr("CAST(sum(doc_id) AS BIGINT)").as("lex_top10_checksum"))
+        fusedCensus.crossJoin(broadcast(lexCensus))
+          .crossJoin(broadcast(lexHead))
+          .crossJoin(broadcast(boostCensus))
+          .crossJoin(broadcast(finals))
+          .select(col("n_queries"), col("n_fused"), col("n_lex_scored"),
+            col("lex_top10_n"), col("lex_top10_checksum"),
+            col("n_boosted"), col("n_final"), col("n_top1_changed"),
+            col("final_checksum"),
+            expr("CASE WHEN n_fused = 3 * n_queries" +
+              " AND n_final = n_queries AND lex_top10_n = 10" +
+              " THEN 1 ELSE 0 END").cast(LongType)
+              .as("pipeline_consistent"))
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfSqlCtes,
+              |rpex AS (
+              |  SELECT q_id, c_id, rank AS rank_exact FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC, c.vec_id)
+              |        AS rank
+              |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+              |    WHERE q.vec_id % 50 = 0)
+              |  WHERE rank <= 3),
+              |rpff AS (
+              |  SELECT coalesce(a.q_id, b.q_id) AS q_id,
+              |    coalesce(a.c_id, b.c_id) AS c_id,
+              |    CAST(coalesce(a.rank_exact, 0) AS BIGINT) AS rank_exact,
+              |    CAST(coalesce(b.rank, 0) AS BIGINT) AS rank_ivf
+              |  FROM rpex a FULL OUTER JOIN ivf b
+              |    ON a.q_id = b.q_id AND a.c_id = b.c_id),
+              |rpfs AS (
+              |  SELECT q_id, c_id,
+              |    (CASE WHEN rank_exact > 0
+              |       THEN 1000000 // (60 + rank_exact) ELSE 0 END
+              |     + CASE WHEN rank_ivf > 0
+              |       THEN 1000000 // (60 + rank_ivf) ELSE 0 END) AS rrf_micro
+              |  FROM rpff),
+              |rpf AS (
+              |  SELECT q_id, c_id, rrf_micro,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY rrf_micro DESC, c_id) AS BIGINT) AS fused_rank
+              |  FROM rpfs QUALIFY fused_rank <= 3),
+              |bmt AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |bmdl AS MATERIALIZED (
+              |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM bmt),
+              |bmst AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(dl) AS BIGINT) AS tot FROM bmdl),
+              |bmtf0 AS MATERIALIZED (
+              |  SELECT doc_id, unnest(toks) AS term FROM bmt),
+              |bmdf AS (
+              |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              |  FROM bmtf0 GROUP BY 1),
+              |bmq AS (
+              |  SELECT term, df FROM bmdf ORDER BY df DESC, term LIMIT 8),
+              |bmtf AS (
+              |  SELECT t.doc_id, t.term, q.df, CAST(count(*) AS BIGINT)
+              |      AS tf
+              |  FROM bmtf0 t JOIN bmq q USING (term) GROUP BY 1, 2, 3),
+              |bms AS (
+              |  SELECT f.doc_id, CAST(floor($bm25TermExpr) AS BIGINT)
+              |      AS ts_micro
+              |  FROM (SELECT x.*, l.dl, s.n_docs, s.tot
+              |        FROM bmtf x JOIN bmdl l USING (doc_id), bmst s) f),
+              |rplex AS (
+              |  SELECT doc_id, CAST(sum(ts_micro) AS BIGINT) AS lex_micro
+              |  FROM bms GROUP BY 1),
+              |rph AS (
+              |  SELECT f.q_id, f.c_id, f.rrf_micro,
+              |    coalesce(l.lex_micro, 0) AS lex_micro,
+              |    f.rrf_micro + coalesce(l.lex_micro, 0) // 100
+              |      AS hybrid_micro
+              |  FROM rpf f LEFT JOIN rplex l ON l.doc_id = f.c_id),
+              |rpt1 AS (
+              |  SELECT q_id, c_id AS final_c FROM (
+              |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY hybrid_micro DESC, c_id) AS hrk FROM rph)
+              |  WHERE hrk = 1),
+              |rpr1 AS (
+              |  SELECT q_id, c_id AS rrf_c FROM rpf WHERE fused_rank = 1),
+              |rpfin AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_final,
+              |    CAST(sum(CASE WHEN a.final_c <> b.rrf_c THEN 1 ELSE 0
+              |      END) AS BIGINT) AS n_top1_changed,
+              |    CAST(sum(a.q_id * 1000000 + a.final_c) AS BIGINT)
+              |      AS final_checksum
+              |  FROM rpt1 a JOIN rpr1 b USING (q_id)),
+              |rpfc AS (
+              |  SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+              |    CAST(count(*) AS BIGINT) AS n_fused FROM rpf),
+              |rpbc AS (
+              |  SELECT CAST(sum(CASE WHEN lex_micro > 0 THEN 1 ELSE 0
+              |    END) AS BIGINT) AS n_boosted FROM rph),
+              |rplc AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_lex_scored FROM rplex),
+              |rplh AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS lex_top10_n,
+              |    CAST(sum(doc_id) AS BIGINT) AS lex_top10_checksum
+              |  FROM (SELECT doc_id FROM rplex
+              |        ORDER BY lex_micro DESC, doc_id LIMIT 10))
+              |SELECT n_queries, n_fused, n_lex_scored, lex_top10_n,
+              |  lex_top10_checksum, n_boosted, n_final, n_top1_changed,
+              |  final_checksum,
+              |  CAST(CASE WHEN n_fused = 3 * n_queries
+              |    AND n_final = n_queries AND lex_top10_n = 10
+              |    THEN 1 ELSE 0 END AS BIGINT) AS pipeline_consistent
+              |FROM rpfc, rplc, rplh, rpbc, rpfin""".stripMargin)),
+
+    // ONE SYNCHRONOUS LOUVAIN LOCAL-MOVE ROUND, two legs in one row:
+    // every vertex simultaneously adopts the neighbor community with
+    // maximum modularity gain (the Blondel et al. phase-1 step,
+    // deterministic ties: staying wins, then smallest label), run (a)
+    // COLD from the singleton partition — the textbook phase-1 opening
+    // sweep, non-vacuous by construction (every vertex merges toward a
+    // neighbor) — and (b) WARM from the 3-round LPA partition, where
+    // the same rule certifies LOCAL OPTIMALITY: n_moved_warm = 0 means
+    // no single vertex can improve Q, i.e. the LPA partition is
+    // Louvain-phase-1 stable, and q_warm_micro reproduces
+    // tdp_modularity's modularity_micro from independent machinery (the
+    // cross-query reconciliation). Q before/after rides the same exact
+    // sign-split DECIMAL(38,0)/HUGEINT rational as tdp_modularity.
+    // Synchronous local moves are not THEOREM-monotone (two vertices
+    // can swap in lockstep — visible in the cold leg, where most moves
+    // permute labels and only some merge); q_cold_nondecreased is the
+    // published, hash-certified observation, not an assumption.
+    // Exercises a genuinely new shape: per-vertex argmax over
+    // community-aggregated degree sums (candidate frame = the vertex's
+    // neighbor communities + own; window frames degree-bounded on the
+    // high-cardinality vertex key). Scale shape: all equi-joins on
+    // vertex/community keys over the memoized LPA labels and pair
+    // frames; the only broadcasts are the 1-row m2 and Q censuses; gain
+    // arithmetic is integer cross products — no division, no
+    // transcendental, bit-identical across engines.
+    QueryDef(
+      "tdp_louvain_round",
+      (s, dir) => {
+        val pairs = lshPairs(s, dir)
+        val edges = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"),
+            col("doc_a").as("dst")))
+        val singles = edges.select(col("dst").as("doc_id")).distinct()
+          .withColumn("lab", col("doc_id"))
+        val lpa = lpaLabels(s, dir, rounds = 3)
+        val movesCold = louvainMoves(edges, singles)
+        val movesWarm = louvainMoves(edges, lpa)
+        val afterCold = movesCold.select(col("doc_id"),
+          col("new_lab").as("lab"))
+        val qcb = qMicro(edges, singles)
+          .select(col("q_micro").as("q_cold_before_micro"))
+        val qca = qMicro(edges, afterCold)
+          .select(col("n_comm").as("n_comm_cold"),
+            col("q_micro").as("q_cold_after_micro"))
+        val qw = qMicro(edges, lpa)
+          .select(col("q_micro").as("q_warm_micro"))
+        val mvC = movesCold.agg(count(lit(1)).as("n_vertices"),
+          expr("CAST(sum(CASE WHEN new_lab <> a THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as("n_moved_cold"))
+        val mvW = movesWarm.agg(
+          expr("CAST(sum(CASE WHEN new_lab <> a THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as("n_moved_warm"))
+        val ne = edges.agg(
+          expr("CAST(count(1) div 2 AS BIGINT)").as("n_edges"))
+        mvC.crossJoin(broadcast(ne)).crossJoin(broadcast(qcb))
+          .crossJoin(broadcast(qca)).crossJoin(broadcast(mvW))
+          .crossJoin(broadcast(qw))
+          .select(col("n_vertices"), col("n_edges"),
+            col("n_moved_cold"), col("n_comm_cold"),
+            col("q_cold_before_micro"), col("q_cold_after_micro"),
+            expr("CASE WHEN q_cold_after_micro >= q_cold_before_micro" +
+              " THEN 1 ELSE 0 END").cast(LongType)
+              .as("q_cold_nondecreased"),
+            col("n_moved_warm"), col("q_warm_micro"),
+            expr("CASE WHEN n_moved_warm = 0 THEN 1 ELSE 0 END")
+              .cast(LongType).as("lpa_locally_optimal"))
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+              |$lpaSqlCtes,
+              |lve AS (SELECT src, dst FROM lpe),
+              |lvdeg AS (
+              |  SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS k
+              |  FROM lve GROUP BY 1),
+              |lvm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM lve),
+              |${louvainLegSql("c", "lp0")},
+              |${louvainLegSql("w", "lp3")},
+              |lvla AS (SELECT doc_id, new_lab AS lab FROM lvmv_c),
+              |${qMicroSql("qcb", "lp0")},
+              |${qMicroSql("qca", "lvla")},
+              |${qMicroSql("qw", "lp3")},
+              |lvcc AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+              |    CAST(sum(CASE WHEN new_lab <> a THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_moved_cold
+              |  FROM lvmv_c),
+              |lvcw AS (
+              |  SELECT CAST(sum(CASE WHEN new_lab <> a THEN 1 ELSE 0
+              |    END) AS BIGINT) AS n_moved_warm
+              |  FROM lvmv_w)
+              |SELECT n_vertices, CAST(m2 // 2 AS BIGINT) AS n_edges,
+              |  n_moved_cold, qca.n_comm AS n_comm_cold,
+              |  qcb.q_micro AS q_cold_before_micro,
+              |  qca.q_micro AS q_cold_after_micro,
+              |  CAST(CASE WHEN qca.q_micro >= qcb.q_micro
+              |    THEN 1 ELSE 0 END AS BIGINT) AS q_cold_nondecreased,
+              |  n_moved_warm, qw.q_micro AS q_warm_micro,
+              |  CAST(CASE WHEN n_moved_warm = 0 THEN 1 ELSE 0 END
+              |    AS BIGINT) AS lpa_locally_optimal
+              |FROM lvcc, lvm, qcb, qca, qw, lvcw""".stripMargin)),
   )
 }

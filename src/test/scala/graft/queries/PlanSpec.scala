@@ -776,6 +776,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("retrieval pipeline: lexical head is TakeOrdered, censuses broadcast") {
+    val df = Registry.queries("tdp_retrieval_pipeline")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The BM25 top-10 head must plan as TakeOrdered (never a global
+    // sort of the lexical scores); the five 1-row censuses attach via
+    // broadcast; nothing may go cartesian.
+    assert(plan.contains("TakeOrdered"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("louvain round: vertex/community equi-joins only, no cartesian") {
+    val df = Registry.queries("tdp_louvain_round")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The gain computation is equi-joins on doc_id/community keys over
+    // the memoized pair frame; the only nested loops allowed are the
+    // 1-row m2/Q census attaches.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("fuzzy match: broadcast only under the size guard, shuffle fallback") {
     // The r12 weak finding: ea_fuzzy_match fed the full distinct Matrix
     // frame to BroadcastRangeJoinExec unconditionally — a driver-side

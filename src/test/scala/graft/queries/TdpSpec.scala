@@ -3278,4 +3278,43 @@ class TdpSpec extends SparkSpec {
       r.getAs[Long]("mae_b_micro"), r.getAs[Long]("max_err_a"),
       r.getAs[Long]("max_err_b")) == ((1L, 0L, 0L, 0L, 0L)), r)
   }
+
+  test("louvain local move: hand graph gains, stability, and exact Q") {
+    import spark.implicits._
+    // Two triangles {0,1,2} and {3,4,5} bridged by 2-3: m = 7, m2 = 14.
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L))
+    val edges = pairs.toDF("a", "b")
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.toDF("a", "b")
+        .select(col("b").as("src"), col("a").as("dst")))
+    // Perfect partition (triangle membership): Q = 6/7 - 2*(7/14)^2 =
+    // 0.357142..., exact micro 70e6 div 196 = 357142; no vertex moves.
+    val perfect = Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (3L, 3L), (4L, 3L), (5L, 3L)).toDF("doc_id", "lab")
+    val qp = TdpQueries.qMicro(edges, perfect).collect().head
+    assert((qp.getAs[Long]("n_comm"), qp.getAs[Long]("q_micro")) ==
+      ((2L, 357142L)), qp)
+    val stay = TdpQueries.louvainMoves(edges, perfect)
+      .filter(col("new_lab") =!= col("a")).count()
+    assert(stay == 0L, "perfect partition must be locally optimal")
+    // Corrupt vertex 2 into community B: its gains are
+    // score(A) = 14*2 - 3*4 = 16 > score(B) = 14*1 - 3*(10-3) = -7,
+    // so EXACTLY vertex 2 moves (back to A); hand-checked scores for
+    // all other vertices keep them in place. Q goes 122448 -> 357142.
+    val corrupted = Seq((0L, 0L), (1L, 0L), (2L, 3L),
+      (3L, 3L), (4L, 3L), (5L, 3L)).toDF("doc_id", "lab")
+    val qc = TdpQueries.qMicro(edges, corrupted).collect().head
+    assert(qc.getAs[Long]("q_micro") == 122448L, qc)
+    val moves = TdpQueries.louvainMoves(edges, corrupted)
+    val movedRows = moves.filter(col("new_lab") =!= col("a")).collect()
+    assert(movedRows.length == 1 &&
+      movedRows.head.getAs[Long]("doc_id") == 2L &&
+      movedRows.head.getAs[Long]("new_lab") == 0L,
+      movedRows.mkString(", "))
+    val healed = moves.select(col("doc_id"), col("new_lab").as("lab"))
+    assert(TdpQueries.qMicro(edges, healed).collect().head
+      .getAs[Long]("q_micro") == 357142L,
+      "one local move must restore the optimal partition's Q")
+  }
 }
