@@ -1669,6 +1669,40 @@ object TdpQueries {
        |              GROUP BY 1)) d,
        |       lvm m)""".stripMargin
 
+  /** Next-Fit-Decreasing packing folded over a DESCENDING-sorted
+    * (length, count) histogram with capacity C: identical consecutive
+    * items are placed in closed form (the current bin absorbs
+    * floor(rem/L), then full bins take floor(C/L) each), so the whole
+    * sweep is O(distinct lengths) with one scalar state row — the
+    * property that makes the histogram-collect driver hop
+    * alphabet-bounded. Returns (bins, padding); padding always equals
+    * bins*C - total tokens (asserted in-row by the query). Exposed for
+    * the hand-histogram spec; the oracle replays the identical fold as
+    * a recursive CTE.
+    */
+  private[queries] def nfdFold(
+      histDesc: Seq[(Long, Long)], C: Long): (Long, Long) = {
+    var bins = 0L; var rem = 0L; var pad = 0L
+    histDesc.foreach { case (l, k0) =>
+      var k = k0
+      if (bins > 0 && rem >= l) {
+        val a = math.min(k, rem / l)
+        rem -= a * l; k -= a
+      }
+      if (k > 0) {
+        if (bins > 0) pad += rem // close the current bin
+        val m = C / l
+        val full = (k - 1) / m
+        val lastItems = k - full * m
+        pad += full * (C - m * l)
+        bins += full + 1
+        rem = C - lastItems * l
+      }
+    }
+    if (bins > 0) pad += rem // close the last bin
+    (bins, pad)
+  }
+
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_lsh_pairs") {
       // One explode instead of a 4-way union: the signature computation
@@ -15146,5 +15180,378 @@ object TdpQueries {
               |  CAST(CASE WHEN n_moved_warm = 0 THEN 1 ELSE 0 END
               |    AS BIGINT) AS lpa_locally_optimal
               |FROM lvcc, lvm, qcb, qca, qw, lvcw""".stripMargin)),
+
+    // INCREMENTAL ANN INDEX MAINTENANCE — the ANN twin of
+    // tdp_incremental_dedup (probe the existing index, never rebuild):
+    // the IVF index was built BEFORE the batch arrived (centroids
+    // hash-sampled from the OLD corpus only — vec_id % 10 <> 7, the
+    // same split the dedup twin uses — so no part of the batch leaks
+    // into the index), and the batch is folded in by ASSIGNMENT alone:
+    // each new vector joins its nearest existing centroid's cell. The
+    // row reports what an index operator watches before deciding to
+    // retrain: per-cell balance drift (the ivf_balance imbalance
+    // statistic before vs after the fold-in, plus how many previously
+    // empty cells the batch opened) and BATCH RECALL — the new
+    // vectors' IVF top-3 over the old corpus graded against the
+    // brute-force truth. Scale shape: one (old + new) x 64-centroid
+    // broadcast assignment pass (the ivfAssign4 shape, batch-split),
+    // cell-keyed equi-join search, the truth leg is the exactTop5
+    // broadcast shape with the BATCH as the query set (batch-sized,
+    // not corpus-sized); censuses are 1-row broadcasts; integer-micro
+    // imbalance rationals; sims are the family's left-fold doubles,
+    // rank-compared only.
+    QueryDef(
+      "tdp_ann_incremental",
+      (s, dir) => {
+        val isNew = col("vec_id") % 10 === 7
+        val e = embWithNorm(s, dir)
+        val old = e.filter(!isNew)
+        val fresh = e.filter(isNew)
+        val cent = old
+          .withColumn("seed_rank",
+            expr("(vec_id * 2654435761) % 1000000007"))
+          .orderBy("seed_rank", "vec_id").limit(IvfNlist)
+          .select(col("vec_id").as("cent_id"),
+            col("embedding").as("q_emb"), col("norm").as("cent_norm"))
+        def assign(v: DataFrame): DataFrame = {
+          val vecs = v.select(col("vec_id").as("c_id"),
+            col("embedding").as("c_emb"), col("norm").as("c_norm"))
+          val w = Window.partitionBy("c_id")
+            .orderBy(desc("sim"), col("cent_id"))
+          vecs.crossJoin(broadcast(cent))
+            .withColumn("sim",
+              expr(dotExpr) / (col("cent_norm") * col("c_norm")))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("c_id").as("vec_id"), col("cent_id").as("cluster"))
+        }
+        val oldAssign = Registry.memo(s, dir, "tdp_ann_incr_old")(
+          assign(old))
+        val newAssign = assign(fresh)
+        val cells = oldAssign.groupBy("cluster")
+          .agg(count(lit(1)).as("c_old"))
+          .join(newAssign.groupBy("cluster")
+            .agg(count(lit(1)).as("c_new")), Seq("cluster"), "full_outer")
+          .select(coalesce(col("c_old"), lit(0L)).as("c_old"),
+            coalesce(col("c_new"), lit(0L)).as("c_new"))
+        val bal = cells.agg(
+          expr("CAST(sum(c_old) AS BIGINT)").as("n_old"),
+          expr("CAST(sum(c_new) AS BIGINT)").as("n_new"),
+          expr("CAST(sum(CASE WHEN c_old > 0 THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as("n_cells_old"),
+          count(lit(1)).as("n_cells_after"),
+          expr("CAST(sum(CASE WHEN c_old = 0 AND c_new > 0 THEN 1" +
+            " ELSE 0 END) AS BIGINT)").as("n_cells_newly_occupied"),
+          max("c_old").as("max_old"),
+          expr("CAST(max(c_old + c_new) AS BIGINT)").as("max_after"))
+        val qs = fresh.join(newAssign, "vec_id")
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"), col("cluster"))
+        val cs = old.join(oldAssign, "vec_id")
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            col("norm").as("c_norm"), col("cluster"))
+        val wTop = Window.partitionBy("q_id")
+          .orderBy(desc("sim"), col("c_id"))
+        val ivfTop = qs.join(cs, "cluster")
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3).select("q_id", "c_id")
+        val truth = broadcast(fresh.select(col("vec_id").as("q_id"),
+            col("embedding").as("q_emb"), col("norm").as("q_norm")))
+          .join(old.select(col("vec_id").as("c_id"),
+            col("embedding").as("c_emb"), col("norm").as("c_norm")),
+            col("q_id") =!= col("c_id"))
+          .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3).select("q_id", "c_id")
+        val nHit = ivfTop.join(truth, Seq("q_id", "c_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val nIvf = ivfTop.agg(count(lit(1)).as("n_ivf"))
+        bal.crossJoin(broadcast(nTruth)).crossJoin(broadcast(nIvf))
+          .crossJoin(broadcast(nHit))
+          .select(col("n_old"), col("n_new"), col("n_cells_old"),
+            col("n_cells_after"), col("n_cells_newly_occupied"),
+            col("max_old"), col("max_after"),
+            expr("CAST((CAST(max_old AS DECIMAL(38,0)) * n_cells_old" +
+              " * 1000000) div n_old AS BIGINT)")
+              .as("imbalance_old_micro"),
+            expr("CAST((CAST(max_after AS DECIMAL(38,0)) * n_cells_after" +
+              " * 1000000) div (n_old + n_new) AS BIGINT)")
+              .as("imbalance_after_micro"),
+            expr("CAST((CAST(max_after AS DECIMAL(38,0)) * n_cells_after" +
+              " * 1000000) div (n_old + n_new)" +
+              " - (CAST(max_old AS DECIMAL(38,0)) * n_cells_old" +
+              " * 1000000) div n_old AS BIGINT)").as("drift_micro"),
+            col("n_truth"), col("n_ivf"), col("n_hit"),
+            expr("CAST((CAST(n_hit AS DECIMAL(38,0)) * 1000000)" +
+              " div n_truth AS BIGINT)").as("recall_micro"))
+      },
+      Some(s"""WITH $embNormSql,
+              |ainew AS (SELECT * FROM emb WHERE vec_id % 10 = 7),
+              |aiold AS (SELECT * FROM emb WHERE vec_id % 10 <> 7),
+              |aicent AS (
+              |  SELECT vec_id AS cent_id, embedding, norm FROM aiold
+              |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+              |  LIMIT $IvfNlist),
+              |aioa AS MATERIALIZED (
+              |  SELECT c_id AS vec_id, cent_id AS cluster FROM (
+              |    SELECT c.vec_id AS c_id, q.cent_id,
+              |      row_number() OVER (PARTITION BY c.vec_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC,
+              |        q.cent_id) AS rn
+              |    FROM aiold c CROSS JOIN aicent q)
+              |  WHERE rn = 1),
+              |aina AS MATERIALIZED (
+              |  SELECT c_id AS vec_id, cent_id AS cluster FROM (
+              |    SELECT c.vec_id AS c_id, q.cent_id,
+              |      row_number() OVER (PARTITION BY c.vec_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC,
+              |        q.cent_id) AS rn
+              |    FROM ainew c CROSS JOIN aicent q)
+              |  WHERE rn = 1),
+              |aicells AS (
+              |  SELECT coalesce(o.c_old, 0) AS c_old,
+              |    coalesce(n.c_new, 0) AS c_new
+              |  FROM (SELECT cluster, CAST(count(*) AS BIGINT) AS c_old
+              |        FROM aioa GROUP BY 1) o
+              |  FULL OUTER JOIN
+              |       (SELECT cluster, CAST(count(*) AS BIGINT) AS c_new
+              |        FROM aina GROUP BY 1) n
+              |    ON o.cluster = n.cluster),
+              |aibal AS (
+              |  SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+              |    CAST(sum(c_new) AS BIGINT) AS n_new,
+              |    CAST(sum(CASE WHEN c_old > 0 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_cells_old,
+              |    CAST(count(*) AS BIGINT) AS n_cells_after,
+              |    CAST(sum(CASE WHEN c_old = 0 AND c_new > 0 THEN 1
+              |      ELSE 0 END) AS BIGINT) AS n_cells_newly_occupied,
+              |    CAST(max(c_old) AS BIGINT) AS max_old,
+              |    CAST(max(c_old + c_new) AS BIGINT) AS max_after
+              |  FROM aicells),
+              |aiq AS (
+              |  SELECT n.vec_id AS q_id, n.embedding, n.norm, a.cluster
+              |  FROM ainew n JOIN aina a ON a.vec_id = n.vec_id),
+              |aic AS (
+              |  SELECT o.vec_id AS c_id, o.embedding, o.norm, a.cluster
+              |  FROM aiold o JOIN aioa a ON a.vec_id = o.vec_id),
+              |aiivf AS MATERIALIZED (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q.q_id, c.c_id,
+              |      row_number() OVER (PARTITION BY q.q_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC,
+              |        c.c_id) AS rank
+              |    FROM aiq q JOIN aic c ON q.cluster = c.cluster)
+              |  WHERE rank <= 3),
+              |aitr AS MATERIALIZED (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ($dotSql) / (q.norm * c.norm) DESC,
+              |        c.vec_id) AS rank
+              |    FROM ainew q CROSS JOIN aiold c)
+              |  WHERE rank <= 3),
+              |aihit AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_hit FROM aiivf i
+              |  WHERE EXISTS (SELECT 1 FROM aitr t
+              |    WHERE t.q_id = i.q_id AND t.c_id = i.c_id)),
+              |aitc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth
+              |  FROM aitr),
+              |aiic AS (SELECT CAST(count(*) AS BIGINT) AS n_ivf
+              |  FROM aiivf)
+              |SELECT n_old, n_new, n_cells_old, n_cells_after,
+              |  n_cells_newly_occupied, max_old, max_after,
+              |  CAST((CAST(max_old AS HUGEINT) * n_cells_old * 1000000)
+              |    // n_old AS BIGINT) AS imbalance_old_micro,
+              |  CAST((CAST(max_after AS HUGEINT) * n_cells_after
+              |    * 1000000) // (n_old + n_new) AS BIGINT)
+              |    AS imbalance_after_micro,
+              |  CAST((CAST(max_after AS HUGEINT) * n_cells_after
+              |    * 1000000) // (n_old + n_new)
+              |    - (CAST(max_old AS HUGEINT) * n_cells_old * 1000000)
+              |    // n_old AS BIGINT) AS drift_micro,
+              |  n_truth, n_ivf, n_hit,
+              |  CAST((CAST(n_hit AS HUGEINT) * 1000000) // n_truth
+              |    AS BIGINT) AS recall_micro
+              |FROM aibal, aitc, aiic, aihit""".stripMargin)),
+
+    // NEXT-FIT-DECREASING BIN PACKING operating point — the third
+    // sequence-assembly plan real trainers weigh: tdp_seq_packing
+    // concat-and-chunks (zero padding, but SPLITS documents across
+    // window boundaries), tdp_length_batching pads to power-of-2
+    // buckets (zero splits, pow2 padding); this packs WHOLE documents
+    // into fixed 256-token windows, length-sorted descending, next-fit
+    // (close the bin when the next document does not fit) — zero
+    // splits, measured padding. NFD rather than first/best-fit, stated
+    // honestly: FFD/BFD's "place into an EARLIER open bin" needs
+    // per-bin state (data-sized — one remaining-capacity per open bin),
+    // while NFD's whole sweep folds over the (length, count) histogram
+    // with ONE scalar state row (current bin's remainder), identical
+    // items batched in closed form — the histogram is context-bounded
+    // (<= 256 rows), so the driver hop is alphabet-sized, the exact
+    // contract RangeRank's offset collect rides (NFD <= 2x OPT; the
+    // row publishes the actual ratio against the LP lower bound, which
+    // lands far below that worst case). The row reconciles all three
+    // plans at the same capacity: the chunking tail pad and
+    // split-document count come off the SAME memoized prefix-sum frame
+    // tdp_seq_packing materializes ("tdp_pack_ranged"), and the pow2
+    // padding replays tdp_length_batching's bucket rule. In-row
+    // invariants: nfd_bins >= lb_bins and the padding accounting
+    // identity pad = bins x C - tokens. Scale shape: one tokenize scan
+    // -> length histogram groupBy (keyspace <= C); the driver fold is
+    // O(distinct lengths); censuses ride the memoized prefix frame;
+    // everything else is 1-row broadcasts. The oracle replays the fold
+    // as a recursive CTE over the rank-ordered histogram — the whole
+    // NFD trajectory is hash-certified, not just the end state.
+    QueryDef(
+      "tdp_nfd_packing",
+      (s, dir) => {
+        val C = 256L
+        val lens = docToks(s, dir)
+          .select(col("doc_id"), size(col("toks")).cast(LongType).as("x"))
+        // Bounded driver hop: the (length, count) histogram has at most
+        // C rows (oversize docs are excluded from packing and counted).
+        val hist = lens.filter(col("x") > 0 && col("x") <= C)
+          .groupBy("x").agg(count(lit(1)).as("k"))
+          .orderBy(desc("x")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val (bins, pad) = nfdFold(hist, C)
+        val census = lens.agg(
+          expr(s"CAST(sum(CASE WHEN x > 0 AND x <= $C THEN 1 ELSE 0" +
+            " END) AS BIGINT)").as("n_docs_packed"),
+          expr("CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("n_zero_docs"),
+          expr(s"CAST(sum(CASE WHEN x > $C THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as("n_oversize_docs"),
+          expr(s"CAST(sum(CASE WHEN x > 0 AND x <= $C THEN x ELSE 0" +
+            " END) AS BIGINT)").as("n_tokens_packed"),
+          // pow2 padding: tdp_length_batching's bucket rule, replayed
+          // per doc over the packed set.
+          expr(s"CAST(sum(CASE WHEN x > 0 AND x <= $C THEN" +
+            " (CASE WHEN x <= 16 THEN 16 ELSE" +
+            " shiftleft(1L, CAST(length(bin(x - 1)) AS INT)) END) - x" +
+            " ELSE 0 END) AS BIGINT)").as("pow2_pad_tokens"))
+        // Chunking comparison off the SAME memoized prefix-sum frame
+        // tdp_seq_packing materializes (identical call signature =
+        // identical memo, the documented sharing contract).
+        val chunk = RangeRank.prefixSum(s, dir, "tdp_pack_ranged",
+          docToks(s, dir)
+            .select(col("doc_id"),
+              size(col("toks")).cast(LongType).as("n_toks")),
+          Nil, Seq(col("doc_id")), col("n_toks"), "start").df
+          .agg(
+            expr(s"CAST(sum(n_toks) AS BIGINT)").as("n_tokens_all"),
+            expr(s"CAST(sum(CASE WHEN n_toks > 0 AND start div $C <>" +
+              s" (start + n_toks - 1) div $C THEN 1 ELSE 0 END)" +
+              " AS BIGINT)").as("chunk_n_split_docs"))
+          .select(col("chunk_n_split_docs"),
+            expr(s"(n_tokens_all + ${C - 1}) div $C * $C - n_tokens_all")
+              .as("chunk_pad_tokens"))
+        census.crossJoin(broadcast(chunk))
+          .select(lit(C).as("context_tokens"),
+            col("n_docs_packed"), col("n_zero_docs"),
+            col("n_oversize_docs"), col("n_tokens_packed"),
+            expr(s"(n_tokens_packed + ${C - 1}) div $C").as("lb_bins"),
+            lit(bins).as("nfd_bins"),
+            lit(pad).as("nfd_pad_tokens"),
+            expr(s"CAST((CAST(n_tokens_packed AS DECIMAL(38,0))" +
+              s" * 1000000) div (${bins} * $C) AS BIGINT)")
+              .as("fill_micro"),
+            expr(s"CAST((CAST(${bins} AS DECIMAL(38,0)) * 1000000)" +
+              s" div ((n_tokens_packed + ${C - 1}) div $C) AS BIGINT)")
+              .as("ratio_to_lb_micro"),
+            expr(s"CASE WHEN ${bins} >= (n_tokens_packed + ${C - 1})" +
+              s" div $C AND ${pad} = ${bins} * $C - n_tokens_packed" +
+              " THEN 1 ELSE 0 END").cast(LongType).as("accounting_ok"),
+            col("chunk_pad_tokens"), col("chunk_n_split_docs"),
+            col("pow2_pad_tokens"))
+      },
+      Some(s"""WITH RECURSIVE npl AS (
+              |  SELECT CAST(len($toksSql) AS BIGINT) AS x
+              |  FROM documents),
+              |nph AS (
+              |  SELECT x AS l, CAST(count(*) AS BIGINT) AS k FROM npl
+              |  WHERE x > 0 AND x <= 256 GROUP BY 1),
+              |npr AS MATERIALIZED (
+              |  SELECT l, k,
+              |    CAST(row_number() OVER (ORDER BY l DESC) AS BIGINT)
+              |      AS t
+              |  FROM nph),
+              |npst(t, bins, rem, pad) AS (
+              |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+              |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              |  UNION ALL
+              |  SELECT t,
+              |    bins + CASE WHEN k1 = 0 THEN 0
+              |      ELSE (k1 - 1) // m + 1 END,
+              |    CASE WHEN k1 = 0 THEN rem1
+              |      ELSE 256 - (k1 - ((k1 - 1) // m) * m) * l END,
+              |    pad + CASE WHEN k1 = 0 THEN 0 ELSE
+              |      (CASE WHEN bins > 0 THEN rem1 ELSE 0 END)
+              |      + ((k1 - 1) // m) * (256 - m * l) END
+              |  FROM (
+              |    SELECT r.t, r.l, r.k, s.bins, s.pad,
+              |      s.rem - (CASE WHEN s.bins > 0 AND s.rem >= r.l
+              |        THEN least(r.k, s.rem // r.l) ELSE 0 END) * r.l
+              |        AS rem1,
+              |      r.k - CASE WHEN s.bins > 0 AND s.rem >= r.l
+              |        THEN least(r.k, s.rem // r.l) ELSE 0 END AS k1,
+              |      256 // r.l AS m
+              |    FROM npst s JOIN npr r ON r.t = s.t + 1)),
+              |npf AS (
+              |  SELECT bins AS nfd_bins,
+              |    pad + CASE WHEN bins > 0 THEN rem ELSE 0 END
+              |      AS nfd_pad
+              |  FROM npst ORDER BY t DESC LIMIT 1),
+              |npc AS (
+              |  SELECT
+              |    CAST(sum(CASE WHEN x > 0 AND x <= 256 THEN 1 ELSE 0
+              |      END) AS BIGINT) AS n_docs_packed,
+              |    CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_zero_docs,
+              |    CAST(sum(CASE WHEN x > 256 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_oversize_docs,
+              |    CAST(sum(CASE WHEN x > 0 AND x <= 256 THEN x ELSE 0
+              |      END) AS BIGINT) AS n_tokens_packed,
+              |    CAST(sum(CASE WHEN x > 0 AND x <= 256 THEN
+              |      (CASE WHEN x <= 16 THEN 16 ELSE
+              |        (CAST(1 AS BIGINT)
+              |          << CAST(length(bin(x - 1)) AS INTEGER)) END) - x
+              |      ELSE 0 END) AS BIGINT) AS pow2_pad_tokens
+              |  FROM npl),
+              |npk AS (
+              |  SELECT doc_id,
+              |    CAST(len($toksSql) AS BIGINT) AS n_toks
+              |  FROM documents),
+              |npcs AS (
+              |  SELECT n_toks,
+              |    coalesce(sum(n_toks) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) AS start
+              |  FROM npk),
+              |npch AS (
+              |  SELECT
+              |    CAST(sum(CASE WHEN n_toks > 0
+              |        AND start // 256 <> (start + n_toks - 1) // 256
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS chunk_n_split_docs,
+              |    CAST((sum(n_toks) + 255) // 256 * 256 - sum(n_toks)
+              |      AS BIGINT) AS chunk_pad_tokens
+              |  FROM npcs)
+              |SELECT CAST(256 AS BIGINT) AS context_tokens,
+              |  n_docs_packed, n_zero_docs, n_oversize_docs,
+              |  n_tokens_packed,
+              |  CAST((n_tokens_packed + 255) // 256 AS BIGINT) AS lb_bins,
+              |  nfd_bins, nfd_pad AS nfd_pad_tokens,
+              |  CAST((CAST(n_tokens_packed AS HUGEINT) * 1000000)
+              |    // (nfd_bins * 256) AS BIGINT) AS fill_micro,
+              |  CAST((CAST(nfd_bins AS HUGEINT) * 1000000)
+              |    // ((n_tokens_packed + 255) // 256) AS BIGINT)
+              |    AS ratio_to_lb_micro,
+              |  CAST(CASE WHEN nfd_bins >= (n_tokens_packed + 255) // 256
+              |    AND nfd_pad = nfd_bins * 256 - n_tokens_packed
+              |    THEN 1 ELSE 0 END AS BIGINT) AS accounting_ok,
+              |  chunk_pad_tokens, chunk_n_split_docs, pow2_pad_tokens
+              |FROM npf, npc, npch""".stripMargin)),
   )
 }

@@ -795,6 +795,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("incremental ANN: cell-keyed search, bounded broadcasts, no cartesian") {
+    val df = Registry.queries("tdp_ann_incremental")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The assignment pass broadcasts the 64-centroid frame (a Limit —
+    // structurally bounded, BroadcastLintSpec-blessed); the IVF search
+    // is a cluster-keyed equi-join; the truth leg broadcasts the BATCH
+    // as the query set (batch-sized, the exactTop5 contract). Nothing
+    // may plan a shuffled CartesianProduct.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("fuzzy match: broadcast only under the size guard, shuffle fallback") {
     // The r12 weak finding: ea_fuzzy_match fed the full distinct Matrix
     // frame to BroadcastRangeJoinExec unconditionally — a driver-side

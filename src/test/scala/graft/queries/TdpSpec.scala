@@ -3317,4 +3317,25 @@ class TdpSpec extends SparkSpec {
       .getAs[Long]("q_micro") == 357142L,
       "one local move must restore the optimal partition's Q")
   }
+
+  test("NFD fold: hand histogram packs exactly like the walked sequence") {
+    // C = 10, items desc 6,6,4,3,3,3. Walked by hand: bin1=[6] (next 6
+    // doesn't fit, pad 4), bin2=[6,4] (3 doesn't fit, pad 0),
+    // bin3=[3,3,3] (pad 1) -> 3 bins, pad 5 = 3*10 - 25.
+    assert(TdpQueries.nfdFold(Seq((6L, 2L), (4L, 1L), (3L, 3L)), 10L) ==
+      ((3L, 5L)))
+    // Closed-form batching inside one length: 7 items of 3 into C = 10
+    // -> bins of 3+3+3 (pad 1 each when closed): bins [3,3,3],[3,3,3],
+    // [3] -> 3 bins, pad = 30 - 21 = 9.
+    assert(TdpQueries.nfdFold(Seq((3L, 7L)), 10L) == ((3L, 9L)))
+    // Exact fit leaves zero padding.
+    assert(TdpQueries.nfdFold(Seq((5L, 4L)), 10L) == ((2L, 0L)))
+    // Empty histogram: no bins, no padding.
+    assert(TdpQueries.nfdFold(Nil, 10L) == ((0L, 0L)))
+    // The accounting identity holds on an awkward mix.
+    val hist = Seq((9L, 3L), (7L, 2L), (2L, 11L), (1L, 5L))
+    val (b, p) = TdpQueries.nfdFold(hist, 10L)
+    val toks = hist.map { case (l, k) => l * k }.sum
+    assert(p == b * 10L - toks, s"bins=$b pad=$p toks=$toks")
+  }
 }
