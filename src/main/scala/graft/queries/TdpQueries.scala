@@ -1500,11 +1500,22 @@ object TdpQueries {
 
   private def lpaLabelsUncached(
       s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val pairs = lshPairs(s, dir)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // Lineage cut (not just persist): the edge frame's LOGICAL plan
+    // carries the whole minhash -> band -> bucket-join tree, and the
+    // rounds below reference it once per round while each round's plan
+    // also contains the previous round's — without the cut the
+    // MEMOIZED result hands every consumer (modularity, louvain,
+    // diameter, the census) a multi-thousand-node tree that costs tens
+    // of driver seconds to re-optimize per action (measured on
+    // tdp_louvain_round: ~30 s of pure planning at sf0.1).
+    val edges = cut(pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("dst"))
-      .persist()
+      .repartition(col("dst")))
     var labels = edges.select(col("dst").as("doc_id")).distinct()
       .withColumn("lab", col("doc_id"))
     for (_ <- 1 to rounds) {
@@ -1520,8 +1531,9 @@ object TdpQueries {
         .filter(col("rk") === 1)
         .select(col("doc_id"), col("lab"))
     }
-    edges.unpersist(blocking = false)
-    labels
+    // Flatten the returned (memoized) frame too, so every consumer
+    // plans against a leaf instead of the 3-round join stack.
+    cut(labels)
   }
 
   /** One SYNCHRONOUS Louvain local-move decision per vertex: every
@@ -1536,28 +1548,42 @@ object TdpQueries {
     * (doc_id, a = old label, new_lab). Exposed for the hand-graph spec.
     */
   private[queries] def louvainMoves(
-      edges: DataFrame, labels: DataFrame): DataFrame = {
+      edges: DataFrame, labels: DataFrame,
+      legs: Seq[String] = Nil): DataFrame = {
+    // `legs` = optional tag columns carried by `labels`: several
+    // INDEPENDENT move sweeps (different starting partitions over the
+    // same graph) ride ONE shuffle DAG, keyed (leg, vertex)/(leg,
+    // community) throughout — tdp_louvain_round runs its cold and warm
+    // legs this way instead of two full DAGs (the join with the tagged
+    // labels replicates each edge once per leg, which is the work
+    // anyway; the STAGES are shared).
+    val lk = legs.map(col)
     val deg = edges.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("k"))
     val sigma = deg.join(labels, "doc_id")
-      .groupBy("lab").agg(expr("CAST(sum(k) AS BIGINT)").as("sigma"))
+      .groupBy(lk :+ col("lab"): _*)
+      .agg(expr("CAST(sum(k) AS BIGINT)").as("sigma"))
     val m2 = edges.agg(count(lit(1)).as("m2"))
     val kic = edges
-      .join(labels.select(col("doc_id").as("dst"), col("lab").as("c")),
+      .join(labels.select(
+          lk ++ Seq(col("doc_id").as("dst"), col("lab").as("c")): _*),
         "dst")
-      .groupBy(col("src").as("doc_id"), col("c"))
+      .groupBy(lk ++ Seq(col("src").as("doc_id"), col("c")): _*)
       .agg(count(lit(1)).as("k_ic"))
     // Candidate set = neighbor communities ∪ the vertex's own community
     // (a zero-link row that merges away when a neighbor already covers
     // it — max picks the real count).
     val cand = kic.unionByName(
-        labels.select(col("doc_id"), col("lab").as("c"),
-          lit(0L).as("k_ic")))
-      .groupBy("doc_id", "c").agg(max("k_ic").as("k_ic"))
+        labels.select(lk ++ Seq(col("doc_id"), col("lab").as("c"),
+          lit(0L).as("k_ic")): _*))
+      .groupBy(legs ++ Seq("doc_id", "c") map col: _*)
+      .agg(max("k_ic").as("k_ic"))
     val scored = cand
-      .join(labels.select(col("doc_id"), col("lab").as("a")), "doc_id")
+      .join(labels.select(lk ++ Seq(col("doc_id"),
+        col("lab").as("a")): _*), legs :+ "doc_id")
       .join(deg, "doc_id")
-      .join(sigma.select(col("lab").as("c"), col("sigma")), "c")
+      .join(sigma.select(lk ++ Seq(col("lab").as("c"),
+        col("sigma")): _*), legs :+ "c")
       .crossJoin(broadcast(m2))
       .withColumn("sigma_adj",
         col("sigma") - when(col("c") === col("a"), col("k"))
@@ -1565,14 +1591,16 @@ object TdpQueries {
       .withColumn("score",
         expr("CAST(m2 AS DECIMAL(38,0)) * k_ic" +
           " - CAST(k AS DECIMAL(38,0)) * sigma_adj"))
-    // Per-vertex argmax: a window over the vertex's <= (deg+1) candidate
-    // rows — high-cardinality doc_id key, degree-bounded frames.
-    val wV = Window.partitionBy("doc_id")
+    // Per-(leg, vertex) argmax: a window over the vertex's <= (deg+1)
+    // candidate rows — high-cardinality doc_id key, degree-bounded
+    // frames.
+    val wV = Window.partitionBy(lk :+ col("doc_id"): _*)
       .orderBy(col("score").desc,
         (col("c") === col("a")).cast("int").desc, col("c"))
     scored.withColumn("rk", row_number().over(wV))
       .filter(col("rk") === 1)
-      .select(col("doc_id"), col("a"), col("c").as("new_lab"))
+      .select(lk ++ Seq(col("doc_id"), col("a"),
+        col("c").as("new_lab")): _*)
   }
 
   /** Newman modularity of `labels` over the directed-both-ways `edges`,
@@ -1582,32 +1610,45 @@ object TdpQueries {
     * hand-graph spec.
     */
   private[queries] def qMicro(
-      edges: DataFrame, labels: DataFrame): DataFrame = {
-    val intra = edges
-      .join(labels.select(col("doc_id").as("src"), col("lab").as("ls")),
-        "src")
-      .join(labels.select(col("doc_id").as("dst"), col("lab").as("ld")),
-        "dst")
-      .filter(col("ls") === col("ld"))
-      .agg(count(lit(1)).as("intra2"))
-    val dsq = edges
-      .join(labels.select(col("doc_id").as("src"), col("lab")), "src")
-      .groupBy("lab").agg(count(lit(1)).as("d"))
-      .agg(count(lit(1)).as("n_comm"),
-        expr("CAST(sum(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0))")
-          .as("s_dsq"))
-    val m2 = edges.agg(count(lit(1)).as("m2x"))
-    intra.crossJoin(broadcast(dsq)).crossJoin(broadcast(m2))
-      .withColumn("s_intra",
-        expr("CAST(CAST(intra2 AS DECIMAL(38,0)) * m2x AS DECIMAL(38,0))"))
-      .select(col("n_comm"),
-        expr("CASE WHEN s_intra - s_dsq >= 0 THEN" +
-          " CAST(((CAST(s_intra AS DECIMAL(38,0)) - s_dsq) * 1000000)" +
-          " div (CAST(m2x AS DECIMAL(38,0)) * m2x) AS BIGINT)" +
-          " ELSE -CAST(((CAST(s_dsq AS DECIMAL(38,0)) - s_intra)" +
-          " * 1000000) div (CAST(m2x AS DECIMAL(38,0)) * m2x)" +
-          " AS BIGINT) END").as("q_micro"))
-  }
+      edges: DataFrame, labels: DataFrame,
+      legs: Seq[String] = Nil): DataFrame =
+    // ONE pass: label both endpoints, fold per-community degree and
+    // intra-edge counts in the same shuffle, reduce to the single Q
+    // row. (Was three separate frames combined via broadcast
+    // crossJoins — each consumption then re-executed the labeled-edge
+    // joins three times; measured as the dominant cost of
+    // tdp_louvain_round's three Q evaluations.) m2 = sum of community
+    // degrees; s_intra = intra2 * m2 — the same exact sign-split
+    // DECIMAL(38,0) rational as before.
+    {
+      val lk = legs.map(col)
+      edges
+        .join(labels.select(
+            lk ++ Seq(col("doc_id").as("src"), col("lab").as("ls")): _*),
+          "src")
+        .join(labels.select(
+            lk ++ Seq(col("doc_id").as("dst"), col("lab").as("ld")): _*),
+          legs :+ "dst")
+        .groupBy(lk :+ col("ls"): _*)
+        .agg(count(lit(1)).as("d"),
+          expr("CAST(sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("intra_c"))
+        .groupBy(lk: _*)
+        .agg(count(lit(1)).as("n_comm"),
+          expr("CAST(sum(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0))")
+            .as("s_dsq"),
+          expr("CAST(sum(intra_c) AS BIGINT)").as("intra2"),
+          expr("CAST(sum(d) AS BIGINT)").as("m2x"))
+        .withColumn("s_intra",
+          expr("CAST(CAST(intra2 AS DECIMAL(38,0)) * m2x AS DECIMAL(38,0))"))
+        .select(lk ++ Seq(col("n_comm"),
+          expr("CASE WHEN s_intra - s_dsq >= 0 THEN" +
+            " CAST(((CAST(s_intra AS DECIMAL(38,0)) - s_dsq) * 1000000)" +
+            " div (CAST(m2x AS DECIMAL(38,0)) * m2x) AS BIGINT)" +
+            " ELSE -CAST(((CAST(s_dsq AS DECIMAL(38,0)) - s_intra)" +
+            " * 1000000) div (CAST(m2x AS DECIMAL(38,0)) * m2x)" +
+            " AS BIGINT) END").as("q_micro")): _*)
+    }
 
   /** One Louvain local-move leg of the tdp_louvain_round ORACLE
     * (expects `lve` edges, `lvdeg` degrees, `lvm` m2 in scope): the
@@ -1870,10 +1911,17 @@ object TdpQueries {
       // InMemoryRelation advertises the partitioning, so every round's
       // edges-to-labels join shuffles only the (small) labels frame —
       // at corpus scale the edge set never moves again.
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      def cut(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint()
+      // Lineage-CUT, not just persist: the CC rounds below re-plan this
+      // frame's logical tree every round, and it carries the whole
+      // minhash -> LSH bucket-join lineage (the tdp_louvain_round
+      // planning-time lesson, ~30 s of driver optimization on
+      // vertex-sized data without the cut).
+      val edges = cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .repartition(col("src"))
-        .persist()
+        .repartition(col("src")))
       // Iterate ONLY over vertices that touch an edge: on a real corpus
       // the near-dup graph is a vanishing fraction of the documents, so
       // the per-round shuffles are sized by the duplicate graph, not the
@@ -10485,7 +10533,7 @@ object TdpQueries {
               "0L, (acc, v) -> acc + v)"))
           .filter(col("d2") <= DbEps2)
           .select("va", "vb")
-          .persist()
+          .localCheckpoint() // lineage cut: CC rounds re-plan this tree
         val nbrs = pairs.select(col("va").as("vec_id"), col("vb").as("nb"))
           .union(pairs.select(col("vb").as("vec_id"), col("va").as("nb")))
         val allv = mic.select("vec_id")
@@ -10501,7 +10549,7 @@ object TdpQueries {
           .select(col("va").as("src"), col("vb").as("dst"))
         val sym = cedges
           .union(cedges.select(col("dst").as("src"), col("src").as("dst")))
-          .repartition(col("src")).persist()
+          .repartition(col("src")).localCheckpoint()
         // Shared hash-min + pointer-jump CC (log-diameter rounds): an
         // adversarial chain-shaped cluster, which the previous 1-hop-only
         // variant hard-failed at 64 hops while the oracle's recursive CTE
@@ -10621,7 +10669,7 @@ object TdpQueries {
               "0L, (acc, v) -> acc + v)"))
           .select(col("va"), col("vb"), col("pair_np"),
             (col("d2") <= DbEps2).as("is_edge"))
-          .persist()
+          .localCheckpoint() // lineage cut: per-nprobe CC re-plans this
         val nps = Seq(1L, 2L, 4L).toDF("nprobe")
         val candN = verified.crossJoin(broadcast(nps))
           .filter(col("pair_np") <= col("nprobe"))
@@ -11261,7 +11309,7 @@ object TdpQueries {
         val mic = table(s, dir, "embeddings").select(col("vec_id"),
           expr("transform(embedding, v -> " +
             "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("m"))
-          .persist()
+          .localCheckpoint() // lineage cut: K greedy rounds re-plan this
         def d2To(lits: Array[Long]): Column = expr(
           s"aggregate(zip_with(m, array(${lits.mkString(",")}), " +
             "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
@@ -12036,12 +12084,11 @@ object TdpQueries {
           else df.localCheckpoint()
         import s.implicits._
         val pairs = lshPairs(s, dir)
-        val edges = pairs
+        val edges = cut(pairs
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"),
             col("doc_a").as("dst")))
-          .repartition(col("src"))
-          .persist()
+          .repartition(col("src")))
         val seedOpt = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .orderBy(desc("deg"), col("src"))
           .limit(1).collect().headOption.map(_.getLong(0))
@@ -14585,12 +14632,11 @@ object TdpQueries {
           else df.localCheckpoint()
         import s.implicits._
         val pairs = lshPairs(s, dir)
-        val edges = pairs
+        val edges = cut(pairs
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"),
             col("doc_a").as("dst")))
-          .repartition(col("src"))
-          .persist()
+          .repartition(col("src")))
         // dist frame: (doc_id, d) min-hop distances from `seed`, ≤4 hops
         def sweep(seed: Long): (DataFrame, Long, Boolean) = {
           var visited = cut(Seq((seed, 0L)).toDF("doc_id", "d"))
@@ -15108,36 +15154,57 @@ object TdpQueries {
     QueryDef(
       "tdp_louvain_round",
       (s, dir) => {
+        // Lineage cuts on the INPUT frames and the move frame — not for
+        // re-execution (the inputs are persisted) but for PLANNING: the
+        // memoized pair/label frames carry the full minhash -> LSH ->
+        // 3-LPA-round LOGICAL plan, and the move/Q DAGs below reference
+        // them 3-5x each, so without cuts the optimizer grinds ~30 s of
+        // driver time on a multi-thousand-node tree for vertex-sized
+        // data (measured 37 s -> ~3 s at sf0.1). The cut frames are
+        // edge-/vertex-sized — the same cost class lpaLabels' own
+        // internal persist already pays.
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
         val pairs = lshPairs(s, dir)
-        val edges = pairs
+        val edges = cut(pairs
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"),
-            col("doc_a").as("dst")))
+            col("doc_a").as("dst"))))
         val singles = edges.select(col("dst").as("doc_id")).distinct()
           .withColumn("lab", col("doc_id"))
+        // lpaLabels is already lineage-cut at its memo site.
         val lpa = lpaLabels(s, dir, rounds = 3)
-        val movesCold = louvainMoves(edges, singles)
-        val movesWarm = louvainMoves(edges, lpa)
-        val afterCold = movesCold.select(col("doc_id"),
-          col("new_lab").as("lab"))
-        val qcb = qMicro(edges, singles)
-          .select(col("q_micro").as("q_cold_before_micro"))
-        val qca = qMicro(edges, afterCold)
-          .select(col("n_comm").as("n_comm_cold"),
-            col("q_micro").as("q_cold_after_micro"))
-        val qw = qMicro(edges, lpa)
-          .select(col("q_micro").as("q_warm_micro"))
-        val mvC = movesCold.agg(count(lit(1)).as("n_vertices"),
-          expr("CAST(sum(CASE WHEN new_lab <> a THEN 1 ELSE 0 END)" +
-            " AS BIGINT)").as("n_moved_cold"))
-        val mvW = movesWarm.agg(
-          expr("CAST(sum(CASE WHEN new_lab <> a THEN 1 ELSE 0 END)" +
-            " AS BIGINT)").as("n_moved_warm"))
+        // Both sweeps ride ONE tagged-leg DAG (see louvainMoves), and
+        // the three Q evaluations ride ONE tagged-leg qMicro pass —
+        // 2 heavy jobs total instead of 5 full DAGs.
+        val startLabels = singles.withColumn("leg", lit("cold"))
+          .unionByName(lpa.withColumn("leg", lit("warm")))
+        val moves = cut(louvainMoves(edges, startLabels, Seq("leg")))
+        val afterCold = moves.filter(col("leg") === "cold")
+          .select(col("doc_id"), col("new_lab").as("lab"))
+        val qLabels = singles.withColumn("qleg", lit("qs"))
+          .unionByName(afterCold.withColumn("qleg", lit("qc")))
+          .unionByName(lpa.withColumn("qleg", lit("qw")))
+        val qp = qMicro(edges, qLabels, Seq("qleg")).agg(
+          max(when(col("qleg") === "qs", col("q_micro")))
+            .as("q_cold_before_micro"),
+          max(when(col("qleg") === "qc", col("q_micro")))
+            .as("q_cold_after_micro"),
+          max(when(col("qleg") === "qc", col("n_comm")))
+            .as("n_comm_cold"),
+          max(when(col("qleg") === "qw", col("q_micro")))
+            .as("q_warm_micro"))
+        val mv = moves.agg(
+          expr("CAST(sum(CASE WHEN leg = 'cold' THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as("n_vertices"),
+          expr("CAST(sum(CASE WHEN leg = 'cold' AND new_lab <> a" +
+            " THEN 1 ELSE 0 END) AS BIGINT)").as("n_moved_cold"),
+          expr("CAST(sum(CASE WHEN leg = 'warm' AND new_lab <> a" +
+            " THEN 1 ELSE 0 END) AS BIGINT)").as("n_moved_warm"))
         val ne = edges.agg(
           expr("CAST(count(1) div 2 AS BIGINT)").as("n_edges"))
-        mvC.crossJoin(broadcast(ne)).crossJoin(broadcast(qcb))
-          .crossJoin(broadcast(qca)).crossJoin(broadcast(mvW))
-          .crossJoin(broadcast(qw))
+        mv.crossJoin(broadcast(ne)).crossJoin(broadcast(qp))
           .select(col("n_vertices"), col("n_edges"),
             col("n_moved_cold"), col("n_comm_cold"),
             col("q_cold_before_micro"), col("q_cold_after_micro"),
