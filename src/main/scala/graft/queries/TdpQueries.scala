@@ -505,7 +505,7 @@ object TdpQueries {
         .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct()
       val w = Window.partitionBy("src").orderBy(desc("sim"), col("dst"))
-      cand
+      val g = cand
         .join(e.select(col("vec_id").as("src"), col("embedding").as("q_emb"),
           col("norm").as("q_norm")), "src")
         .join(e.select(col("vec_id").as("dst"), col("embedding").as("c_emb"),
@@ -514,6 +514,11 @@ object TdpQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 8)
         .select("src", "dst")
+      // Lineage cut: every beam hop joins this frame, and each hop's
+      // pool action would otherwise re-optimize the bucket-join +
+      // window tree (the tdp_louvain_round planning lesson).
+      if (s.sparkContext.getCheckpointDir.isDefined) g.checkpoint()
+      else g.localCheckpoint()
     }
 
   /** The tdp_ann_beam oracle: the SAME generator that drives the Spark
@@ -10533,7 +10538,9 @@ object TdpQueries {
               "0L, (acc, v) -> acc + v)"))
           .filter(col("d2") <= DbEps2)
           .select("va", "vb")
-          .localCheckpoint() // lineage cut: CC rounds re-plan this tree
+          .transform(df =>
+            if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+            else df.localCheckpoint()) // lineage cut: CC rounds re-plan this tree
         val nbrs = pairs.select(col("va").as("vec_id"), col("vb").as("nb"))
           .union(pairs.select(col("vb").as("vec_id"), col("va").as("nb")))
         val allv = mic.select("vec_id")
@@ -10549,7 +10556,10 @@ object TdpQueries {
           .select(col("va").as("src"), col("vb").as("dst"))
         val sym = cedges
           .union(cedges.select(col("dst").as("src"), col("src").as("dst")))
-          .repartition(col("src")).localCheckpoint()
+          .repartition(col("src"))
+          .transform(df =>
+            if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+            else df.localCheckpoint())
         // Shared hash-min + pointer-jump CC (log-diameter rounds): an
         // adversarial chain-shaped cluster, which the previous 1-hop-only
         // variant hard-failed at 64 hops while the oracle's recursive CTE
@@ -10669,7 +10679,9 @@ object TdpQueries {
               "0L, (acc, v) -> acc + v)"))
           .select(col("va"), col("vb"), col("pair_np"),
             (col("d2") <= DbEps2).as("is_edge"))
-          .localCheckpoint() // lineage cut: per-nprobe CC re-plans this
+          .transform(df =>
+            if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+            else df.localCheckpoint()) // lineage cut: per-nprobe CC re-plans this
         val nps = Seq(1L, 2L, 4L).toDF("nprobe")
         val candN = verified.crossJoin(broadcast(nps))
           .filter(col("pair_np") <= col("nprobe"))
@@ -11309,7 +11321,9 @@ object TdpQueries {
         val mic = table(s, dir, "embeddings").select(col("vec_id"),
           expr("transform(embedding, v -> " +
             "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("m"))
-          .localCheckpoint() // lineage cut: K greedy rounds re-plan this
+          .transform(df =>
+            if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+            else df.localCheckpoint()) // lineage cut: K greedy rounds re-plan this
         def d2To(lits: Array[Long]): Column = expr(
           s"aggregate(zip_with(m, array(${lits.mkString(",")}), " +
             "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
