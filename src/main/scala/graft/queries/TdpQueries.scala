@@ -15634,5 +15634,181 @@ object TdpQueries {
               |    THEN 1 ELSE 0 END AS BIGINT) AS accounting_ok,
               |  chunk_pad_tokens, chunk_n_split_docs, pow2_pad_tokens
               |FROM npf, npc, npch""".stripMargin)),
+
+    // END-TO-END CORPUS RELEASE CERTIFICATE — the capstone of the
+    // integration-certificate series (dedup r12, retrieval and release
+    // r13): the four gates a training-corpus release actually runs,
+    // CHAINED in production order and reconciled in one row.
+    //   1. DEDUP — keep each duplicate cluster's min-id representative
+    //      (the memoized dupClusters frame: n_keepers is the same
+    //      survivor count tdp_dedup_pipeline certifies);
+    //   2. QUALITY — keep survivors with quality >= 0.74 (the exact
+    //      qualityScored arithmetic tdp_quality_score hash-certifies;
+    //      the cut sits mid-distribution, so the gate is non-vacuous);
+    //   3. DECONTAMINATION — exclude the eval slice (doc_id % 100 == 0)
+    //      and any training doc sharing a 3-gram shingle hash with it
+    //      (the tdp_decontaminate construction on the same memoized
+    //      shingle hashes);
+    //   4. PACK — NFD-pack the released documents into 256-token
+    //      windows (the tdp_nfd_packing fold over the released set's
+    //      context-bounded length histogram).
+    // In-row invariants: the stage counts telescope EXACTLY
+    // (n_released = n_after_quality - n_eval_excluded -
+    // n_contaminated_dropped), stages are monotone, and the packing
+    // accounting identity holds — release_consistent folds all three.
+    // Scale shape: every stage reads a memoized/lineage-cut frame
+    // (clusters, quality scores, shingle hashes); the gates are
+    // doc-keyed semi/anti joins; the packing histogram is the
+    // alphabet-bounded driver hop; censuses are 1-row broadcasts.
+    QueryDef(
+      "tdp_release_pipeline",
+      (s, dir) => {
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
+        val C = 256L
+        val docs = table(s, dir, "documents").select("doc_id")
+        val keepers = dupClusters(s, dir).filter(col("is_kept"))
+          .select("doc_id")
+        val afterQ = cut(keepers
+          .join(qualityScored(s, dir)
+            .filter(col("quality") >= 0.74).select("doc_id"), "doc_id"))
+        val ex = docHashes(s, dir)
+          .select(col("doc_id"), explode(col("hashes")).as("h"))
+        val evalSh = ex.filter(col("doc_id") % 100 === 0)
+          .select("h").distinct()
+        val contaminated = ex.filter(col("doc_id") % 100 =!= 0)
+          .join(evalSh, Seq("h"), "left_semi").select("doc_id").distinct()
+        val released = cut(afterQ.filter(col("doc_id") % 100 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti"))
+        val lens = docToks(s, dir).join(released, "doc_id")
+          .select(size(col("toks")).cast(LongType).as("x"))
+        val hist = lens.filter(col("x") > 0 && col("x") <= C)
+          .groupBy("x").agg(count(lit(1)).as("k"))
+          .orderBy(desc("x")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val (bins, pad) = nfdFold(hist, C)
+        val cDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val cKeep = keepers.agg(count(lit(1)).as("n_keepers"))
+        val cQ = afterQ.agg(count(lit(1)).as("n_after_quality"),
+          expr("CAST(sum(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as("n_eval_excluded"))
+        val cCont = afterQ.filter(col("doc_id") % 100 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("n_contaminated_dropped"))
+        val cRel = lens.agg(count(lit(1)).as("n_released"),
+          expr(s"CAST(sum(CASE WHEN x > 0 AND x <= $C THEN x ELSE 0" +
+            " END) AS BIGINT)").as("released_tokens_packed"),
+          expr(s"CAST(sum(CASE WHEN x = 0 OR x > $C THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as("n_unpackable"))
+        cDocs.crossJoin(broadcast(cKeep)).crossJoin(broadcast(cQ))
+          .crossJoin(broadcast(cCont)).crossJoin(broadcast(cRel))
+          .select(col("n_docs"), col("n_keepers"),
+            col("n_after_quality"), col("n_eval_excluded"),
+            col("n_contaminated_dropped"), col("n_released"),
+            col("n_unpackable"), col("released_tokens_packed"),
+            lit(bins).as("nfd_bins"),
+            expr(s"CASE WHEN ${bins} > 0 THEN" +
+              s" CAST((CAST(released_tokens_packed AS DECIMAL(38,0))" +
+              s" * 1000000) div (${bins} * $C) AS BIGINT) END")
+              .as("fill_micro"),
+            expr("CAST(n_released * 1000 div n_docs AS BIGINT)")
+              .as("retention_permille"),
+            expr(s"CASE WHEN n_keepers <= n_docs" +
+              " AND n_after_quality <= n_keepers" +
+              " AND n_released = n_after_quality - n_eval_excluded" +
+              " - n_contaminated_dropped" +
+              s" AND ${pad} = ${bins} * $C - released_tokens_packed" +
+              " THEN 1 ELSE 0 END").cast(LongType)
+              .as("release_consistent"))
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |rlq AS MATERIALIZED (
+              |  SELECT doc_id FROM (
+              |    SELECT doc_id, $qualitySql AS q FROM ($qualityPartsSql))
+              |  WHERE q >= 0.74),
+              |rlk AS (SELECT doc_id FROM cc WHERE doc_id = cluster_id),
+              |rlaq AS MATERIALIZED (
+              |  SELECT k.doc_id FROM rlk k JOIN rlq USING (doc_id)),
+              |rlex AS (SELECT doc_id, unnest(hashes) AS h FROM doc_sh),
+              |rlev AS (SELECT DISTINCT h FROM rlex WHERE doc_id % 100 = 0),
+              |rlcont AS MATERIALIZED (
+              |  SELECT DISTINCT doc_id FROM rlex
+              |  WHERE doc_id % 100 <> 0 AND h IN (SELECT h FROM rlev)),
+              |rlrel AS MATERIALIZED (
+              |  SELECT doc_id FROM rlaq
+              |  WHERE doc_id % 100 <> 0
+              |    AND doc_id NOT IN (SELECT doc_id FROM rlcont)),
+              |rllen AS MATERIALIZED (
+              |  SELECT CAST(len($toksSql) AS BIGINT) AS x
+              |  FROM documents d JOIN rlrel USING (doc_id)),
+              |rlh AS (
+              |  SELECT x AS l, CAST(count(*) AS BIGINT) AS k FROM rllen
+              |  WHERE x > 0 AND x <= 256 GROUP BY 1),
+              |rlr AS MATERIALIZED (
+              |  SELECT l, k,
+              |    CAST(row_number() OVER (ORDER BY l DESC) AS BIGINT) AS t
+              |  FROM rlh),
+              |rlst(t, bins, rem, pad) AS (
+              |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+              |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              |  UNION ALL
+              |  SELECT t,
+              |    bins + CASE WHEN k1 = 0 THEN 0
+              |      ELSE (k1 - 1) // m + 1 END,
+              |    CASE WHEN k1 = 0 THEN rem1
+              |      ELSE 256 - (k1 - ((k1 - 1) // m) * m) * l END,
+              |    pad + CASE WHEN k1 = 0 THEN 0 ELSE
+              |      (CASE WHEN bins > 0 THEN rem1 ELSE 0 END)
+              |      + ((k1 - 1) // m) * (256 - m * l) END
+              |  FROM (
+              |    SELECT r.t, r.l, r.k, s.bins, s.pad,
+              |      s.rem - (CASE WHEN s.bins > 0 AND s.rem >= r.l
+              |        THEN least(r.k, s.rem // r.l) ELSE 0 END) * r.l
+              |        AS rem1,
+              |      r.k - CASE WHEN s.bins > 0 AND s.rem >= r.l
+              |        THEN least(r.k, s.rem // r.l) ELSE 0 END AS k1,
+              |      256 // r.l AS m
+              |    FROM rlst s JOIN rlr r ON r.t = s.t + 1)),
+              |rlnf AS (
+              |  SELECT bins AS nfd_bins,
+              |    pad + CASE WHEN bins > 0 THEN rem ELSE 0 END AS nfd_pad
+              |  FROM rlst ORDER BY t DESC LIMIT 1),
+              |rlc0 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+              |  FROM documents),
+              |rlc1 AS (SELECT CAST(count(*) AS BIGINT) AS n_keepers
+              |  FROM rlk),
+              |rlc2 AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_after_quality,
+              |    CAST(sum(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_eval_excluded
+              |  FROM rlaq),
+              |rlc3 AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_contaminated_dropped
+              |  FROM rlaq
+              |  WHERE doc_id % 100 <> 0
+              |    AND doc_id IN (SELECT doc_id FROM rlcont)),
+              |rlc4 AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_released,
+              |    CAST(sum(CASE WHEN x > 0 AND x <= 256 THEN x ELSE 0
+              |      END) AS BIGINT) AS released_tokens_packed,
+              |    CAST(sum(CASE WHEN x = 0 OR x > 256 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_unpackable
+              |  FROM rllen)
+              |SELECT n_docs, n_keepers, n_after_quality, n_eval_excluded,
+              |  n_contaminated_dropped, n_released, n_unpackable,
+              |  released_tokens_packed, nfd_bins,
+              |  CASE WHEN nfd_bins > 0 THEN
+              |    CAST((CAST(released_tokens_packed AS HUGEINT) * 1000000)
+              |      // (nfd_bins * 256) AS BIGINT) END AS fill_micro,
+              |  CAST(n_released * 1000 // n_docs AS BIGINT)
+              |    AS retention_permille,
+              |  CAST(CASE WHEN n_keepers <= n_docs
+              |    AND n_after_quality <= n_keepers
+              |    AND n_released = n_after_quality - n_eval_excluded
+              |      - n_contaminated_dropped
+              |    AND nfd_pad = nfd_bins * 256 - released_tokens_packed
+              |    THEN 1 ELSE 0 END AS BIGINT) AS release_consistent
+              |FROM rlc0, rlc1, rlc2, rlc3, rlc4, rlnf""".stripMargin)),
   )
 }

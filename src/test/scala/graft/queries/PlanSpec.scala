@@ -807,6 +807,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("release pipeline: doc-keyed gate joins, no cartesian") {
+    val df = Registry.queries("tdp_release_pipeline")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The decontamination gate must probe with semi/anti joins on the
+    // doc/hash keys; the only nested loops allowed are the 1-row census
+    // attaches.
+    assert(plan.contains("LeftAnti") || plan.contains("LeftSemi"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("fuzzy match: broadcast only under the size guard, shuffle fallback") {
     // The r12 weak finding: ea_fuzzy_match fed the full distinct Matrix
     // frame to BroadcastRangeJoinExec unconditionally — a driver-side
