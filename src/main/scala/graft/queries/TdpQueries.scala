@@ -7372,11 +7372,17 @@ object TdpQueries {
     QueryDef(
       "tdp_pagerank",
       (s, dir) => {
+        def cut(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+          else df.localCheckpoint()
         val pairs = lshPairs(s, dir)
+        // Lineage-cut memo + per-round cuts (the round's planning
+        // lesson): the 3 rank rounds otherwise stack each other's plans
+        // on top of the minhash -> LSH tree.
         val edges = Registry.memo(s, dir, "tdp_pr_edges")(
-          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .union(pairs.select(col("doc_b").as("src"),
-              col("doc_a").as("dst"))))
+              col("doc_a").as("dst")))))
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         var pr = deg.select(col("src").as("doc_id"),
           lit(1000000L).as("pr_micro"))
@@ -7385,8 +7391,8 @@ object TdpQueries {
             .join(pr.withColumnRenamed("doc_id", "src"), "src")
             .join(deg, "src")
             .select(col("dst"), expr("pr_micro div deg").as("c"))
-          pr = contrib.groupBy(col("dst").as("doc_id"))
-            .agg(expr("150000 + (85 * sum(c)) div 100").as("pr_micro"))
+          pr = cut(contrib.groupBy(col("dst").as("doc_id"))
+            .agg(expr("150000 + (85 * sum(c)) div 100").as("pr_micro")))
         }
         pr.join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
           .select("doc_id", "deg", "pr_micro")
@@ -12184,6 +12190,9 @@ object TdpQueries {
             .select("doc_a", "doc_b")
           val edges = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+            .transform(df =>
+              if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+              else df.localCheckpoint()) // lineage cut: CC rounds re-plan this
           val labels = minLabelCC(s, edges,
             edges.select(col("src").as("vertex")).distinct())
           labels.groupBy("lab").agg(count(lit(1)).as("sz"))
