@@ -61,6 +61,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // Reliable checkpoint() files and localCheckpoint blocks written by
+      // Registry.cut are deleted by the ContextCleaner once their RDDs are
+      // collected, so long sessions don't grow the checkpoint dir (r13 ADVICE).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
@@ -76,6 +80,14 @@ object Bench {
         if (m != null) cpuNs.addAndGet(m.executorCpuTime)
       }
     })
+    // Deterministic plan-shape counters (r13 VERDICT #1): shuffle bytes,
+    // task and stage counts are properties of plan + data, not of the
+    // contended host, so a regression shows as a hard counter step even
+    // when wall-clock swings 2x inside the steal band. Per-query deltas
+    // are snapped after a listener-bus drain (exact, not racy) and go to
+    // bench_full_local.json; registry totals ride the one-line JSON.
+    val perf = new graft.perf.PerfCounters
+    spark.sparkContext.addSparkListener(perf)
     // Optional comma-separated query-name filter for focused local timing;
     // the driver's invocation leaves it unset and benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -83,15 +95,18 @@ object Bench {
     // recorded and emitted as "err_queries" in the JSON line (round 6: six
     // analysis-failing queries hid inside this catch for a full round).
     val errQueries = scala.collection.mutable.LinkedHashSet.empty[String]
-    def timed(name: String)(body: => Unit): (String, (Double, Double)) = {
+    final case class QRes(wall: Double, cpu: Double, perf: graft.perf.PerfCounters#Snap)
+    def timed(name: String)(body: => Unit): (String, QRes) = {
+      val p0 = perf.current(spark) // drains the bus: prior query's tail
       val t0 = System.nanoTime()
       val c0 = cpuNs.get()
       try body catch { case e: Throwable =>
         errQueries += name
         System.err.println(s"[bench] FAIL $name: ${e.getMessage}")
       }
+      val pd = perf.deltaSince(spark, p0)
       val wall = (System.nanoTime() - t0) / 1e9
-      name -> (wall, (cpuNs.get() - c0) / 1e9)
+      name -> QRes(wall, (cpuNs.get() - c0) / 1e9, pd)
     }
     // One full measurement pass. The warmup entry pays the fixed
     // JVM/codegen/parquet-datasource startup cost in a DEDICATED timed
@@ -104,7 +119,7 @@ object Bench {
     // (dependency order), remainder in name order — both deterministic,
     // so shared-frame materialization costs attribute to the same query
     // on every run.
-    def runPass(): Seq[(String, (Double, Double))] = {
+    def runPass(): Seq[(String, QRes)] = {
       val warmup = timed("warmup") {
         spark.read.parquet(s"$sfDir/region.parquet")
           .createOrReplaceTempView("graft_warm")
@@ -122,8 +137,8 @@ object Bench {
         .filter(n => only.forall(_.contains(n)))
         .map(n => timed(n)(SparkEntry.queries(n)(spark, sfDir).count()))
     }
-    def passTotal(r: Seq[(String, (Double, Double))]): Double =
-      r.map(_._2._1).sum
+    def passTotal(r: Seq[(String, QRes)]): Double =
+      r.map(_._2.wall).sum
     // Noise rejection for the shared virtualized host: co-tenant steal
     // randomly inflates a pass 5-10x (measured: identical code/data swing
     // 120 s <-> 1100 s within the hour, while a fixed single-thread probe
@@ -155,7 +170,7 @@ object Bench {
     val probeBand =
       sys.env.get("SPARK_GRAFT_PROBE_BAND").map(_.toDouble).getOrElse(0.7)
     val benchT0 = System.currentTimeMillis()
-    def contended(p: (Seq[(String, (Double, Double))], Double)): Boolean =
+    def contended(p: (Seq[(String, QRes)], Double)): Boolean =
       passTotal(p._1) > passBand || p._2 > probeBand
     var passes = List((runPass(), probeSec()))
     while (contended(passes.head) && passes.size < 3 &&
@@ -191,33 +206,52 @@ object Bench {
     def entry(k: String, v: Double): String = "\"" + k + "\":" + sec3(v)
     def jmap(m: Seq[(String, Double)]): String =
       m.map((entry _).tupled).mkString("{", ",", "}")
-    val rounded = results.map { case (k, (w, c)) =>
-      (k, math.rint(w * 1000) / 1000, math.rint(c * 1000) / 1000)
+    val rounded = results.map { case (k, q) =>
+      (k, math.rint(q.wall * 1000) / 1000, math.rint(q.cpu * 1000) / 1000)
     }
     val total = rounded.map(_._2).sum
     val errJson =
       errQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson = rounded.sortBy(_._1)
-      .map { case (k, w, c) => "\"" + k + "\":[" + sec3(w) + "," + sec3(c) + "]" }
+    // Registry-total plan counters for the BEST pass (sum over its
+    // per-query deltas, so retried passes don't double-count).
+    val perfTot = results.map(_._2.perf)
+      .foldLeft((0L, 0L, 0L, 0L)) { case ((t, st, r, w), p) =>
+        (t + p.tasks, st + p.stages,
+          r + p.shuffleReadBytes, w + p.shuffleWriteBytes)
+      }
+    val perfJson =
+      s""""tasks":${perfTot._1},"stages":${perfTot._2},""" +
+        s""""shuffle_read_mb":${sec3(perfTot._3 / 1048576.0)},""" +
+        s""""shuffle_write_mb":${sec3(perfTot._4 / 1048576.0)}"""
+    // Per-query counters: [wall, cpu, shuffle_read_b, shuffle_write_b,
+    // tasks, stages] — full detail lives in bench_full_local.json.
+    val fullJson = results.sortBy(_._1)
+      .map { case (k, q) =>
+        "\"" + k + "\":[" + sec3(q.wall) + "," + sec3(q.cpu) + "," +
+          q.perf.shuffleReadBytes + "," + q.perf.shuffleWriteBytes + "," +
+          q.perf.tasks + "," + q.perf.stages + "]"
+      }
       .mkString(
         "{\"n\":" + rounded.size + ",\"total\":" + sec3(total) +
           ",\"cpu_total\":" + sec3(cpuTotal) +
+          "," + perfJson +
           ",\"err_queries\":" + errJson +
           ",\"pass_totals\":[" + passTotals.map(sec3).mkString(",") + "]" +
           ",\"pass_probes\":[" + passProbes.map(sec3).mkString(",") + "]" +
           ",\"pass_band\":" + sec3(passBand) +
           ",\"loadavg\":[" + sec3(loadStart) + "," + sec3(loadavg()) + "]" +
           ",\"probe\":[" + sec3(probeStart) + "]" +
-          ",\"queries_wall_cpu\":{", ",", "}}")
+          ",\"queries_wall_cpu_sr_sw_tasks_stages\":{", ",", "}}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full_local.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // bookkeeping only — never fail the bench
     val lineBudget = 1750
     // metric/value/sf/loadavg/cpu/probe/pass_totals/pass_probes framing +
-    // "other"s + an empty err_queries (errored names would grow the line,
-    // but a red bench line that overflows beats a green-looking silent one)
-    val overhead = 380
+    // plan counters + rider + "other"s + an empty err_queries (errored
+    // names would grow the line, but a red bench line that overflows
+    // beats a green-looking silent one)
+    val overhead = 560
     val desc = rounded.sortBy { case (k, w, _) => (-w, k) }
     val cut = {
       var used = 0
@@ -238,6 +272,29 @@ object Bench {
     }
     val qs = withOther(_._2)
     val cs = withOther(_._3)
+    // Second scale point (r13 VERDICT #8): one pass at a 10x-smaller SF
+    // in the same JVM (memos evicted first, so it is cold-equivalent),
+    // reported as rider_* keys — NOT summed into `value` — so the
+    // artifact itself separates fixed JVM/codegen cost from marginal
+    // per-query cost: marginal ~ (total - rider_total) / (sf - rider_sf).
+    // SPARK_GRAFT_RIDER=0 (or a missing dir) skips it.
+    val riderDir = sys.env.getOrElse("SPARK_GRAFT_RIDER_DIR", "/root/testdata/sf0.01")
+    val riderJson =
+      if (sys.env.get("SPARK_GRAFT_RIDER").contains("0") || riderDir == sfDir ||
+          !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(riderDir))) ""
+      else {
+        graft.queries.Registry.evict(spark)
+        val t0 = System.nanoTime()
+        val names = SparkEntry.queries.keySet
+        val ordered = spine.filter(names) ++ (names -- spine).toSeq.sorted
+        ordered.filter(n => only.forall(_.contains(n))).foreach { n =>
+          try SparkEntry.queries(n)(spark, riderDir).count()
+          catch { case _: Throwable => () } // already loud in the main pass
+        }
+        val rt = (System.nanoTime() - t0) / 1e9
+        s""""rider_sf":"$riderDir","rider_total":${sec3(rt)},""" +
+          s""""rider_probe":${sec3(probeSec())},"""
+      }
     val loadEnd = loadavg()
     val probeEnd = probeSec()
     graft.queries.Registry.evict(spark)
@@ -247,6 +304,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,""" +
         s""""cpu":$cs,"cpu_total":${sec3(cpuTotal)},""" +
+        perfJson + "," + riderJson +
         s""""err_queries":$errJson,""" +
         s""""pass_totals":[${passTotals.map(sec3).mkString(",")}],""" +
         s""""pass_probes":[${passProbes.map(sec3).mkString(",")}],""" +

@@ -23,6 +23,10 @@ object Main {
       .appName("graft-reconciliation")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // Reliable checkpoint() files and localCheckpoint blocks written by
+      // Registry.cut are deleted by the ContextCleaner once their RDDs are
+      // collected, so long sessions don't grow the checkpoint dir (r13 ADVICE).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

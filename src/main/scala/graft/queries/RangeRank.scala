@@ -56,10 +56,16 @@ object RangeRank {
     * = one call signature — callers sharing a key pass IDENTICAL
     * (df, partKeys, orderCols, agg); outName joins the cache key so the
     * rank and prefix-sum variants of one frame can never collide.
+    * CHECKED, not just documented (r13 ADVICE): each hit `require`s the
+    * stored (partKeys, orderCols, agg) fingerprint matches the caller's —
+    * a fingerprint folded into the KEY would instead hand the second
+    * caller a separate ranked frame while the inner Registry.memo
+    * (keyed on memoKey alone) still served the first caller's ranged
+    * base, a subtler wrong answer than failing loudly.
     * Evicted alongside the Registry caches via [[evictDriverState]].
     */
   private val rankedCache = scala.collection.concurrent.TrieMap
-    .empty[((String, String), String), Ranked]
+    .empty[((String, String), String), (String, Ranked)]
 
   private[queries] def evictDriverState(sessionId: String): Unit =
     rankedCache.keys
@@ -114,8 +120,14 @@ object RangeRank {
       perPidAgg: Column,
       outName: String)(
       mk: (org.apache.spark.sql.expressions.WindowSpec, Column) => Column)
-      : Ranked = rankedCache.getOrElseUpdate(
-      ((Registry.sessionId(s), dir), s"$memoKey#$outName"), {
+      : Ranked = {
+    // Cheap, stable call-signature fingerprint: unresolved Column
+    // toString is deterministic for the literal column trees all callers
+    // build (no session state involved).
+    val fp = partKeys.mkString(",") + "|" +
+      orderCols.map(_.toString).mkString(",") + "|" + perPidAgg.toString
+    val (storedFp, ranked) = rankedCache.getOrElseUpdate(
+      ((Registry.sessionId(s), dir), s"$memoKey#$outName"), fp -> {
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val rangeCols = partKeys.map(col) ++ orderCols
     val ranged = Registry.memo(s, dir, memoKey)(
@@ -171,4 +183,11 @@ object RangeRank {
       .drop("gr_pid", "gr_off")
     Ranked(out, total)
   })
+    require(storedFp == fp,
+      s"RangeRank: memoKey '$memoKey#$outName' reused with a DIFFERENT " +
+        s"call signature (cached '$storedFp' vs requested '$fp') — one " +
+        "memoKey = one (df, partKeys, orderCols, agg) signature; pick a " +
+        "distinct memoKey for the new shape")
+    ranked
+  }
 }

@@ -69,6 +69,23 @@ object Registry {
     RangeRank.evictDriverState(id)
   }
 
+  /** Lineage cut: eagerly truncate `df`'s logical plan so iterated
+    * consumers (CC/rank/beam rounds, multi-census sweeps) don't hand
+    * Catalyst a compounding tree to re-optimize on every action — the
+    * tdp_louvain_round planning lesson (~30 s of pure driver
+    * optimization on vertex-sized data without the cut). Prefers the
+    * RELIABLE checkpoint when the session has a checkpoint dir (survives
+    * executor loss on a real cluster; r12 ADVICE), falling back to the
+    * executor-local fast path otherwise. This is the ONLY place
+    * `localCheckpoint` may appear in main sources — CutLintSpec greps
+    * for strays so an inlined local-only variant can't quietly
+    * reintroduce the unreliable path.
+    */
+  def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   def all: Seq[QueryDef] =
     CoreQueries.defs ++ EngineQueries.defs ++ FunctionQueries.defs ++
       SummaryQueries.defs ++ TdpQueries.defs

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * groupBy/join that scales horizontally.
   */
 object TdpQueries {
-  import Registry.table
+  import Registry.{cut, table}
 
   /** Polynomial rolling hash of a string column (mod 1e9+7); the SQL twin
     * is a left-fold over character codes in both engines.
@@ -246,7 +246,7 @@ object TdpQueries {
   private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
     embWithNorm(s, dir)
       .withColumn("seed_rank",
-        expr("(vec_id * 2654435761) % 1000000007"))
+        expr("(vec_id % 1000000007) * 2654435761 % 1000000007"))
       .orderBy("seed_rank", "vec_id")
       .limit(IvfNlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("q_emb"),
@@ -272,9 +272,6 @@ object TdpQueries {
     */
   private[graft] def minLabelCC(
       s: SparkSession, sym: DataFrame, vertices: DataFrame): DataFrame = {
-    def cut(df: DataFrame): DataFrame =
-      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     var labels = cut(vertices.withColumn("lab", col("vertex")))
     var converged = false
     var rounds = 0
@@ -517,8 +514,7 @@ object TdpQueries {
       // Lineage cut: every beam hop joins this frame, and each hop's
       // pool action would otherwise re-optimize the bucket-join +
       // window tree (the tdp_louvain_round planning lesson).
-      if (s.sparkContext.getCheckpointDir.isDefined) g.checkpoint()
-      else g.localCheckpoint()
+      cut(g)
     }
 
   /** The tdp_ann_beam oracle: the SAME generator that drives the Spark
@@ -664,7 +660,7 @@ object TdpQueries {
   private val ivfSqlCtes: String =
     s"""cent AS (
        |  SELECT vec_id, embedding, norm FROM emb
-       |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+       |  ORDER BY (vec_id % 1000000007) * 2654435761 % 1000000007, vec_id
        |  LIMIT $IvfNlist),
        |assigned4 AS (
        |  SELECT c_id AS vec_id, cent_id AS cluster, rn AS probe, sim FROM (
@@ -724,7 +720,7 @@ object TdpQueries {
   private def pqCodebook(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_pq_codebook")(
       embWithNorm(s, dir)
-        .withColumn("seed_rank", expr("(vec_id * 2654435761) % 1000000007"))
+        .withColumn("seed_rank", expr("(vec_id % 1000000007) * 2654435761 % 1000000007"))
         .orderBy("seed_rank", "vec_id").limit(PqK)
         .select(col("vec_id").as("code_id"), col("embedding"))
         .select(col("code_id"), explode(array(pqMStructs: _*)).as("ms"))
@@ -818,7 +814,7 @@ object TdpQueries {
          |        i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
     s"""seeds AS (
        |  SELECT vec_id AS code_id, embedding FROM emb
-       |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+       |  ORDER BY (vec_id % 1000000007) * 2654435761 % 1000000007, vec_id
        |  LIMIT $PqK),
        |codebook AS (
        |  SELECT code_id, CAST(r.range AS INT) AS m,
@@ -952,9 +948,6 @@ object TdpQueries {
     */
   private def uniViterbi(
       s: SparkSession, words: DataFrame, pieces: DataFrame): DataFrame = {
-    def cut(df: DataFrame): DataFrame =
-      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     val pieceB = broadcast(pieces)
     var states = cut(words.select(col("word"), col("freq"),
       lit(0).as("pos"), lit(0L).as("ll"), lit("").as("seg")))
@@ -1430,9 +1423,6 @@ object TdpQueries {
     */
   private[queries] def markovStationary(
       s: SparkSession, dir: String, rounds: Int): DataFrame = {
-    def cut(df: DataFrame): DataFrame =
-      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     val ev = CoreQueries.eventsWithSec(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("sec"))
@@ -1505,9 +1495,6 @@ object TdpQueries {
 
   private def lpaLabelsUncached(
       s: SparkSession, dir: String, rounds: Int): DataFrame = {
-    def cut(df: DataFrame): DataFrame =
-      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     val pairs = lshPairs(s, dir)
     // Lineage cut (not just persist): the edge frame's LOGICAL plan
     // carries the whole minhash -> band -> bucket-join tree, and the
@@ -1916,9 +1903,6 @@ object TdpQueries {
       // InMemoryRelation advertises the partitioning, so every round's
       // edges-to-labels join shuffles only the (small) labels frame —
       // at corpus scale the edge set never moves again.
-      def cut(df: DataFrame): DataFrame =
-        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-        else df.localCheckpoint()
       // Lineage-CUT, not just persist: the CC rounds below re-plan this
       // frame's logical tree every round, and it carries the whole
       // minhash -> LSH bucket-join lineage (the tdp_louvain_round
@@ -1936,11 +1920,9 @@ object TdpQueries {
       val labels = minLabelCC(s, edges,
         edges.select(col("src").as("vertex")).distinct())
         .select(col("vertex").as("doc_id"), col("lab"))
-      // The final labels frame is already materialized (eager
-      // localCheckpoint), so the edge cache can be released; superseded
-      // per-round checkpoint blocks are freed by the ContextCleaner once
-      // their RDD references (the rebound `labels` vars) are collected.
-      edges.unpersist(blocking = false)
+      // Superseded per-round checkpoint blocks are freed by the
+      // ContextCleaner once their RDD references (the rebound `labels`
+      // vars) are collected (cleanCheckpoints is on in every session).
       table(s, dir, "documents").select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -2518,9 +2500,6 @@ object TdpQueries {
     */
   private def bpeMergesDf(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_bpe_merges") {
-      def cut(df: DataFrame): DataFrame =
-        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-        else df.localCheckpoint()
       var words = cut(bpeVocab(s, dir))
       val learned = Seq.newBuilder[(Int, String, String, Long)]
       var k = 1
@@ -2602,9 +2581,6 @@ object TdpQueries {
   private[graft] def bpeLearnBatched(
       s: SparkSession, dir: String, rounds: Int,
       batchK: Int): Seq[(Int, Int, String, String, Long)] = {
-      def cut(df: DataFrame): DataFrame =
-        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-        else df.localCheckpoint()
       var words = cut(bpeVocab(s, dir))
       val learned = Seq.newBuilder[(Int, Int, String, String, Long)]
       for (r <- 1 to rounds) {
@@ -3965,7 +3941,7 @@ object TdpQueries {
       "tdp_stratified_sample",
       (s, dir) =>
         table(s, dir, "documents")
-          .filter(expr("(doc_id * 2654435761) % 97") <
+          .filter(expr("(doc_id % 97) * 2654435761 % 97") <
             when(col("lang") === "en", 80)
               .when(col("lang") === "es", 40).otherwise(20))
           .groupBy("lang")
@@ -3974,7 +3950,7 @@ object TdpQueries {
       Some("""SELECT lang, count(*) AS n_sampled,
              |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
              |FROM documents
-             |WHERE (doc_id * 2654435761) % 97 <
+             |WHERE (doc_id % 97) * 2654435761 % 97 <
              |  CASE lang WHEN 'en' THEN 80 WHEN 'es' THEN 40 ELSE 20 END
              |GROUP BY 1""".stripMargin)),
 
@@ -4920,7 +4896,7 @@ object TdpQueries {
       Some(s"""WITH $embNormSql,
               |cent0 AS (
               |  SELECT vec_id AS cluster, embedding, norm AS cent_norm FROM emb
-              |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+              |  ORDER BY (vec_id % 1000000007) * 2654435761 % 1000000007, vec_id
               |  LIMIT $IvfNlist),
               |a0 AS (
               |  SELECT vec_id, cluster FROM (
@@ -7372,9 +7348,6 @@ object TdpQueries {
     QueryDef(
       "tdp_pagerank",
       (s, dir) => {
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
         val pairs = lshPairs(s, dir)
         // Lineage-cut memo + per-round cuts (the round's planning
         // lesson): the 3 rank rounds otherwise stack each other's plans
@@ -10544,9 +10517,7 @@ object TdpQueries {
               "0L, (acc, v) -> acc + v)"))
           .filter(col("d2") <= DbEps2)
           .select("va", "vb")
-          .transform(df =>
-            if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-            else df.localCheckpoint()) // lineage cut: CC rounds re-plan this tree
+          .transform(cut) // lineage cut: CC rounds re-plan this tree
         val nbrs = pairs.select(col("va").as("vec_id"), col("vb").as("nb"))
           .union(pairs.select(col("vb").as("vec_id"), col("va").as("nb")))
         val allv = mic.select("vec_id")
@@ -10563,9 +10534,7 @@ object TdpQueries {
         val sym = cedges
           .union(cedges.select(col("dst").as("src"), col("src").as("dst")))
           .repartition(col("src"))
-          .transform(df =>
-            if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-            else df.localCheckpoint())
+          .transform(cut)
         // Shared hash-min + pointer-jump CC (log-diameter rounds): an
         // adversarial chain-shaped cluster, which the previous 1-hop-only
         // variant hard-failed at 64 hops while the oracle's recursive CTE
@@ -10587,8 +10556,6 @@ object TdpQueries {
               .when(col("blab").isNotNull, "border")
               .otherwise("noise").as("role"),
             coalesce(col("clab"), col("blab"), lit(-1L)).as("cluster_id"))
-        pairs.unpersist(blocking = false)
-        sym.unpersist(blocking = false)
         out
       },
       Some(s"""WITH RECURSIVE $embNormSql,
@@ -10685,9 +10652,7 @@ object TdpQueries {
               "0L, (acc, v) -> acc + v)"))
           .select(col("va"), col("vb"), col("pair_np"),
             (col("d2") <= DbEps2).as("is_edge"))
-          .transform(df =>
-            if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-            else df.localCheckpoint()) // lineage cut: per-nprobe CC re-plans this
+          .transform(cut) // lineage cut: per-nprobe CC re-plans this
         val nps = Seq(1L, 2L, 4L).toDF("nprobe")
         val candN = verified.crossJoin(broadcast(nps))
           .filter(col("pair_np") <= col("nprobe"))
@@ -10727,7 +10692,6 @@ object TdpQueries {
             (col("n_vec") - coalesce(col("n_core"), lit(0L))
               - coalesce(col("n_border"), lit(0L))).as("n_noise"))
           .orderBy("nprobe")
-        verified.unpersist(blocking = false)
         out
       },
       Some(s"""WITH $embNormSql,
@@ -11327,9 +11291,7 @@ object TdpQueries {
         val mic = table(s, dir, "embeddings").select(col("vec_id"),
           expr("transform(embedding, v -> " +
             "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("m"))
-          .transform(df =>
-            if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-            else df.localCheckpoint()) // lineage cut: K greedy rounds re-plan this
+          .transform(cut) // lineage cut: K greedy rounds re-plan this
         def d2To(lits: Array[Long]): Column = expr(
           s"aggregate(zip_with(m, array(${lits.mkString(",")}), " +
             "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
@@ -11353,7 +11315,6 @@ object TdpQueries {
         val coverCol = if (dcols.size == 1) dcols.head else least(dcols: _*)
         val cover = mic.withColumn("mind", coverCol)
           .agg(max("mind").as("cover")).collect().head.getLong(0)
-        mic.unpersist(blocking = false)
         val rows = selected.zipWithIndex.map { case ((id, _, d2), ix) =>
           ((ix + 1).toLong, id, d2, cover)
         }
@@ -11427,9 +11388,6 @@ object TdpQueries {
     QueryDef(
       "tdp_kcore",
       (s, dir) => {
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
         val pairs = lshPairs(s, dir)
         var cur = cut(pairs
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -11802,9 +11760,6 @@ object TdpQueries {
     QueryDef(
       "tdp_set_cover",
       (s, dir) => {
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
         val dt = docHashes(s, dir)
           .select(col("doc_id"), explode(col("hashes")).as("tok"))
           .distinct()
@@ -12099,9 +12054,6 @@ object TdpQueries {
     QueryDef(
       "tdp_bfs_reach",
       (s, dir) => {
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
         import s.implicits._
         val pairs = lshPairs(s, dir)
         val edges = cut(pairs
@@ -12137,7 +12089,6 @@ object TdpQueries {
             }
           }
         }
-        edges.unpersist(blocking = false)
         out.toSeq.toDF("hop", "frontier_n", "cum_reached")
       },
       Some(s"""WITH RECURSIVE $lshPairsSqlCtes,
@@ -12190,9 +12141,7 @@ object TdpQueries {
             .select("doc_a", "doc_b")
           val edges = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-            .transform(df =>
-              if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-              else df.localCheckpoint()) // lineage cut: CC rounds re-plan this
+            .transform(cut) // lineage cut: CC rounds re-plan this
           val labels = minLabelCC(s, edges,
             edges.select(col("src").as("vertex")).distinct())
           labels.groupBy("lab").agg(count(lit(1)).as("sz"))
@@ -13378,9 +13327,6 @@ object TdpQueries {
     QueryDef(
       "tdp_ann_beam",
       (s, dir) => {
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
         val beamW = 4
         val e = embWithNorm(s, dir)
         val qs = e.filter(col("vec_id") % 50 === 0)
@@ -14221,9 +14167,6 @@ object TdpQueries {
     QueryDef(
       "tdp_ann_beam_width",
       (s, dir) => {
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
         val e = embWithNorm(s, dir)
         val qs = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -14650,9 +14593,6 @@ object TdpQueries {
     QueryDef(
       "tdp_diameter_sweep",
       (s, dir) => {
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
         import s.implicits._
         val pairs = lshPairs(s, dir)
         val edges = cut(pairs
@@ -14698,7 +14638,6 @@ object TdpQueries {
             Seq((seed, ecc1, d1.count(), u, ecc2, d2.count(),
               math.max(ecc1, ecc2), cap1 || cap2))
         }
-        edges.unpersist(blocking = false)
         out.toDF("seed", "ecc_seed", "n_reached_seed", "far_vertex",
           "ecc_far", "n_reached_far", "diameter_lb", "capped")
       },
@@ -15186,9 +15125,6 @@ object TdpQueries {
         // data (measured 37 s -> ~3 s at sf0.1). The cut frames are
         // edge-/vertex-sized — the same cost class lpaLabels' own
         // internal persist already pays.
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
         val pairs = lshPairs(s, dir)
         val edges = cut(pairs
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -15299,7 +15235,7 @@ object TdpQueries {
         val fresh = e.filter(isNew)
         val cent = old
           .withColumn("seed_rank",
-            expr("(vec_id * 2654435761) % 1000000007"))
+            expr("(vec_id % 1000000007) * 2654435761 % 1000000007"))
           .orderBy("seed_rank", "vec_id").limit(IvfNlist)
           .select(col("vec_id").as("cent_id"),
             col("embedding").as("q_emb"), col("norm").as("cent_norm"))
@@ -15382,7 +15318,7 @@ object TdpQueries {
               |aiold AS (SELECT * FROM emb WHERE vec_id % 10 <> 7),
               |aicent AS (
               |  SELECT vec_id AS cent_id, embedding, norm FROM aiold
-              |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+              |  ORDER BY (vec_id % 1000000007) * 2654435761 % 1000000007, vec_id
               |  LIMIT $IvfNlist),
               |aioa AS MATERIALIZED (
               |  SELECT c_id AS vec_id, cent_id AS cluster FROM (
@@ -15672,9 +15608,6 @@ object TdpQueries {
     QueryDef(
       "tdp_release_pipeline",
       (s, dir) => {
-        def cut(df: DataFrame): DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-          else df.localCheckpoint()
         val C = 256L
         val docs = table(s, dir, "documents").select("doc_id")
         val keepers = dupClusters(s, dir).filter(col("is_kept"))

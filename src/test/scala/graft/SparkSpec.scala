@@ -19,6 +19,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // Reliable checkpoint() files and localCheckpoint blocks written by
+      // Registry.cut are deleted by the ContextCleaner once their RDDs are
+      // collected, so long sessions don't grow the checkpoint dir (r13 ADVICE).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

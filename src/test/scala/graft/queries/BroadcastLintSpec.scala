@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.GraftPlanBridge
-import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -32,9 +31,12 @@ import graft.SparkSpec
   * structurally on the plan:
   *   - a driver-created frame (`LocalRelation` / `OneRowRelation`) —
   *     RangeRank offsets, census tables, bucket grids;
-  *   - a TRUE aggregate (aggregate functions present, so output is
-  *     keyspace-sized — a bare DISTINCT does NOT count: it keeps
-  *     data-sized cardinality, the exact old ea_fuzzy_match bug);
+  *   - a GLOBAL aggregate (no grouping keys → 1 row). A KEYED aggregate
+  *     is NOT structurally blessed (its output is keyspace-sized, and
+  *     structure cannot distinguish groupBy(tax_code) from
+  *     groupBy(doc_id) — the latter is data-sized, same class as the
+  *     bare-DISTINCT ea_fuzzy_match bug); keyed aggregates over
+  *     unbounded children prove boundedness empirically below;
   *   - a LIMIT / top-k head;
   *   - a scan of a fixed dimension table (`nation`, `region` — the only
   *     two testdata tables whose size does not grow with SF);
@@ -69,14 +71,10 @@ class BroadcastLintSpec extends SparkSpec {
     paths.nonEmpty && paths.forall(p =>
       blessedDims.exists(d => p.toString.endsWith(s"/$d.parquet")))
 
-  private def hasAggFunctions(a: Aggregate): Boolean =
-    a.aggregateExpressions.exists(
-      _.collectFirst { case f: AggregateFunction => f }.isDefined)
-
   private def boundedPhys(p: SparkPlan): Boolean = p match {
     case a: AdaptiveSparkPlanExec => boundedPhys(a.executedPlan)
     case s: InMemoryTableScanExec => boundedPhys(s.relation.cachedPlan)
-    case a: BaseAggregateExec => a.aggregateExpressions.nonEmpty ||
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty ||
       boundedPhys(a.children.head)
     case s: org.apache.spark.sql.execution.FileSourceScanExec =>
       isBlessedDimScan(s.relation.location.rootPaths)
@@ -91,7 +89,13 @@ class BroadcastLintSpec extends SparkSpec {
   private def bounded(p: LogicalPlan): Boolean = p match {
     case _: LocalRelation | _: OneRowRelation => true
     case _: GlobalLimit | _: LocalLimit => true
-    case a: Aggregate => hasAggFunctions(a) || bounded(a.child)
+    // A GLOBAL aggregate (no grouping keys) is 1-row — always bounded. A
+    // keyed aggregate is only as bounded as its KEY SPACE, which the
+    // structure cannot see (groupBy(doc_id).agg(...) is data-sized, the
+    // same scale class as the old ea_fuzzy_match DISTINCT; r13 ADVICE),
+    // so a keyed aggregate over an unbounded child routes to the
+    // empirical sf0.001→sf0.01 growth check like any other build.
+    case a: Aggregate => a.groupingExpressions.isEmpty || bounded(a.child)
     case im: InMemoryRelation => boundedPhys(im.cachedPlan)
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => isBlessedDimScan(fs.location.rootPaths)
@@ -145,12 +149,34 @@ class BroadcastLintSpec extends SparkSpec {
         (col("gross_amt") * 100).cast("long").as("cents"))
       .distinct().queryExecution.optimizedPlan)
     assert(b > 3 * a + 64, s"growth check missed a data-sized build: $a -> $b")
-    // And the blessed shapes stay blessed: a true aggregate and a
-    // driver-created frame.
-    val agg = Testdata.cleanMatrix(spark, dirA)
+    // A DATA-KEYED aggregate — groupBy over a per-row id — is the same
+    // scale class dressed as an aggregate (r13 ADVICE: the old
+    // classifier blessed ANY Aggregate with agg functions). It must be
+    // structurally refused and empirically caught.
+    def keyedAgg(dir: String) = Testdata.cleanMatrix(spark, dir)
+      .groupBy("plan_id", "ssn", "transaction_id")
+      .agg(org.apache.spark.sql.functions.sum("gross_amt").as("g"))
+    assert(!bounded(keyedAgg(dirA).queryExecution.optimizedPlan),
+      "classifier blessed a data-keyed aggregate")
+    val ka = count(keyedAgg(dirA).queryExecution.optimizedPlan)
+    val kb = count(keyedAgg(dirB).queryExecution.optimizedPlan)
+    assert(kb > 3 * ka + 64,
+      s"growth check missed a data-keyed aggregate: $ka -> $kb")
+    // Blessed shapes stay blessed: a GLOBAL aggregate (1 row) and a
+    // driver-created frame. A keyspace-keyed aggregate is no longer
+    // structurally blessed but sails through the growth check.
+    val glob = Testdata.cleanMatrix(spark, dirA)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    assert(bounded(glob.queryExecution.optimizedPlan),
+      "classifier refused a global aggregate")
+    def keyspace(dir: String) = Testdata.cleanMatrix(spark, dir)
       .groupBy("tax_code_1").agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-    assert(bounded(agg.queryExecution.optimizedPlan),
-      "classifier refused a keyspace aggregate")
+    assert(!bounded(keyspace(dirA).queryExecution.optimizedPlan),
+      "classifier structurally blessed a keyed aggregate")
+    val sa = count(keyspace(dirA).queryExecution.optimizedPlan)
+    val sb = count(keyspace(dirB).queryExecution.optimizedPlan)
+    assert(sb <= 3 * sa + 64,
+      s"keyspace aggregate should pass the growth check: $sa -> $sb")
     import spark.implicits._
     assert(bounded(Seq((1, 2)).toDF("a", "b").queryExecution.optimizedPlan),
       "classifier refused a LocalRelation")
