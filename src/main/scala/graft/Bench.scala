@@ -41,7 +41,7 @@ object Bench {
     * (historically a10_term_rate absorbed the whole Engine B chain).
     * Everything not listed runs afterwards in name order at marginal cost.
     */
-  private val spine = Seq(
+  private[graft] val spine = Seq(
     "clean_relius", "clean_matrix", "clean_demo", "clean_basis",
     "ea_reconcile", "ea_reconcile_all", "eb_age_taxcode", "ec_roth_taxable",
     "ec_correction_file", "ed_ira_rollover",
