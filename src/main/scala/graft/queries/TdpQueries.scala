@@ -1377,6 +1377,146 @@ object TdpQueries {
         .filter(col("chunk").isNotNull))
   }
 
+  /** Paragraph granularity for the near-dup tier: consecutive
+    * ParaToks-token windows of the whitespace tokenization ("paragraphs"
+    * — the synthetic corpus carries no newline structure, so the token
+    * window IS the paragraph proxy, the same convention docChunks uses
+    * at chunk granularity). ParaPosCap packs (doc_id, pos) into one
+    * BIGINT key `doc_id * ParaPosCap + pos` so the shared CC machinery
+    * (single-long vertex ids) can cluster paragraphs directly; the cap
+    * bounds documents at ParaPosCap*ParaToks = 163,840 tokens — beyond
+    * that a real deployment would widen the key to a struct (stated in
+    * SCALING.md); ParagraphSpec asserts the corpus max pos sits far
+    * under the cap so packing can't silently alias keys.
+    */
+  private val ParaToks = 40
+  private val ParaPosCap = 4096L
+
+  /** Memoized per-paragraph 8-permutation MinHash signature frame
+    * (pkey, doc_id, pos, mh0..mh7) over shingle-able paragraphs (>= 3
+    * tokens). The paragraph twin of [[minhashSigDf]]: built on the
+    * single memoized tokenization pass, windows cut with a codegen'd
+    * slice/array_join transform, the same 3-gram shingle + polyhash +
+    * (a*h+b) mod P permutations — so paragraph-level and doc-level LSH
+    * share one hashing convention end to end.
+    */
+  private def paraSigDf(s: SparkSession, dir: String): DataFrame = {
+    val parasArr = expr(
+      s"""CASE WHEN size(toks) > 0 THEN
+         |  transform(sequence(1, CAST(ceil(size(toks) / $ParaToks.0) AS INT)),
+         |    i -> array_join(slice(toks, (i - 1) * $ParaToks + 1, $ParaToks), ' '))
+         |ELSE array() END""".stripMargin)
+    val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+      expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
+    }
+    Registry.memo(s, dir, "tdp_para_sigs")(
+      docToks(s, dir)
+        .select(col("doc_id"), posexplode(parasArr).as(Seq("pos", "para")))
+        .withColumn("toks", expr("filter(split(para, ' '), x -> x != '')"))
+        .withColumn("shingles", expr(shinglesExpr))
+        .filter(size(col("shingles")) > 0)
+        .withColumn("hashes",
+          expr(s"transform(shingles, sh -> ${polyHashExpr("sh")})"))
+        .select(Seq(
+          (col("doc_id") * lit(ParaPosCap) + col("pos")).as("pkey"),
+          col("doc_id"), col("pos").cast(LongType).as("pos")) ++ sigs: _*))
+  }
+
+  /** CROSS-DOCUMENT paragraph near-dup candidate pairs
+    * (pkey_a < pkey_b), memoized — the standard pipeline step between
+    * whole-doc LSH and ExactSubstr spans: band-identical 40-token
+    * windows across documents. Rides the same banded-LSH shape as
+    * [[lshPairs]], including the LshBucketCap star-collapse (a boiler-
+    * plate paragraph shared by thousands of docs must cost O(N) edges,
+    * not N^2/2), then keeps only pairs whose endpoints live in
+    * DIFFERENT documents (intra-doc repetition is tdp_repeated_spans'
+    * domain; contamination means text shared ACROSS documents).
+    */
+  private def paraPairs(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_para_pairs") {
+      val bandStructs = (0 until 4).map { band =>
+        struct(lit(band).as("band"),
+          concat_ws(":", col(s"mh${2 * band}"),
+            col(s"mh${2 * band + 1}")).as("sig"))
+      }
+      val bands = paraSigDf(s, dir)
+        .select(col("pkey"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("pkey"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val wBucket = Window.partitionBy("band", "sig")
+      val sized = bands
+        .withColumn("bucket_n", count(lit(1)).over(wBucket))
+        .withColumn("bucket_min", min("pkey").over(wBucket))
+      val small = sized.filter(col("bucket_n") <= LshBucketCap)
+        .select("pkey", "band", "sig")
+      val a = small.as("a")
+      val b = small.as("b")
+      val smallPairs = a
+        .join(b, col("a.band") === col("b.band") &&
+          col("a.sig") === col("b.sig") && col("a.pkey") < col("b.pkey"))
+        .select(col("a.pkey").as("pkey_a"), col("b.pkey").as("pkey_b"))
+      val starPairs = sized
+        .filter(col("bucket_n") > LshBucketCap && col("pkey") =!= col("bucket_min"))
+        .select(col("bucket_min").as("pkey_a"), col("pkey").as("pkey_b"))
+      smallPairs.union(starPairs).distinct()
+        .filter(expr(s"pkey_a div $ParaPosCap") =!= expr(s"pkey_b div $ParaPosCap"))
+    }
+
+  /** DuckDB twin of [[paraSigDf]]/[[paraPairs]], ending in
+    * `ppairs(pkey_a, pkey_b)` — same window cut, shingles, permutations,
+    * bucket cap and cross-doc filter.
+    */
+  private val paraPairsSqlCtes: String = {
+    val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(hashes, h -> (h * $a + $b) % $P)) AS mh$j"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 4).map { band =>
+      s"SELECT pkey, $band AS band, CAST(mh${2 * band} AS VARCHAR) || ':' || " +
+        s"CAST(mh${2 * band + 1} AS VARCHAR) AS sig FROM psigs"
+    }.mkString("\n  UNION ALL ")
+    s"""prt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |prp AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    array_to_string(toks[(i - 1) * $ParaToks + 1 : i * $ParaToks], ' ')
+       |      AS para
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(1, CAST(ceil(len(toks) / $ParaToks.0) AS BIGINT)
+       |            + 1)) AS i
+       |        FROM prt)),
+       |prs AS MATERIALIZED (
+       |  SELECT doc_id, pos, doc_id * $ParaPosCap + pos AS pkey,
+       |    list_transform(shingles, sh -> ${polyHashSql("sh")}) AS hashes
+       |  FROM (
+       |    SELECT doc_id, pos, list_distinct(CASE WHEN len(ptoks) >= 3 THEN
+       |        list_transform(range(1, len(ptoks) - 1), sx ->
+       |          ptoks[sx] || ' ' || ptoks[sx+1] || ' ' || ptoks[sx+2])
+       |      ELSE [] END) AS shingles
+       |    FROM (SELECT doc_id, pos,
+       |            list_filter(str_split(para, ' '), x -> x <> '') AS ptoks
+       |          FROM prp))
+       |  WHERE len(shingles) > 0),
+       |psigs AS MATERIALIZED (
+       |  SELECT pkey, doc_id, pos, $sigs
+       |  FROM prs),
+       |pbands AS (
+       |  $bandSelects),
+       |psized AS (
+       |  SELECT pkey, band, sig,
+       |    count(*) OVER (PARTITION BY band, sig) AS bucket_n,
+       |    min(pkey) OVER (PARTITION BY band, sig) AS bucket_min
+       |  FROM pbands),
+       |ppairs AS MATERIALIZED (
+       |  SELECT DISTINCT pkey_a, pkey_b FROM (
+       |    SELECT a.pkey AS pkey_a, b.pkey AS pkey_b
+       |    FROM psized a JOIN psized b
+       |      ON a.band = b.band AND a.sig = b.sig AND a.pkey < b.pkey
+       |    WHERE a.bucket_n <= $LshBucketCap AND b.bucket_n <= $LshBucketCap
+       |    UNION ALL
+       |    SELECT bucket_min AS pkey_a, pkey AS pkey_b
+       |    FROM psized
+       |    WHERE bucket_n > $LshBucketCap AND pkey <> bucket_min)
+       |  WHERE pkey_a // $ParaPosCap <> pkey_b // $ParaPosCap)""".stripMargin
+  }
+
   /** MinHash-LSH candidate pairs (doc_a < doc_b), memoized: consumed by
     * the pair query itself AND as the edge set of the duplicate-cluster
     * connected-components query.
@@ -1541,7 +1681,9 @@ object TdpQueries {
     */
   private[queries] def louvainMoves(
       edges: DataFrame, labels: DataFrame,
-      legs: Seq[String] = Nil): DataFrame = {
+      legs: Seq[String] = Nil,
+      weighted: Boolean = false,
+      monotone: Boolean = false): DataFrame = {
     // `legs` = optional tag columns carried by `labels`: several
     // INDEPENDENT move sweeps (different starting partitions over the
     // same graph) ride ONE shuffle DAG, keyed (leg, vertex)/(leg,
@@ -1549,19 +1691,45 @@ object TdpQueries {
     // legs this way instead of two full DAGs (the join with the tagged
     // labels replicates each edge once per leg, which is the work
     // anyway; the STAGES are shared).
+    //
+    // `weighted` = edges carry a BIGINT `w` column (the coarsened
+    // community graph of tdp_louvain_coarsen, where self-loops encode
+    // intra-community mass): degrees/Σtot/m2 become weight sums —
+    // self-loops INCLUDED, each intra edge contributing both directed
+    // rows, the standard coarse k_i — while k_{i,c} EXCLUDES self-loops
+    // (a node's self-loop joins whichever community it lands in, so it
+    // shifts every candidate's gain equally and belongs outside the
+    // argmax; leaving it in would bias a coarse node toward isolation).
+    // Unweighted graphs have no self-loops, so w=1 reduces every sum to
+    // the original counts and the exclusion filter to a no-op.
+    //
+    // `monotone` = restrict moves to communities with SMALLER ids
+    // (candidates c <= a; staying always allowed). A SYNCHRONOUS sweep
+    // lets two mutually-attracted communities SWAP labels — both report
+    // "moved", the partition is unchanged, and the sweep oscillates
+    // forever (measured on the coarse graph: 46/46 nodes "moved", Q
+    // bit-identical). Ordering moves by label id makes the move
+    // relation acyclic — B joins A, A stays — so every reported move is
+    // a real merge; the standard symmetry-break in parallel
+    // Louvain/LPA. Phase-1 sweeps keep the unrestricted rule (their
+    // certificate measures the raw synchronous step).
     val lk = legs.map(col)
+    val wAgg =
+      if (weighted) expr("CAST(sum(w) AS BIGINT)")
+      else count(lit(1))
     val deg = edges.groupBy(col("src").as("doc_id"))
-      .agg(count(lit(1)).as("k"))
+      .agg(wAgg.as("k"))
     val sigma = deg.join(labels, "doc_id")
       .groupBy(lk :+ col("lab"): _*)
       .agg(expr("CAST(sum(k) AS BIGINT)").as("sigma"))
-    val m2 = edges.agg(count(lit(1)).as("m2"))
+    val m2 = edges.agg(wAgg.as("m2"))
     val kic = edges
+      .filter(col("src") =!= col("dst"))
       .join(labels.select(
           lk ++ Seq(col("doc_id").as("dst"), col("lab").as("c")): _*),
         "dst")
       .groupBy(lk ++ Seq(col("src").as("doc_id"), col("c")): _*)
-      .agg(count(lit(1)).as("k_ic"))
+      .agg(wAgg.as("k_ic"))
     // Candidate set = neighbor communities ∪ the vertex's own community
     // (a zero-link row that merges away when a neighbor already covers
     // it — max picks the real count).
@@ -1570,9 +1738,11 @@ object TdpQueries {
           lit(0L).as("k_ic")): _*))
       .groupBy(legs ++ Seq("doc_id", "c") map col: _*)
       .agg(max("k_ic").as("k_ic"))
-    val scored = cand
+    val withA = cand
       .join(labels.select(lk ++ Seq(col("doc_id"),
         col("lab").as("a")): _*), legs :+ "doc_id")
+    val scored = (if (monotone) withA.filter(col("c") <= col("a"))
+                  else withA)
       .join(deg, "doc_id")
       .join(sigma.select(lk ++ Seq(col("lab").as("c"),
         col("sigma")): _*), legs :+ "c")
@@ -1647,14 +1817,21 @@ object TdpQueries {
     * same candidate/score/argmax chain [[louvainMoves]] runs, reading
     * labels from `lblCte`, emitting `lvmv_<tag>` (doc_id, a, new_lab).
     */
-  private def louvainLegSql(tag: String, lblCte: String): String =
+  private def louvainLegSql(
+      tag: String, lblCte: String,
+      eCte: String = "lve", degCte: String = "lvdeg",
+      mCte: String = "lvm", weighted: Boolean = false,
+      monotone: Boolean = false): String = {
+    val kic = if (weighted) "CAST(sum(e.w) AS BIGINT)" else "CAST(count(*) AS BIGINT)"
+    val mono = if (monotone) "\n  WHERE x.c <= a.lab" else ""
     s"""lvsig_$tag AS (
        |  SELECT l.lab, CAST(sum(d.k) AS BIGINT) AS sigma
-       |  FROM lvdeg d JOIN $lblCte l USING (doc_id) GROUP BY 1),
+       |  FROM $degCte d JOIN $lblCte l USING (doc_id) GROUP BY 1),
        |lvkic_$tag AS (
        |  SELECT e.src AS doc_id, l.lab AS c,
-       |    CAST(count(*) AS BIGINT) AS k_ic
-       |  FROM lve e JOIN $lblCte l ON l.doc_id = e.dst GROUP BY 1, 2),
+       |    $kic AS k_ic
+       |  FROM $eCte e JOIN $lblCte l ON l.doc_id = e.dst
+       |  WHERE e.src <> e.dst GROUP BY 1, 2),
        |lvcand_$tag AS (
        |  SELECT doc_id, c, CAST(max(k_ic) AS BIGINT) AS k_ic
        |  FROM (SELECT doc_id, c, k_ic FROM lvkic_$tag
@@ -1668,8 +1845,8 @@ object TdpQueries {
        |      AS score
        |  FROM lvcand_$tag x
        |  JOIN $lblCte a USING (doc_id)
-       |  JOIN lvdeg d USING (doc_id)
-       |  JOIN lvsig_$tag g ON g.lab = x.c, lvm m),
+       |  JOIN $degCte d USING (doc_id)
+       |  JOIN lvsig_$tag g ON g.lab = x.c, $mCte m$mono),
        |lvmv_$tag AS (
        |  SELECT doc_id, a, c AS new_lab FROM (
        |    SELECT doc_id, a, c, row_number() OVER (
@@ -1677,6 +1854,7 @@ object TdpQueries {
        |      CAST(c = a AS INT) DESC, c) AS rk
        |    FROM lvsc_$tag)
        |  WHERE rk = 1)""".stripMargin
+  }
 
   /** The [[qMicro]] modularity row as an oracle CTE named `alias`
     * (n_comm, q_micro) over labels `lblCte` — expects `lve`/`lvm`.
@@ -15207,6 +15385,143 @@ object TdpQueries {
               |    AS BIGINT) AS lpa_locally_optimal
               |FROM lvcc, lvm, qcb, qca, qw, lvcw""".stripMargin)),
 
+    // LOUVAIN PHASE 2 (COARSENING) — completes one full Louvain level
+    // over the near-dup graph (Blondel et al. 2008): the phase-1 cold
+    // sweep's communities become the NODES of a weighted community
+    // multigraph (edge weight = inter-community edge count; intra-
+    // community mass folds into self-loops), and a second, WEIGHTED
+    // local-move sweep runs on that coarse graph — merges that phase 1
+    // can't see (whole community A joining community B) happen here in
+    // one bounded step. The certificate row reports both phases' exact
+    // integer-rational modularity ON THE ORIGINAL GRAPH (coarse-graph
+    // modularity is preserved under coarsening, so coarse moves ARE
+    // original-graph moves of whole communities), the coarse-graph
+    // census, and a consistency flag (coarse vertices = phase-1
+    // communities; self-loop + cross weight = 2m; self-loop weight
+    // even). Scale shape: the coarse graph is COMMUNITY-sized — the
+    // whole point of coarsening: each further level costs a vanishing
+    // fraction of level 1 — and both sweeps are the same equi-join +
+    // degree-bounded-window DAG as tdp_louvain_round behind lineage
+    // cuts; the oracle replays phase 1, the coarsening aggregation,
+    // the weighted sweep and both Q evaluations as chained CTEs.
+    QueryDef(
+      "tdp_louvain_coarsen",
+      (s, dir) => {
+        val pairs = lshPairs(s, dir)
+        val edges = cut(pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"),
+            col("doc_a").as("dst"))))
+        val singles = edges.select(col("dst").as("doc_id")).distinct()
+          .withColumn("lab", col("doc_id"))
+        val p1 = cut(louvainMoves(edges, singles)
+          .select(col("doc_id"), col("new_lab").as("lab")))
+        val coarse = cut(edges
+          .join(p1.select(col("doc_id").as("src"), col("lab").as("cs")),
+            "src")
+          .join(p1.select(col("doc_id").as("dst"), col("lab").as("cd")),
+            "dst")
+          .groupBy(col("cs").as("src"), col("cd").as("dst"))
+          .agg(count(lit(1)).as("w")))
+        val cVerts = coarse.select(col("src").as("doc_id")).distinct()
+          .withColumn("lab", col("doc_id"))
+        val p2moves = cut(louvainMoves(coarse, cVerts,
+          weighted = true, monotone = true))
+        val p2 = p1
+          .join(p2moves.select(col("doc_id").as("lab"), col("new_lab")),
+            "lab")
+          .select(col("doc_id"), col("new_lab").as("lab"))
+        val qp = qMicro(edges,
+          p1.withColumn("qleg", lit("p1"))
+            .unionByName(p2.withColumn("qleg", lit("p2"))),
+          Seq("qleg")).agg(
+          max(when(col("qleg") === "p1", col("n_comm"))).as("n_comm_p1"),
+          max(when(col("qleg") === "p1", col("q_micro"))).as("q_p1_micro"),
+          max(when(col("qleg") === "p2", col("n_comm"))).as("n_comm_p2"),
+          max(when(col("qleg") === "p2", col("q_micro"))).as("q_p2_micro"))
+        val cs = coarse.agg(
+          countDistinct("src").as("n_coarse_vertices"),
+          expr("CAST(sum(CASE WHEN src = dst THEN w ELSE 0 END)" +
+            " AS BIGINT)").as("selfloop_w2"),
+          expr("CAST(sum(CASE WHEN src <> dst THEN w ELSE 0 END)" +
+            " AS BIGINT)").as("cross_w2"))
+        val mv = p2moves.agg(
+          expr("CAST(sum(CASE WHEN new_lab <> a THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as("n_moved_p2"))
+        val nv = singles.agg(count(lit(1)).as("n_vertices"))
+        val ne = edges.agg(
+          expr("CAST(count(1) div 2 AS BIGINT)").as("n_edges"))
+        mv.crossJoin(broadcast(nv)).crossJoin(broadcast(ne))
+          .crossJoin(broadcast(cs)).crossJoin(broadcast(qp))
+          .select(col("n_vertices"), col("n_edges"), col("n_comm_p1"),
+            col("n_coarse_vertices"), col("selfloop_w2"), col("cross_w2"),
+            col("n_moved_p2"), col("n_comm_p2"),
+            col("q_p1_micro"), col("q_p2_micro"),
+            expr("CAST(CASE WHEN q_p2_micro >= q_p1_micro THEN 1 ELSE 0" +
+              " END AS BIGINT)").as("q_nondecreased"),
+            expr("CAST(CASE WHEN n_coarse_vertices = n_comm_p1" +
+              " AND selfloop_w2 % 2 = 0" +
+              " AND selfloop_w2 + cross_w2 = 2 * n_edges" +
+              " THEN 1 ELSE 0 END AS BIGINT)").as("coarsen_consistent"))
+      },
+      Some(s"""WITH $lshPairsSqlCtes,
+              |lve AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |lvdeg AS (
+              |  SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS k
+              |  FROM lve GROUP BY 1),
+              |lvm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM lve),
+              |lp0 AS (SELECT DISTINCT dst AS doc_id, dst AS lab FROM lve),
+              |${louvainLegSql("c", "lp0")},
+              |lcp1 AS MATERIALIZED (
+              |  SELECT doc_id, new_lab AS lab FROM lvmv_c),
+              |lcce AS MATERIALIZED (
+              |  SELECT x.lab AS src, y.lab AS dst,
+              |    CAST(count(*) AS BIGINT) AS w
+              |  FROM lve e JOIN lcp1 x ON x.doc_id = e.src
+              |  JOIN lcp1 y ON y.doc_id = e.dst
+              |  GROUP BY 1, 2),
+              |lccd AS (
+              |  SELECT src AS doc_id, CAST(sum(w) AS BIGINT) AS k
+              |  FROM lcce GROUP BY 1),
+              |lccm AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM lcce),
+              |lcl0 AS (SELECT DISTINCT src AS doc_id, src AS lab
+              |         FROM lcce),
+              |${louvainLegSql("k", "lcl0", "lcce", "lccd", "lccm",
+                weighted = true, monotone = true)},
+              |lcp2 AS MATERIALIZED (
+              |  SELECT p.doc_id, m.new_lab AS lab
+              |  FROM lcp1 p JOIN lvmv_k m ON m.doc_id = p.lab),
+              |${qMicroSql("lq1", "lcp1")},
+              |${qMicroSql("lq2", "lcp2")},
+              |lcnv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices
+              |         FROM lp0),
+              |lccs AS (
+              |  SELECT CAST(count(DISTINCT src) AS BIGINT)
+              |      AS n_coarse_vertices,
+              |    CAST(sum(CASE WHEN src = dst THEN w ELSE 0 END)
+              |      AS BIGINT) AS selfloop_w2,
+              |    CAST(sum(CASE WHEN src <> dst THEN w ELSE 0 END)
+              |      AS BIGINT) AS cross_w2
+              |  FROM lcce),
+              |lcmv AS (
+              |  SELECT CAST(sum(CASE WHEN new_lab <> a THEN 1 ELSE 0
+              |    END) AS BIGINT) AS n_moved_p2
+              |  FROM lvmv_k)
+              |SELECT n_vertices, CAST(m.m2 // 2 AS BIGINT) AS n_edges,
+              |  lq1.n_comm AS n_comm_p1, n_coarse_vertices,
+              |  selfloop_w2, cross_w2, n_moved_p2,
+              |  lq2.n_comm AS n_comm_p2,
+              |  lq1.q_micro AS q_p1_micro, lq2.q_micro AS q_p2_micro,
+              |  CAST(CASE WHEN lq2.q_micro >= lq1.q_micro THEN 1 ELSE 0
+              |    END AS BIGINT) AS q_nondecreased,
+              |  CAST(CASE WHEN n_coarse_vertices = lq1.n_comm
+              |    AND selfloop_w2 % 2 = 0
+              |    AND selfloop_w2 + cross_w2 = m.m2
+              |    THEN 1 ELSE 0 END AS BIGINT) AS coarsen_consistent
+              |FROM lcnv, lvm m, lq1, lq2, lccs, lcmv""".stripMargin)),
+
     // INCREMENTAL ANN INDEX MAINTENANCE — the ANN twin of
     // tdp_incremental_dedup (probe the existing index, never rebuild):
     // the IVF index was built BEFORE the batch arrived (centroids
@@ -15752,5 +16067,109 @@ object TdpQueries {
               |    AND nfd_pad = nfd_bins * 256 - released_tokens_packed
               |    THEN 1 ELSE 0 END AS BIGINT) AS release_consistent
               |FROM rlc0, rlc1, rlc2, rlc3, rlc4, rlnf""".stripMargin)),
+
+    // PARAGRAPH-GRANULARITY NEAR-DUP — the standard pipeline step
+    // between whole-doc LSH (tdp_minhash_lsh_pairs) and ExactSubstr
+    // spans (tdp_substring_dedup): band-identical 40-token windows
+    // ACROSS documents, reported as per-document contamination share
+    // (what fraction of my paragraphs also live elsewhere, and in how
+    // many partner docs). A doc that whole-doc LSH clears can still be
+    // 30% boilerplate — this is the query that sees it. Scale shape:
+    // the same bucket-capped banded-LSH spine as the doc tier (star
+    // collapse keeps a thousand-doc boilerplate paragraph at O(N)
+    // edges), windows cut by a codegen'd slice transform on the one
+    // memoized tokenization pass, contamination is two hash
+    // aggregations on the high-cardinality doc key — no windows, no
+    // driver hops, every stage keyed and shuffle-partitioned.
+    QueryDef(
+      "tdp_paragraph_neardup",
+      (s, dir) => {
+        val pairs = paraPairs(s, dir)
+        val dupSides = pairs
+          .select(col("pkey_a").as("pkey"),
+            expr(s"pkey_b div $ParaPosCap").as("partner"))
+          .union(pairs.select(col("pkey_b").as("pkey"),
+            expr(s"pkey_a div $ParaPosCap").as("partner")))
+        val perDoc = dupSides
+          .withColumn("doc_id", expr(s"pkey div $ParaPosCap"))
+          .groupBy("doc_id")
+          .agg(countDistinct("pkey").as("n_dup_paras"),
+            countDistinct("partner").as("n_partner_docs"))
+        paraSigDf(s, dir).groupBy("doc_id")
+          .agg(count(lit(1)).as("n_paras"))
+          .join(perDoc, "doc_id")
+          .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+            col("n_partner_docs"),
+            expr("CAST((CAST(n_dup_paras AS DECIMAL(38,0)) * 1000000)" +
+              " div n_paras AS BIGINT)").as("contamination_micro"))
+          .orderBy(desc("contamination_micro"), col("doc_id"))
+      },
+      Some(s"""WITH $paraPairsSqlCtes,
+              |pds AS (
+              |  SELECT pkey_a AS pkey, pkey_b // $ParaPosCap AS partner
+              |  FROM ppairs
+              |  UNION ALL
+              |  SELECT pkey_b, pkey_a // $ParaPosCap FROM ppairs),
+              |pcont AS (
+              |  SELECT pkey // $ParaPosCap AS doc_id,
+              |    CAST(count(DISTINCT pkey) AS BIGINT) AS n_dup_paras,
+              |    CAST(count(DISTINCT partner) AS BIGINT) AS n_partner_docs
+              |  FROM pds GROUP BY 1),
+              |pnp AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+              |  FROM prs GROUP BY 1)
+              |SELECT p.doc_id, n_paras, n_dup_paras, n_partner_docs,
+              |  CAST((CAST(n_dup_paras AS HUGEINT) * 1000000) // n_paras
+              |    AS BIGINT) AS contamination_micro
+              |FROM pnp p JOIN pcont c USING (doc_id)
+              |ORDER BY contamination_micro DESC, doc_id""".stripMargin)),
+
+    // Cross-doc paragraph-dup CLUSTER census: connected components over
+    // the paragraph near-dup graph (shared hash-min + pointer-jump CC,
+    // log-diameter rounds behind lineage cuts), summarized as a
+    // (cluster size, docs spanned) histogram — the shape a dedup
+    // operator reads to pick an excision policy (a 500-paragraph
+    // 500-doc cluster is boilerplate to strip; a 2-paragraph 2-doc
+    // cluster is a quote). The oracle replays the same components as a
+    // recursive reachability CTE. Scale shape: CC iterates only over
+    // paragraphs that touch a cross-doc edge (a vanishing fraction of
+    // the corpus), and the census is two keyspace-sized aggregations.
+    QueryDef(
+      "tdp_paragraph_clusters",
+      (s, dir) => {
+        val pairs = paraPairs(s, dir)
+        val edges = cut(pairs
+          .select(col("pkey_a").as("src"), col("pkey_b").as("dst"))
+          .union(pairs.select(col("pkey_b").as("src"),
+            col("pkey_a").as("dst")))
+          .repartition(col("src")))
+        val labels = minLabelCC(s, edges,
+          edges.select(col("src").as("vertex")).distinct())
+        labels.groupBy("lab")
+          .agg(count(lit(1)).as("n_paras"),
+            countDistinct(expr(s"vertex div $ParaPosCap")).as("n_docs"))
+          .groupBy("n_paras", "n_docs")
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy(desc("n_paras"), desc("n_docs"))
+      },
+      Some(s"""WITH RECURSIVE $paraPairsSqlCtes,
+              |pedges AS (
+              |  SELECT pkey_a AS src, pkey_b AS dst FROM ppairs
+              |  UNION ALL SELECT pkey_b, pkey_a FROM ppairs),
+              |preach AS (
+              |  SELECT DISTINCT src AS p, src AS lab FROM pedges
+              |  UNION
+              |  SELECT e.dst, r.lab FROM preach r JOIN pedges e
+              |    ON e.src = r.p),
+              |pcc AS (SELECT p AS pkey, min(lab) AS cluster_id
+              |        FROM preach GROUP BY 1),
+              |pcl AS (
+              |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_paras,
+              |    CAST(count(DISTINCT pkey // $ParaPosCap) AS BIGINT)
+              |      AS n_docs
+              |  FROM pcc GROUP BY 1)
+              |SELECT n_paras, n_docs, CAST(count(*) AS BIGINT) AS n_clusters
+              |FROM pcl GROUP BY 1, 2
+              |ORDER BY n_paras DESC, n_docs DESC""".stripMargin)),
   )
 }

@@ -3318,6 +3318,45 @@ class TdpSpec extends SparkSpec {
       "one local move must restore the optimal partition's Q")
   }
 
+  test("weighted monotone louvain sweep: merges happen, swaps cannot") {
+    import spark.implicits._
+    // Coarse 2-node graph (the tdp_louvain_coarsen shape): communities
+    // 1 and 2, one intra edge each (self-loop weight 2 in the
+    // directed-both-ways convention), FOUR cross edges (w(1,2) =
+    // w(2,1) = 4). m2 = 12, k1 = k2 = 6.
+    val coarse = Seq((1L, 1L, 2L), (2L, 2L, 2L), (1L, 2L, 4L),
+      (2L, 1L, 4L)).toDF("src", "dst", "w")
+    val singles = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "lab")
+    // UNRESTRICTED synchronous sweep: node 1's gain toward 2 and node
+    // 2's toward 1 are both 12*4 - 6*6 = 12 > 0, so the two communities
+    // SWAP labels — 2 reported moves, partition unchanged: the
+    // oscillation the monotone rule exists to kill.
+    val swap = TdpQueries.louvainMoves(coarse, singles, weighted = true)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("new_lab"))).toSet
+    assert(swap == Set((1L, 2L), (2L, 1L)), s"expected the swap, got $swap")
+    // MONOTONE sweep (tdp_louvain_coarsen's rule): node 1 may only
+    // consider c <= 1, so it stays; node 2 still sees the +12 gain
+    // toward 1 and moves — exactly ONE move, a real merge.
+    val mono = TdpQueries.louvainMoves(coarse, singles,
+        weighted = true, monotone = true)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("new_lab"))).toSet
+    assert(mono == Set((1L, 1L), (2L, 1L)), s"expected one merge, got $mono")
+    // Two well-separated communities must NOT merge under the same
+    // rule: triangles bridged by one edge coarsen to self-loop weight 6
+    // each and cross weight 1 — node 3's gain toward 0 is
+    // 14*1 - 7*7 = -35 < 0, so both stay (separate IS Q-optimal:
+    // 0.357 vs 0 merged).
+    val tri = Seq((0L, 0L, 6L), (3L, 3L, 6L), (0L, 3L, 1L),
+      (3L, 0L, 1L)).toDF("src", "dst", "w")
+    val triLbl = Seq((0L, 0L), (3L, 3L)).toDF("doc_id", "lab")
+    val stay = TdpQueries.louvainMoves(tri, triLbl,
+        weighted = true, monotone = true)
+      .filter(col("new_lab") =!= col("a")).count()
+    assert(stay == 0L, "separated triangle communities must not merge")
+  }
+
   test("NFD fold: hand histogram packs exactly like the walked sequence") {
     // C = 10, items desc 6,6,4,3,3,3. Walked by hand: bin1=[6] (next 6
     // doesn't fit, pad 4), bin2=[6,4] (3 doesn't fit, pad 0),
