@@ -1419,8 +1419,26 @@ object TdpQueries {
           expr(s"transform(shingles, sh -> ${polyHashExpr("sh")})"))
         .select(Seq(
           (col("doc_id") * lit(ParaPosCap) + col("pos")).as("pkey"),
-          col("doc_id"), col("pos").cast(LongType).as("pos")) ++ sigs: _*))
+          col("doc_id"), col("pos").cast(LongType).as("pos"),
+          size(col("toks")).cast(LongType).as("n_ptoks")) ++ sigs: _*))
   }
+
+  /** Memoized connected components over the cross-doc paragraph pairs
+    * (vertex = pkey, lab = component min pkey) — shared by the cluster
+    * census and the keep-first excision certificate so the CC fixpoint
+    * runs once per (session, SF).
+    */
+  private def paraClusterLabels(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_para_cc") {
+      val pairs = paraPairs(s, dir)
+      val edges = cut(pairs
+        .select(col("pkey_a").as("src"), col("pkey_b").as("dst"))
+        .union(pairs.select(col("pkey_b").as("src"),
+          col("pkey_a").as("dst")))
+        .repartition(col("src")))
+      minLabelCC(s, edges,
+        edges.select(col("src").as("vertex")).distinct())
+    }
 
   /** CROSS-DOCUMENT paragraph near-dup candidate pairs
     * (pkey_a < pkey_b), memoized — the standard pipeline step between
@@ -1483,10 +1501,12 @@ object TdpQueries {
        |            + 1)) AS i
        |        FROM prt)),
        |prs AS MATERIALIZED (
-       |  SELECT doc_id, pos, doc_id * $ParaPosCap + pos AS pkey,
+       |  SELECT doc_id, pos, doc_id * $ParaPosCap + pos AS pkey, n_ptoks,
        |    list_transform(shingles, sh -> ${polyHashSql("sh")}) AS hashes
        |  FROM (
-       |    SELECT doc_id, pos, list_distinct(CASE WHEN len(ptoks) >= 3 THEN
+       |    SELECT doc_id, pos,
+       |      CAST(len(ptoks) AS BIGINT) AS n_ptoks,
+       |      list_distinct(CASE WHEN len(ptoks) >= 3 THEN
        |        list_transform(range(1, len(ptoks) - 1), sx ->
        |          ptoks[sx] || ' ' || ptoks[sx+1] || ' ' || ptoks[sx+2])
        |      ELSE [] END) AS shingles
@@ -16137,15 +16157,7 @@ object TdpQueries {
     QueryDef(
       "tdp_paragraph_clusters",
       (s, dir) => {
-        val pairs = paraPairs(s, dir)
-        val edges = cut(pairs
-          .select(col("pkey_a").as("src"), col("pkey_b").as("dst"))
-          .union(pairs.select(col("pkey_b").as("src"),
-            col("pkey_a").as("dst")))
-          .repartition(col("src")))
-        val labels = minLabelCC(s, edges,
-          edges.select(col("src").as("vertex")).distinct())
-        labels.groupBy("lab")
+        paraClusterLabels(s, dir).groupBy("lab")
           .agg(count(lit(1)).as("n_paras"),
             countDistinct(expr(s"vertex div $ParaPosCap")).as("n_docs"))
           .groupBy("n_paras", "n_docs")
@@ -16171,5 +16183,101 @@ object TdpQueries {
               |SELECT n_paras, n_docs, CAST(count(*) AS BIGINT) AS n_clusters
               |FROM pcl GROUP BY 1, 2
               |ORDER BY n_paras DESC, n_docs DESC""".stripMargin)),
+
+    // KEEP-FIRST paragraph excision certificate — the APPLY step over
+    // the cross-doc paragraph clusters (the paragraph twin of
+    // tdp_dedup_apply): every cluster keeps exactly its minimum-pkey
+    // member, everything else is excised, and the single output row
+    // certifies the excision arithmetic end to end: paragraph and token
+    // conservation (kept + dropped = total, in both units), exactly one
+    // representative per cluster among the kept windows (the
+    // one_rep_per_cluster flag re-DERIVES it from the kept set rather
+    // than trusting the keep rule), and the token savings rational.
+    // Scope: shingle-able windows (>= 3 tokens) — the same universe the
+    // detection tier pairs on. Scale shape: one left join of the
+    // paragraph frame against the memoized CC labels (keyed by pkey,
+    // both sides paragraph-sized), two global aggregates, no windows;
+    // the oracle replays keep-first off the same recursive-CC CTE.
+    QueryDef(
+      "tdp_paragraph_dedup_apply",
+      (s, dir) => {
+        val labels = paraClusterLabels(s, dir)
+          .select(col("vertex").as("pkey"), col("lab"))
+        val flagged = paraSigDf(s, dir).select("pkey", "n_ptoks")
+          .join(labels, Seq("pkey"), "left")
+          .select(col("pkey"), col("n_ptoks"), col("lab"),
+            (col("lab").isNull || col("lab") === col("pkey"))
+              .as("keep"))
+        val perCluster = flagged.filter(col("lab").isNotNull)
+          .groupBy("lab")
+          .agg(expr("CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as("n_kept_in_cluster"))
+        val repAudit = perCluster.agg(
+          count(lit(1)).as("n_clusters"),
+          max("n_kept_in_cluster").as("max_reps"),
+          min("n_kept_in_cluster").as("min_reps"))
+        flagged.agg(
+          count(lit(1)).as("n_paras"),
+          expr("CAST(sum(CASE WHEN lab IS NOT NULL THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as("n_clustered"),
+          expr("CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("n_kept"),
+          expr("CAST(sum(n_ptoks) AS BIGINT)").as("tokens_total"),
+          expr("CAST(sum(CASE WHEN keep THEN n_ptoks ELSE 0 END)" +
+            " AS BIGINT)").as("tokens_kept"))
+          .crossJoin(broadcast(repAudit))
+          .select(col("n_paras"), col("n_clustered"), col("n_kept"),
+            (col("n_paras") - col("n_kept")).as("n_dropped"),
+            col("n_clusters"),
+            col("tokens_total"), col("tokens_kept"),
+            (col("tokens_total") - col("tokens_kept")).as("tokens_dropped"),
+            expr("CAST((CAST(tokens_total - tokens_kept AS DECIMAL(38,0))" +
+              " * 1000000) div tokens_total AS BIGINT)").as("savings_micro"),
+            expr("CAST(CASE WHEN max_reps = 1 AND min_reps = 1" +
+              " AND n_paras - n_kept = n_clustered - n_clusters" +
+              " THEN 1 ELSE 0 END AS BIGINT)").as("one_rep_per_cluster"))
+      },
+      Some(s"""WITH RECURSIVE $paraPairsSqlCtes,
+              |pedges AS (
+              |  SELECT pkey_a AS src, pkey_b AS dst FROM ppairs
+              |  UNION ALL SELECT pkey_b, pkey_a FROM ppairs),
+              |preach AS (
+              |  SELECT DISTINCT src AS p, src AS lab FROM pedges
+              |  UNION
+              |  SELECT e.dst, r.lab FROM preach r JOIN pedges e
+              |    ON e.src = r.p),
+              |pcc AS (SELECT p AS pkey, min(lab) AS lab
+              |        FROM preach GROUP BY 1),
+              |pfl AS (
+              |  SELECT s.pkey, s.n_ptoks, c.lab,
+              |    (c.lab IS NULL OR c.lab = s.pkey) AS keep
+              |  FROM prs s LEFT JOIN pcc c USING (pkey)),
+              |prep AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+              |    max(nk) AS max_reps, min(nk) AS min_reps
+              |  FROM (
+              |    SELECT lab, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS nk
+              |    FROM pfl WHERE lab IS NOT NULL GROUP BY 1)),
+              |ptot AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_paras,
+              |    CAST(sum(CASE WHEN lab IS NOT NULL THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_clustered,
+              |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_kept,
+              |    CAST(sum(n_ptoks) AS BIGINT) AS tokens_total,
+              |    CAST(sum(CASE WHEN keep THEN n_ptoks ELSE 0 END)
+              |      AS BIGINT) AS tokens_kept
+              |  FROM pfl)
+              |SELECT n_paras, n_clustered, n_kept,
+              |  n_paras - n_kept AS n_dropped, n_clusters,
+              |  tokens_total, tokens_kept,
+              |  tokens_total - tokens_kept AS tokens_dropped,
+              |  CAST((CAST(tokens_total - tokens_kept AS HUGEINT)
+              |    * 1000000) // tokens_total AS BIGINT) AS savings_micro,
+              |  CAST(CASE WHEN max_reps = 1 AND min_reps = 1
+              |    AND n_paras - n_kept = n_clustered - n_clusters
+              |    THEN 1 ELSE 0 END AS BIGINT) AS one_rep_per_cluster
+              |FROM ptot, prep""".stripMargin)),
   )
 }

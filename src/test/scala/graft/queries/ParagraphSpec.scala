@@ -45,6 +45,16 @@ class ParagraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // One cross-doc cluster: 2 paragraphs spanning 2 docs.
     assert(census.toSeq == Seq((2L, 2L, 1L)), census.mkString(", "))
+
+    // Keep-first excision: 8 windows total (2 per doc, all 40 tokens),
+    // the one cross-doc cluster drops its non-minimum member — 7 kept,
+    // 320 tokens -> 280, savings 40e6 div 320 = 125000 — and the
+    // re-derived representative audit holds.
+    val ap = Registry.queries("tdp_paragraph_dedup_apply")(spark, dir)
+      .collect().head
+    val got = (0 until 10).map(ap.getLong)
+    assert(got == Seq(8L, 2L, 7L, 1L, 1L, 320L, 280L, 40L, 125000L, 1L),
+      got.mkString(", "))
   }
 
   test("packing bound: gate-corpus paragraph positions sit far under ParaPosCap") {
