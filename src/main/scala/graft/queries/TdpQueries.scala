@@ -2907,6 +2907,118 @@ object TdpQueries {
        |ORDER BY round, slot""".stripMargin
   }
 
+  /** Leiden-style refinement: split every community of `labels`
+    * (doc_id, lab) into its internally-CONNECTED pieces over the
+    * intra-community restriction of `edges` (directed-both-ways src/dst)
+    * — the Leiden guarantee Louvain lacks (Traag et al. 2019: Louvain
+    * local moves can strand a community's members with no internal
+    * path). Returns (doc_id, lab, rlab) where rlab = min member id of
+    * the piece. Pure composition of the shared CC fixpoint over the
+    * edge subset whose endpoints agree on lab.
+    */
+  private[queries] def refineWithinCommunities(
+      s: SparkSession, edges: DataFrame, labels: DataFrame): DataFrame = {
+    val intra = edges
+      .join(labels.select(col("doc_id").as("src"), col("lab").as("ls")),
+        "src")
+      .join(labels.select(col("doc_id").as("dst"), col("lab").as("ld")),
+        "dst")
+      .filter(col("ls") === col("ld"))
+      .select("src", "dst")
+    val refined = minLabelCC(s, cut(intra),
+      labels.select(col("doc_id").as("vertex")))
+    labels.join(refined.select(col("vertex").as("doc_id"),
+      col("lab").as("rlab")), "doc_id")
+  }
+
+  // ---- DoReMi mixture-reweighting device (tdp_doremi_mix) ----
+  // Vocabulary budget of the shared mixture lexicon (strictly smaller
+  // than the corpus vocabulary so out-of-lexicon mass exists), bounded
+  // round count, and the fixed domain-label vocabulary (a compiled
+  // constant in BOTH engines' plans, like the randomized-response draw
+  // table).
+  private val DoremiK = 16
+  private val DoremiRounds = 6
+  private val DoremiLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Domain-labeled token stream (lang, doc_id, tok) off the memoized
+    * tokenization; the deterministic doc_id%5 split carves train vs
+    * held-out inside the callers.
+    */
+  private def doremiLangToks(s: SparkSession, dir: String): DataFrame =
+    docToks(s, dir)
+      .join(table(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .select(col("lang"), col("doc_id"), explode(col("toks")).as("tok"))
+
+  /** Per-domain TRAIN unigram table q(lang, tok, q_ppm) — the domain
+    * distributions the mixture weighs. q_ppm is the truncated
+    * parts-per-million unigram probability (exact integer), memoized:
+    * every DoReMi round re-reads it and it is vocabulary x domain
+    * sized, not corpus sized.
+    */
+  private def doremiQ(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_doremi_q") {
+      val tc = doremiLangToks(s, dir).filter(col("doc_id") % 5 =!= 3)
+        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val tt = tc.groupBy("lang").agg(sum("cnt").as("tot"))
+      tc.join(tt, "lang")
+        .select(col("lang"), col("tok"),
+          expr("cnt * 1000000 div tot").as("q_ppm"))
+    }
+
+  /** Held-out per-domain token counts hc(lang, tok, hcnt, htot),
+    * memoized for the same reason.
+    */
+  private def doremiHeld(s: SparkSession, dir: String): DataFrame =
+    Registry.memo(s, dir, "tdp_doremi_hc") {
+      val hd = doremiLangToks(s, dir).filter(col("doc_id") % 5 === 3)
+      val hc = hd.groupBy("lang", "tok").agg(count(lit(1)).as("hcnt"))
+      val ht = hd.groupBy("lang").agg(count(lit(1)).as("htot"))
+      hc.join(ht, "lang")
+    }
+
+  /** Per-domain out-of-lexicon loss (micro) of the held-out stream
+    * under a lexicon frame marked (tok[, lang], intop=1).
+    */
+  private def doremiLoss(hc: DataFrame, lex: DataFrame,
+      keys: Seq[String]): DataFrame =
+    hc.join(broadcast(lex.withColumn("intop", lit(1))), keys, "left")
+      .groupBy("lang", "htot")
+      .agg(sum(when(col("intop").isNull, col("hcnt")).otherwise(0L))
+        .as("oov"))
+      .select(col("lang"), expr("oov * 1000000 div htot").as("loss"))
+
+  /** One round's SQL twin: mixture score -> top-K lexicon -> per-domain
+    * loss -> excess vs the per-domain reference -> linearized
+    * multiplicative-weights update producing dw{r+1}. All integer; //
+    * and div agree because every operand is non-negative.
+    */
+  private def doremiRoundSql(r: Int): String =
+    s"""dm$r AS MATERIALIZED (
+       |  SELECT tok, CAST(sum(w.w * q.q_ppm) AS BIGINT) AS m
+       |  FROM dq q JOIN dw$r w USING (lang) GROUP BY 1),
+       |dt$r AS MATERIALIZED (SELECT tok FROM dm$r ORDER BY m DESC, tok LIMIT $DoremiK),
+       |dl$r AS MATERIALIZED (
+       |  SELECT h.lang,
+       |    CAST(sum(CASE WHEN t.tok IS NULL THEN h.hcnt ELSE 0 END)
+       |      * 1000000 // h2.htot AS BIGINT) AS loss
+       |  FROM dhc h LEFT JOIN dt$r t USING (tok)
+       |  JOIN dht h2 USING (lang)
+       |  GROUP BY h.lang, h2.htot),
+       |de$r AS MATERIALIZED (
+       |  SELECT l.lang,
+       |    CAST(greatest(0, l.loss - rf.rloss) AS BIGINT) AS excess
+       |  FROM dl$r l JOIN dref rf USING (lang)),
+       |dwp$r AS MATERIALIZED (
+       |  SELECT w.lang,
+       |    CAST(w.w * (1000000 + 16 * e.excess) // 1000000 AS BIGINT) AS wp
+       |  FROM dw$r w JOIN de$r e USING (lang)),
+       |dws$r AS MATERIALIZED (SELECT CAST(sum(wp) AS BIGINT) AS tot FROM dwp$r),
+       |dw${r + 1} AS MATERIALIZED (
+       |  SELECT lang,
+       |    CAST((wp * 1000000 // tot) * 4 // 5 + 40000 AS BIGINT) AS w
+       |  FROM dwp$r, dws$r)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     // BPE TOKENIZER TRAINING (Sennrich et al. 2016, "Neural Machine
     // Translation of Rare Words with Subword Units"): learn the top
@@ -16279,5 +16391,420 @@ object TdpQueries {
               |    AND n_paras - n_kept = n_clustered - n_clusters
               |    THEN 1 ELSE 0 END AS BIGINT) AS one_rep_per_cluster
               |FROM ptot, prep""".stripMargin)),
+
+    // SOFT DEDUP (duplicate DOWN-WEIGHTING instead of removal — the
+    // SoftDeDup idea: a document appearing in a near-dup cluster of
+    // size n keeps sampling weight 1/n, so each distinct content unit
+    // contributes ~one copy's worth of token mass in expectation while
+    // no document is outright excised; hard keep-one dedup is the
+    // special case that rounds the weight to {0,1}). Census per
+    // cluster-size band: how many clusters/docs/tokens live at that
+    // duplication level, the HARD policy's kept token mass, and the
+    // SOFT policy's effective token mass sum(n_toks x (10^6 div n)) in
+    // exact integer micro-units — truncating div on non-negative
+    // operands, so both engines agree bit-for-bit and partial-
+    // aggregation order can't change a sum. Invariant certified by the
+    // singleton band: weight 10^6 makes soft mass = hard mass exactly;
+    // for n >= 2 bands soft mass sits between hard-kept and total, the
+    // whole point of the policy. Scale shape: rides the memoized
+    // duplicate-cluster frame (cluster_n, is_kept already materialized)
+    // and the memoized token frame; one doc_id-keyed join plus one
+    // map-side-combined groupBy over cluster-size cardinality (a
+    // handful of bands, broadcast territory); DECIMAL(38,0)/HUGEINT
+    // sums hold the 100 TB token masses.
+    QueryDef(
+      "tdp_soft_dedup",
+      (s, dir) => {
+        val toks = docToks(s, dir)
+          .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+        dupClusters(s, dir).select("doc_id", "cluster_n", "is_kept")
+          .join(toks, Seq("doc_id"), "left")
+          .withColumn("n_toks", coalesce(col("n_toks"), lit(0L)))
+          .groupBy("cluster_n")
+          .agg(
+            countDistinct(
+              when(col("is_kept"), col("doc_id"))).as("n_clusters"),
+            count(lit(1)).as("n_docs"),
+            expr("CAST(sum(CAST(n_toks AS DECIMAL(38,0))) AS BIGINT)")
+              .as("tokens_total"),
+            expr("CAST(sum(CASE WHEN is_kept THEN" +
+              " CAST(n_toks AS DECIMAL(38,0)) ELSE CAST(0 AS" +
+              " DECIMAL(38,0)) END) AS BIGINT)").as("tokens_hard_kept"),
+            expr("CAST(sum(CAST(n_toks AS DECIMAL(38,0))" +
+              " * (1000000 div cluster_n)) AS BIGINT)")
+              .as("soft_mass_micro"))
+          .select(col("cluster_n"), col("n_clusters"), col("n_docs"),
+            col("tokens_total"), col("tokens_hard_kept"),
+            col("soft_mass_micro"),
+            expr("CAST(CAST(tokens_hard_kept AS DECIMAL(38,0)) * 1000000" +
+              " AS BIGINT)").as("hard_mass_micro"),
+            expr("CAST(soft_mass_micro - CAST(tokens_hard_kept AS" +
+              " DECIMAL(38,0)) * 1000000 AS BIGINT)")
+              .as("soft_minus_hard_micro"))
+          .orderBy("cluster_n")
+      },
+      Some(s"""WITH RECURSIVE $dupClustersSqlCtes,
+              |sdd AS (
+              |  SELECT c.doc_id, c.cluster_id,
+              |    CAST(count(*) OVER (PARTITION BY c.cluster_id)
+              |      AS BIGINT) AS cluster_n,
+              |    (c.doc_id = c.cluster_id) AS is_kept,
+              |    CAST(coalesce(len($toksSql), 0) AS BIGINT) AS n_toks
+              |  FROM cc c JOIN documents d USING (doc_id))
+              |SELECT cluster_n,
+              |  CAST(count(DISTINCT CASE WHEN is_kept THEN doc_id END)
+              |    AS BIGINT) AS n_clusters,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(CAST(n_toks AS HUGEINT)) AS BIGINT)
+              |    AS tokens_total,
+              |  CAST(sum(CASE WHEN is_kept THEN CAST(n_toks AS HUGEINT)
+              |    ELSE 0 END) AS BIGINT) AS tokens_hard_kept,
+              |  CAST(sum(CAST(n_toks AS HUGEINT)
+              |    * (1000000 // cluster_n)) AS BIGINT) AS soft_mass_micro,
+              |  CAST(sum(CASE WHEN is_kept THEN CAST(n_toks AS HUGEINT)
+              |    ELSE 0 END) * 1000000 AS BIGINT) AS hard_mass_micro,
+              |  CAST(sum(CAST(n_toks AS HUGEINT)
+              |      * (1000000 // cluster_n))
+              |    - sum(CASE WHEN is_kept THEN CAST(n_toks AS HUGEINT)
+              |      ELSE 0 END) * 1000000 AS BIGINT)
+              |    AS soft_minus_hard_micro
+              |FROM sdd GROUP BY 1 ORDER BY cluster_n""".stripMargin)),
+
+    // K-ARY RANDOMIZED RESPONSE (local differential privacy over the
+    // language histogram — the per-record privacy mechanism beside the
+    // corpus-level k-anonymity/l-diversity/t-closeness tier): each
+    // document reports its TRUE lang with probability 3/4, else a
+    // uniform draw over the full k=5 label vocabulary, and the curator
+    // debiases the noisy histogram with the exact unbiased estimator
+    //   est_j = (c_j - n(1-p)/k) / p = (20 c_j - n) / 15.
+    // The "coin" is the replayable seed stream of the suite: the
+    // overflow-safe Knuth hash h = (doc_id mod P) x 2654435761 mod P
+    // (ids reduced mod P BEFORE the multiply, the r13 ADVICE pattern),
+    // flip = h mod 4, draw = (h div 4) mod 5 — so BOTH engines replay
+    // the identical mechanism and the whole release is hash-certified,
+    // exactly how a production run journals its DP seed for audit. The
+    // row reports, per label: true count (the auditor's side), reported
+    // count (the released side), the debias NUMERATOR 20 c_j - n (an
+    // exact integer whose sum over labels is 15 n — the conservation
+    // check a reader applies), the estimate in micro-units (explicit
+    // truncated-toward-zero division: the numerator can be negative and
+    // Spark div truncates where DuckDB // floors), the signed estimator
+    // error vs truth, and the mechanism's likelihood-ratio bound
+    // exp(eps) = (p + (1-p)/k)/((1-p)/k) = 16, i.e. eps = ln 16.
+    // Scale shape: one per-row hash projection, two label-cardinality
+    // map-side-combined counts joined on the k-row label frame, one
+    // 1-row total broadcast — no shuffle is corpus-keyed.
+    QueryDef(
+      "tdp_randomized_response",
+      (s, dir) => {
+        val drawCase = "CASE (h div 4) % 5 WHEN 0 THEN 'de'" +
+          " WHEN 1 THEN 'en' WHEN 2 THEN 'es' WHEN 3 THEN 'fr'" +
+          " ELSE 'zh' END"
+        val rr = table(s, dir, "documents").select("doc_id", "lang")
+          .withColumn("h",
+            expr("(doc_id % 1000000007) * 2654435761 % 1000000007"))
+          .withColumn("reported",
+            expr(s"CASE WHEN h % 4 = 0 THEN $drawCase ELSE lang END"))
+        val tru = rr.groupBy("lang").agg(count(lit(1)).as("n_true"))
+        val rep = rr.groupBy(col("reported").as("lang"))
+          .agg(count(lit(1)).as("n_reported"))
+        val tot = rr.agg(count(lit(1)).as("n_total"))
+        tru.join(rep, Seq("lang"), "full_outer")
+          .select(col("lang"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_reported"), lit(0L)).as("n_reported"))
+          .crossJoin(broadcast(tot))
+          .withColumn("est_num", expr("20 * n_reported - n_total"))
+          .select(col("lang"), col("n_true"), col("n_reported"),
+            col("n_total"), col("est_num"),
+            expr(qcTdiv("est_num * 1000000", "15")).as("est_micro"),
+            expr(qcTdiv("est_num * 1000000", "15") + " - n_true * 1000000")
+              .as("err_micro"),
+            lit(16L).as("exp_eps"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH rrh AS (
+              |  SELECT doc_id, lang,
+              |    (doc_id % 1000000007) * 2654435761 % 1000000007 AS h
+              |  FROM documents),
+              |rrr AS (
+              |  SELECT doc_id, lang,
+              |    CASE WHEN h % 4 = 0 THEN
+              |      CASE (h // 4) % 5 WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+              |        WHEN 2 THEN 'es' WHEN 3 THEN 'fr' ELSE 'zh' END
+              |    ELSE lang END AS reported
+              |  FROM rrh),
+              |rrt AS (
+              |  SELECT lang, CAST(count(*) AS BIGINT) AS n_true
+              |  FROM rrr GROUP BY 1),
+              |rrp AS (
+              |  SELECT reported AS lang, CAST(count(*) AS BIGINT)
+              |    AS n_reported
+              |  FROM rrr GROUP BY 1),
+              |rrn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM rrr),
+              |rre AS (
+              |  SELECT coalesce(t.lang, p.lang) AS lang,
+              |    CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+              |    CAST(coalesce(p.n_reported, 0) AS BIGINT) AS n_reported,
+              |    n_total,
+              |    CAST(20 * coalesce(p.n_reported, 0) - n_total AS BIGINT)
+              |      AS est_num
+              |  FROM rrt t FULL OUTER JOIN rrp p ON t.lang = p.lang, rrn)
+              |SELECT lang, n_true, n_reported, n_total, est_num,
+              |  CAST(${qcTdivSql("est_num * 1000000", "15")} AS BIGINT)
+              |    AS est_micro,
+              |  CAST(${qcTdivSql("est_num * 1000000", "15")}
+              |    - n_true * 1000000 AS BIGINT) AS err_micro,
+              |  CAST(16 AS BIGINT) AS exp_eps
+              |FROM rre ORDER BY lang""".stripMargin)),
+
+    // DOREMI-SHAPED MIXTURE REWEIGHTING (group-DRO over domain weights,
+    // after Xie et al. 2023: upweight the domains a shared model serves
+    // WORST relative to a per-domain reference, iterate, ship the final
+    // mixture): domains are the lang partitions (any provenance key
+    // rides the same shape), the "shared model" surrogate is the
+    // K=16-entry mixture lexicon (the top-K tokens of the weighted
+    // mixture distribution), a domain's loss is its held-out
+    // OUT-OF-LEXICON token share, and its REFERENCE loss is the same
+    // held-out stream scored against the domain's OWN top-K lexicon —
+    // so excess = how much worse the shared lexicon serves the domain
+    // than its private one would, exactly DoReMi's excess-loss role.
+    // Each of the 6 rounds: mixture scores m(tok) = sum_d w_d x
+    // q_d_ppm(tok) (exact integers), top-K by (m desc, tok) — a total
+    // order, engine-exact — then the LINEARIZED multiplicative-weights
+    // update w <- w x (1 + 16 excess) followed by normalize-and-smooth
+    // (4/5 of the normalized weight + uniform 1/5), every step in
+    // truncating integer arithmetic on non-negative operands so Spark
+    // div and DuckDB // agree bit-for-bit. The upweighting FEEDS BACK:
+    // raising w_d pushes d's tokens into the shared lexicon, shrinking
+    // d's excess — the trajectory rows certify the whole loop, not one
+    // step. Scale shape: ONE corpus tokenize pass feeds two memoized
+    // vocabulary x domain frames (map-side-combined aggregates); every
+    // round after that touches only those tiny frames (broadcast
+    // territory) plus a driver-side 5-long weight vector — the
+    // BPE/quality-classifier driver-loop pattern applied to mixture
+    // optimization (rounds scale with the round constant, not data).
+    // The oracle replays all 6 rounds as unrolled CTE layers, so the
+    // optimization trajectory itself is hash-certified.
+    QueryDef(
+      "tdp_doremi_mix",
+      (s, dir) => {
+        val q = doremiQ(s, dir)
+        val hc = doremiHeld(s, dir)
+        val wOwn = Window.partitionBy("lang")
+          .orderBy(desc("q_ppm"), col("tok"))
+        val ownLex = q.withColumn("rk", row_number().over(wOwn))
+          .filter(col("rk") <= DoremiK).select("lang", "tok")
+        def toMap(df: DataFrame): Map[String, Long] =
+          df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // Bounded collects: every frame here is domain-cardinality (5
+        // rows) — the driver holds the weight vector, as in qcTrain.
+        val ref = toMap(doremiLoss(hc, ownLex, Seq("lang", "tok")))
+        var w = DoremiLangs.map(_ -> 200000L).toMap
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Long, Long, Long, Long, Long)]
+        for (r <- 0 until DoremiRounds) {
+          val wCase = DoremiLangs
+            .map(l => s"WHEN '$l' THEN CAST(${w(l)} AS BIGINT)")
+            .mkString("CASE lang ", " ", " ELSE CAST(0 AS BIGINT) END")
+          val mixLex = q
+            .groupBy("tok").agg(sum(expr(s"($wCase) * q_ppm")).as("m"))
+            .orderBy(desc("m"), col("tok")).limit(DoremiK).select("tok")
+          val loss = toMap(doremiLoss(hc, mixLex, Seq("tok")))
+          val excess =
+            DoremiLangs.map(l => l -> math.max(0L, loss(l) - ref(l))).toMap
+          val wp = DoremiLangs
+            .map(l => l -> w(l) * (1000000L + 16 * excess(l)) / 1000000L)
+            .toMap
+          val tot = wp.values.sum
+          val wn = DoremiLangs
+            .map(l => l -> ((wp(l) * 1000000L / tot) * 4 / 5 + 40000L))
+            .toMap
+          rows ++= DoremiLangs.map(l =>
+            (r.toLong, l, loss(l), ref(l), excess(l), w(l), wn(l)))
+          w = wn
+        }
+        import s.implicits._
+        rows.toSeq.toDF("round", "lang", "loss_micro", "ref_micro",
+          "excess_micro", "w_micro", "w_next_micro")
+          .orderBy("round", "lang")
+      },
+      Some {
+        val rounds = (0 until DoremiRounds).map(doremiRoundSql)
+          .mkString(",\n")
+        val values = DoremiLangs.map(l => s"('$l')").mkString(", ")
+        val union = (0 until DoremiRounds).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS round, l.lang,
+             |  l.loss AS loss_micro, rf.rloss AS ref_micro,
+             |  e.excess AS excess_micro, w.w AS w_micro,
+             |  wn.w AS w_next_micro
+             |FROM dl$r l JOIN dref rf USING (lang)
+             |JOIN de$r e USING (lang) JOIN dw$r w USING (lang)
+             |JOIN dw${r + 1} wn USING (lang)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH dlt AS MATERIALIZED (
+           |  SELECT lang, doc_id, unnest($toksSql) AS tok
+           |  FROM documents),
+           |dtc AS MATERIALIZED (
+           |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM dlt WHERE doc_id % 5 <> 3 GROUP BY 1, 2),
+           |dtt AS MATERIALIZED (
+           |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot
+           |  FROM dtc GROUP BY 1),
+           |dq AS MATERIALIZED (
+           |  SELECT lang, tok, cnt * 1000000 // tot AS q_ppm
+           |  FROM dtc JOIN dtt USING (lang)),
+           |dhc AS MATERIALIZED (
+           |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS hcnt
+           |  FROM dlt WHERE doc_id % 5 = 3 GROUP BY 1, 2),
+           |dht AS MATERIALIZED (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS htot
+           |  FROM dlt WHERE doc_id % 5 = 3 GROUP BY 1),
+           |dok AS MATERIALIZED (
+           |  SELECT lang, tok FROM (
+           |    SELECT lang, tok, row_number() OVER (PARTITION BY lang
+           |      ORDER BY q_ppm DESC, tok) AS rk
+           |    FROM dq) WHERE rk <= $DoremiK),
+           |dref AS MATERIALIZED (
+           |  SELECT h.lang,
+           |    CAST(sum(CASE WHEN o.tok IS NULL THEN h.hcnt ELSE 0 END)
+           |      * 1000000 // h2.htot AS BIGINT) AS rloss
+           |  FROM dhc h LEFT JOIN dok o
+           |    ON o.lang = h.lang AND o.tok = h.tok
+           |  JOIN dht h2 ON h2.lang = h.lang
+           |  GROUP BY h.lang, h2.htot),
+           |dw0 AS MATERIALIZED (
+           |  SELECT lang, CAST(200000 AS BIGINT) AS w
+           |  FROM (VALUES $values) t(lang)),
+           |$rounds
+           |$union
+           |ORDER BY round, lang""".stripMargin
+      }),
+
+    // LEIDEN REFINEMENT (internal-connectivity guarantee — Traag et
+    // al. 2019, "From Louvain to Leiden"): Louvain's local moves can
+    // strand a community whose members have NO internal path (the
+    // paper's central defect), and nothing in tdp_louvain_round or the
+    // coarsening level checks for it. This query runs the Leiden
+    // refinement step over the phase-1 partition of the near-dup
+    // graph: split every community into its internally-CONNECTED
+    // pieces (connected components of the intra-community edge
+    // restriction), and certify the two theorems that make the split
+    // safe: (1) modularity cannot decrease — a disconnected community
+    // contributes zero intra edges between its pieces, so splitting
+    // only sheds degree-squared penalty; the exact micro-rational
+    // comparison holds under truncation because trunc is monotone —
+    // and (2) the result is a true PARTITION REFINEMENT (every piece
+    // maps to exactly one parent community, re-derived from the
+    // output, not trusted from the construction). The census row
+    // reports how many phase-1 communities were disconnected and the
+    // before/after community counts and modularity. Scale shape: the
+    // intra-edge restriction is two equi-joins of the edge list
+    // against vertex-sized labels; the piece split is the shared
+    // hash-min pointer-jump CC (log-diameter rounds behind lineage
+    // cuts) iterating only over the near-dup graph; both modularity
+    // legs ride ONE tagged qMicro DAG; every census is a keyspace-
+    // sized aggregate. The oracle replays phase 1, the restricted
+    // reachability, and both Q evaluations as chained recursive CTEs.
+    QueryDef(
+      "tdp_leiden_refine",
+      (s, dir) => {
+        val pairs = lshPairs(s, dir)
+        val edges = cut(pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"),
+            col("doc_a").as("dst"))))
+        val singles = edges.select(col("dst").as("doc_id")).distinct()
+          .withColumn("lab", col("doc_id"))
+        val p1 = cut(louvainMoves(edges, singles)
+          .select(col("doc_id"), col("new_lab").as("lab")))
+        val ref = cut(refineWithinCommunities(s, edges, p1))
+        val splits = ref.groupBy("lab")
+          .agg(countDistinct("rlab").as("n_pieces"))
+          .agg(count(lit(1)).as("n_comm_p1"),
+            expr("CAST(sum(CASE WHEN n_pieces > 1 THEN 1 ELSE 0 END)" +
+              " AS BIGINT)").as("n_disconnected_p1"),
+            expr("CAST(sum(n_pieces) AS BIGINT)").as("n_comm_refined"))
+        val audit = ref.groupBy("rlab")
+          .agg(countDistinct("lab").as("n_parents"))
+          .agg(max("n_parents").as("max_parents"))
+        val qs = qMicro(edges,
+          p1.withColumn("qleg", lit("p1"))
+            .unionByName(ref.select(col("doc_id"),
+              col("rlab").as("lab")).withColumn("qleg", lit("ref"))),
+          Seq("qleg"))
+          .agg(
+            max(when(col("qleg") === "p1", col("q_micro")))
+              .as("q_p1_micro"),
+            max(when(col("qleg") === "ref", col("q_micro")))
+              .as("q_refined_micro"))
+        val nv = singles.agg(count(lit(1)).as("n_vertices"))
+        val ne = edges.agg(
+          expr("CAST(count(1) div 2 AS BIGINT)").as("n_edges"))
+        splits.crossJoin(broadcast(nv)).crossJoin(broadcast(ne))
+          .crossJoin(broadcast(audit)).crossJoin(broadcast(qs))
+          .select(col("n_vertices"), col("n_edges"), col("n_comm_p1"),
+            col("n_disconnected_p1"), col("n_comm_refined"),
+            col("q_p1_micro"), col("q_refined_micro"),
+            expr("CAST(CASE WHEN q_refined_micro >= q_p1_micro" +
+              " THEN 1 ELSE 0 END AS BIGINT)").as("q_nondecreased"),
+            expr("CAST(CASE WHEN max_parents = 1 THEN 1 ELSE 0 END" +
+              " AS BIGINT)").as("partition_refined"))
+      },
+      Some(s"""WITH RECURSIVE $lshPairsSqlCtes,
+              |lve AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |lvdeg AS (
+              |  SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS k
+              |  FROM lve GROUP BY 1),
+              |lvm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM lve),
+              |lp0 AS (SELECT DISTINCT dst AS doc_id, dst AS lab FROM lve),
+              |${louvainLegSql("c", "lp0")},
+              |lrp1 AS MATERIALIZED (
+              |  SELECT doc_id, new_lab AS lab FROM lvmv_c),
+              |lri AS MATERIALIZED (
+              |  SELECT e.src, e.dst FROM lve e
+              |  JOIN lrp1 x ON x.doc_id = e.src
+              |  JOIN lrp1 y ON y.doc_id = e.dst
+              |  WHERE x.lab = y.lab),
+              |lrreach AS (
+              |  SELECT doc_id AS doc, doc_id AS lab FROM lrp1
+              |  UNION
+              |  SELECT e.dst, r.lab FROM lrreach r JOIN lri e
+              |    ON e.src = r.doc),
+              |lrcc AS (SELECT doc AS doc_id, min(lab) AS rlab
+              |         FROM lrreach GROUP BY 1),
+              |lrref AS MATERIALIZED (
+              |  SELECT p.doc_id, p.lab, c.rlab
+              |  FROM lrp1 p JOIN lrcc c USING (doc_id)),
+              |lrsp AS (
+              |  SELECT lab, CAST(count(DISTINCT rlab) AS BIGINT)
+              |    AS n_pieces
+              |  FROM lrref GROUP BY 1),
+              |lrsc AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_comm_p1,
+              |    CAST(sum(CASE WHEN n_pieces > 1 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_disconnected_p1,
+              |    CAST(sum(n_pieces) AS BIGINT) AS n_comm_refined
+              |  FROM lrsp),
+              |lrau AS (
+              |  SELECT CAST(max(np) AS BIGINT) AS max_parents FROM (
+              |    SELECT rlab, count(DISTINCT lab) AS np
+              |    FROM lrref GROUP BY 1)),
+              |lrl2 AS (SELECT doc_id, rlab AS lab FROM lrref),
+              |${qMicroSql("lrq1", "lrp1")},
+              |${qMicroSql("lrq2", "lrl2")},
+              |lrnv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices
+              |         FROM lp0)
+              |SELECT n_vertices, CAST(m.m2 // 2 AS BIGINT) AS n_edges,
+              |  n_comm_p1, n_disconnected_p1, n_comm_refined,
+              |  lrq1.q_micro AS q_p1_micro,
+              |  lrq2.q_micro AS q_refined_micro,
+              |  CAST(CASE WHEN lrq2.q_micro >= lrq1.q_micro
+              |    THEN 1 ELSE 0 END AS BIGINT) AS q_nondecreased,
+              |  CAST(CASE WHEN max_parents = 1 THEN 1 ELSE 0 END
+              |    AS BIGINT) AS partition_refined
+              |FROM lrsc, lrau, lrnv, lvm m, lrq1, lrq2""".stripMargin)),
   )
 }

@@ -3377,4 +3377,139 @@ class TdpSpec extends SparkSpec {
     val toks = hist.map { case (l, k) => l * k }.sum
     assert(p == b * 10L - toks, s"bins=$b pad=$p toks=$toks")
   }
+
+  test("soft dedup: cluster-size bands weight 1/n, singleton soft == hard") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_soft").toString
+    // 3-clone cluster (8 tokens each), 2-clone cluster (9 tokens each),
+    // one unique doc (7 tokens): identical texts share every minhash
+    // band, distinct texts share none.
+    val tri = "alpha beta gamma delta epsilon zeta eta theta"
+    val duo = "one two three four five six seven eight nine"
+    val solo = "red orange yellow green blue indigo violet"
+    (Seq((0L, tri), (1L, tri), (2L, tri), (10L, duo), (11L, duo),
+      (20L, solo)))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("tdp_soft_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L), s"bands: ${rows.keySet}")
+    val b3 = rows(3L)
+    assert(b3.getAs[Long]("n_clusters") == 1L)
+    assert(b3.getAs[Long]("tokens_total") == 24L)
+    assert(b3.getAs[Long]("tokens_hard_kept") == 8L)
+    // soft mass: 24 tokens x (10^6 div 3) = 24 x 333333.
+    assert(b3.getAs[Long]("soft_mass_micro") == 24L * 333333L)
+    assert(b3.getAs[Long]("soft_minus_hard_micro") ==
+      24L * 333333L - 8L * 1000000L)
+    val b2 = rows(2L)
+    assert(b2.getAs[Long]("soft_mass_micro") == 18L * 500000L)
+    assert(b2.getAs[Long]("tokens_hard_kept") == 9L)
+    // The singleton band is the exactness certificate: weight 10^6
+    // makes the two policies IDENTICAL, bit for bit.
+    val b1 = rows(1L)
+    assert(b1.getAs[Long]("soft_mass_micro") ==
+      b1.getAs[Long]("hard_mass_micro"))
+    assert(b1.getAs[Long]("soft_minus_hard_micro") == 0L)
+  }
+
+  test("randomized response: hand-replayed mechanism and exact debias") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_rr").toString
+    val vocab = Seq("de", "en", "es", "fr", "zh")
+    val docs = (0L until 40L).map(i => (i, vocab((i % 5).toInt)))
+    docs.toDF("doc_id", "lang").write.parquet(s"$dir/documents.parquet")
+    // Replay the mechanism with the same overflow-safe Knuth hash.
+    val P = 1000000007L
+    def h(id: Long): Long = (id % P) * 2654435761L % P
+    val reported = docs.map { case (id, lang) =>
+      val hv = h(id)
+      if (hv % 4 == 0) vocab(((hv / 4) % 5).toInt) else lang
+    }
+    val trueC = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val repC = reported.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = docs.size.toLong
+    val out = Registry.queries("tdp_randomized_response")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === vocab.toSet)
+    var estNumSum = 0L
+    for (l <- vocab) {
+      val r = out(l)
+      assert(r.getAs[Long]("n_true") == trueC.getOrElse(l, 0L))
+      assert(r.getAs[Long]("n_reported") == repC.getOrElse(l, 0L))
+      val num = 20L * repC.getOrElse(l, 0L) - n
+      assert(r.getAs[Long]("est_num") == num)
+      val est = if (num >= 0) num * 1000000L / 15L
+        else -((-num) * 1000000L / 15L)
+      assert(r.getAs[Long]("est_micro") == est)
+      assert(r.getAs[Long]("err_micro") ==
+        est - trueC.getOrElse(l, 0L) * 1000000L)
+      estNumSum += num
+    }
+    // Conservation: sum_j (20 c_j - n) = 20n - 5n = 15n exactly.
+    assert(estNumSum == 15L * n)
+  }
+
+  test("doremi mix: worst-served domain upweights, trajectory is chained") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tdp_doremi").toString
+    // Four domains share one 16-token pool; zh uses a DISJOINT 16-token
+    // vocabulary. At uniform weights the shared pool out-scores zh 4:1,
+    // so the K=16 mixture lexicon is exactly the shared pool: zh's
+    // held-out stream is fully out-of-lexicon (excess 10^6) while every
+    // other domain's excess is 0 -> round 0 must upweight zh and only zh.
+    val pool = (1 to 16).map(i => s"w$i").mkString(" ")
+    val zhTxt = (1 to 16).map(i => s"z$i").mkString(" ")
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val docs = for {
+      (l, li) <- langs.zipWithIndex
+      j <- 0 until 10
+    } yield (li * 10L + j, if (l == "zh") zhTxt else pool, l)
+    docs.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Registry.queries("tdp_doremi_mix")(spark, dir).collect()
+    assert(out.length == 30, "6 rounds x 5 domains")
+    val byKey = out.map(r =>
+      (r.getAs[Long]("round"), r.getAs[String]("lang")) -> r).toMap
+    for (l <- langs) {
+      val r0 = byKey((0L, l))
+      assert(r0.getAs[Long]("w_micro") == 200000L, "round 0 is uniform")
+      if (l == "zh") {
+        assert(r0.getAs[Long]("excess_micro") == 1000000L)
+        assert(r0.getAs[Long]("w_next_micro") > 200000L)
+      } else {
+        assert(r0.getAs[Long]("excess_micro") == 0L)
+        assert(r0.getAs[Long]("w_next_micro") < 200000L)
+      }
+      // Chained state: round r's w_next IS round r+1's w, and the
+      // uniform-smoothing floor c/k = 40000 always holds.
+      for (r <- 0L until 5L) {
+        assert(byKey((r, l)).getAs[Long]("w_next_micro") ==
+          byKey((r + 1, l)).getAs[Long]("w_micro"))
+        assert(byKey((r, l)).getAs[Long]("w_next_micro") >= 40000L)
+      }
+    }
+  }
+
+  test("leiden refinement: disconnected community splits, connected stays") {
+    import spark.implicits._
+    // Two disjoint triangles {0,1,2} and {10,11,12} planted under ONE
+    // label (the Louvain stranding defect), plus a connected path
+    // {20,21,22} under its own label. Refinement must split the former
+    // into its two components and leave the latter whole.
+    val und = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (21L, 22L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq(0L, 1L, 2L, 10L, 11L, 12L).map((_, 0L))
+      .++(Seq(20L, 21L, 22L).map((_, 20L)))
+      .toDF("doc_id", "lab")
+    val ref = TdpQueries.refineWithinCommunities(spark, edges, labels)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for (v <- Seq(0L, 1L, 2L)) assert(ref(v) == ((0L, 0L)))
+    for (v <- Seq(10L, 11L, 12L)) assert(ref(v) == ((0L, 10L)))
+    for (v <- Seq(20L, 21L, 22L)) assert(ref(v) == ((20L, 20L)))
+    // Pieces never cross parent communities even when ids interleave.
+    assert(ref.values.toSet.size == 3)
+  }
 }
