@@ -55,7 +55,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val loadStart = loadavg()
     val probeStart = probeSec()
-    val spark = SparkSession.builder()
+    // Optional extra session confs ("k=v;k=v") for LOCAL A/B experiments
+    // (r14 optimization round); the driver's invocation leaves it unset,
+    // so the measured configuration is exactly the committed one below.
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -67,6 +74,15 @@ object Bench {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // r14: the default 100-entry LRU codegen cache thrashes under a
+      // 306-query registry — a 14-query probe alone recompiled 3330
+      // Janino units (~85 s of single-threaded driver compile); raising
+      // the cap cut that to 1305 (first-compiles only). Scale-neutral:
+      // it trades bounded driver memory for compile time at ANY data
+      // size (a long-lived production driver serving many distinct
+      // queries wants the same).
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Executor CPU time accumulator: wall time on a shared host measures
@@ -177,6 +193,16 @@ object Bench {
         System.currentTimeMillis() - benchT0 < passBudgetMs) {
       graft.queries.Registry.evict(spark)
       passes = (runPass(), probeSec()) :: passes
+    }
+    // Diagnostic (stderr, not part of the JSON contract): Janino
+    // whole-stage-codegen compile volume — count is exact, total is
+    // count x reservoir mean. ~N x 10 ms of single-threaded driver-side
+    // compilation per pass is invisible in task metrics but IS wall.
+    locally {
+      val m = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+      System.err.println(
+        s"[bench] codegen compiles=${m.getCount} " +
+          f"approxTotalMs=${m.getCount * m.getSnapshot.getMean}%.0f")
     }
     val passTotals = passes.reverse.map(p => passTotal(p._1))
     val passProbes = passes.reverse.map(_._2)

@@ -57,50 +57,72 @@ object CleanMatrix {
       df = V.applyDateFilter(df, "txn_date", dateFilter)
     }
 
+    // gross_amt feeds the null-key drop and the dedup key, so its
+    // normalization must stay ahead of both.
     df = withColumnIfPresent(df, "gross_amt", N.toNumeric)
-    df = withColumnIfPresent(df, "fed_taxable_amt", N.toNumeric)
-    df = withColumnIfPresent(df, "roth_initial_contribution_year", N.toInt64)
-    df = withColumnIfPresent(df, "state", N.normalizeState)
-    for (c <- Seq("tax_code_1", "tax_code_2")) {
-      df = withColumnIfPresent(df, c, N.normalizeTaxCode)
-      if (cols(c))
-        warnIf(df, col(c).isNotNull && length(col(c)) > 2,
-          n => s"Matrix tax code normalization produced $n values longer than 2 characters.",
-          warnCounts)
+
+    // Heavy row-local tail: field normalizations and validation flags
+    // that feed NEITHER the null-key drop NOR the dedup keys
+    // (MatrixMatchKeys = plan_id/ssn/gross_amt/txn_date, all normalized
+    // above). Row-local transforms commute with row filtering, so with
+    // warnings off (the library/bench path) the tail runs AFTER the
+    // dedup window's exchange — on the hash-partitioned survivors in
+    // parallel, instead of serially inside the single-split scan task
+    // (r14 optimization; guide §2.4 "establish the partitioning once,
+    // then do the work after it"). The CLI path (warnCounts = true)
+    // keeps the reference's exact order so the V7 QA counters observe
+    // the same pre-dedup frames the reference warns on.
+    def heavyTail(d0: DataFrame): DataFrame = {
+      var d = d0
+      d = withColumnIfPresent(d, "fed_taxable_amt", N.toNumeric)
+      d = withColumnIfPresent(d, "roth_initial_contribution_year", N.toInt64)
+      d = withColumnIfPresent(d, "state", N.normalizeState)
+      for (c <- Seq("tax_code_1", "tax_code_2")) {
+        d = withColumnIfPresent(d, c, N.normalizeTaxCode)
+        if (cols(c))
+          warnIf(d, col(c).isNotNull && length(col(c)) > 2,
+            n => s"Matrix tax code normalization produced $n values longer than 2 characters.",
+            warnCounts)
+      }
+      d = withColumnIfPresent(d, "transaction_id", N.normalizeTransactionId)
+      for (c <- Seq("txn_method", "tax_form", "federal_taxing_method", "dist_type",
+          "participant_name"))
+        d = withColumnIfPresent(d, c, N.normalizeText(_))
+
+      // Validation flags (reference :403-440); absent inputs -> null boolean.
+      val nullFlag = lit(null).cast(BooleanType)
+      val ssnValid = if (cols("ssn")) V.validateSsn(col("ssn")) else nullFlag
+      val amountValid =
+        if (cols("gross_amt") && cols("fed_taxable_amt"))
+          V.validateAmounts(col("gross_amt"), Some(col("fed_taxable_amt")))
+        else nullFlag
+      val dateValid =
+        if (cols("txn_date")) V.validateDates(col("txn_date"), today = today) else nullFlag
+      val codeValid =
+        if (cols("tax_code_1")) V.validate1099rCode(col("tax_code_1")) else nullFlag
+      val crossIssues =
+        if (cols("gross_amt") && cols("fed_taxable_amt") && cols("tax_code_1"))
+          Some(V.crossValidate(col("gross_amt"), col("fed_taxable_amt"), col("tax_code_1")))
+        else None
+
+      d.withColumn("ssn_valid", ssnValid)
+        .withColumn("amount_valid", amountValid)
+        .withColumn("date_valid", dateValid)
+        .withColumn("code_1099r_valid", codeValid)
+        .withColumn("validation_issues",
+          V.buildValidationIssues(col("ssn_valid"), col("amount_valid"),
+            col("date_valid"), col("code_1099r_valid"), crossIssues))
     }
-    df = withColumnIfPresent(df, "transaction_id", N.normalizeTransactionId)
-    for (c <- Seq("txn_method", "tax_form", "federal_taxing_method", "dist_type",
-        "participant_name"))
-      df = withColumnIfPresent(df, c, N.normalizeText(_))
 
-    // Validation flags (reference :403-440); absent inputs -> null boolean.
-    val nullFlag = lit(null).cast(BooleanType)
-    val ssnValid = if (cols("ssn")) V.validateSsn(col("ssn")) else nullFlag
-    val amountValid =
-      if (cols("gross_amt") && cols("fed_taxable_amt"))
-        V.validateAmounts(col("gross_amt"), Some(col("fed_taxable_amt")))
-      else nullFlag
-    val dateValid =
-      if (cols("txn_date")) V.validateDates(col("txn_date"), today = today) else nullFlag
-    val codeValid =
-      if (cols("tax_code_1")) V.validate1099rCode(col("tax_code_1")) else nullFlag
-    val crossIssues =
-      if (cols("gross_amt") && cols("fed_taxable_amt") && cols("tax_code_1"))
-        Some(V.crossValidate(col("gross_amt"), col("fed_taxable_amt"), col("tax_code_1")))
-      else None
+    def dropAndDedup(d0: DataFrame): DataFrame = {
+      var d = d0
+      val matchKeys = Config.MatrixMatchKeys.filter(d.columns.contains)
+      if (dropRowsMissingKeys && matchKeys.nonEmpty) d = dropNullKeys(d, matchKeys)
+      if (matchKeys.nonEmpty) d = dedupKeepFirst(d, matchKeys, col(IngestIdCol))
+      d
+    }
 
-    df = df
-      .withColumn("ssn_valid", ssnValid)
-      .withColumn("amount_valid", amountValid)
-      .withColumn("date_valid", dateValid)
-      .withColumn("code_1099r_valid", codeValid)
-      .withColumn("validation_issues",
-        V.buildValidationIssues(col("ssn_valid"), col("amount_valid"),
-          col("date_valid"), col("code_1099r_valid"), crossIssues))
-
-    val matchKeys = Config.MatrixMatchKeys.filter(df.columns.contains)
-    if (dropRowsMissingKeys && matchKeys.nonEmpty) df = dropNullKeys(df, matchKeys)
-    if (matchKeys.nonEmpty) df = dedupKeepFirst(df, matchKeys, col(IngestIdCol))
-    df
+    if (warnCounts) dropAndDedup(heavyTail(df))
+    else heavyTail(dropAndDedup(df))
   }
 }

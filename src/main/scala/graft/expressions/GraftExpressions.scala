@@ -88,8 +88,9 @@ object Kernels {
     * `aggregate(transform(sequence(...)))` higher-order-function fold, at a
     * fraction of the per-row cost).
     */
-  def polyHash(input: UTF8String): Long = {
-    val s = input.toString
+  def polyHash(input: UTF8String): Long = polyHashString(input.toString)
+
+  private def polyHashString(s: String): Long = {
     var acc = 0L
     var i = 0
     while (i < s.length) {
@@ -98,6 +99,133 @@ object Kernels {
       i += Character.charCount(cp)
     }
     acc
+  }
+
+  /** Whitespace tokenization, value-identical to
+    * `filter(split(text, '\\s+'), x -> x != '')`: maximal runs of
+    * non-whitespace characters, where whitespace is exactly Java regex
+    * `\s` = [ \t\n\x0B\f\r]. One native pass instead of a regex split
+    * allocating the empty boundary tokens plus an interpreted filter
+    * lambda over every token.
+    */
+  def wsTokens(input: UTF8String): ArrayData = {
+    val s = input.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(s.charAt(i))) i += 1
+      if (i > start) out.add(UTF8String.fromString(s.substring(start, i)))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private val EmptyLongArray =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+
+  def emptyLongArray(): ArrayData = EmptyLongArray
+
+  /** Distinct word-3-gram shingle polyhashes in first-occurrence order —
+    * value-identical to hashing
+    * `array_distinct(transform(sequence(1, size(toks) - 2), i ->
+    * concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))` with
+    * [[polyHash]], fused into one native pass (dedup stays on the
+    * shingle STRING, exactly like array_distinct, so hash collisions
+    * between distinct shingles still emit both hashes).
+    */
+  def shingleHashes(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return EmptyLongArray
+    val seen = new java.util.LinkedHashSet[String]()
+    val words = new Array[String](n)
+    var i = 0
+    while (i < n) { words(i) = toks.getUTF8String(i).toString; i += 1 }
+    i = 0
+    while (i < n - 2) {
+      val sb = new java.lang.StringBuilder(
+        words(i).length + words(i + 1).length + words(i + 2).length + 2)
+      sb.append(words(i)).append(' ')
+        .append(words(i + 1)).append(' ').append(words(i + 2))
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(j) = polyHashString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Overlapping w-token window polyhashes — value-identical to
+    * `transform(sequence(1, size(toks) - w + 1), i ->
+    * polyHash(concat_ws(' ', slice(toks, i, w))))` (with the
+    * size(toks) >= w CASE guard), fused into one native pass: the hash
+    * runs straight over the window's word chars with the single-space
+    * separators injected, no slice copy, no joined-string allocation,
+    * no interpreted lambda. Fewer than w tokens (or a null array, via
+    * the expression wrapper) yields an empty array.
+    */
+  def spanHashes(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < w) return EmptyLongArray
+    val words = new Array[String](n)
+    var i = 0
+    while (i < n) { words(i) = toks.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Long](n - w + 1)
+    i = 0
+    while (i <= n - w) {
+      var acc = 0L
+      var j = i
+      while (j < i + w) {
+        if (j > i) acc = (acc * 31 + ' '.toInt) % 1000000007L
+        val s = words(j)
+        var k = 0
+        while (k < s.length) {
+          val cp = s.codePointAt(k)
+          acc = (acc * 31 + cp) % 1000000007L
+          k += Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** k-permutation MinHash minima in ONE pass over the hash array —
+    * value-identical to k separate
+    * `array_min(transform(hashes, h -> (h * a_j + b_j) % p))`
+    * higher-order folds (empty input yields k null minima, matching
+    * array_min of an empty array), without k interpreted per-element
+    * lambda walks.
+    */
+  def minhashMins(hashes: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
+    val k = a.length
+    val n = hashes.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](k))
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * a(j) + b(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 }
 
@@ -197,6 +325,158 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native whitespace tokenizer (see [[Kernels.wsTokens]]) — the corpus
+  * tokenization underlying every TDP text frame; replaces the regex
+  * split + interpreted filter lambda while preserving its exact value.
+  */
+case class WsTokensExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ws_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wsTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.wsTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokensExpr =
+    copy(child = newChild)
+}
+
+/** Native fused distinct-3-gram-shingle polyhasher (see
+  * [[Kernels.shingleHashes]]). NOT null-safe by design: a null token
+  * array yields an EMPTY hash array, mirroring the
+  * `CASE WHEN size(toks) >= 3 THEN ... ELSE array() END` wrapper it
+  * replaces (size(NULL) = -1 takes the ELSE branch).
+  */
+case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) Kernels.emptyLongArray()
+    else Kernels.shingleHashes(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    val value = ctx.freshName("shingleHashes")
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType $value = ${childGen.isNull}
+          ? graft.expressions.Kernels.emptyLongArray()
+          : graft.expressions.Kernels.shingleHashes(${childGen.value});
+      """,
+      isNull = FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(value, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** Native fused overlapping-window polyhasher (see
+  * [[Kernels.spanHashes]]). Like [[ShingleHashesExpr]], NOT null-safe:
+  * a null token array yields an EMPTY hash array, mirroring the
+  * `CASE WHEN size(toks) >= w THEN ... ELSE array() END` wrapper it
+  * replaces. The window width arrives as a foldable literal.
+  */
+case class SpanHashesExpr(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1, "window width must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_span_hashes"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) Kernels.emptyLongArray()
+    else Kernels.spanHashes(v.asInstanceOf[ArrayData], w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    val value = ctx.freshName("spanHashes")
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType $value = ${childGen.isNull}
+          ? graft.expressions.Kernels.emptyLongArray()
+          : graft.expressions.Kernels.spanHashes(${childGen.value}, $w);
+      """,
+      isNull = FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(value, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashesExpr =
+    copy(child = newChild)
+}
+
+/** Native one-pass k-permutation MinHash minima (see
+  * [[Kernels.minhashMins]]); the permutation constants arrive as
+  * foldable array literals and are baked into the operator.
+  */
+case class MinHashMinsExpr(
+    child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
+    extends UnaryExpression {
+
+  require(a.length == b.length, "permutation constant arrays must align")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_mins"
+
+  private lazy val aArr = a.toArray
+  private lazy val bArr = b.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.minhashMins(input.asInstanceOf[ArrayData], aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Kernels.minhashMins($c, $aRef, $bRef, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashMinsExpr =
+    copy(child = newChild)
+}
+
 /** Session extension registering the native expressions as SQL functions
   * (usable inside higher-order-function lambdas). Install either via
   * `spark.sql.extensions=graft.expressions.GraftExtensions` or
@@ -234,6 +514,42 @@ object GraftExtensions {
       exprs => NormalizeSsnExpr(exprs.head)),
     entry("graft_polyhash", classOf[PolyHashExpr], 1)(
       exprs => PolyHashExpr(exprs.head)),
+    entry("graft_ws_tokens", classOf[WsTokensExpr], 1)(
+      exprs => WsTokensExpr(exprs.head)),
+    entry("graft_shingle_hashes", classOf[ShingleHashesExpr], 1)(
+      exprs => ShingleHashesExpr(exprs.head)),
+    entry("graft_span_hashes", classOf[SpanHashesExpr], 2)(
+      exprs => {
+        require(exprs(1).foldable, "graft_span_hashes width must be literal")
+        val w = exprs(1).eval(null) match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue()
+          case o => sys.error(s"graft_span_hashes width must be integral, got $o")
+        }
+        SpanHashesExpr(exprs(0), w)
+      }),
+    entry("graft_minhash_mins", classOf[MinHashMinsExpr], 4)(
+      exprs => {
+        def longs(e: Expression): Seq[Long] = {
+          require(e.foldable,
+            "graft_minhash_mins permutation constants must be literal arrays")
+          val ad = e.eval(null).asInstanceOf[ArrayData]
+          e.dataType match {
+            case ArrayType(LongType, _) => ad.toLongArray.toSeq
+            case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+              ad.toIntArray.map(_.toLong).toSeq
+            case t => sys.error(
+              s"graft_minhash_mins constants must be integral arrays, got $t")
+          }
+        }
+        require(exprs(3).foldable, "graft_minhash_mins modulus must be literal")
+        val p = exprs(3).eval(null) match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case o => sys.error(s"graft_minhash_mins modulus must be integral, got $o")
+        }
+        MinHashMinsExpr(exprs(0), longs(exprs(1)), longs(exprs(2)), p)
+      }),
     entry("graft_dot", classOf[DotProductExpr], 2)(
       exprs => DotProductExpr(exprs(0), exprs(1))),
     entry("graft_bottomk", classOf[BottomKAgg], 2)(

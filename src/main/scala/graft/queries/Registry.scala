@@ -86,6 +86,19 @@ object Registry {
       df.checkpoint()
     else df.localCheckpoint()
 
+  /** Lineage cut for a BOUNDED frame — alphabet-, vocab-, or
+    * centroid-sized, NEVER data-sized (the caller's declaration, same
+    * contract as the blessed-broadcast sites): materializes at one
+    * partition and re-exposes SinglePartition to the planner (a bare
+    * checkpoint scan reports UnknownPartitioning, which satisfies no
+    * clustered distribution), so iterated joins/aggregations over the
+    * frame plan EXCHANGE-FREE — each fixed-point round becomes one
+    * narrow stage instead of shuffle+shuffle+checkpoint (r14; guide
+    * §2.4 "remove shuffles outright").
+    */
+  def cutOne(df: DataFrame): DataFrame =
+    cut(df.coalesce(1)).coalesce(1)
+
   def all: Seq[QueryDef] =
     CoreQueries.defs ++ EngineQueries.defs ++ FunctionQueries.defs ++
       SummaryQueries.defs ++ TdpQueries.defs

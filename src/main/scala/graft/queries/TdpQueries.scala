@@ -41,8 +41,12 @@ object TdpQueries {
       s"range(1, length($c) + 1), gpi -> CAST(ascii(substr($c, gpi, 1)) AS BIGINT)))," +
       s" (acc, x) -> (acc * 31 + x) % $P)"
 
-  /** Whitespace tokens (non-empty). */
-  private[graft] val toksExpr = raw"filter(split(text, '\\s+'), x -> x != '')"
+  /** Whitespace tokens (non-empty). r14: native single-pass tokenizer
+    * (WsTokensExpr), value-identical to
+    * `filter(split(text, '\\s+'), x -> x != '')` — the regex split plus
+    * interpreted filter lambda this replaces ran on every corpus scan.
+    */
+  private[graft] val toksExpr = "graft_ws_tokens(text)"
   private val toksSql = raw"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
 
   /** Distinct word 3-gram shingles. */
@@ -61,6 +65,19 @@ object TdpQueries {
   /** MinHash permutation constants (a_j * h + b_j mod P). */
   private[graft] val MhA = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
   private[graft] val MhB = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+
+  /** r14: all 8 permutation minima over a `hashes` column in ONE native
+    * pass (MinHashMinsExpr) instead of 8 interpreted
+    * `array_min(transform(...))` walks — value-identical, including the
+    * null minima of an empty hash array. Shared by the doc-level and
+    * paragraph-level signature frames and the streaming twin.
+    */
+  private[graft] def minhashSigCols: Seq[Column] = {
+    val mins = expr(
+      s"graft_minhash_mins(hashes, ${MhA.mkString("array(", ",", ")")}, " +
+        s"${MhB.mkString("array(", ",", ")")}, $P)")
+    MhA.indices.map(j => element_at(mins, j + 1).as(s"mh$j"))
+  }
 
   /** Max members of one LSH (band, sig) bucket that still self-join. */
   private val LshBucketCap = 50
@@ -100,14 +117,15 @@ object TdpQueries {
     * frame IS the index; everything downstream is keyed aggregation.
     */
   private def spanGrams(s: SparkSession, dir: String): DataFrame =
+    // r14: fused native window hasher (SpanHashesExpr) — same values as
+    // the transform + slice + concat_ws + polyhash chain, one
+    // allocation-light pass per doc over the whole ExactSubstr family's
+    // inverted index.
     Registry.memo(s, dir, "tdp_span_grams")(
       docToks(s, dir).select(
         col("doc_id"),
         size(col("toks")).cast(LongType).as("n_toks"),
-        expr(s"""CASE WHEN size(toks) >= $SpanW THEN
-                |  transform(sequence(1, size(toks) - ${SpanW - 1}), i ->
-                |    ${polyHashExpr(s"concat_ws(' ', slice(toks, i, $SpanW))")})
-                |  ELSE array() END""".stripMargin).as("hs")))
+        expr(s"graft_span_hashes(toks, $SpanW)").as("hs")))
 
   /** Position-level inverted index: one row per (doc, window start) with
     * the window's 64-bit hash. `p0` is the 0-based window position
@@ -190,10 +208,13 @@ object TdpQueries {
     */
   private def docHashes(s: SparkSession, dir: String): DataFrame =
     Registry.memo(s, dir, "tdp_doc_hashes")(
+      // r14: fused native shingle+hash pass (ShingleHashesExpr) — same
+      // values as the shinglesExpr transform + array_distinct + polyhash
+      // transform chain, one allocation-light pass per doc; n_sh is the
+      // distinct-shingle count = the hash array length.
       docToks(s, dir)
-        .withColumn("shingles", expr(shinglesExpr))
-        .withColumn("hashes", expr(s"transform(shingles, sh -> ${polyHashExpr("sh")})"))
-        .select(col("doc_id"), size(col("shingles")).as("n_sh"), col("hashes")))
+        .withColumn("hashes", expr("graft_shingle_hashes(toks)"))
+        .select(col("doc_id"), size(col("hashes")).as("n_sh"), col("hashes")))
 
   private val docsShinglesSql =
     s"""doc_sh AS (
@@ -939,38 +960,64 @@ object TdpQueries {
       .select("piece", "score")
   }
 
+  /** Piece-score lookup for the DP below: the whole (bounded) inventory
+    * folded into ONE map<piece,score> row via a global aggregate — at
+    * most sum_{l<=UniMaxPieceLen} alphabet^l entries survive the count
+    * floor, so the map is vocabulary-shaped, never corpus-shaped, and
+    * rides a broadcast onto the word frame.
+    */
+  private def uniScoreMap(pieces: DataFrame): DataFrame =
+    pieces.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("score")))).as("pm"))
+
   /** Viterbi-best segmentation of every word under `pieces(piece,
-    * score)`: (word, freq, ll, seg). Position rounds are the driver
-    * loop (<= UniMaxWordLen, the BPE-loop shape), each round one
-    * broadcast piece join + per-word argmax window, tie-broken
-    * (ll DESC, pos ASC) = prefer the longer final piece, with a
-    * per-round lineage cut so the plan never compounds.
+    * score)`: (word, freq, ll, seg). r14 optimization (guide §2.4 —
+    * remove shuffles outright): the DP is WORD-LOCAL (position i only
+    * looks back <= UniMaxPieceLen chars of the SAME word), so the former
+    * 12-round driver loop — per round one broadcast join, one per-word
+    * argmax window and one lineage cut; 3755 tasks / 163 stages for
+    * tdp_unigram_prune alone at sf0.1 — collapses into a single per-row
+    * `aggregate` expression over positions 1..length(word) against the
+    * broadcast piece-score map: one pass, zero shuffles, zero driver
+    * rounds. The recurrence and tie-break replicate the loop exactly:
+    * the fold scans last-piece lengths l = 1..min(i, UniMaxPieceLen)
+    * (start positions in DESCENDING order) and `>=` keeps the LAST max,
+    * so ties pick the largest l = the smallest start pos — the loop's
+    * row_number over (nll DESC, pos ASC). An inventory miss makes
+    * element_at() null and the candidate is filtered; a position with no
+    * candidate stores a null ll; a word whose final position is
+    * unreachable is dropped by the trailing filter (the loop's
+    * pos === length(word)) — possible only if a single char were absent
+    * from the inventory, which uniPieceCnt forbids. TdpSpec pins the
+    * exact outputs; the DuckDB oracle unrolls the identical DP.
     */
   private def uniViterbi(
       s: SparkSession, words: DataFrame, pieces: DataFrame): DataFrame = {
-    val pieceB = broadcast(pieces)
-    var states = cut(words.select(col("word"), col("freq"),
-      lit(0).as("pos"), lit(0L).as("ll"), lit("").as("seg")))
-    for (i <- 1 to UniMaxWordLen) {
-      val cand = states
-        .filter(col("pos") >= i - UniMaxPieceLen && col("pos") <= i - 1
-          && length(col("word")) >= i)
-        .withColumn("pc", expr(s"substring(word, pos + 1, $i - pos)"))
-        .join(pieceB, col("pc") === col("piece"))
-        .withColumn("nll", col("ll") + col("score"))
-      val wW = Window.partitionBy("word")
-        .orderBy(desc("nll"), col("pos").asc)
-      val next = cand.withColumn("rk", row_number().over(wW))
-        .filter(col("rk") === 1)
-        .select(col("word"), col("freq"), lit(i).as("pos"),
-          col("nll").as("ll"),
-          when(col("seg") === "", col("pc"))
-            .otherwise(concat(col("seg"), lit(" "), col("pc")))
-            .as("seg"))
-      states = cut(states.union(next))
-    }
-    states.filter(col("pos") === length(col("word")))
-      .select("word", "freq", "ll", "seg")
+    val dp = expr(s"""
+      aggregate(
+        sequence(1, length(word)),
+        array(named_struct('ll', CAST(0 AS BIGINT), 'seg', '')),
+        (acc, i) -> concat(acc, array(
+          aggregate(
+            filter(
+              transform(sequence(1, least(i, $UniMaxPieceLen)),
+                l -> named_struct(
+                  'll', element_at(acc, i - l + 1).ll
+                          + element_at(pm, substring(word, i - l + 1, l)),
+                  'seg', CASE WHEN element_at(acc, i - l + 1).seg = ''
+                    THEN substring(word, i - l + 1, l)
+                    ELSE concat(element_at(acc, i - l + 1).seg, ' ',
+                      substring(word, i - l + 1, l)) END)),
+              c -> c.ll IS NOT NULL),
+            named_struct('ll', CAST(NULL AS BIGINT), 'seg', ''),
+            (b, c) -> CASE WHEN b.ll IS NULL OR c.ll >= b.ll
+              THEN c ELSE b END))),
+        acc -> element_at(acc, length(word) + 1))""")
+    words.crossJoin(broadcast(uniScoreMap(pieces)))
+      .withColumn("fs", dp)
+      .select(col("word"), col("freq"),
+        col("fs.ll").as("ll"), col("fs.seg").as("seg"))
+      .filter(col("ll").isNotNull)
   }
 
   /** M-step usage recount (piece, usage) over a segmentation frame. */
@@ -1062,20 +1109,25 @@ object TdpQueries {
       " (dl / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))))" +
       " * 1000000"
 
-  private def bm25TermScores(s: SparkSession, dir: String): DataFrame = {
-    val dt = docToks(s, dir)
-    val dl = dt.select(col("doc_id"),
-      size(col("toks")).cast(LongType).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      expr("CAST(sum(dl) AS BIGINT)").as("tot"))
-    val tf0 = dt.select(col("doc_id"), explode(col("toks")).as("term"))
-    val dfT = tf0.distinct().groupBy("term").agg(count(lit(1)).as("df"))
-    val qterms = dfT.orderBy(desc("df"), col("term")).limit(8)
-    tf0.join(broadcast(qterms), "term")
-      .groupBy("doc_id", "term", "df").agg(count(lit(1)).as("tf"))
-      .join(dl, "doc_id").crossJoin(broadcast(stats))
-      .withColumn("v", expr(bm25TermExpr))
-  }
+  private def bm25TermScores(s: SparkSession, dir: String): DataFrame =
+    // r14: memoized — tdp_bm25, the retrieval-pipeline hybrid (which
+    // references it three times: lexical join, census, head) and the
+    // transcendental-margin audit each re-ran the corpus-sized
+    // explode + distinct + tf aggregation chain before.
+    Registry.memo(s, dir, "tdp_bm25_scores") {
+      val dt = docToks(s, dir)
+      val dl = dt.select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(dl) AS BIGINT)").as("tot"))
+      val tf0 = dt.select(col("doc_id"), explode(col("toks")).as("term"))
+      val dfT = tf0.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = dfT.orderBy(desc("df"), col("term")).limit(8)
+      tf0.join(broadcast(qterms), "term")
+        .groupBy("doc_id", "term", "df").agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("v", expr(bm25TermExpr))
+    }
 
   /** Per-(source, w1, w2) conditional-entropy terms
     * (c12/N_s)·ln(c1/c12)·1e6 (c1 = bigram-context count, so
@@ -1406,21 +1458,19 @@ object TdpQueries {
          |  transform(sequence(1, CAST(ceil(size(toks) / $ParaToks.0) AS INT)),
          |    i -> array_join(slice(toks, (i - 1) * $ParaToks + 1, $ParaToks), ' '))
          |ELSE array() END""".stripMargin)
-    val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
-      expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
-    }
     Registry.memo(s, dir, "tdp_para_sigs")(
+      // r14: native tokenizer + fused shingle-hash pass (value-identical
+      // to the split/filter + shinglesExpr + polyhash transform chain)
+      // and the one-pass 8-permutation minima — see minhashSigCols.
       docToks(s, dir)
         .select(col("doc_id"), posexplode(parasArr).as(Seq("pos", "para")))
-        .withColumn("toks", expr("filter(split(para, ' '), x -> x != '')"))
-        .withColumn("shingles", expr(shinglesExpr))
-        .filter(size(col("shingles")) > 0)
-        .withColumn("hashes",
-          expr(s"transform(shingles, sh -> ${polyHashExpr("sh")})"))
+        .withColumn("toks", expr("graft_ws_tokens(para)"))
+        .withColumn("hashes", expr("graft_shingle_hashes(toks)"))
+        .filter(size(col("hashes")) > 0)
         .select(Seq(
           (col("doc_id") * lit(ParaPosCap) + col("pos")).as("pkey"),
           col("doc_id"), col("pos").cast(LongType).as("pos"),
-          size(col("toks")).cast(LongType).as("n_ptoks")) ++ sigs: _*))
+          size(col("toks")).cast(LongType).as("n_ptoks")) ++ minhashSigCols: _*))
   }
 
   /** Memoized connected components over the cross-doc paragraph pairs
@@ -1546,13 +1596,10 @@ object TdpQueries {
     * incremental probe build bands from.
     */
   private def minhashSigDf(s: SparkSession, dir: String): DataFrame = {
-    val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
-      expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
-    }
     Registry.memo(s, dir, "tdp_minhash_sigs")(
       docHashes(s, dir)
         .filter(col("n_sh") > 0)
-        .select(col("doc_id") +: sigs: _*))
+        .select(col("doc_id") +: minhashSigCols: _*))
   }
 
   /** (band, sig) fan-out of [[minhashSigDf]] — one generator, no second
@@ -1593,9 +1640,16 @@ object TdpQueries {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
-    val trP = tr
+    // r14: the transition matrix is alphabet²-sized but was re-planned
+    // (and its corpus-sized lag window RE-EXECUTED) inside every power
+    // round's checkpoint action — 6 redundant corpus passes. One
+    // bounded-frame cut materializes it once; with both loop operands
+    // SinglePartition (cutOne) every round plans exchange-free, so the
+    // query drops from ~49 one-task stages to the transition build plus
+    // one narrow stage per round.
+    val trP = Registry.cutOne(tr
       .join(tr.groupBy("prev_type").agg(sum("n").as("row_total")),
-        "prev_type")
+        "prev_type"))
     val marg = ev.groupBy(col("event_type").as("t"))
       .agg(count(lit(1)).as("c"))
     var x = marg
@@ -1604,7 +1658,7 @@ object TdpQueries {
         expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000) div tot" +
           " AS BIGINT)").as("x"))
     for (_ <- 1 to rounds) {
-      x = cut(trP
+      x = Registry.cutOne(trP
         .join(x.select(col("t").as("prev_type"), col("x")),
           "prev_type")
         .select(col("next_type").as("t"),
@@ -1983,10 +2037,19 @@ object TdpQueries {
       val prefix = exploded.join(dfreq, "sh")
         .withColumn("rk", row_number().over(wDoc))
         .filter(col("rk") <= expr("n_sh - ((n_sh + 4) div 5) + 1"))
-        .select("doc_id", "sh")
-      val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_id", "n_sh", "sh")
+      // r14: Bayardo/PPJoin LENGTH filter at the candidate stage —
+      // J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any pair with
+      // 5*min < max cannot reach t=0.2 and would only be discarded by
+      // the exact-Jaccard verify below; dropping it here is provably
+      // lossless for the J >= 0.2 output and prunes the verify-side
+      // array_intersect fan-out (the query's dominant CPU).
+      val cand = prefix.select(col("doc_id").as("doc_a"),
+          col("n_sh").as("na"), col("sh"))
+        .join(prefix.select(col("doc_id").as("doc_b"),
+          col("n_sh").as("nb"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b") &&
+          least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")))
         .select("doc_a", "doc_b").distinct()
       // Attach the shingle-hash arrays to the candidate pairs with plain
       // shuffle joins on the doc ids: the doc side is the memoized
@@ -3144,10 +3207,7 @@ object TdpQueries {
     QueryDef(
       "tdp_minhash_signatures",
       (s, dir) => {
-        val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
-          expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
-        }
-        docHashes(s, dir).select(col("doc_id") +: sigs: _*)
+        docHashes(s, dir).select(col("doc_id") +: minhashSigCols: _*)
       },
       Some {
         val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -3302,14 +3362,11 @@ object TdpQueries {
     QueryDef(
       "tdp_minhash_jaccard_est",
       (s, dir) => {
-        val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
-          expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
-        }
-        // Memoized: the 8 interpreted signature transforms are consumed
-        // three times below (candidate explode + both attach sides).
+        // Memoized: the signature columns are consumed three times
+        // below (candidate explode + both attach sides).
         val d = Registry.memo(s, dir, "tdp_minhash_est_base")(
           docHashes(s, dir).filter(col("n_sh") > 0)
-            .select(Seq(col("doc_id"), col("hashes"), col("n_sh")) ++ sigs: _*))
+            .select(Seq(col("doc_id"), col("hashes"), col("n_sh")) ++ minhashSigCols: _*))
         val ex = d.select(col("doc_id"),
           explode(array((0 until 8).map(j =>
             struct(lit(j).as("j"), col(s"mh$j").as("mh"))): _*)).as("e"))
@@ -3688,11 +3745,20 @@ object TdpQueries {
               (expr(s"sqrt(graft_dot(q_t$d, q_t$d))") *
                 expr(s"sqrt(graft_dot(c_t$d, c_t$d))")))
         }
-        val ranked = dims.foldLeft(simd.withColumn("frank", row_number().over(wf))) {
+        // r14: cut — the truth leg and the three per-dim candidate legs
+        // all re-read this frame; uncut, each re-ran the broadcast
+        // scoring join and its four ranking windows (33.9 executor-CPU s
+        // measured for a 3-row output). Projected to the rank columns
+        // FIRST (guide §2.3): materializing the embeddings and their
+        // truncated slices through the window exchanges 50x'd the
+        // shuffle bytes on the first attempt.
+        val ranked = cut(dims.foldLeft(
+          simd.withColumn("frank", row_number().over(wf))) {
           (df, d) =>
             val w = Window.partitionBy("q_id").orderBy(desc(s"sim$d"), col("c_id"))
             df.withColumn(s"rank$d", row_number().over(w))
-        }
+        }.select(Seq(col("q_id"), col("c_id"), col("frank")) ++
+          dims.map(d => col(s"rank$d")): _*))
         val truth = ranked.filter(col("frank") <= 3).select("q_id", "c_id")
         val nTruth = truth.agg(count(lit(1)).as("n_exact"))
         val rows = dims.map { d =>
@@ -5189,7 +5255,9 @@ object TdpQueries {
                    |    / (CAST(n AS DOUBLE) * 1000000.0D))""".stripMargin)
               .as("q_emb"))
           .withColumn("cent_norm", expr("sqrt(graft_dot(q_emb, q_emb))"))
-        val assign1 = assign(cent1).withColumnRenamed("cluster", "cluster1")
+        // r14: cut — n1 and the stay-join both consume assign1, which
+        // otherwise re-runs the 64-centroid broadcast scoring pass twice.
+        val assign1 = cut(assign(cent1).withColumnRenamed("cluster", "cluster1"))
         val n0 = assign0.groupBy("cluster").agg(count(lit(1)).as("n_iter0"))
         val n1 = assign1.groupBy(col("cluster1").as("cluster"))
           .agg(count(lit(1)).as("n_iter1"))
@@ -7666,7 +7734,9 @@ object TdpQueries {
           cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .union(pairs.select(col("doc_b").as("src"),
               col("doc_a").as("dst")))))
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        // r14: cut — referenced five times (init + one join per round +
+        // the final attach), each re-aggregating the edge list before.
+        val deg = cut(edges.groupBy("src").agg(count(lit(1)).as("deg")))
         var pr = deg.select(col("src").as("doc_id"),
           lit(1000000L).as("pr_micro"))
         for (_ <- 1 to 3) {
@@ -9649,11 +9719,14 @@ object TdpQueries {
           min("q_micro").as("q0"), max("q_micro").as("q1"),
           min("n_toks").as("n0"), max("n_toks").as("n1"),
           min("lexdiv_permille").as("l0"), max("lexdiv_permille").as("l1"))
-        val celled = dims.crossJoin(broadcast(rng))
+        // r14: cut — the cell occupancy census, the dominated-cell semi
+        // join and both sides of the final anti-join all re-read this
+        // frame; uncut, each re-ran the quality-feature + tokenize join.
+        val celled = cut(dims.crossJoin(broadcast(rng))
           .withColumn("cq", expr("((q_micro - q0) * 8) div (q1 - q0 + 1)"))
           .withColumn("cn", expr("((n_toks - n0) * 8) div (n1 - n0 + 1)"))
           .withColumn("cl",
-            expr("((lexdiv_permille - l0) * 8) div (l1 - l0 + 1)"))
+            expr("((lexdiv_permille - l0) * 8) div (l1 - l0 + 1)")))
         val occ = celled.groupBy("cq", "cn", "cl").agg(count(lit(1)).as("nc"))
         val dominatedCells = occ.as("a").join(broadcast(occ.as("b")),
           col("b.cq") > col("a.cq") && col("b.cn") > col("a.cn") &&
@@ -11296,12 +11369,16 @@ object TdpQueries {
           .withColumn("c0", coalesce(col("c"), lit(0L)))
         val ws = Window.partitionBy("source").orderBy("band")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val dn = grid
+        // r14: bounded cut — the (source x permille-band) grid is at most
+        // |sources| * 1001 rows, and both the D-max aggregate and the
+        // critical-band argmin re-read it; uncut they re-ran the corpus
+        // histogram + two cumulative windows twice.
+        val dn = Registry.cutOne(grid
           .withColumn("cums", sum("c0").over(ws))
           .crossJoin(broadcast(tot))
           .withColumn("dnum",
             abs(col("cums").cast(DecimalType(38, 0)) * col("n_tot")
-              - col("cumg").cast(DecimalType(38, 0)) * col("n_s")))
+              - col("cumg").cast(DecimalType(38, 0)) * col("n_s"))))
         val agg = dn.groupBy("source", "n_s", "n_tot")
           .agg(max("dnum").as("dmax"))
         val crit = dn.join(
@@ -11456,19 +11533,26 @@ object TdpQueries {
         var hub = w.select("user_id").distinct()
           .withColumn("h", lit(1000000L))
         var auth: DataFrame = w.sparkSession.emptyDataFrame
+        // r14: each max-normalization references its raw frame TWICE
+        // (the 1-row max broadcast AND the main pass), so uncut the
+        // half-step chains NESTED — by round 2 the plan held ~2^4
+        // copies of the first half-step (1498 tasks / 21 executor-CPU s
+        // measured for alphabet-sized output). Cutting each raw frame
+        // (auth side bounded -> cutOne, hub side user-sized -> cut)
+        // makes every half-step execute exactly once.
         for (_ <- 1 to 2) {
-          val araw = w.join(hub, "user_id")
+          val araw = Registry.cutOne(w.join(hub, "user_id")
             .groupBy("event_type")
             .agg(sum(col("w").cast(DecimalType(38, 0)) * col("h"))
-              .as("ar"))
+              .as("ar")))
           val amax = araw.agg(max("ar").as("am"))
           auth = araw.crossJoin(broadcast(amax))
             .select(col("event_type"),
               expr("CAST(ar * 1000000 div am AS BIGINT)").as("a"))
-          val hraw = w.join(broadcast(auth), "event_type")
+          val hraw = cut(w.join(broadcast(auth), "event_type")
             .groupBy("user_id")
             .agg(sum(col("w").cast(DecimalType(38, 0)) * col("a"))
-              .as("hr"))
+              .as("hr")))
           val hmax = hraw.agg(max("hr").as("hm"))
           hub = hraw.crossJoin(broadcast(hmax))
             .select(col("user_id"),
@@ -11778,11 +11862,17 @@ object TdpQueries {
               |  named_struct('wb', l3, 'wgt', 1L)),
               |  p -> p.wb IS NOT NULL)""".stripMargin)).as("p"))
           .select(col("wa"), col("p.wb").as("wb"), col("p.wgt").as("wgt"))
-        val edges = fwd
+        // r14: without a cut, every consumer below (two power rounds x
+        // two joins each, plus the final strength attach) re-planned and
+        // RE-EXECUTED the corpus-sized window+explode+union cooc build —
+        // the query's dominant CPU. One lineage cut materializes the
+        // vocab²-bounded edge list once; strength is likewise cut so its
+        // three consumers read a materialized vocab-sized frame.
+        val edges = cut(fwd
           .union(fwd.select(col("wb").as("wa"), col("wa").as("wb"),
             col("wgt")))
-          .groupBy("wa", "wb").agg(sum("wgt").as("w"))
-        val strength = edges.groupBy("wa").agg(sum("w").as("str"))
+          .groupBy("wa", "wb").agg(sum("wgt").as("w")))
+        val strength = cut(edges.groupBy("wa").agg(sum("w").as("str")))
         var score = strength.select(col("wa").as("tok"),
           lit(1000000L).as("sc"))
         for (_ <- 1 to 2) {

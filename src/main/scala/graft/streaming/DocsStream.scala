@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.queries.TdpQueries.{polyHashExpr, shinglesExpr, toksExpr, MhA, MhB, P}
+import graft.queries.TdpQueries.{polyHashExpr, toksExpr}
 
 /** Streaming near-duplicate detection over a document stream — the
   * arrival-time twin of the batch `tdp_incremental_dedup` /
@@ -52,16 +52,16 @@ object DocsStream {
     graft.expressions.GraftExtensions.registerAll(s)
     import s.implicits._
 
-    val sigs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
-      expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"mh$j")
-    }
+    // r14: same native tokenize -> fused shingle-hash -> one-pass
+    // 8-permutation minima chain as the batch signature frames
+    // (TdpQueries.minhashSigCols) — value-identical to the former
+    // interpreted transform chain.
     val sigDf = docs
       .withColumn("toks", expr(toksExpr))
-      .withColumn("shingles", expr(shinglesExpr))
-      .withColumn("hashes",
-        expr(s"transform(shingles, sh -> ${polyHashExpr("sh")})"))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id") +: col("ts") +: sigs: _*)
+      .withColumn("hashes", expr("graft_shingle_hashes(toks)"))
+      .filter(size(col("hashes")) > 0)
+      .select(col("doc_id") +: col("ts") +:
+        graft.queries.TdpQueries.minhashSigCols: _*)
     val bandStructs = (0 until 4).map { band =>
       struct(lit(band).as("band"),
         concat_ws(":", col(s"mh${2 * band}"), col(s"mh${2 * band + 1}"))

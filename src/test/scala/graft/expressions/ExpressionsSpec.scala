@@ -130,4 +130,120 @@ class ExpressionsSpec extends SparkSpec {
     assert(r2.isNullAt(0))
   }
 
+  // --- r14 fused text kernels: each must be VALUE-IDENTICAL to the
+  // interpreted higher-order-function chain it replaced (the DuckDB
+  // oracles still compute the HOF formulation, so any drift is a
+  // correctness regression, not a perf bug).
+
+  /** Messy corpus-ish strings: unicode, runs of mixed whitespace
+    * (space/tab/newline/VT/FF/CR), empties, boundary whitespace.
+    */
+  private def genTexts(n: Int): Seq[String] = {
+    val ws = Seq(" ", "\t", "\n", "\u000B", "\f", "\r")
+    val rnd = new scala.util.Random(7)
+    def tok() = Seq("the", "data", "join", "Ω≈ç", "naïve", "x1", "a",
+      "scan", "π")(rnd.nextInt(9))
+    (0 until n).map { _ =>
+      val k = rnd.nextInt(12)
+      val sb = new StringBuilder
+      if (rnd.nextBoolean()) sb.append(ws(rnd.nextInt(6)))
+      (0 until k).foreach { _ =>
+        sb.append(tok())
+        (0 to rnd.nextInt(2)).foreach(_ => sb.append(ws(rnd.nextInt(6))))
+      }
+      sb.toString
+    } ++ Seq("", " ", "\t\n", "a", "a b", "a b c", "a  b\tc d")
+  }
+
+  test("WsTokensExpr matches filter(split(text)) exactly") {
+    val s = registered
+    import s.implicits._
+    val rows = genTexts(200).toDF("text").select(
+      col("text"),
+      expr("graft_ws_tokens(text)").as("native"),
+      expr(raw"filter(split(text, '\\s+'), x -> x != '')").as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"mismatch for '${r.getString(0)}': ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+    }
+  }
+
+  test("ShingleHashesExpr matches shingle+distinct+polyhash chain; null toks -> empty") {
+    val s = registered
+    import s.implicits._
+    val hof =
+      """transform(array_distinct(CASE WHEN size(toks) >= 3 THEN
+        |  transform(sequence(1, size(toks) - 2), i ->
+        |    concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',
+        |      element_at(toks, i + 2)))
+        |  ELSE array() END), sh -> graft_polyhash(sh))""".stripMargin
+    val rows = genTexts(200).toDF("text")
+      .select(expr("graft_ws_tokens(text)").as("toks"))
+      .select(col("toks"),
+        expr("graft_shingle_hashes(toks)").as("native"),
+        expr(hof).as("hofv")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"mismatch for ${r.getSeq[String](0)}")
+    }
+    // repeated shingles dedup to first occurrence, like array_distinct
+    val rep = Seq(Tuple1(Seq("a", "b", "a", "b", "a", "b"))).toDF("toks")
+      .select(expr("graft_shingle_hashes(toks)").as("h"), expr(hof).as("e"))
+      .collect()(0)
+    assert(rep.getSeq[Long](0) == rep.getSeq[Long](1), rep.toString)
+    val nul = s.sql("SELECT graft_shingle_hashes(CAST(NULL AS ARRAY<STRING>))")
+      .collect()(0)
+    assert(nul.getSeq[Long](0) == Seq.empty[Long], "null toks must yield []")
+  }
+
+  test("SpanHashesExpr matches transform+slice+concat_ws+polyhash; short/null -> empty") {
+    val s = registered
+    import s.implicits._
+    for (w <- Seq(1, 3, 8)) {
+      val hof =
+        s"""CASE WHEN size(toks) >= $w THEN
+           |  transform(sequence(1, size(toks) - ${w - 1}), i ->
+           |    graft_polyhash(concat_ws(' ', slice(toks, i, $w))))
+           |  ELSE array() END""".stripMargin
+      val rows = genTexts(150).toDF("text")
+        .select(expr("graft_ws_tokens(text)").as("toks"))
+        .select(col("toks"),
+          expr(s"graft_span_hashes(toks, $w)").as("native"),
+          expr(hof).as("hofv")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"w=$w mismatch for ${r.getSeq[String](0)}")
+      }
+    }
+    val nul = s.sql(
+      "SELECT graft_span_hashes(CAST(NULL AS ARRAY<STRING>), 8)").collect()(0)
+    assert(nul.getSeq[Long](0) == Seq.empty[Long], "null toks must yield []")
+  }
+
+  test("MinHashMinsExpr matches 8 array_min(transform(...)) folds; empty -> nulls") {
+    val s = registered
+    import s.implicits._
+    import graft.queries.TdpQueries.{MhA, MhB, P}
+    val aArr = MhA.mkString("array(", ",", ")")
+    val bArr = MhB.mkString("array(", ",", ")")
+    val folds = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+      expr(s"array_min(transform(hashes, h -> (h * $a + $b) % $P))").as(s"e$j")
+    }
+    val rows = genTexts(200).toDF("text")
+      .select(expr("graft_shingle_hashes(graft_ws_tokens(text))").as("hashes"))
+      .select(col("hashes") +:
+        expr(s"graft_minhash_mins(hashes, $aArr, $bArr, $P)").as("native") +:
+        folds: _*).collect()
+    rows.foreach { r =>
+      val native = r.getSeq[Any](1)
+      val expected = (0 until 8).map(j => r.get(2 + j))
+      assert(native == expected, s"mins mismatch: $native vs $expected")
+    }
+    val empty = s.sql(
+      s"SELECT graft_minhash_mins(CAST(array() AS ARRAY<BIGINT>), $aArr, $bArr, $P)")
+      .collect()(0)
+    assert(empty.getSeq[Any](0) == Seq.fill(8)(null),
+      "empty hashes must yield 8 null minima (array_min semantics)")
+  }
+
 }

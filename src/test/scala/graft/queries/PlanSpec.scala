@@ -463,13 +463,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
-  test("unigram prune: piece joins stay broadcast, no cartesian") {
+  test("unigram prune: DP rides broadcast score maps, no cartesian") {
     val df = Registry.queries("tdp_unigram_prune")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
-    // Both DPs join word states to the (bounded) piece inventory via
-    // broadcast hash joins; the only nested loops are the 1-row
-    // total-usage attaches.
-    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // r14: both Viterbi DPs are single-pass per-word aggregate
+    // expressions against a broadcast 1-row piece-score map (plus 1-row
+    // total-usage attaches) — broadcast nested loops of bounded frames,
+    // never a cartesian of two data-sized sides, and no per-round
+    // shuffle joins remain.
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
