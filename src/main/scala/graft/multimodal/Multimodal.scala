@@ -61,6 +61,61 @@ object Multimodal {
   private lazy val imageIoInMemory: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** r14: the audio analogue of the JPEG-writer cache below.
+    * `AudioSystem.getAudioInputStream` / `AudioSystem.write` re-run a
+    * SYNCHRONIZED ServiceLoader provider scan on EVERY call
+    * (`JDK13Services.getProviders` re-instantiates the providers under a
+    * global lock), which serializes all 32 concurrent codec tasks
+    * JVM-wide — tdp_audio_fingerprint measured wall ~= executor-CPU
+    * (parallelism ~1) despite an up-front repartition. Resolving the
+    * public SPI providers ONCE and dispatching over the cached list is
+    * the identical lookup minus the lock; the providers themselves
+    * (WaveFileReader etc.) are stateless and thread-safe. Only the WAV
+    * reader accepts WAV bytes, so provider order cannot change results.
+    */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toList
+  }
+
+  private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toList
+  }
+
+  /** Decode via the cached readers — same dispatch contract as
+    * `AudioSystem.getAudioInputStream(stream)`: first provider that does
+    * not reject the bytes wins; all rejecting = UnsupportedAudioFile.
+    */
+  private def readAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no cached provider accepts the stream")
+  }
+
+  /** Encode via the cached writers — same dispatch contract as
+    * `AudioSystem.write(ais, WAVE, out)`.
+    */
+  private def writeWav(
+      ais: javax.sound.sampled.AudioInputStream,
+      out: java.io.OutputStream): Unit = {
+    val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(t, ais)) match {
+      case Some(w) => w.write(ais, t, out)
+      case None => // unreachable on a stock JDK; keep the public fallback
+        javax.sound.sampled.AudioSystem.write(ais, t, out)
+    }
+  }
+
   /** Per-thread reusable JPEG writer: `ImageIO.write()` re-runs the
     * provider-registry scan and allocates a fresh writer per call —
     * measurable when the payloads are 16–64 px MJPEG frames encoded
@@ -144,8 +199,7 @@ object Multimodal {
     val ais =
       if (f.media_type != "audio") null
       else
-        try javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(f.content))
+        try readAudio(f.content)
         catch { case _: Throwable => null }
     if (ais == null) Quarantine(f)
     else {
@@ -555,8 +609,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, n.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    writeWav(ais, out)
     out.toByteArray
   }
 
@@ -581,8 +634,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, n.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    writeWav(ais, out)
     out.toByteArray
   }
 
@@ -604,8 +656,7 @@ object Multimodal {
     ids.mapPartitions { it =>
       imageIoInMemory
       it.map { id =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(synthWav2(id)))
+        val ais = readAudio(synthWav2(id))
         val n = ais.getFrameLength.toInt
         val bytes = ais.readAllBytes()
         val samples = new Array[Int](n)
@@ -663,8 +714,7 @@ object Multimodal {
     ids.mapPartitions { it =>
       imageIoInMemory
       it.map { id =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(synthWav(id)))
+        val ais = readAudio(synthWav(id))
         val fmt = ais.getFormat
         val sr = fmt.getSampleRate.toLong
         val n = ais.getFrameLength.toInt
