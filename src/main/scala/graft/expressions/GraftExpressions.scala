@@ -199,6 +199,37 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Count of distinct common elements of two bigint arrays —
+    * value-identical to `size(array_intersect(a, b))` on null-free
+    * arrays (array_intersect returns the DISTINCT elements of `a` that
+    * occur in `b`; the sort-merge skips duplicate runs on both sides),
+    * without materializing the intersection array or boxing a hash set.
+    */
+  def intersectCount(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return 0L
+    val aa = a.toLongArray()
+    val bb = b.toLongArray()
+    java.util.Arrays.sort(aa)
+    java.util.Arrays.sort(bb)
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val x = aa(i)
+      val y = bb(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        c += 1
+        while (i < n && aa(i) == x) i += 1
+        while (j < m && bb(j) == x) j += 1
+      }
+    }
+    c
+  }
+
   /** k-permutation MinHash minima in ONE pass over the hash array —
     * value-identical to k separate
     * `array_min(transform(hashes, h -> (h * a_j + b_j) % p))`
@@ -477,6 +508,59 @@ case class MinHashMinsExpr(
     copy(child = newChild)
 }
 
+/** Native distinct-intersection counter (see [[Kernels.intersectCount]]).
+  * NOT null-safe by design: a null array on either side yields -1,
+  * mirroring `size(array_intersect(a, b))` under the non-ANSI
+  * size-of-null convention every session here runs with.
+  */
+case class IntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType} and ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_intersect_count"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null || r == null) -1L
+    else Kernels.intersectCount(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    val value = ctx.freshName("interCount")
+    ev.copy(
+      code = code"""
+        ${lg.code}
+        ${rg.code}
+        long $value = (${lg.isNull} || ${rg.isNull}) ? -1L
+          : graft.expressions.Kernels.intersectCount(${lg.value}, ${rg.value});
+      """,
+      isNull = FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(value, dataType))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extension registering the native expressions as SQL functions
   * (usable inside higher-order-function lambdas). Install either via
   * `spark.sql.extensions=graft.expressions.GraftExtensions` or
@@ -528,6 +612,8 @@ object GraftExtensions {
         }
         SpanHashesExpr(exprs(0), w)
       }),
+    entry("graft_intersect_count", classOf[IntersectCountExpr], 2)(
+      exprs => IntersectCountExpr(exprs(0), exprs(1))),
     entry("graft_minhash_mins", classOf[MinHashMinsExpr], 4)(
       exprs => {
         def longs(e: Expression): Seq[Long] = {

@@ -2063,7 +2063,7 @@ object TdpQueries {
         .join(d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
           col("n_sh").as("nb")), Seq("doc_b"))
         .withColumn("inter",
-          size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+          expr("graft_intersect_count(ha, hb)"))
         .withColumn("jaccard",
           col("inter").cast(DoubleType)
             / (col("na") + col("nb") - col("inter")).cast(DoubleType))
@@ -3403,7 +3403,7 @@ object TdpQueries {
           (0 until 8).map(j => col(s"mh$j").as(s"b_mh$j")): _*)
         cand.join(aSide, Seq("doc_a")).join(bSide, Seq("doc_b"))
           .withColumn("inter",
-            size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+            expr("graft_intersect_count(ha, hb)"))
           .select(col("doc_a"), col("doc_b"),
             (agree.cast(DoubleType) / lit(8.0)).as("est_jaccard"),
             (col("inter").cast(DoubleType)
@@ -7576,7 +7576,7 @@ object TdpQueries {
           .join(d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
             col("n_sh").as("nb")), Seq("doc_b"))
           .withColumn("inter",
-            size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+            expr("graft_intersect_count(ha, hb)"))
           .withColumn("containment",
             col("inter").cast(DoubleType) / col("na").cast(DoubleType))
           .filter(col("containment") >= 0.8)
@@ -14086,7 +14086,7 @@ object TdpQueries {
           col("n_sh").cast(LongType).as("n_sh_b"))
         lshPairs(s, dir).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
           .withColumn("inter",
-            size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+            expr("graft_intersect_count(ha, hb)"))
           .select(col("doc_a"), col("doc_b"), col("n_sh_a"), col("n_sh_b"),
             col("inter"),
             expr("CAST((CAST(inter AS DECIMAL(38,0)) * 1000000)" +
@@ -14381,7 +14381,7 @@ object TdpQueries {
           .join(ha, Seq("doc_a")).join(hb, Seq("doc_b"))
           .withColumn("agree", agree)
           .withColumn("inter",
-            size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+            expr("graft_intersect_count(ha, hb)"))
           .select(
             expr("CAST((CAST(agree AS DECIMAL(38,0)) * (na + nb)" +
               " * 1000000) div ((8 + agree) * na) AS BIGINT)").as("est_a"),
@@ -14715,7 +14715,7 @@ object TdpQueries {
           .join(aS, Seq("doc_a")).join(bS, Seq("doc_b"))
           .join(ha, Seq("doc_a")).join(hb, Seq("doc_b"))
           .withColumn("inter",
-            size(array_intersect(col("ha"), col("hb"))).cast(LongType))
+            expr("graft_intersect_count(ha, hb)"))
           .withColumn("exact",
             expr("CAST((CAST(inter AS DECIMAL(38,0)) * 1000000)" +
               " div (na + nb - inter) AS BIGINT)"))

@@ -220,6 +220,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(nul.getSeq[Long](0) == Seq.empty[Long], "null toks must yield []")
   }
 
+  test("IntersectCountExpr matches size(array_intersect); dups, empties, nulls") {
+    val s = registered
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      def arr() = Array.fill(rnd.nextInt(40))(rnd.nextInt(25).toLong) // dup-heavy
+      (i, arr(), arr())
+    } ++ Seq((0, Array.empty[Long], Array(1L, 2L)), (-1, Array(3L), Array.empty[Long]))
+    val out = rows.toDF("i", "a", "b").select(
+      expr("graft_intersect_count(a, b)").as("native"),
+      expr("size(array_intersect(a, b))").cast("long").as("ref")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"${r.getLong(0)} != ${r.getLong(1)}"))
+    // null arrays mirror size(null) = -1 under the non-ANSI convention
+    val nul = s.sql("SELECT graft_intersect_count(CAST(NULL AS ARRAY<BIGINT>)," +
+      " array(1L)), CAST(size(array_intersect(CAST(NULL AS ARRAY<BIGINT>)," +
+      " array(1L))) AS BIGINT)").collect()(0)
+    assert(nul.getLong(0) == nul.getLong(1) && nul.getLong(0) == -1L)
+  }
+
   test("MinHashMinsExpr matches 8 array_min(transform(...)) folds; empty -> nulls") {
     val s = registered
     import s.implicits._
