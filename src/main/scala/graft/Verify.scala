@@ -24,6 +24,10 @@ object Verify {
       // r14: see Bench — the 100-entry codegen LRU thrashes at 306
       // queries; scale-neutral driver-memory-for-compile-time trade.
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // r15: see Bench — AQE may coalesce cached-plan output partitions,
+      // so memoized-frame scans stop costing one task per tiny shuffle
+      // partition. Applied symmetrically to the driver-verifiable path.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

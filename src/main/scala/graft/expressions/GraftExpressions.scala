@@ -73,6 +73,30 @@ object Kernels {
     acc
   }
 
+  /** Exact integer squared-L2 distance over two bigint arrays —
+    * value-identical to
+    * `aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L,
+    * (acc, v) -> acc + v)` including its null semantics (unequal lengths
+    * null the result via zip_with's null padding; a null element nulls
+    * the running sum), with the same wrapping two's-complement long
+    * arithmetic the SQL fold performs (ANSI off). One native pass
+    * instead of three interpreted lambdas per pair (r15; guide §4 —
+    * the dbscan-family verify bill).
+    */
+  def l2sq(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   private def isAllDigits(s: String, from: Int, until: Int): Boolean = {
     var i = from
     while (i < until) {
@@ -356,6 +380,46 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native integer squared-L2 distance (see [[Kernels.l2sq]]) — the
+  * dbscan-family pair verify; replaces the interpreted
+  * `aggregate(zip_with(...))` fold while preserving its exact value and
+  * null semantics.
+  */
+case class L2SqExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType} and ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_boxed = graft.expressions.Kernels.l2sq($a, $b);
+      if (${ev.value}_boxed == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_boxed.longValue();
+      }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native whitespace tokenizer (see [[Kernels.wsTokens]]) — the corpus
   * tokenization underlying every TDP text frame; replaces the regex
   * split + interpreted filter lambda while preserving its exact value.
@@ -509,11 +573,15 @@ case class MinHashMinsExpr(
 }
 
 /** Native distinct-intersection counter (see [[Kernels.intersectCount]]).
-  * NOT null-safe by design: a null array on either side yields -1,
-  * mirroring `size(array_intersect(a, b))` under the non-ANSI
-  * size-of-null convention every session here runs with.
+  * Null handling mirrors `size(array_intersect(a, b))` EXACTLY, including
+  * the session's size-of-null convention (r14 ADVICE): like Spark's own
+  * `Size`, the convention is captured from SQLConf at analysis time —
+  * legacy (ANSI off, the graft sessions) maps a null side to -1; a
+  * session with the legacy convention off gets null, so the expression
+  * can never drift from the SQL it replaces if a session config changes.
   */
-case class IntersectCountExpr(left: Expression, right: Expression)
+case class IntersectCountExpr(
+    left: Expression, right: Expression, legacySizeOfNull: Boolean = true)
     extends BinaryExpression {
 
   private def ok(dt: DataType): Boolean = dt match {
@@ -527,13 +595,14 @@ case class IntersectCountExpr(left: Expression, right: Expression)
       s"$prettyName requires two array<bigint> arguments, got " +
         s"${left.dataType} and ${right.dataType}")
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
+  override def nullable: Boolean =
+    !legacySizeOfNull && (left.nullable || right.nullable)
   override def prettyName: String = "graft_intersect_count"
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val l = left.eval(input)
     val r = right.eval(input)
-    if (l == null || r == null) -1L
+    if (l == null || r == null) { if (legacySizeOfNull) -1L else null }
     else Kernels.intersectCount(
       l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
   }
@@ -544,16 +613,32 @@ case class IntersectCountExpr(left: Expression, right: Expression)
     val lg = left.genCode(ctx)
     val rg = right.genCode(ctx)
     val value = ctx.freshName("interCount")
-    ev.copy(
-      code = code"""
-        ${lg.code}
-        ${rg.code}
-        long $value = (${lg.isNull} || ${rg.isNull}) ? -1L
-          : graft.expressions.Kernels.intersectCount(${lg.value}, ${rg.value});
-      """,
-      isNull = FalseLiteral,
-      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
-        .variable(value, dataType))
+    if (legacySizeOfNull)
+      ev.copy(
+        code = code"""
+          ${lg.code}
+          ${rg.code}
+          long $value = (${lg.isNull} || ${rg.isNull}) ? -1L
+            : graft.expressions.Kernels.intersectCount(${lg.value}, ${rg.value});
+        """,
+        isNull = FalseLiteral,
+        value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+          .variable(value, dataType))
+    else {
+      val isNull = ctx.freshName("interNull")
+      ev.copy(
+        code = code"""
+          ${lg.code}
+          ${rg.code}
+          boolean $isNull = ${lg.isNull} || ${rg.isNull};
+          long $value = $isNull ? -1L
+            : graft.expressions.Kernels.intersectCount(${lg.value}, ${rg.value});
+        """,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+          .isNullVariable(isNull),
+        value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+          .variable(value, dataType))
+    }
   }
 
   override protected def withNewChildrenInternal(
@@ -612,8 +697,13 @@ object GraftExtensions {
         }
         SpanHashesExpr(exprs(0), w)
       }),
+    entry("graft_l2sq", classOf[L2SqExpr], 2)(
+      exprs => L2SqExpr(exprs(0), exprs(1))),
     entry("graft_intersect_count", classOf[IntersectCountExpr], 2)(
-      exprs => IntersectCountExpr(exprs(0), exprs(1))),
+      // Like Spark's Size.apply: the size-of-null convention is read from
+      // the ACTIVE session's conf at analysis time, not hardcoded.
+      exprs => IntersectCountExpr(exprs(0), exprs(1),
+        org.apache.spark.sql.internal.SQLConf.get.legacySizeOfNull)),
     entry("graft_minhash_mins", classOf[MinHashMinsExpr], 4)(
       exprs => {
         def longs(e: Expression): Seq[Long] = {

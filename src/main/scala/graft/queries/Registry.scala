@@ -96,8 +96,47 @@ object Registry {
     * narrow stage instead of shuffle+shuffle+checkpoint (r14; guide
     * §2.4 "remove shuffles outright").
     */
-  def cutOne(df: DataFrame): DataFrame =
+  /** Test-only observation hook (thread-local: suites may run in
+    * parallel inside one JVM): CutOneLintSpec installs a probe so every
+    * cutOne INPUT can be audited for the bounded-frame contract above —
+    * nothing but the comment would otherwise stop a future data-sized
+    * call site from serializing a corpus through one partition (r14
+    * VERDICT). Production cost is a ThreadLocal get returning null.
+    */
+  private[graft] val cutOneProbe =
+    new InheritableThreadLocal[DataFrame => Unit]()
+
+  /** Run independent operating-point computations CONCURRENTLY (guide
+    * §2.6 — Spark's scheduler happily runs several jobs at once; sweeps
+    * over independent thresholds/widths/shards are only sequential
+    * because the driver calls their actions sequentially, and each
+    * sweep's straggler tail leaves the executor pool idle). Results keep
+    * the caller's order and each thunk is deterministic, so scheduling
+    * cannot change values — only wall clock. The pool is per-call (the
+    * sweeps ARE the work; thread creation is nanoseconds against Spark
+    * jobs) and failures propagate like the sequential loop's would.
+    */
+  private[queries] def inParallel[A](xs: Seq[() => A]): Seq[A] =
+    if (xs.size <= 1) xs.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(xs.size)
+      try {
+        val futs = xs.map(f =>
+          pool.submit(new java.util.concurrent.Callable[A] {
+            override def call(): A = f()
+          }))
+        futs.map(_.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause // surface the thunk's own failure, not the wrapper
+      } finally pool.shutdown()
+    }
+
+  def cutOne(df: DataFrame): DataFrame = {
+    val p = cutOneProbe.get()
+    if (p != null) p(df)
     cut(df.coalesce(1)).coalesce(1)
+  }
 
   def all: Seq[QueryDef] =
     CoreQueries.defs ++ EngineQueries.defs ++ FunctionQueries.defs ++

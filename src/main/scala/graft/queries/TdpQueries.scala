@@ -1013,7 +1013,14 @@ object TdpQueries {
             (b, c) -> CASE WHEN b.ll IS NULL OR c.ll >= b.ll
               THEN c ELSE b END))),
         acc -> element_at(acc, length(word) + 1))""")
-    words.crossJoin(broadcast(uniScoreMap(pieces)))
+    // r15 (r14 ADVICE): enforce the non-empty-word invariant instead of
+    // assuming it — sequence(1, 0) would descend to [1, 0] and the i=0
+    // round's element_at(acc, 0) throws even with ANSI off. uniWords
+    // tokens are non-empty by construction, so the filter drops nothing;
+    // it exists to make a future empty-token regression degrade to
+    // "absent row" (the old driver loop's behavior) instead of a crash.
+    words.filter(length(col("word")) >= 1)
+      .crossJoin(broadcast(uniScoreMap(pieces)))
       .withColumn("fs", dp)
       .select(col("word"), col("freq"),
         col("fs.ll").as("ll"), col("fs.seg").as("seg"))
@@ -2037,19 +2044,35 @@ object TdpQueries {
       val prefix = exploded.join(dfreq, "sh")
         .withColumn("rk", row_number().over(wDoc))
         .filter(col("rk") <= expr("n_sh - ((n_sh + 4) div 5) + 1"))
-        .select("doc_id", "n_sh", "sh")
+        .select("doc_id", "n_sh", "sh", "rk")
       // r14: Bayardo/PPJoin LENGTH filter at the candidate stage —
       // J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any pair with
       // 5*min < max cannot reach t=0.2 and would only be discarded by
       // the exact-Jaccard verify below; dropping it here is provably
       // lossless for the J >= 0.2 output and prunes the verify-side
       // array_intersect fan-out (the query's dominant CPU).
+      // r15: POSITIONAL filter on top (PPJoin's second bound): both
+      // docs' shingles are ordered by the same global (df, sh) key, so
+      // for a shared prefix element at ranks (rka, rkb) everything
+      // common beyond it fits in the shorter suffix:
+      // inter <= 1 + min(na-rka, nb-rkb) when it is the pair's FIRST
+      // common element. J >= 0.2 needs inter >= ceil((na+nb)/6), and
+      // for a qualifying pair its globally-first common shingle w* is
+      // provably inside both prefixes (>= ceil(n/5) common elements
+      // follow it in each doc) with 1 + min(na-rk, nb-rk) >= inter —
+      // so keeping a pair when ANY generating occurrence satisfies
+      // 6*(1 + min(na-rka, nb-rkb)) >= na + nb keeps every true pair:
+      // lossless for the J >= 0.2 output, and pairs whose shared
+      // prefix elements all sit near both suffix ends stop reaching
+      // the distinct + verify stages.
       val cand = prefix.select(col("doc_id").as("doc_a"),
-          col("n_sh").as("na"), col("sh"))
+          col("n_sh").as("na"), col("sh"), col("rk").as("rka"))
         .join(prefix.select(col("doc_id").as("doc_b"),
-          col("n_sh").as("nb"), col("sh")), Seq("sh"))
+          col("n_sh").as("nb"), col("sh"), col("rk").as("rkb")), Seq("sh"))
         .filter(col("doc_a") < col("doc_b") &&
-          least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")))
+          least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) &&
+          (least(col("na") - col("rka"), col("nb") - col("rkb")) + 1) * 6
+            >= col("na") + col("nb"))
         .select("doc_a", "doc_b").distinct()
       // Attach the shingle-hash arrays to the candidate pairs with plain
       // shuffle joins on the doc ids: the doc side is the memoized
@@ -10206,7 +10229,13 @@ object TdpQueries {
         }
         val variants = Seq("none" -> feats) ++
           (0 to 3).map(i => s"shard$i" -> feats.filter(col("shard") =!= i))
-        val evals = variants.map { case (name, tr) =>
+        // r15 (guide §2.6): the four held-out retrainings (3 sequential
+        // gradient passes each) and five eval passes are INDEPENDENT
+        // per variant — run the variant chains as concurrent jobs; each
+        // chain's per-pass aggregates are deterministic, so only wall
+        // clock changes. `feats`/`wFull` are already materialized by
+        // qcTrain above, so the threads race nothing.
+        val evals = Registry.inParallel(variants.map { case (name, tr) => () =>
           val (w, nTr) =
             if (name == "none") (wFull, -1L) else trainOn(tr)
           val ev = qcScored(feats, w)
@@ -10214,7 +10243,7 @@ object TdpQueries {
           val nEval = ev.getAs[Long]("n")
           (name, if (nTr < 0) nEval else nTr, w(0), w(1), w(2),
             ev.getAs[Long]("nc") * 1000 / nEval)
-        }
+        })
         val fullAcc = evals.head._6
         import s.implicits._
         evals.map { case (n, nt, w0, w1, w2, acc) =>
@@ -10895,9 +10924,9 @@ object TdpQueries {
         val pairs = cand
           .join(mic.select(col("vec_id").as("va"), col("m").as("ma")), "va")
           .join(mic.select(col("vec_id").as("vb"), col("m").as("mb")), "vb")
-          .withColumn("d2", expr(
-            "aggregate(zip_with(ma, mb, (x, y) -> (x - y) * (x - y)), " +
-              "0L, (acc, v) -> acc + v)"))
+          // r15 (guide §4): native kernel, value-identical to the
+          // interpreted aggregate(zip_with(...)) fold — see Kernels.l2sq.
+          .withColumn("d2", expr("graft_l2sq(ma, mb)"))
           .filter(col("d2") <= DbEps2)
           .select("va", "vb")
           .transform(cut) // lineage cut: CC rounds re-plan this tree
@@ -11030,9 +11059,9 @@ object TdpQueries {
         val verified = cand
           .join(mic.select(col("vec_id").as("va"), col("m").as("ma")), "va")
           .join(mic.select(col("vec_id").as("vb"), col("m").as("mb")), "vb")
-          .withColumn("d2", expr(
-            "aggregate(zip_with(ma, mb, (x, y) -> (x - y) * (x - y)), " +
-              "0L, (acc, v) -> acc + v)"))
+          // r15 (guide §4): native kernel, value-identical to the
+          // interpreted aggregate(zip_with(...)) fold — see Kernels.l2sq.
+          .withColumn("d2", expr("graft_l2sq(ma, mb)"))
           .select(col("va"), col("vb"), col("pair_np"),
             (col("d2") <= DbEps2).as("is_edge"))
           .transform(cut) // lineage cut: per-nprobe CC re-plans this
@@ -12535,7 +12564,17 @@ object TdpQueries {
         val pairsJ = ngramJaccardPairs(s, dir)
         val docsN = table(s, dir, "documents")
           .agg(count(lit(1)).as("n_docs"))
-        val rows = Seq(200000L, 500000L, 800000L).map { tMicro =>
+        // Force the shared pair frame BEFORE the concurrent sweeps so the
+        // memo materializes exactly once (not raced by three threads).
+        pairsJ.count()
+        // r15 (guide §2.6): the three cutoffs are INDEPENDENT CC
+        // fixpoints over monotonically shrinking edge sets — run them as
+        // concurrent jobs so each loop's per-round stage latency and
+        // straggler tail overlaps the others'. Deterministic: each CC
+        // converges to the componentwise min label regardless of
+        // scheduling.
+        val rows = Registry.inParallel(
+          Seq(200000L, 500000L, 800000L).map { tMicro => () =>
           val e = pairsJ
             .filter(col("jaccard") >= lit(tMicro.toDouble / 1000000.0))
             .select("doc_a", "doc_b")
@@ -12555,7 +12594,7 @@ object TdpQueries {
               col("max_cluster"),
               expr("CAST(((docs_in_multi - n_multi_clusters) * 1000000)" +
                 " div n_docs AS BIGINT)").as("dup_rate_micro"))
-        }
+        })
         rows.reduce(_ unionAll _).orderBy("thresh_micro")
       },
       Some {
@@ -14583,7 +14622,11 @@ object TdpQueries {
           .join(cSide, "c_id")
           .withColumn("sim", expr(dotExpr) / (col("q_norm") * col("c_norm")))
           .select("q_id", "c_id", "sim").distinct()
-        val rows = Seq(2, 4, 8).map { b =>
+        // r15 (guide §2.6): the three beam widths are INDEPENDENT
+        // greedy expansions over the same memoized graph — run them as
+        // concurrent jobs (each is 3 driver-sequential hop actions; the
+        // widths' stage latencies now overlap). Deterministic per width.
+        val rows = Registry.inParallel(Seq(2, 4, 8).map { b => () =>
           def topB(pool: DataFrame): DataFrame =
             pool.withColumn("rk", row_number().over(
               Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
@@ -14615,7 +14658,7 @@ object TdpQueries {
               col("beam_checksum"), col("n_exact"), col("n_hit"),
               (col("n_hit").cast(DoubleType)
                 / col("n_exact").cast(DoubleType)).as("recall"))
-        }
+        })
         rows.reduce(_ union _).orderBy("beam_width")
       },
       Some(annBeamWidthOracle)),

@@ -1,5 +1,7 @@
 package graft.cleaning
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** V7 — eager cleaner warning counters: planted bad rows must be counted
@@ -59,6 +61,51 @@ class CleaningQaSpec extends SparkSpec {
     assert(inPipeline == postClean)
     assert(inPipeline.map(_.head) == Set("987654321"),
       s"only the in-range group's keep-first row survives, got $inPipeline")
+  }
+
+  test("heavyTail commutes with dropAndDedup on both cleaners (r14 ADVICE)") {
+    import spark.implicits._
+    // The bench path runs the heavy row-local tail AFTER the null-key
+    // drop + keep-first dedup; the CLI QA path keeps the reference order
+    // (tail first). Equivalence relies on the tail never touching a
+    // match-key column — assert it on planted duplicates whose
+    // tail-touched columns DIFFER inside a dup group, so a future
+    // normalizer added to heavyTail that modifies a key (or a key-
+    // feeding normalization demoted into the tail) fails here instead
+    // of silently forking the two paths.
+    val today = java.time.LocalDate.of(2026, 1, 1)
+    val rawM = Seq(
+      // dup group: same match keys, different tail columns (tax codes)
+      ("300004PLAT", "123456789", 100.0, "2025-01-01", "7", "G"),
+      ("300004PLAT", "123456789", 100.0, "2025-01-01", "4", ""),
+      ("300004PLAT", "987654321", 200.0, "2025-01-02", "ABCDE", "4"),
+      // null-key row: dropped either way
+      ("300004PLAT", null, 300.0, "2025-01-03", "7", ""))
+      .toDF("Client Account", "Participant SSN", "Gross Amount",
+        "Transaction Date", "Tax Code", "Tax Code 2")
+    val mBench = CleanMatrix(rawM, today = today)
+    val mRef = CleanMatrix(rawM, warnCounts = true, today = today)
+    Cleaning.drainQaCounts()
+    assert(mBench.columns.sorted.sameElements(mRef.columns.sorted))
+    val mCols = mBench.columns.sorted.map(col)
+    assert(mBench.select(mCols: _*).collect().map(_.toSeq).toSet ===
+      mRef.select(mCols: _*).collect().map(_.toSeq).toSet)
+    val rawR = Seq(
+      ("300004PLAT", "123456789", "Ann", "Lee", "CA", 50.0,
+        "2025-01-01", "7", 2025L, "Termination"),
+      ("300004PLAT", "123456789", "ann", "LEE", "ny", 50.0,
+        "2025-01-01", "4x", 2025L, "Hardship"),
+      ("300004PLAT", "987654321", "Bo", "Kim", "WA", 60.0,
+        "2025-01-02", "1", 2025L, "RMD"))
+      .toDF("PLANID_1", "SSNUM_1", "FIRSTNAM", "LASTNAM", "STATEADDR",
+        "GROSSDISTRAMT", "EXPORTEDDATE", "DISTR1CD", "TAXYR", "DISTRNAM")
+    val rBench = CleanRelius(rawR, today = today)
+    val rRef = CleanRelius(rawR, warnCounts = true, today = today)
+    Cleaning.drainQaCounts()
+    assert(rBench.columns.sorted.sameElements(rRef.columns.sorted))
+    val rCols = rBench.columns.sorted.map(col)
+    assert(rBench.select(rCols: _*).collect().map(_.toSeq).toSet ===
+      rRef.select(rCols: _*).collect().map(_.toSeq).toSet)
   }
 
   test("warnIf stays silent and lazy when disabled") {

@@ -238,6 +238,47 @@ class ExpressionsSpec extends SparkSpec {
       " array(1L)), CAST(size(array_intersect(CAST(NULL AS ARRAY<BIGINT>)," +
       " array(1L))) AS BIGINT)").collect()(0)
     assert(nul.getLong(0) == nul.getLong(1) && nul.getLong(0) == -1L)
+    // r15 (r14 ADVICE): the convention is read from the session conf at
+    // analysis time, like Spark's Size — with the legacy size-of-null
+    // convention OFF, a null side yields NULL on both sides of the
+    // equivalence, not -1.
+    val key = "spark.sql.legacy.sizeOfNull"
+    val prev = s.conf.get(key)
+    try {
+      s.conf.set(key, "false")
+      val r = s.sql("SELECT graft_intersect_count(CAST(NULL AS ARRAY<BIGINT>)," +
+        " array(1L)), CAST(size(array_intersect(CAST(NULL AS ARRAY<BIGINT>)," +
+        " array(1L))) AS BIGINT)").collect()(0)
+      assert(r.isNullAt(0) && r.isNullAt(1),
+        s"expected NULL = NULL with legacy sizeOfNull off, got $r")
+    } finally s.conf.set(key, prev)
+  }
+
+  test("L2SqExpr matches aggregate(zip_with(...)) fold; lengths, nulls") {
+    val s = registered
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    // random long vectors incl. equal-length, unequal-length and empty
+    val rows = (1 to 300).map { i =>
+      val n = if (i % 7 == 0) rnd.nextInt(5) else 64
+      val m = if (i % 11 == 0) n + 1 + rnd.nextInt(3) else n
+      (i, Array.fill(n)(rnd.nextLong() % 2000000L),
+        Array.fill(m)(rnd.nextLong() % 2000000L))
+    }
+    val out = rows.toDF("i", "a", "b").select(
+      expr("graft_l2sq(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (acc, v) -> acc + v)").as("ref")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null mismatch: ${r.get(0)} vs ${r.get(1)}")
+      if (!r.isNullAt(0))
+        assert(r.getLong(0) == r.getLong(1), s"${r.getLong(0)} != ${r.getLong(1)}")
+    }
+    // null array on either side -> null, same as the fold
+    val nul = s.sql("SELECT graft_l2sq(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
+      .collect()(0)
+    assert(nul.isNullAt(0))
   }
 
   test("MinHashMinsExpr matches 8 array_min(transform(...)) folds; empty -> nulls") {
