@@ -17,12 +17,29 @@ object Cleaning {
 
   /** Tag ingest order if not already present. `monotonically_increasing_id`
     * is (partition-index << 33) + row-in-partition — monotone in file order
-    * for a deterministic scan, and never shuffled before the dedup window
-    * uses it.
+    * for a deterministic scan, and ASSIGNED BELOW any exchange the spread
+    * below adds (the project sits under the repartition in the plan), so
+    * the dedup windows ordering on it still see exact file order.
+    *
+    * r15 (guide §2.5 — "one huge unsplittable file: repartition
+    * immediately after the read"): when the source yields far fewer
+    * splits than the session's shuffle width (a single-row-group parquet,
+    * gzip, or a 1-file export — exactly the bench testdata's layout), the
+    * whole pre-dedup normalizer chain would otherwise run inside the one
+    * scan task. Spread the ingest-tagged rows once; the ingest id, not
+    * row placement, carries the ordering contract. No-op whenever the
+    * scan is already at least quarter-width (real multi-split layouts at
+    * scale), so no extra shuffle is added where the input parallelizes
+    * naturally.
     */
   def withIngestId(df: DataFrame): DataFrame =
     if (df.columns.contains(IngestIdCol)) df
-    else df.withColumn(IngestIdCol, monotonically_increasing_id())
+    else {
+      val tagged = df.withColumn(IngestIdCol, monotonically_increasing_id())
+      val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      if (df.rdd.getNumPartitions * 4 >= n) tagged
+      else tagged.repartition(n)
+    }
 
   /** P1 — rename raw headers to canonical names (only those present). */
   def renameColumns(df: DataFrame, columnMap: Seq[(String, String)]): DataFrame =
@@ -72,8 +89,38 @@ object Cleaning {
   }
 
   private def dedupBy(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    // r15: pin the dedup exchange at the session's configured shuffle
+    // parallelism. The window only needs ClusteredDistribution(keys), so
+    // this single explicit exchange feeds the window with no second
+    // shuffle AND keeps the CPU-dense normalizer/validator tail that the
+    // cleaners run on the window's output at full fan-out — AQE's
+    // cached-plan coalescing would otherwise fold the post-window stage
+    // to advisory-size partition counts (regex normalization is orders
+    // of magnitude denser per byte than scan/shuffle work; measured at
+    // sf0.1: clean_relius tail serialized onto 1-2 tasks). The count is
+    // the contract-scaled spark.sql.shuffle.partitions, not a constant.
+    // Pin on the NON-FLOAT subset of the keys: the window's required
+    // distribution wraps float keys in NaN/-0.0 normalization
+    // (knownfloatingpointnormalized), which a user repartition cannot
+    // express — partitioning on the plain float column would NOT satisfy
+    // the requirement and the planner would add a second exchange
+    // (observed: clean_relius shuffled twice). A hash partitioning on a
+    // subset of the window keys satisfies ClusteredDistribution (equal
+    // full key implies equal subset key), so the window reuses this
+    // exchange directly — the same subset-co-partitioning device as
+    // EngineQueries.bucketedInputs.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val pinKeys = {
+      val nonFloat = keys.filter(k => df.schema(k).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => false
+        case _ => true
+      })
+      if (nonFloat.nonEmpty) nonFloat else keys
+    }
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("_rn", row_number().over(w))
+    df.repartition(n, pinKeys.map(col): _*)
+      .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
   }

@@ -2081,6 +2081,17 @@ object TdpQueries {
       // the 100 TB path is this shuffle join, or a bucketed co-located
       // join when the corpus is stored bucketed by doc_id.
       cand
+        // r15: pin the verify fan-out at the session's shuffle
+        // parallelism BEFORE attaching the hash arrays. AQE's
+        // coalescing folds the candidate frame to advisory-size
+        // partition counts, which serialized the intersect-count
+        // verify — this query's dominant CPU — onto 1-2 tasks. The
+        // pinned exchange carries ONLY the pair ids (the light proxy,
+        // guide §8); in the local broadcast-attach regime both joins
+        // preserve it, so the verify stage runs at full width, and in
+        // the at-scale shuffle-join regime the attach exchanges take
+        // over exactly as before.
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_b"))
         .join(d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
           col("n_sh").as("na")), Seq("doc_a"))
         .join(d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
@@ -7594,6 +7605,11 @@ object TdpQueries {
           .filter(col("doc_a") =!= col("doc_b"))
           .select("doc_a", "doc_b").distinct()
         cand
+          // r15: same verify fan-out pin as ngramJaccardPairs — pair
+          // ids only, before the array attach, so the CPU-dense
+          // intersect verify keeps full width instead of the
+          // AQE-coalesced 1-2 tasks.
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_b"))
           .join(d.select(col("doc_id").as("doc_a"), col("hashes").as("ha"),
             col("n_sh").as("na")), Seq("doc_a"))
           .join(d.select(col("doc_id").as("doc_b"), col("hashes").as("hb"),
@@ -10696,8 +10712,14 @@ object TdpQueries {
         val mic = embWithNorm(s, dir).select(col("vec_id"),
           expr("transform(embedding, v -> " +
             "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("m"))
-        val exi = mic.select(col("vec_id"), col("m"),
-          posexplode(col("m")).as(Seq("i", "mi")))
+          // r15: spread the D^2 moment explode across the session's
+          // shuffle width — the cached embedding frame coalesces to
+          // advisory-size partition counts (1 at bench SF), which
+          // serialized the 4096x row expansion onto one task. The
+          // repartition moves only the pre-explosion rows (the light
+          // proxy, guide §8); the moment/mean aggregates are
+          // order-insensitive.
+          .repartition(s.sessionState.conf.numShufflePartitions)
         val moments = exi
           .select(col("i"), col("mi"), posexplode(col("m")).as(Seq("j", "mj")))
           .groupBy("i", "j")
